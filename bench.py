@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "extract_docs_per_sec": ...}``.
+
+Headline = the fused extraction stage over a deterministic synthetic page
+corpus sized to the sf tier (sf0.1 -> 20,000 docs, FIXTURES.md §1) + the
+flagship relational/dedup/similarity queries from __spark_entry__.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from exstruct_spark.engine import default_session, extract_stage  # noqa: E402
+from exstruct_spark.pages import spark_pages  # noqa: E402
+from exstruct_spark.queries import QUERIES  # noqa: E402
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5_region",
+    "tpch_q6",
+    "events_hourly",
+    "events_gap_lag",
+    "doc_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "docs_by_source_salted",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(2000, int(200000 * sf)))))
+
+    spark = default_session(
+        app="exstruct-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        arrow_batch=4096,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict = {}
+
+    # 1. extraction throughput: generate the corpus once (excluded from the
+    # measured window), then time the fused extraction stage alone
+    pages = spark_pages(spark, n_docs, partitions=cpus * 2)
+    pages_path = f"/tmp/exstruct_bench_pages_{n_docs}"
+    if not os.path.exists(pages_path):
+        pages.write.mode("overwrite").parquet(pages_path)
+    pages_on_disk = spark.read.parquet(pages_path)
+
+    t0 = time.monotonic()
+    extracted = extract_stage(pages_on_disk, repartition_to=cpus * 2)
+    n_ok = extracted.where(F.col("status").isNotNull()).count()
+    t_extract = time.monotonic() - t0
+    timings["extract_pages"] = round(t_extract, 3)
+    docs_per_sec = round(n_ok / t_extract, 2) if t_extract > 0 else 0.0
+
+    # 2. relational / dedup / similarity headline queries
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        _run(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline seconds (fused HTML extraction "
+                f"{n_docs} docs + {len(BENCH_QUERIES)} relational/dedup/ann queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extract_docs": n_ok,
+                "extract_docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Engine configuration.
+
+Mirrors the *role* of exstruct's module-level detection config and
+``set_table_detection_params`` (reference ``core/cells.py:38-43,
+1384-1402``) but as an immutable dataclass that is broadcast to executors —
+no process-global mutation (SURVEY.md §4 R10).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class DetectionConfig:
+    """Table-candidate scoring thresholds.
+
+    Parity: exstruct defaults score>=0.35, density>=0.05, coverage>=0.2,
+    min_cells=3 (reference ``core/cells.py:38-43``); the composite score
+    formula parity is with ``_table_signal_score`` (``core/cells.py:
+    1350-1381``): density + 0.2*header + 0.1*(coverage>0.5) +
+    0.1*structure.
+    """
+
+    min_score: float = 0.35
+    min_density: float = 0.05
+    min_coverage: float = 0.2
+    min_cells: int = 3
+    header_bonus: float = 0.2
+    coverage_bonus: float = 0.1
+    structure_bonus: float = 0.1
+    # scan caps — parity with TableScanLimits max_rows=5000 max_cols=200
+    # (reference core/cells.py:118-165); truncation is LOGGED, never silent.
+    max_rows: int = 5000
+    max_cols: int = 200
+
+    def with_params(self, **kw) -> "DetectionConfig":
+        """Functional twin of exstruct's ``set_table_detection_params``."""
+        return replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class ExtractOptions:
+    """Per-job extraction options (exstruct ``StructOptions`` analogue,
+    reference ``engine.py:304-338,381-436``).  Controls which artifact
+    families the fused extraction kernel emits."""
+
+    include_tables: bool = True
+    include_shapes: bool = True
+    include_charts: bool = True
+    include_lists: bool = True
+    include_links: bool = True
+    # boilerplate classifier thresholds (Boilerpipe/trafilatura-style;
+    # the web analogue of exstruct's density/coverage gates)
+    max_link_density: float = 0.333
+    min_block_chars: int = 25
+    detection: DetectionConfig = field(default_factory=DetectionConfig)

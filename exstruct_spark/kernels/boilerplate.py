@@ -1,0 +1,95 @@
+"""Main-content extraction: text-density + link-density block classification.
+
+Boilerpipe/trafilatura-style heuristics (per BASELINE.json north_star) —
+the web analogue of exstruct's density/coverage/header candidate gates
+(reference core/cells.py:1209-1381): segment the DOM into text blocks,
+score each block, keep content blocks, join as main text.
+
+Rules (deterministic, config-driven — thresholds in ``ExtractOptions``):
+  1. blocks live under semantic content roots when present
+     (<article>/<main>, else <body>);
+  2. <nav>/<header>/<footer>/<aside> subtrees and high link-density
+     blocks are boilerplate;
+  3. a block is content iff link_density <= max_link_density and
+     len(text) >= min_block_chars, OR it is a heading adjacent to kept
+     content (headings ride along with their section);
+  4. table/figure/svg content is handled by the dedicated parsers, not
+     here — their text is excluded from main text only when inside
+     <figure>; plain <table> text is kept out of main_text (it is
+     represented structurally), matching exstruct's separation of rows
+     vs shapes/charts.
+"""
+
+from __future__ import annotations
+
+from exstruct_spark.config import ExtractOptions
+from exstruct_spark.kernels.dom import Node
+
+_BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside"})
+_BLOCK_TAGS = frozenset(
+    {"p", "li", "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "dd", "dt"}
+)
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_SKIP_SUBTREES = frozenset({"table", "figure", "svg", "form", "select"}) | _BOILERPLATE_TAGS
+
+
+def _link_text_len(node: Node) -> int:
+    total = 0
+    for a in node.find_all("a"):
+        total += len(a.text_content())
+    return total
+
+
+def _collect_blocks(node: Node, out: list) -> None:
+    """Collect candidate text blocks in document order, pruning
+    boilerplate and structurally-parsed subtrees."""
+    if node.tag in _SKIP_SUBTREES:
+        return
+    if node.tag in _BLOCK_TAGS:
+        out.append(node)
+        return  # block content is atomic; nested li/p handled by recursion rules below
+    for child in node.element_children():
+        _collect_blocks(child, out)
+
+
+def _content_root(root: Node) -> Node:
+    for tag in ("article", "main"):
+        found = root.find_first(tag)
+        if found is not None:
+            return found
+    body = root.find_first("body")
+    return body if body is not None else root
+
+
+def extract_main_text(root: Node, opts: ExtractOptions) -> str:
+    """DOM -> main text, one kept block per line."""
+    content_root = _content_root(root)
+    blocks: list = []
+    _collect_blocks(content_root, blocks)
+
+    kept: list = []
+    decisions: list = []  # (node, text, is_content)
+    for blk in blocks:
+        text = blk.text_content()
+        if not text:
+            decisions.append((blk, text, False))
+            continue
+        link_len = _link_text_len(blk)
+        link_density = link_len / len(text) if text else 1.0
+        is_content = (
+            link_density <= opts.max_link_density
+            and len(text) >= opts.min_block_chars
+        )
+        decisions.append((blk, text, is_content))
+
+    # headings ride along with adjacent kept content (rule 3)
+    for i, (blk, text, is_content) in enumerate(decisions):
+        if is_content:
+            kept.append(text)
+        elif blk.tag in _HEADING_TAGS and text:
+            nxt = next(
+                ((b, t, c) for b, t, c in decisions[i + 1 :] if t), None
+            )
+            if nxt is not None and nxt[2]:
+                kept.append(text)
+    return "\n".join(kept)

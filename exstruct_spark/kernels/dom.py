@@ -1,0 +1,218 @@
+"""Lightweight DOM on top of stdlib ``html.parser``.
+
+The web analogue of the reference's single-pass OOXML scan
+(``core/ooxml_drawing.py:186-257``, streaming ``iterparse`` with bounded
+memory): each document is parsed ONCE and every artifact family (text,
+tables, shapes, charts, lists, links) is derived from the same tree
+(SURVEY.md §4 R5 — manual stage fusion, since Catalyst cannot fuse across
+Python UDF boundaries).
+
+No third-party HTML libraries are available in this environment
+(lxml/selectolax absent), so this is a small, robust, pure-stdlib tree
+builder: tolerant of unclosed tags, stray end tags, and void elements.
+Malformed input degrades (fallback-not-fail — reference
+core/pipeline.py:1097-1193) rather than raising.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterator, Optional
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+RAW_TEXT_SKIP = frozenset({"script", "style", "template", "noscript"})
+BLOCK_ELEMENTS = frozenset(
+    (
+        "address article aside blockquote body caption dd details dialog div dl dt "
+        "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr "
+        "html li main nav ol p pre section summary table tbody td tfoot th thead tr ul"
+    ).split()
+)
+# end tags that implicitly close a still-open same-name sibling scope
+_IMPLICIT_CLOSE = {
+    "li": {"li"},
+    "p": {"p"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "tr": {"tr", "td", "th"},
+    "option": {"option"},
+    "dd": {"dd", "dt"},
+    "dt": {"dd", "dt"},
+    "thead": {"tr", "td", "th"},
+    "tbody": {"tr", "td", "th", "thead"},
+    "tfoot": {"tr", "td", "th", "tbody"},
+}
+
+_WS_RE = re.compile(r"\s+")
+
+
+class Node:
+    """One element. ``children`` holds ``Node`` and ``str`` (text) members."""
+
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: Optional[dict] = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list = []
+
+    # -- traversal -------------------------------------------------------
+    def iter(self) -> Iterator["Node"]:
+        """Pre-order traversal including self (document order)."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(
+                c for c in reversed(node.children) if isinstance(c, Node)
+            )
+
+    def find_all(self, *tags: str) -> list:
+        want = set(tags)
+        return [n for n in self.iter() if n.tag in want]
+
+    def find_first(self, *tags: str):
+        want = set(tags)
+        for n in self.iter():
+            if n.tag in want:
+                return n
+        return None
+
+    def element_children(self) -> list:
+        return [c for c in self.children if isinstance(c, Node)]
+
+    # -- text ------------------------------------------------------------
+    def text_content(self) -> str:
+        """Whitespace-collapsed text of the subtree, skipping script/style.
+
+        Parity role: ``_extract_text`` over ``.//a:t`` nodes (reference
+        ooxml_drawing.py:924-930) — concatenate then strip.
+        """
+        parts: list = []
+        self._collect_text(parts)
+        return _WS_RE.sub(" ", "".join(parts)).strip()
+
+    def _collect_text(self, parts: list) -> None:
+        if self.tag in RAW_TEXT_SKIP:
+            return
+        for c in self.children:
+            if isinstance(c, str):
+                parts.append(c)
+            else:
+                if c.tag in BLOCK_ELEMENTS or c.tag == "br":
+                    parts.append(" ")
+                c._collect_text(parts)
+                if c.tag in BLOCK_ELEMENTS or c.tag == "br":
+                    parts.append(" ")
+
+    def get(self, name: str, default=None):
+        return self.attrs.get(name, default)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<Node {self.tag} attrs={self.attrs} n_children={len(self.children)}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack: list = [self.root]
+
+    # helpers
+    def _top(self) -> Node:
+        return self.stack[-1]
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        closers = _IMPLICIT_CLOSE.get(tag)
+        if closers:
+            # close open same-scope siblings (e.g. <li> before <li>)
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in closers:
+                    del self.stack[i:]
+                    break
+                if t in ("table", "ul", "ol", "div", "section", "body"):
+                    break
+        node = Node(tag, dict(attrs))
+        self._top().children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self._top().children.append(Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignore (tolerant parse)
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._top().children.append(data)
+
+
+def parse_html(html: str) -> Node:
+    """Parse an HTML string into a ``Node`` tree.  Never raises on
+    malformed markup; truly unparseable input yields an (almost) empty
+    ``#document`` the caller treats as the fallback path."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        # html.parser is already tolerant; belt-and-braces for exotic input
+        pass
+    return builder.root
+
+
+def decode_html_bytes(raw: bytes) -> str:
+    """Bytes -> text with charset sniffing, never raising.
+
+    UTF-8 first (Common-Crawl default), then a cheap meta-charset sniff,
+    then latin-1 (total function).  Degradation is recorded by the caller
+    as ``fallback_reason`` (fallback-not-fail, reference
+    core/pipeline.py:1097).
+    """
+    if not raw:
+        return ""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    head = raw[:2048].decode("latin-1", errors="ignore").lower()
+    m = re.search(r'charset=["\']?([a-z0-9_\-]+)', head)
+    if m:
+        try:
+            return raw.decode(m.group(1), errors="replace")
+        except LookupError:
+            pass
+    return raw.decode("latin-1", errors="replace")
+
+
+def strip_tags_text(html: str) -> str:
+    """Naive full-document text (the degraded/fallback extraction path —
+    analogue of ``build_cells_tables_workbook``'s text-only degradation,
+    reference core/pipeline.py:1196-1268)."""
+    no_script = re.sub(
+        r"<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
+        " ",
+        html,
+        flags=re.I | re.S,
+    )
+    txt = re.sub(r"<[^>]+>", " ", no_script)
+    txt = (
+        txt.replace("&amp;", "&")
+        .replace("&lt;", "<")
+        .replace("&gt;", ">")
+        .replace("&quot;", '"')
+        .replace("&#39;", "'")
+        .replace("&nbsp;", " ")
+    )
+    return _WS_RE.sub(" ", txt).strip()

@@ -1,0 +1,192 @@
+"""Fused per-document extraction: html bytes -> main text + structured JSON.
+
+This is the single kernel shared verbatim by the reference extractor
+(golden fixtures) and the Spark ``mapInPandas`` stage — one HTML parse per
+document, every artifact family emitted from the same tree (SURVEY.md §4
+R5 manual fusion; §7.4 byte-identity by construction).
+
+Pipeline per doc (the analogue of run_extraction_pipeline, reference
+core/pipeline.py:1083-1193):
+  decode -> parse DOM -> title -> main text (boilerplate classifier)
+         -> tables (declared <table> first — ListObjects analogue — then
+            heuristic div-grids) -> shapes/arrows (<svg>) -> charts
+            (<figure>) -> nested-list trees -> links_map
+         -> canonical compact JSON (serialized HERE, before Arrow)
+Any failure in the rich phase degrades to text-only output with a
+``fallback_reason`` — a document never fails the job (reference
+core/pipeline.py:1097-1193, dev-docs "do not take down the process").
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import Optional
+
+from exstruct_spark.config import ExtractOptions
+from exstruct_spark.kernels.boilerplate import extract_main_text
+from exstruct_spark.kernels.charts import extract_charts
+from exstruct_spark.kernels.dom import (
+    Node,
+    decode_html_bytes,
+    parse_html,
+    strip_tags_text,
+)
+from exstruct_spark.kernels.serialize import canonical_json, sha256_hex
+from exstruct_spark.kernels.shapes import extract_nested_lists, extract_svg_shapes
+from exstruct_spark.kernels.tables import detect_grid_candidates, extract_table
+
+_DEFAULT_OPTS = ExtractOptions()
+
+
+def _links_map(root: Node) -> dict:
+    """href -> occurrence count over content links (the analogue of the
+    reference's inverted ``formulas_map``/``colors_map`` value->positions
+    indexes, models/__init__.py:208-221; group-by-key aggregation A1/A2)."""
+    counts: dict = {}
+    for a in root.find_all("a"):
+        href = a.get("href")
+        if href:
+            counts[href] = counts.get(href, 0) + 1
+    # deterministic order: first-seen (dict preserves insertion)
+    return counts
+
+
+def extract_document(
+    url: str, html_bytes: Optional[bytes], opts: ExtractOptions = _DEFAULT_OPTS
+) -> dict:
+    """One document -> flat result record (plain Python scalars only).
+
+    Returns keys: url, status ('ok'|'fallback'), fallback_reason,
+    main_text, extraction_json, text_sha256, json_sha256, n_tables,
+    n_shapes, n_arrows, n_charts, n_lists, n_links, bytes_in, truncated.
+    """
+    raw = html_bytes or b""
+    bytes_in = len(raw)
+    fallback_reason = ""
+    status = "ok"
+    main_text = ""
+    extraction: dict = {"doc": url}
+    n_tables = n_shapes = n_arrows = n_charts = n_lists = n_links = 0
+    truncated = False
+
+    html = decode_html_bytes(raw)
+    if not html.strip():
+        status = "fallback"
+        fallback_reason = "empty_document"
+    else:
+        try:
+            root = parse_html(html)
+            body = root.find_first("body") or root
+            title_node = root.find_first("title")
+            title = title_node.text_content() if title_node is not None else ""
+            if title:
+                extraction["title"] = title
+            main_text = extract_main_text(root, opts)
+
+            if opts.include_tables:
+                tables = []
+                figure_table_ids: dict = {}
+                fig_of_table: dict = {}
+                for fig in root.find_all("figure"):
+                    for t in fig.find_all("table"):
+                        fig_of_table[id(t)] = id(fig)
+                for t_node in body.find_all("table"):
+                    art = extract_table(t_node, len(tables), opts.detection)
+                    if art is None:
+                        continue
+                    truncated = truncated or bool(art.get("truncated"))
+                    if id(t_node) in fig_of_table:
+                        figure_table_ids[fig_of_table[id(t_node)]] = art["id"]
+                    tables.append(art)
+                for g in detect_grid_candidates(body, opts.detection):
+                    g["id"] = len(tables)
+                    tables.append(g)
+                candidates = [
+                    f"table{t['id']}!{t['range']}"
+                    for t in tables
+                    if t["score"] >= opts.detection.min_score
+                    and t["_metrics"]["n_cells"] >= opts.detection.min_cells
+                ]
+                for t in tables:
+                    del t["_metrics"]
+                if tables:
+                    extraction["tables"] = tables
+                    extraction["table_candidates"] = candidates
+                n_tables = len(tables)
+            else:
+                figure_table_ids = {}
+
+            if opts.include_shapes:
+                shapes_all: list = []
+                arrows_all: list = []
+                for svg in body.find_all("svg"):
+                    shapes, arrows = extract_svg_shapes(svg)
+                    base = len(shapes_all)
+                    for s in shapes:
+                        s["id"] += base
+                    for a in arrows:
+                        if a.get("begin_id") is not None:
+                            a["begin_id"] += base
+                        if a.get("end_id") is not None:
+                            a["end_id"] += base
+                    shapes_all.extend(shapes)
+                    arrows_all.extend(arrows)
+                if shapes_all:
+                    extraction["shapes"] = shapes_all
+                if arrows_all:
+                    extraction["arrows"] = arrows_all
+                n_shapes, n_arrows = len(shapes_all), len(arrows_all)
+
+            if opts.include_charts:
+                charts = extract_charts(body, figure_table_ids)
+                if charts:
+                    extraction["charts"] = charts
+                n_charts = len(charts)
+
+            if opts.include_lists:
+                lists = extract_nested_lists(body)
+                if lists:
+                    extraction["lists"] = lists
+                n_lists = len(lists)
+
+            if opts.include_links:
+                links = _links_map(body)
+                if links:
+                    extraction["links_map"] = links
+                n_links = len(links)
+        except Exception as exc:  # fallback-not-fail (pipeline.py:1097)
+            status = "fallback"
+            fallback_reason = f"{type(exc).__name__}"
+            extraction = {"doc": url}
+            main_text = ""
+            n_tables = n_shapes = n_arrows = n_charts = n_lists = n_links = 0
+
+    if status == "fallback" or not main_text:
+        # degraded text-only path (build_cells_tables_workbook analogue,
+        # reference core/pipeline.py:1196-1268)
+        degraded = strip_tags_text(html) if html else ""
+        if not main_text:
+            main_text = degraded
+        if status == "fallback":
+            extraction["fallback_reason"] = fallback_reason or "no_main_text"
+
+    # NFC-normalize so byte identity is well-defined across sources
+    main_text = unicodedata.normalize("NFC", main_text)
+    extraction_json = canonical_json(extraction)
+    return {
+        "url": url,
+        "status": status,
+        "fallback_reason": fallback_reason,
+        "main_text": main_text,
+        "extraction_json": extraction_json,
+        "text_sha256": sha256_hex(main_text),
+        "json_sha256": sha256_hex(extraction_json),
+        "n_tables": n_tables,
+        "n_shapes": n_shapes,
+        "n_arrows": n_arrows,
+        "n_charts": n_charts,
+        "n_lists": n_lists,
+        "n_links": n_links,
+        "bytes_in": bytes_in,
+        "truncated": truncated,
+    }

@@ -1,0 +1,66 @@
+"""Canonical compact JSON serialization.
+
+Behavioural parity with the reference's token-budget serializer:
+recursive empty-value stripping (``io/__init__.py:92-128``
+``dict_without_empty_values``) followed by compact
+``json.dumps(ensure_ascii=False)`` (``io/serialize.py:70-73``).
+
+Byte-identity contract: serialization happens INSIDE the extraction
+kernel, before any Arrow round-trip, so int-vs-float distinctions and
+unicode bytes survive untouched (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Any
+
+_EMPTY = (None, "", [], {}, ())
+
+
+def strip_empty(value: Any) -> Any:
+    """Recursively drop ``None``/``""``/``[]``/``{}`` members.
+
+    Parity: reference ``dict_without_empty_values`` (io/__init__.py:92-128)
+    — dicts lose empty-valued keys, lists lose empty elements, recursion
+    applies bottom-up so a dict that becomes empty is itself dropped by the
+    caller one level up.  ``0``/``0.0``/``False`` are NOT empty.
+    """
+    if isinstance(value, dict):
+        out = {}
+        for k, v in value.items():
+            sv = strip_empty(v)
+            if not _is_empty(sv):
+                out[k] = sv
+        return out
+    if isinstance(value, (list, tuple)):
+        out_l = []
+        for v in value:
+            sv = strip_empty(v)
+            if not _is_empty(sv):
+                out_l.append(sv)
+        return out_l
+    return value
+
+
+def _is_empty(v: Any) -> bool:
+    if v is None:
+        return True
+    if isinstance(v, (str, list, dict, tuple)) and len(v) == 0:
+        return True
+    return False
+
+
+def canonical_json(value: Any) -> str:
+    """Compact, non-ASCII-preserving JSON with empty values stripped.
+
+    ``separators=(",", ":")`` + ``ensure_ascii=False`` matches the
+    reference's compact emitter (io/serialize.py:70-73).  Key order is
+    insertion order (deterministic by construction in the kernels).
+    """
+    return json.dumps(strip_empty(value), ensure_ascii=False, separators=(",", ":"))
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()

@@ -1,0 +1,242 @@
+"""Shape/arrow extraction from inline <svg>: the flowchart-graph analogue.
+
+Parity map (behaviour, not code):
+  * sequential 1-based ids over non-connector shapes in document order
+                      ~ reference core/shapes.py:399-402 (SURVEY.md §2.5 W1;
+                        determinism depends only on per-doc content)
+  * text label assignment by point-in-box containment
+  * connector endpoints resolved to nearest shape bounding box (1-NN
+    point-to-box Euclidean) with approximation metadata
+                      ~ _nearest_shape_id / _distance_to_box
+                        (libreoffice_backend.py:662-686) and the 3-tier
+                        resolution ladder (libreoffice_backend.py:526-579)
+  * 8-point compass direction from atan2 ~ compute_line_angle_deg /
+                        angle_to_compass (core/shapes.py:16-46)
+
+All geometry is vectorizable numpy per doc; shape counts are tiny so plain
+floats suffice (never a cluster-wide join — SURVEY.md §2.3 J3).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Optional
+
+from exstruct_spark.kernels.dom import Node
+
+# compass order matches a standard 8-point rose starting at East,
+# counter-clockwise negative (SVG y grows downward, so S means dy > 0)
+_COMPASS = ["E", "SE", "S", "SW", "W", "NW", "N", "NE"]
+
+_NUM_RE = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
+
+
+def _f(node: Node, attr: str, default: float = 0.0) -> float:
+    try:
+        return float(str(node.get(attr, default)))
+    except (TypeError, ValueError):
+        return default
+
+
+def angle_to_compass(dx: float, dy: float) -> str:
+    """(dx, dy) in SVG coords (y down) -> 8-point compass bucket.
+
+    Parity: compute_line_angle_deg + angle_to_compass (reference
+    core/shapes.py:16-46): atan2 -> degrees -> nearest of 8 buckets.
+    """
+    deg = math.degrees(math.atan2(dy, dx)) % 360.0
+    idx = int(((deg + 22.5) % 360.0) // 45.0)
+    return _COMPASS[idx]
+
+
+def _shape_bbox(node: Node) -> Optional[tuple]:
+    """svg shape element -> (l, t, w, h) bbox in px, or None."""
+    if node.tag == "rect":
+        return (_f(node, "x"), _f(node, "y"), _f(node, "width"), _f(node, "height"))
+    if node.tag == "ellipse":
+        cx, cy = _f(node, "cx"), _f(node, "cy")
+        rx, ry = _f(node, "rx"), _f(node, "ry")
+        return (cx - rx, cy - ry, 2 * rx, 2 * ry)
+    if node.tag == "circle":
+        cx, cy, r = _f(node, "cx"), _f(node, "cy"), _f(node, "r")
+        return (cx - r, cy - r, 2 * r, 2 * r)
+    return None
+
+
+def _distance_to_box(px: float, py: float, box: tuple) -> float:
+    """Euclidean point-to-rectangle distance (0 inside).
+
+    Parity: _distance_to_box (reference libreoffice_backend.py:676-686).
+    """
+    l, t, w, h = box
+    dx = max(l - px, 0.0, px - (l + w))
+    dy = max(t - py, 0.0, py - (t + h))
+    return math.hypot(dx, dy)
+
+
+def _nearest_shape_id(px: float, py: float, shapes: list) -> Optional[int]:
+    """1-NN endpoint -> shape id; ties break on lower id (document order).
+
+    Parity: _nearest_shape_id (reference libreoffice_backend.py:662-674).
+    """
+    best_id, best_d = None, float("inf")
+    for s in shapes:
+        d = _distance_to_box(px, py, s["_box"])
+        if d < best_d:
+            best_id, best_d = s["id"], d
+    return best_id
+
+
+def _line_endpoints(node: Node) -> Optional[tuple]:
+    if node.tag == "line":
+        return (
+            _f(node, "x1"),
+            _f(node, "y1"),
+            _f(node, "x2"),
+            _f(node, "y2"),
+        )
+    if node.tag == "path":
+        nums = [float(x) for x in _NUM_RE.findall(node.get("d", "") or "")]
+        if len(nums) >= 4:
+            return (nums[0], nums[1], nums[-2], nums[-1])
+    if node.tag == "polyline":
+        nums = [float(x) for x in _NUM_RE.findall(node.get("points", "") or "")]
+        if len(nums) >= 4:
+            return (nums[0], nums[1], nums[-2], nums[-1])
+    return None
+
+
+def extract_svg_shapes(svg: Node) -> tuple:
+    """One inline <svg> -> (shapes, arrows).
+
+    Shapes: ``{id, text?, l, t, w, h}`` — id sequential 1-based in document
+    order over non-connector elements (W1).  Arrows: ``{begin_id, end_id,
+    direction, approximation_level?}`` from line/path/polyline elements
+    carrying an arrow marker (``marker-end``) or class hint.
+    """
+    shapes: list = []
+    labels: list = []
+    connectors: list = []
+    next_id = 1
+    for node in svg.iter():
+        if node.tag == "svg":
+            continue
+        box = _shape_bbox(node)
+        if box is not None:
+            shapes.append(
+                {
+                    "id": next_id,
+                    "l": box[0],
+                    "t": box[1],
+                    "w": box[2],
+                    "h": box[3],
+                    "_box": box,
+                }
+            )
+            next_id += 1
+            continue
+        if node.tag == "text":
+            labels.append((_f(node, "x"), _f(node, "y"), node.text_content()))
+            continue
+        ends = _line_endpoints(node)
+        if ends is not None:
+            is_arrow = bool(
+                node.get("marker-end")
+                or node.get("marker-start")
+                or "arrow" in (node.get("class") or "")
+            )
+            connectors.append((ends, is_arrow, node.tag))
+
+    # label assignment: point-in-box containment, first match in id order;
+    # unmatched labels go to the nearest shape
+    for lx, ly, text in labels:
+        if not text:
+            continue
+        target = None
+        for s in shapes:
+            l, t, w, h = s["_box"]
+            if l <= lx <= l + w and t <= ly <= t + h:
+                target = s
+                break
+        if target is None and shapes:
+            target = min(shapes, key=lambda s: _distance_to_box(lx, ly, s["_box"]))
+        if target is not None:
+            target["text"] = (
+                f"{target['text']} {text}" if target.get("text") else text
+            )
+
+    arrows: list = []
+    for (x1, y1, x2, y2), is_arrow, tag in connectors:
+        if not is_arrow:
+            continue
+        begin_id = _nearest_shape_id(x1, y1, shapes)
+        end_id = _nearest_shape_id(x2, y2, shapes)
+        arrow: dict = {
+            "begin_id": begin_id,
+            "end_id": end_id,
+            "direction": angle_to_compass(x2 - x1, y2 - y1),
+        }
+        # endpoints resolved heuristically (tier-3 of the reference's
+        # resolution ladder, libreoffice_backend.py:526-579)
+        arrow["approximation_level"] = 1
+        arrows.append(arrow)
+
+    for s in shapes:
+        del s["_box"]
+        # canonical key order: id, text, l, t, w, h
+        ordered = {"id": s["id"]}
+        if s.get("text"):
+            ordered["text"] = s["text"]
+        ordered.update({k: s[k] for k in ("l", "t", "w", "h")})
+        s.clear()
+        s.update(ordered)
+    return shapes, arrows
+
+
+def extract_nested_lists(root: Node, max_depth: int = 12) -> list:
+    """Deep <ul>/<ol> nesting -> SmartArt-like recursive node trees.
+
+    Parity: _build_smartart_tree level-stack algorithm (reference
+    core/shapes.py:268-291) — HTML nesting already encodes the levels, so
+    the tree is read off directly; only lists with nesting depth >= 2
+    qualify (flat lists are ordinary content).
+    Returns list of ``{text, nodes: [...]}`` trees.
+    """
+
+    def build(li: Node, depth: int) -> dict:
+        own_text_parts = []
+        child_nodes: list = []
+        for ch in li.children:
+            if isinstance(ch, str):
+                own_text_parts.append(ch)
+            elif ch.tag in ("ul", "ol") and depth < max_depth:
+                for sub in ch.element_children():
+                    if sub.tag == "li":
+                        child_nodes.append(build(sub, depth + 1))
+            elif ch.tag not in ("ul", "ol"):
+                own_text_parts.append(ch.text_content())
+        node: dict = {"text": re.sub(r"\s+", " ", " ".join(own_text_parts)).strip()}
+        if child_nodes:
+            node["nodes"] = child_nodes
+        return node
+
+    def depth_of(lst: Node, depth: int = 1) -> int:
+        best = depth
+        for n in lst.find_all("ul", "ol"):
+            if n is not lst:
+                best = max(best, depth + 1)
+        return best
+
+    trees: list = []
+    claimed: set = set()
+    for lst in root.find_all("ul", "ol"):
+        if id(lst) in claimed:
+            continue
+        for inner in lst.iter():
+            claimed.add(id(inner))
+        if depth_of(lst) < 2:
+            continue
+        items = [build(li, 1) for li in lst.element_children() if li.tag == "li"]
+        trees.extend(items)
+    return trees

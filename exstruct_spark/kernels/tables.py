@@ -1,0 +1,272 @@
+"""Table extraction: <table> -> sparse cell rows + merged-cells compression
++ scored candidates, plus a heuristic grid detector for borderless layouts.
+
+Parity map (behaviour, not code — SURVEY.md §2):
+  * sparse ``rows`` with 1-based ``r`` and string column keys, empty cells
+    dropped                     ~ CellRow (reference models/__init__.py:118-128,
+                                  core/cells.py:701-719)
+  * rowspan/colspan -> ``merged_cells`` schema+items columnar compression,
+    rows 1-based / cols 0-based ~ MergedCells (models/__init__.py:99-116)
+  * master-cell (top-left) value rule, non-master cells excluded
+                                 ~ core/cells.py:780-795 + the merged-interval
+                                  anti-join (core/pipeline.py:789-893)
+  * per-candidate density/coverage/header/structure score and gates
+                                 ~ _table_signal_score / _header_like_row /
+                                  _table_density_metrics (core/cells.py:
+                                  1209-1381) with defaults from cells.py:38-43
+  * declared <table> trusted before heuristics, like ListObjects
+                                 ~ core/cells.py:1808-1815
+  * scan caps with logged truncation ~ TableScanLimits (core/cells.py:118-165)
+  * <a href> in cells -> per-row ``links`` map ~ extract_sheet_cells_with_links
+                                  (core/cells.py:722-760)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from exstruct_spark.config import DetectionConfig
+from exstruct_spark.kernels.a1 import make_range
+from exstruct_spark.kernels.coerce import coerce_scalar
+from exstruct_spark.kernels.dom import Node
+
+
+def _int_attr(node: Node, name: str, default: int = 1) -> int:
+    try:
+        v = int(str(node.get(name, default)).strip())
+        return v if v >= 1 else default
+    except (TypeError, ValueError):
+        return default
+
+
+def _grid_from_table(table: Node, cfg: DetectionConfig):
+    """Occupancy-grid expansion of one <table>.
+
+    Returns (cells, merged_items, links, n_rows, n_cols, truncated) where
+    ``cells`` maps (r, c) 0-based -> coerced value for master cells only,
+    ``merged_items`` are [r1, c1, r2, c2, value] with r 1-based / c 0-based
+    (the reference's MergedCells coordinate convention), ``links`` maps
+    (r, c) -> first href in the cell.
+    """
+    cells: dict = {}
+    merged_items: list = []
+    links: dict = {}
+    occupied: set = set()
+    truncated = False
+
+    trs = table.find_all("tr")
+    if len(trs) > cfg.max_rows:
+        trs = trs[: cfg.max_rows]
+        truncated = True
+    n_cols = 0
+    for r, tr in enumerate(trs):
+        c = 0
+        for cell in tr.element_children():
+            if cell.tag not in ("td", "th"):
+                continue
+            while (r, c) in occupied:
+                c += 1
+            if c >= cfg.max_cols:
+                truncated = True
+                break
+            rowspan = _int_attr(cell, "rowspan")
+            colspan = _int_attr(cell, "colspan")
+            text = cell.text_content()
+            if text:
+                cells[(r, c)] = coerce_scalar(text)
+            a = cell.find_first("a")
+            if a is not None and a.get("href"):
+                links[(r, c)] = a.get("href")
+            if rowspan > 1 or colspan > 1:
+                r2 = min(r + rowspan - 1, cfg.max_rows - 1)
+                c2 = min(c + colspan - 1, cfg.max_cols - 1)
+                # merged value = top-left master cell; empty -> " " sentinel
+                # (parity: reference core/cells.py:780-795)
+                merged_items.append([r + 1, c, r2 + 1, c2, text if text else " "])
+                for rr in range(r, r2 + 1):
+                    for cc in range(c, c2 + 1):
+                        if (rr, cc) != (r, c):
+                            occupied.add((rr, cc))
+            n_cols = max(n_cols, c + colspan)
+            c += colspan
+    return cells, merged_items, links, len(trs), min(n_cols, cfg.max_cols), truncated
+
+
+def _sparse_rows(cells: dict, links: dict) -> list:
+    """(r, c)->value map -> sorted sparse CellRow dicts."""
+    by_row: dict = {}
+    for (r, c), v in cells.items():
+        by_row.setdefault(r, {})[c] = v
+    rows = []
+    for r in sorted(by_row):
+        cmap = {str(c): by_row[r][c] for c in sorted(by_row[r])}
+        row: dict = {"r": r + 1, "c": cmap}
+        row_links = {
+            str(c): links[(rr, c)] for (rr, c) in sorted(links) if rr == r
+        }
+        if row_links:
+            row["links"] = row_links
+        rows.append(row)
+    return rows
+
+
+def _header_like(cells: dict, header_cells: set, n_cols: int) -> bool:
+    """First-row header heuristic.
+
+    Parity: ``_header_like_row`` (reference core/cells.py:1334-1347) —
+    header iff string-like count >= numeric-like count and >= 1 among the
+    first rows; <th> presence is a direct positive signal on web tables
+    (SURVEY.md §2.4 A5).
+    """
+    if header_cells:
+        return True
+    first_row = [v for (r, _c), v in cells.items() if r == 0]
+    if not first_row:
+        return False
+    n_str = sum(1 for v in first_row if isinstance(v, str))
+    n_num = len(first_row) - n_str
+    return n_str >= n_num and n_str >= 1
+
+
+def score_candidate(
+    cells: dict, n_rows: int, n_cols: int, header: bool
+) -> tuple:
+    """Composite table-signal score.
+
+    Parity: ``_table_signal_score`` (reference core/cells.py:1350-1381):
+    ``density + 0.2*header + 0.1*(coverage > 0.5) + 0.1*structure`` where
+    density = nonempty/total, coverage = bbox_area/total, structure =
+    (>=2 rows and >=2 cols each having >=2 nonempty cells).
+    """
+    total = n_rows * n_cols
+    if total == 0 or not cells:
+        return 0.0, 0.0, 0.0
+    nonempty = len(cells)
+    density = nonempty / total
+    rs = [r for r, _ in cells]
+    cs = [c for _, c in cells]
+    bbox = (max(rs) - min(rs) + 1) * (max(cs) - min(cs) + 1)
+    coverage = bbox / total
+    row_counts: dict = {}
+    col_counts: dict = {}
+    for r, c in cells:
+        row_counts[r] = row_counts.get(r, 0) + 1
+        col_counts[c] = col_counts.get(c, 0) + 1
+    structure = (
+        sum(1 for v in row_counts.values() if v >= 2) >= 2
+        and sum(1 for v in col_counts.values() if v >= 2) >= 2
+    )
+    score = (
+        density
+        + (0.2 if header else 0.0)
+        + (0.1 if coverage > 0.5 else 0.0)
+        + (0.1 if structure else 0.0)
+    )
+    return score, density, coverage
+
+
+def extract_table(table: Node, index: int, cfg: DetectionConfig) -> Optional[dict]:
+    """One <table> element -> table artifact dict (or None if empty)."""
+    cells, merged_items, links, n_rows, n_cols, truncated = _grid_from_table(table, cfg)
+    if not cells:
+        return None
+    header_cells = {
+        (r, c)
+        for (r, c) in cells
+        if r == 0
+    }
+    has_th = any(n.tag == "th" for n in table.iter())
+    header = _header_like(cells, header_cells if has_th else set(), n_cols)
+    score, density, coverage = score_candidate(cells, n_rows, n_cols, header)
+    rs = [r for r, _ in cells]
+    cs = [c for _, c in cells]
+    rng = make_range(min(rs), min(cs), max(rs), max(cs))
+    out: dict = {
+        "id": index,
+        "range": rng,
+        "score": round(score, 4),
+        "rows": _sparse_rows(cells, links),
+    }
+    if merged_items:
+        out["merged_cells"] = {
+            "schema": ["r1", "c1", "r2", "c2", "v"],
+            "items": merged_items,
+        }
+    if truncated:
+        out["truncated"] = True
+    out["_metrics"] = {
+        "density": density,
+        "coverage": coverage,
+        "n_cells": len(cells),
+        "header": header,
+    }
+    return out
+
+
+def detect_grid_candidates(root: Node, cfg: DetectionConfig) -> list:
+    """Heuristic detection of borderless div-grid layouts.
+
+    The web analogue of exstruct's border-cluster detection pipeline
+    (reference core/cells.py:1845-1894 ``detect_tables_openpyxl``): an
+    element whose element children are >= 2 row-like nodes, each with the
+    same >= 2 count of element children, is a candidate grid; candidates
+    then pass the same density/coverage/score gates as declared tables.
+    Returns candidate dicts shaped like ``extract_table`` output with
+    ``"kind": "grid"``.
+    """
+    out = []
+    idx = 0
+    claimed: set = set()
+    for node in root.iter():
+        if node.tag not in ("div", "section"):
+            continue
+        if id(node) in claimed:
+            continue
+        rows = [
+            ch
+            for ch in node.element_children()
+            if ch.tag == "div" and ch.element_children()
+        ]
+        if len(rows) < 2:
+            continue
+        widths = {len(r.element_children()) for r in rows}
+        if len(widths) != 1 or widths == {0} or min(widths) < 2:
+            continue
+        n_cols = widths.pop()
+        cells: dict = {}
+        for r, row in enumerate(rows):
+            for c, cell in enumerate(row.element_children()):
+                text = cell.text_content()
+                if text:
+                    cells[(r, c)] = coerce_scalar(text)
+        if len(cells) < cfg.min_cells:
+            continue
+        header = _header_like(cells, set(), n_cols)
+        score, density, coverage = score_candidate(cells, len(rows), n_cols, header)
+        if (
+            score < cfg.min_score
+            or density < cfg.min_density
+            or coverage < cfg.min_coverage
+        ):
+            continue
+        for inner in node.iter():
+            claimed.add(id(inner))
+        rs = [r for r, _ in cells]
+        cs = [c for _, c in cells]
+        out.append(
+            {
+                "id": idx,
+                "kind": "grid",
+                "range": make_range(min(rs), min(cs), max(rs), max(cs)),
+                "score": round(score, 4),
+                "rows": _sparse_rows(cells, {}),
+                "_metrics": {
+                    "density": density,
+                    "coverage": coverage,
+                    "n_cells": len(cells),
+                    "header": header,
+                },
+            }
+        )
+        idx += 1
+    return out

@@ -1,0 +1,275 @@
+"""Deterministic synthetic web-page corpus (FIXTURES.md §1).
+
+One HTML archetype per reference sample/benchmark case family
+(``sample/{basic,flowchart,gantt_chart,forms_with_many_merged_cells,
+formula,smartart}`` + benchmark manifest, SURVEY.md §5).  Generation is a
+pure function of ``(seed, doc_id)`` — independent of partitioning, batch
+order, and parallelism — so the same corpus can be synthesized inside
+Spark (``spark.range(n).mapInPandas``), in pandas for golden fixtures,
+and in DuckDB-free tests, always byte-identical.
+
+Host names follow a Zipf-ish distribution (a few hot hosts) to exercise
+skew salting (SURVEY.md §7.4 hard-part 3).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+from typing import Iterable
+
+import pandas as pd
+
+from exstruct_spark.kernels.dom import strip_tags_text
+
+ARCHETYPES = [
+    "basic_table",
+    "heuristic_table",
+    "merged_form",
+    "flowchart_svg",
+    "chart_embed",
+    "nested_list",
+    "gantt",
+    "boilerplate_heavy",
+    "malformed",
+    "hyperlink_rich",
+]
+
+_HOSTS = (
+    ["hot.example.com"] * 8
+    + ["warm.example.net"] * 4
+    + ["mid.example.org"] * 2
+    + ["a.example.io", "b.example.dev", "c.example.co", "d.example.jp"]
+)
+
+_WORDS_EN = (
+    "analysis report quarterly revenue growth market segment structured "
+    "extraction pipeline document table chart series region north south "
+    "forecast margin inventory shipment supplier customer order detail"
+).split()
+_WORDS_JA = "売上 利益 四半期 成長 市場 部門 抽出 文書 表 図 系列 地域 予測 在庫 出荷 注文".split()
+
+_EPOCH = _dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _rng(seed: int, doc_id: int) -> random.Random:
+    return random.Random((seed * 1_000_003 + doc_id * 7_919) & 0x7FFFFFFF)
+
+
+def _sentence(rng: random.Random, lang: str, n: int) -> str:
+    words = _WORDS_JA if lang == "ja" else _WORDS_EN
+    return " ".join(rng.choice(words) for _ in range(n))
+
+
+def _paragraphs(rng: random.Random, lang: str, k: int) -> str:
+    return "\n".join(
+        f"<p>{_sentence(rng, lang, rng.randint(12, 28))}.</p>" for _ in range(k)
+    )
+
+
+def _nav_footer(rng: random.Random) -> tuple:
+    nav = (
+        "<nav><ul>"
+        + "".join(f'<li><a href="/s/{i}">link {i}</a></li>' for i in range(8))
+        + "</ul></nav>"
+    )
+    footer = (
+        "<footer><p>"
+        + " ".join(f'<a href="/f/{i}">footer{i}</a>' for i in range(6))
+        + "</p></footer>"
+    )
+    return nav, footer
+
+
+def _basic_table(rng: random.Random, lang: str) -> str:
+    rows = []
+    for m in range(rng.randint(3, 6)):
+        qty = rng.randint(1, 500)
+        price = f"{rng.randint(1, 999)}.{rng.randint(0, 99):02d}"
+        rows.append(
+            f"<tr><td>2024-0{m + 1}-01 00:00:00</td><td>{qty}</td><td>{price}</td></tr>"
+        )
+    return (
+        "<table><thead><tr><th>month</th><th>qty</th><th>price</th></tr></thead>"
+        "<tbody>" + "".join(rows) + "</tbody></table>"
+    )
+
+
+def _heuristic_table(rng: random.Random, lang: str) -> str:
+    cells = lambda r: "".join(
+        f"<div><span>{_sentence(rng, lang, 1)} {rng.randint(0, 99)}</span></div>"
+        for _ in range(4)
+    )
+    rows = "".join(f"<div class='row'>{cells(r)}</div>" for r in range(4))
+    return f"<div class='grid'>{rows}</div>"
+
+
+def _merged_form(rng: random.Random, lang: str) -> str:
+    label = _sentence(rng, lang, 2)
+    return (
+        "<table>"
+        f"<tr><td rowspan='2'>{label}</td><td>alpha</td><td colspan='2'>beta {rng.randint(1, 9)}</td></tr>"
+        f"<tr><td>gamma</td><td>{rng.randint(10, 99)}</td><td>delta</td></tr>"
+        f"<tr><td colspan='4'>{_sentence(rng, lang, 3)}</td></tr>"
+        "</table>"
+    )
+
+
+def _flowchart_svg(rng: random.Random, lang: str) -> str:
+    y2 = 150 + rng.randint(0, 40)
+    return (
+        "<svg width='400' height='300'>"
+        "<rect x='20' y='20' width='100' height='40'/>"
+        "<text x='60' y='40'>Start</text>"
+        f"<rect x='20' y='{y2}' width='100' height='40'/>"
+        f"<text x='60' y='{y2 + 20}'>End</text>"
+        "<ellipse cx='260' cy='40' rx='50' ry='25'/>"
+        "<text x='250' y='45'>Check</text>"
+        f"<line x1='70' y1='60' x2='70' y2='{y2}' marker-end='url(#arw)'/>"
+        "<line x1='120' y1='40' x2='210' y2='40' marker-end='url(#arw)'/>"
+        "</svg>"
+    )
+
+
+def _chart_embed(rng: random.Random, lang: str) -> str:
+    pts = " ".join(
+        f"{10 + 30 * i},{100 - rng.randint(5, 90)}" for i in range(6)
+    )
+    return (
+        "<figure><svg width='200' height='100'>"
+        f"<polyline points='{pts}'/>"
+        "</svg>"
+        f"<figcaption>{_sentence(rng, lang, 3)}</figcaption>"
+        "<table><tr><th>x</th><th>y</th>"
+        + "".join(
+            f"<tr><td>{i}</td><td>{rng.randint(0, 100)}</td></tr>" for i in range(4)
+        )
+        + "</table></figure>"
+    )
+
+
+def _nested_list(rng: random.Random, lang: str) -> str:
+    def ul(depth: int) -> str:
+        items = []
+        for _ in range(rng.randint(2, 3)):
+            sub = ul(depth + 1) if depth < 3 and rng.random() < 0.7 else ""
+            items.append(f"<li>{_sentence(rng, lang, 2)}{sub}</li>")
+        return "<ul>" + "".join(items) + "</ul>"
+
+    return ul(1)
+
+
+def _gantt(rng: random.Random, lang: str) -> str:
+    n_cols = rng.randint(12, 18)
+    head = "".join(f"<th>w{i}</th>" for i in range(n_cols))
+    rows = []
+    for t in range(4):
+        tds = "".join(
+            f"<td>{'x' if rng.random() < 0.3 else ''}</td>" for _ in range(n_cols)
+        )
+        rows.append(f"<tr><td>task {t}</td>{tds}</tr>")
+    return f"<table><tr><th>task</th>{head}</tr>{''.join(rows)}</table>"
+
+
+def _boilerplate_heavy(rng: random.Random, lang: str) -> str:
+    ads = "".join(
+        f"<div class='ad'><a href='/ad/{i}'>{_sentence(rng, lang, 2)}</a></div>"
+        for i in range(10)
+    )
+    return f"{ads}<article><h2>{_sentence(rng, lang, 3)}</h2>{_paragraphs(rng, lang, 3)}</article>{ads}"
+
+
+def _malformed(rng: random.Random, lang: str) -> str:
+    variant = rng.randint(0, 2)
+    if variant == 0:
+        return ""  # 0-byte document
+    if variant == 1:
+        return f"<html><body><p>{_sentence(rng, lang, 8)}<div><span>truncated"
+    return f"<p>{_sentence(rng, lang, 6)}</p><table><tr><td>orphan"
+
+
+def _hyperlink_rich(rng: random.Random, lang: str) -> str:
+    rows = "".join(
+        f"<tr><td><a href='https://ref.example/{i}'>{_sentence(rng, lang, 2)}</a></td>"
+        f"<td>{rng.randint(1, 99)}</td></tr>"
+        for i in range(4)
+    )
+    return f"<table><tr><th>name</th><th>score</th></tr>{rows}</table>"
+
+
+_BUILDERS = {
+    "basic_table": _basic_table,
+    "heuristic_table": _heuristic_table,
+    "merged_form": _merged_form,
+    "flowchart_svg": _flowchart_svg,
+    "chart_embed": _chart_embed,
+    "nested_list": _nested_list,
+    "gantt": _gantt,
+    "boilerplate_heavy": _boilerplate_heavy,
+    "malformed": _malformed,
+    "hyperlink_rich": _hyperlink_rich,
+}
+
+
+def build_page(doc_id: int, seed: int = 42) -> dict:
+    """One deterministic page row: url, warc_ts, html, text, lang,
+    archetype."""
+    rng = _rng(seed, doc_id)
+    archetype = ARCHETYPES[doc_id % len(ARCHETYPES)]
+    lang = "ja" if rng.random() < 0.3 else "en"
+    host = rng.choice(_HOSTS)
+    url = f"https://{host}/{archetype}/{doc_id}"
+    body_core = _BUILDERS[archetype](rng, lang)
+    if archetype == "malformed" and body_core == "":
+        html = ""
+    else:
+        nav, footer = _nav_footer(rng)
+        title = _sentence(rng, lang, 4)
+        intro = _paragraphs(rng, lang, rng.randint(1, 3))
+        html = (
+            "<!DOCTYPE html><html><head>"
+            f"<meta charset='utf-8'><title>{title}</title></head>"
+            f"<body>{nav}<main><h1>{title}</h1>{intro}{body_core}</main>{footer}</body></html>"
+        )
+    raw = html.encode("utf-8")
+    ts = _EPOCH + _dt.timedelta(seconds=(doc_id * 137) % 7_776_000)
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": raw,
+        "text": strip_tags_text(html),
+        "lang": lang,
+        "archetype": archetype,
+    }
+
+
+def gen_pages_pdf(doc_ids: Iterable[int], seed: int = 42) -> pd.DataFrame:
+    """pandas kernel: ids -> pages frame (usable inside mapInPandas)."""
+    rows = [build_page(int(i), seed) for i in doc_ids]
+    return pd.DataFrame(
+        rows, columns=["url", "warc_ts", "html", "text", "lang", "archetype"]
+    )
+
+
+PAGES_SCHEMA_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, "
+    "lang string, archetype string"
+)
+
+
+def spark_pages(spark, n: int, seed: int = 42, partitions: int = 32):
+    """Distributed deterministic corpus: ``spark.range`` -> ``mapInPandas``.
+
+    The generator runs executor-side (no driver collect), deterministic per
+    doc_id regardless of partitioning — the Iceberg-table stand-in mandated
+    by BASELINE.json input_hint.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            yield gen_pages_pdf(pdf["id"].tolist(), seed)
+
+    return (
+        spark.range(0, n, 1, partitions)
+        .mapInPandas(gen, schema=PAGES_SCHEMA_DDL)
+    )

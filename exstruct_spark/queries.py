@@ -1,0 +1,796 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Conventions (driver compare = row-count + schema + order-insensitive
+value-hash, columns sorted by name):
+  * every computed column is aliased IDENTICALLY in Spark and SQL;
+  * float aggregates are ROUNDed in BOTH implementations (FP sums are
+    order-dependent; rounding makes the value-hash stable);
+  * integer sums are CAST to bigint in the oracle (DuckDB SUM(BIGINT)
+    returns HUGEINT, which would break the schema compare);
+  * dimension joins take explicit ``broadcast()`` where the dimension is
+    bounded at any scale (nation/region); AQE handles the rest.
+
+Scale notes are inline per query — each one is written the way it would
+run on the 100 TB table (partial aggregation, broadcast dims, salting
+demo, LSH instead of O(n^2) similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exstruct_spark.engine import extract_stage, metrics_from_extracted
+from exstruct_spark.pages import spark_pages
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_TOK = "split(trim(text), '\\\\s+')"
+
+
+# --------------------------------------------------------------------------
+# 1. TPC-H-ish relational glue (Catalyst-native; SURVEY.md §2.3/2.4 —
+#    the reference has no cross-dataset joins, Spark gives them built-in)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shipping-priority shape: filter early, join customer->orders->lineitem.
+    # At 100 TB: customer/orders shuffle-join on keys (AQE), the mktsegment
+    # filter pushes to the customer scan (PushedFilters), lineitem filter
+    # pushes to its scan.
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            "revenue",
+        )
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderkey AS orderkey, o_orderdate AS orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-03-15'
+  AND l_shipdate > DATE '1998-03-15'
+GROUP BY o_orderkey, o_orderdate
+"""
+
+
+def q_tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nation/region are bounded dims at any scale -> explicit broadcast
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+SQL_TPCH_Q5_REGION = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+def q_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "total_spend",
+            "n_orders",
+        )
+    )
+
+
+SQL_CUSTOMER_SPEND = """
+SELECT c_custkey AS custkey, c_name AS name,
+       ROUND(SUM(o_totalprice), 2) AS total_spend,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_orders_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # window analogue inventory (SURVEY.md §2.5 W1): deterministic
+    # tie-break on the unique key so ranks are stable under parallelism
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("rn"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+        )
+    )
+
+
+SQL_ORDERS_RANK_WINDOW = """
+SELECT o_orderstatus AS status, rn, o_orderkey AS orderkey,
+       ROUND(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_orderstatus
+      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. events: metrics-rollup-shaped queries (lineage/metrics analogues,
+#    SURVEY.md §2.4 A7)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+SQL_EVENTS_USER_STATS = """
+SELECT user_id, COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       ROUND(SUM(value), 2) AS sum_value,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_events_gap_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequential-scan analogue (SURVEY.md §2.5 W2/W3): lag window
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ-safe epoch seconds (micros / 1e6 as double)
+    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
+    gap = epoch_s - F.lag(epoch_s).over(w)
+    return (
+        ev.withColumn("gap_s", gap)
+        .where(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+            F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+        )
+    )
+
+
+SQL_EVENTS_GAP_LAG = """
+SELECT user_id, COUNT(*) AS n_gaps,
+       ROUND(AVG(gap_s), 4) AS avg_gap_s,
+       ROUND(MAX(gap_s), 4) AS max_gap_s
+FROM (
+  SELECT user_id,
+         EPOCH(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+  FROM events)
+WHERE gap_s IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. text-analysis operators over `documents` (training-data pipeline ops)
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    toks = F.size(F.expr(_TOK))
+    return (
+        docs.select("lang", toks.alias("tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("tok"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+SQL_DOC_TOKEN_STATS = r"""
+SELECT lang, COUNT(*) AS docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       ROUND(AVG(tok), 4) AS avg_tokens
+FROM (
+  SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE n_chars > 0)
+GROUP BY lang
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality scoring: length/alpha/whitespace ratios (the analogue of
+    # exstruct's density metrics, cells.py:1209-1241). Pure column math.
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    textlen = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    spaces = F.length(F.regexp_replace("text", "[^ ]", ""))
+    return docs.select(
+        "doc_id",
+        textlen.alias("text_len"),
+        F.size(F.expr(_TOK)).alias("n_tokens"),
+        F.round(alpha.cast("double") / textlen, 6).alias("alpha_ratio"),
+        F.round(spaces.cast("double") / textlen, 6).alias("space_ratio"),
+    )
+
+
+SQL_DOC_QUALITY = r"""
+SELECT doc_id, length(text) AS text_len,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS alpha_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS space_ratio
+FROM documents WHERE n_chars > 0
+"""
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n-gram-free language ID heuristic: non-ASCII mass vs text length —
+    # deterministic and SQL-expressible on both engines
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    nonascii = F.length("text") - F.length(F.regexp_replace("text", "[^ -~]", ""))
+    predicted = F.when(
+        nonascii * 2 > F.length("text"), F.lit("nonlatin")
+    ).otherwise(F.lit("latin"))
+    return (
+        docs.select(predicted.alias("predicted"), "lang")
+        .groupBy("predicted", "lang")
+        .agg(F.count("*").alias("docs"))
+    )
+
+
+SQL_DOC_LANGID = """
+SELECT predicted, lang, COUNT(*) AS docs
+FROM (
+  SELECT CASE WHEN (length(text) - length(regexp_replace(text, '[^ -~]', '', 'g'))) * 2
+                   > length(text)
+              THEN 'nonlatin' ELSE 'latin' END AS predicted,
+         lang
+  FROM documents WHERE length(text) > 0)
+GROUP BY predicted, lang
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # document fingerprinting: md5 over whitespace-normalized lowercase text
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), "\\s+", " ")
+    return docs.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. deduplication operators
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact dedup: hash-groupBy on content hash; map-side partial agg makes
+    # this a single cheap shuffle at any scale
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bag-of-words near-dup signature: order-insensitive vocabulary hash
+    # (n-gram Jaccard with n=1 and exact-set equality)
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    sig = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.lower(F.trim("text")), " "))),
+            " ",
+        ).cast("binary")
+    )
+    return (
+        docs.select("doc_id", sig.alias("sig"))
+        .groupBy("sig")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("members"))
+    )
+
+
+SQL_DEDUP_BOW = """
+SELECT sig, MIN(doc_id) AS keep_id, COUNT(*) AS members
+FROM (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS sig
+  FROM documents WHERE n_chars > 0)
+GROUP BY sig
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding, 100% built-in expressions (zero Python).
+
+    shingle(3-word) -> 16 minhash values (xxhash64 with per-permutation
+    seed) -> 4 bands of 4 -> band-bucket group sizes.  At scale the
+    candidate join is groupBy(band_hash) — shuffle proportional to corpus,
+    never O(n^2).  Rows-only check (xxhash64 is Spark-specific; kernel
+    verified against a pandas reference in pytest instead).
+    """
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    # intermediates (words, shingles) are bound as LAMBDA VARIABLES via the
+    # transform(array(expr), v -> ...) idiom: Catalyst's CollapseProject
+    # would inline a staged projection back into nested lambdas and
+    # re-tokenize the text per element (measured: 150s -> 2.8s at sf0.01)
+    bands_expr = f"""
+    element_at(transform(array({_TOK}), ws ->
+      element_at(transform(array(
+          CASE WHEN size(ws) >= 3 THEN
+            transform(sequence(1, size(ws) - 2),
+                      i -> concat_ws(' ', element_at(ws, i),
+                                          element_at(ws, i + 1),
+                                          element_at(ws, i + 2)))
+          ELSE array(concat_ws(' ', ws)) END), sh ->
+        element_at(transform(array(
+            transform(sequence(0, 15),
+                      s -> array_min(transform(sh, x -> xxhash64(x, s))))), mh ->
+          transform(sequence(0, 3),
+                    b -> struct(b AS band_idx,
+                                xxhash64(element_at(mh, 4*b + 1),
+                                         element_at(mh, 4*b + 2),
+                                         element_at(mh, 4*b + 3),
+                                         element_at(mh, 4*b + 4)) AS band_hash))),
+          1)), 1)), 1)
+    """
+    bands = docs.select(
+        "doc_id", F.explode(F.expr(bands_expr)).alias("band")
+    )
+    buckets = (
+        bands.select("doc_id", "band.band_idx", "band.band_hash")
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+    )
+    return buckets.groupBy("band_idx").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.sum(
+            F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+        ).cast("bigint").alias("candidate_pairs"),
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, built-in expressions): per-word xxhash64, signed
+    bit votes, sign -> bit.  Rows-only check (Spark-specific hash)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    words = docs.select(
+        "doc_id", F.explode(F.expr(_TOK)).alias("word")
+    ).withColumn("h", F.xxhash64("word"))
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ]
+    )
+    bit_sum = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bit_sum = term if bit_sum is None else bit_sum + term
+    return votes.select("doc_id", bit_sum.cast("bigint").alias("simhash16"))
+
+
+# --------------------------------------------------------------------------
+# 5. similarity search over embeddings
+
+
+def _cosine_expr(a: str, b: str) -> str:
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    na = f"sqrt(aggregate({a}, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    nb = f"sqrt(aggregate({b}, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for 10 query vectors (the correctness
+    baseline; LSH-bucketed variant is the scale path).  Query side is
+    broadcast — at 100 TB this is the classic small-queries × huge-corpus
+    pattern."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    sims = (
+        c.crossJoin(q)
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("sim", F.expr(_cosine_expr("qe", "ce")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "rn", "cid", "sim")
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+     s AS (SELECT qid, cid,
+                  ROUND(list_dot_product(qe, ce)
+                        / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS sim
+           FROM q CROSS JOIN c WHERE qid <> cid)
+SELECT qid, rn, cid, sim
+FROM (SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      FROM s)
+WHERE rn <= 3
+"""
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN scale path: sign-random-hyperplane buckets from
+    8 deterministic pseudo-hyperplanes (seeded by dimension index mod 8).
+    Bucket stats only (rows-only check): at scale, neighbor search joins
+    within buckets instead of crossJoin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # hyperplane p: sign of sum over dims d of e[d] * cos(d + p) — a fixed,
+    # deterministic projection both engines could compute; bucket = 8 bits
+    bucket = F.expr(
+        """
+        aggregate(sequence(0, 7), 0, (acc, p) -> acc + CAST(pow(2, p) AS INT) *
+          CASE WHEN aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
+                              (v, d) -> CAST(v AS DOUBLE) * cos(CAST(d + p AS DOUBLE))),
+                    CAST(0 AS DOUBLE), (acc2, x) -> acc2 + x) > 0
+               THEN 1 ELSE 0 END)
+        """
+    )
+    return (
+        emb.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. salting demo: skewed-key aggregation in two phases
+
+
+def q_docs_by_source_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a potentially skewed key
+    (SURVEY.md §4: salting policy).  Result identical to a plain GROUP BY
+    — the oracle IS the plain GROUP BY, proving salt-correctness."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(16)))
+    phase1 = salted.groupBy("source", "salt").agg(
+        F.count("*").alias("c"), F.sum("n_chars").alias("s")
+    )
+    return phase1.groupBy("source").agg(
+        F.sum("c").alias("docs"),
+        F.sum("s").cast("bigint").alias("total_chars"),
+        F.round(F.sum("s").cast("double") / F.sum("c"), 4).alias("avg_chars"),
+    )
+
+
+SQL_DOCS_BY_SOURCE = """
+SELECT source, COUNT(*) AS docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+FROM documents
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# 7. extraction-engine queries (rows-only: the HTML corpus is this repo's
+#    own synthetic table; byte-identity runs through pytest)
+
+_N_EXTRACT_DOCS = 500
+
+
+def q_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=16)
+    extracted = extract_stage(pages, repartition_to=16)
+    joined = extracted.join(pages.select("url", "archetype"), "url")
+    return (
+        joined.groupBy("archetype", "status")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tables").alias("sum_tables"),
+            F.sum("n_shapes").alias("sum_shapes"),
+            F.sum("n_arrows").alias("sum_arrows"),
+            F.sum("n_charts").alias("sum_charts"),
+            F.sum("n_lists").alias("sum_lists"),
+            F.countDistinct("json_sha256").alias("distinct_jsons"),
+        )
+    )
+
+
+def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=8)
+    extracted = extract_stage(pages, repartition_to=8)
+    return metrics_from_extracted(extracted, "driver-run").drop("wall_ms", "run_id")
+
+
+def q_extract_fallback_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=8)
+    extracted = extract_stage(pages, repartition_to=8)
+    return (
+        extracted.where(F.col("status") == "fallback")
+        .groupBy("fallback_reason")
+        .agg(F.count("*").alias("docs"))
+    )
+
+
+def q_extract_documents_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: run the REAL extraction engine over the driver-provided
+    ``documents`` table by wrapping each text row into a deterministic
+    HTML page, then roll up extraction metrics per lang."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>d</title></head><body><article><p>"),
+            F.col("text"),
+            F.lit("</p></article></body></html>"),
+        ).cast("binary").alias("html"),
+        "lang",
+    )
+    extracted = extract_stage(pages, repartition_to=8)
+    joined = extracted.join(
+        pages.select("url", "lang"), "url"
+    )
+    return (
+        joined.groupBy("lang", "status")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("main_text")).cast("bigint").alias("main_text_chars"),
+            F.countDistinct("text_sha256").alias("distinct_texts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5_region": q_tpch_q5_region,
+    "tpch_q6": q_tpch_q6,
+    "customer_spend": q_customer_spend,
+    "orders_rank_window": q_orders_rank_window,
+    "events_hourly": q_events_hourly,
+    "events_user_stats": q_events_user_stats,
+    "events_gap_lag": q_events_gap_lag,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_bow": q_dedup_bow,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "docs_by_source_salted": q_docs_by_source_salted,
+    "extract_rollup": q_extract_rollup,
+    "extract_metrics": q_extract_metrics,
+    "extract_fallback_audit": q_extract_fallback_audit,
+    "extract_documents_flagship": q_extract_documents_flagship,
+}
+
+ORACLES = {
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5_region": SQL_TPCH_Q5_REGION,
+    "tpch_q6": SQL_TPCH_Q6,
+    "customer_spend": SQL_CUSTOMER_SPEND,
+    "orders_rank_window": SQL_ORDERS_RANK_WINDOW,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_user_stats": SQL_EVENTS_USER_STATS,
+    "events_gap_lag": SQL_EVENTS_GAP_LAG,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "doc_langid": SQL_DOC_LANGID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_bow": SQL_DEDUP_BOW,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "docs_by_source_salted": SQL_DOCS_BY_SOURCE,
+    # rows-only (non-SQL-expressible / Spark-specific hash or the engine's
+    # own synthetic corpus): dedup_minhash_lsh, dedup_simhash,
+    # ann_lsh_buckets, extract_rollup, extract_metrics,
+    # extract_fallback_audit, extract_documents_flagship
+}

@@ -1,0 +1,277 @@
+"""Unit tests on pure extraction kernels (no Spark) — mirrors the
+reference's dominant test pattern (SURVEY.md §5: pure-kernel unit tests)."""
+
+import json
+
+import pytest
+
+from exstruct_spark.config import DetectionConfig, ExtractOptions
+from exstruct_spark.kernels.a1 import (
+    alpha_to_col_index,
+    col_index_to_alpha,
+    make_range,
+    parse_range_zero_based,
+)
+from exstruct_spark.kernels.coerce import coerce_scalar
+from exstruct_spark.kernels.dom import parse_html, decode_html_bytes, strip_tags_text
+from exstruct_spark.kernels.serialize import canonical_json, strip_empty
+from exstruct_spark.kernels.shapes import angle_to_compass, extract_nested_lists, extract_svg_shapes
+from exstruct_spark.kernels.tables import detect_grid_candidates, extract_table
+from exstruct_spark.kernels.charts import extract_charts
+from exstruct_spark.kernels.boilerplate import extract_main_text
+from exstruct_spark.kernels.extract import extract_document
+
+
+# --- coercion (parity: reference cells.py:1946-1969 behaviour;
+#     tests/core/test_cells_and_tables.py:38-53 asserts "123"->int, "1.50"->1.5)
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("123", 123),
+        ("-7", -7),
+        ("1.50", 1.5),
+        ("0.25", 0.25),
+        ("1,234", 1234),
+        ("1,234.50", 1234.5),
+        ("2025-01-01 00:00:00", "2025-01-01 00:00:00"),
+        ("12abc", "12abc"),
+        ("", ""),
+        ("1e5", "1e5"),  # scientific notation NOT coerced
+    ],
+)
+def test_coerce_scalar(raw, expected):
+    got = coerce_scalar(raw)
+    assert got == expected
+    assert type(got) is type(expected)
+
+
+def test_coerce_int_stays_int_in_json():
+    assert json.dumps({"a": coerce_scalar("123"), "b": coerce_scalar("1.50")}) == '{"a": 123, "b": 1.5}'
+
+
+# --- A1 helpers (parity: models/__init__.py:569-600, core/ranges.py:25-48)
+def test_a1_roundtrip():
+    for idx, alpha in [(0, "A"), (25, "Z"), (26, "AA"), (27, "AB"), (701, "ZZ"), (702, "AAA")]:
+        assert col_index_to_alpha(idx) == alpha
+        assert alpha_to_col_index(alpha) == idx
+    assert make_range(0, 0, 4, 3) == "A1:D5"
+    assert parse_range_zero_based("B3:E9") == (2, 1, 8, 4)
+    assert parse_range_zero_based("Sheet1!$B$3:$E$9") == (2, 1, 8, 4)
+
+
+# --- canonical serializer (parity: io/__init__.py:92-128, io/serialize.py:70-73)
+def test_strip_empty_recursive():
+    v = {"a": "", "b": None, "c": [], "d": {}, "e": 0, "f": 0.0, "g": False,
+         "h": [1, "", None, {"x": ""}], "i": {"j": "", "k": "keep"}}
+    assert strip_empty(v) == {"e": 0, "f": 0.0, "g": False, "h": [1], "i": {"k": "keep"}}
+
+
+def test_canonical_json_compact_unicode():
+    s = canonical_json({"t": "売上", "n": 1.5, "empty": ""})
+    assert s == '{"t":"売上","n":1.5}'
+
+
+# --- DOM
+def test_dom_parse_and_text():
+    root = parse_html("<html><body><p>Hello <b>world</b></p><script>x<y</script></body></html>")
+    body = root.find_first("body")
+    assert body.text_content() == "Hello world"
+    ps = root.find_all("p")
+    assert len(ps) == 1
+
+
+def test_dom_tolerates_malformed():
+    root = parse_html("<p>alpha<div><span>beta")
+    assert "alpha" in root.text_content()
+    assert "beta" in root.text_content()
+    parse_html("")  # must not raise
+
+
+def test_dom_implicit_li_close():
+    root = parse_html("<ul><li>one<li>two<li>three</ul>")
+    ul = root.find_first("ul")
+    lis = [c for c in ul.element_children() if c.tag == "li"]
+    assert [li.text_content() for li in lis] == ["one", "two", "three"]
+
+
+def test_decode_html_bytes():
+    assert decode_html_bytes("売上".encode("utf-8")) == "売上"
+    assert decode_html_bytes(b"") == ""
+    latin = "caf\xe9".encode("latin-1")
+    assert "caf" in decode_html_bytes(latin)
+
+
+def test_strip_tags_text():
+    assert strip_tags_text("<p>a&amp;b</p><style>.x{}</style>") == "a&b"
+
+
+# --- tables
+CFG = DetectionConfig()
+
+
+def test_extract_table_sparse_rows_and_types():
+    root = parse_html(
+        "<table><tr><th>name</th><th>qty</th></tr>"
+        "<tr><td>alpha</td><td>123</td></tr>"
+        "<tr><td></td><td>1.50</td></tr></table>"
+    )
+    t = extract_table(root.find_first("table"), 0, CFG)
+    assert t["range"] == "A1:B3"
+    rows = t["rows"]
+    assert rows[0] == {"r": 1, "c": {"0": "name", "1": "qty"}}
+    assert rows[1]["c"] == {"0": "alpha", "1": 123}
+    # empty cell dropped (sparse), numeric "1.50" -> 1.5 float
+    assert rows[2]["c"] == {"1": 1.5}
+    assert t["_metrics"]["header"] is True
+    assert t["score"] >= CFG.min_score
+
+
+def test_extract_table_merged_cells():
+    root = parse_html(
+        "<table><tr><td rowspan='2'>R</td><td>a</td></tr>"
+        "<tr><td>b</td></tr>"
+        "<tr><td colspan='2'>wide</td></tr></table>"
+    )
+    t = extract_table(root.find_first("table"), 0, CFG)
+    mc = t["merged_cells"]
+    assert mc["schema"] == ["r1", "c1", "r2", "c2", "v"]
+    # rows 1-based, cols 0-based (reference MergedCells convention)
+    assert [1, 0, 2, 0, "R"] in mc["items"]
+    assert [3, 0, 3, 1, "wide"] in mc["items"]
+    # occupancy: row 2's 'b' lands in col 1 (col 0 occupied by rowspan)
+    r2 = [r for r in t["rows"] if r["r"] == 2][0]
+    assert r2["c"] == {"1": "b"}
+
+
+def test_extract_table_links():
+    root = parse_html(
+        "<table><tr><td><a href='https://x.example/1'>one</a></td><td>2</td></tr></table>"
+    )
+    t = extract_table(root.find_first("table"), 0, CFG)
+    assert t["rows"][0]["links"] == {"0": "https://x.example/1"}
+
+
+def test_table_truncation_logged():
+    cfg = CFG.with_params(max_rows=2, max_cols=2)
+    html = "<table>" + "".join(
+        f"<tr><td>{i}</td><td>{i}</td><td>{i}</td></tr>" for i in range(5)
+    ) + "</table>"
+    t = extract_table(parse_html(html).find_first("table"), 0, cfg)
+    assert t["truncated"] is True
+    assert max(r["r"] for r in t["rows"]) <= 2
+
+
+def test_detect_grid_candidates():
+    html = (
+        "<div class='grid'>"
+        + "".join(
+            "<div>" + "".join(f"<div><span>v{r}{c}</span></div>" for c in range(3)) + "</div>"
+            for r in range(3)
+        )
+        + "</div>"
+    )
+    got = detect_grid_candidates(parse_html(html), CFG)
+    assert len(got) == 1
+    assert got[0]["kind"] == "grid"
+    assert len(got[0]["rows"]) == 3
+
+
+# --- shapes
+def test_compass_buckets():
+    assert angle_to_compass(1, 0) == "E"
+    assert angle_to_compass(0, 1) == "S"  # SVG y grows downward
+    assert angle_to_compass(0, -1) == "N"
+    assert angle_to_compass(-1, 0) == "W"
+    assert angle_to_compass(1, 1) == "SE"
+
+
+def test_svg_shapes_and_arrows():
+    root = parse_html(
+        "<svg><rect x='0' y='0' width='10' height='10'/>"
+        "<text x='5' y='5'>A</text>"
+        "<rect x='0' y='100' width='10' height='10'/>"
+        "<text x='5' y='105'>B</text>"
+        "<line x1='5' y1='10' x2='5' y2='100' marker-end='url(#m)'/></svg>"
+    )
+    shapes, arrows = extract_svg_shapes(root.find_first("svg"))
+    assert [s["id"] for s in shapes] == [1, 2]
+    assert shapes[0]["text"] == "A" and shapes[1]["text"] == "B"
+    assert arrows == [
+        {"begin_id": 1, "end_id": 2, "direction": "S", "approximation_level": 1}
+    ]
+
+
+def test_nested_lists_tree():
+    root = parse_html(
+        "<ul><li>root<ul><li>child1</li><li>child2<ul><li>leaf</li></ul></li></ul></li></ul>"
+    )
+    trees = extract_nested_lists(root)
+    assert trees == [
+        {
+            "text": "root",
+            "nodes": [
+                {"text": "child1"},
+                {"text": "child2", "nodes": [{"text": "leaf"}]},
+            ],
+        }
+    ]
+
+
+def test_flat_list_not_a_tree():
+    assert extract_nested_lists(parse_html("<ul><li>a</li><li>b</li></ul>")) == []
+
+
+# --- charts
+def test_chart_extraction():
+    root = parse_html(
+        "<figure><svg><polyline points='0,10 10,50 20,30'/></svg>"
+        "<figcaption>Sales</figcaption></figure>"
+    )
+    charts = extract_charts(root)
+    assert len(charts) == 1
+    c = charts[0]
+    assert c["chart_type"] == "Line"
+    assert c["title"] == "Sales"
+    assert c["y_axis_range"] == [10.0, 50.0]
+    assert c["series"][0]["n_points"] == 3
+
+
+# --- boilerplate
+def test_main_text_strips_boilerplate():
+    html = (
+        "<html><body><nav><a href='/a'>aaaa</a><a href='/b'>bbbb</a></nav>"
+        "<main><h1>Title Words Here</h1>"
+        "<p>This is the real article content with enough characters to keep.</p></main>"
+        "<footer><a href='/c'>cccc</a></footer></body></html>"
+    )
+    text = extract_main_text(parse_html(html), ExtractOptions())
+    assert "real article content" in text
+    assert "aaaa" not in text and "cccc" not in text
+    assert text.splitlines()[0] == "Title Words Here"  # heading rides along
+
+
+# --- fused extraction
+def test_extract_document_ok_and_fallback():
+    page = (
+        "<html><head><title>T</title></head><body><main>"
+        "<p>Body paragraph long enough to be counted as content here.</p>"
+        "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>"
+        "</main></body></html>"
+    )
+    rec = extract_document("https://x/1", page.encode())
+    assert rec["status"] == "ok"
+    assert rec["n_tables"] == 1
+    parsed = json.loads(rec["extraction_json"])
+    assert parsed["doc"] == "https://x/1"
+    assert parsed["tables"][0]["rows"][1]["c"] == {"0": 1, "1": 2}
+
+    empty = extract_document("https://x/2", b"")
+    assert empty["status"] == "fallback"
+    assert json.loads(empty["extraction_json"])["fallback_reason"] == "empty_document"
+
+
+def test_extract_document_deterministic():
+    page = "<html><body><p>stable content for hashing goes here ok.</p></body></html>".encode()
+    a = extract_document("u", page)
+    b = extract_document("u", page)
+    assert a == b

@@ -1,0 +1,106 @@
+"""Replicates the driver's correctness gate locally: run each Spark query
+and its DuckDB oracle on the same parquet, compare row count + column names
++ order-insensitive values EXACTLY (the driver value-hashes, so any
+difference — including float noise — is a failure)."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from exstruct_spark.queries import ORACLES, QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    out = out[sorted(out.columns)]
+    for col in out.columns:
+        s = out[col]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out[col] = pd.to_datetime(s).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif pd.api.types.is_float_dtype(s):
+            out[col] = s.astype(float)
+        elif s.dtype == object:
+            out[col] = s.astype(str)
+        else:
+            try:
+                out[col] = s.astype("int64")
+            except (TypeError, ValueError):
+                out[col] = s.astype(str)
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> list:
+    """Exact-equality diff report (empty = identical)."""
+    problems = []
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if pd.api.types.is_float_dtype(av):
+            neq = [
+                (x, y)
+                for x, y in zip(av, bv)
+                if not (x == y or (isinstance(x, float) and isinstance(y, float)
+                                   and math.isnan(x) and math.isnan(y)))
+            ]
+        else:
+            neq = [(x, y) for x, y in zip(av, bv) if x != y]
+        if neq:
+            problems.append((col, neq[:5]))
+    return problems
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, duck, name):
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(ORACLES[name]).df()
+
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    problems = _values_equal(a, b)
+    assert not problems, f"{name}: value mismatches {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    pdf = df.toPandas()
+    assert len(pdf) >= 0
+    assert len(pdf.columns) > 0
+    # rows-only queries should still return SOMETHING meaningful here
+    if name != "extract_fallback_audit":  # may legitimately be empty
+        assert len(pdf) > 0, f"{name} returned no rows"
+
+
+def test_entry_smoke(spark):
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    mod = importlib.import_module("__spark_entry__")
+    df = mod.entry(spark)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())

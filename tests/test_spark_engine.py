@@ -1,0 +1,93 @@
+"""Spark integration tests: byte-identity vs golden fixtures, determinism
+under parallelism, checkpoint resume (SURVEY.md §5 'our test strategy')."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from exstruct_spark.engine import ExtractionJob, extract_stage, metrics_from_extracted
+from exstruct_spark.golden import GOLDEN_COLUMNS, reference_extract_frame
+from exstruct_spark.pages import gen_pages_pdf, spark_pages
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return reference_extract_frame(gen_pages_pdf(range(N_DOCS)))
+
+
+def _spark_extract_sorted(spark, n_partitions: int) -> pd.DataFrame:
+    pages = spark_pages(spark, N_DOCS, partitions=n_partitions)
+    out = extract_stage(pages, repartition_to=n_partitions)
+    pdf = out.select(*GOLDEN_COLUMNS).toPandas()
+    return pdf.sort_values("url").reset_index(drop=True)
+
+
+def test_spark_generator_matches_pandas_generator(spark):
+    got = (
+        spark_pages(spark, 50, partitions=7)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = gen_pages_pdf(range(50)).sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_byte_identity_vs_golden(spark, golden):
+    """The driver contract's core gate: Spark output must be byte-identical
+    per url to the single-process reference extractor (BASELINE.json)."""
+    got = _spark_extract_sorted(spark, 8)
+    assert list(got["url"]) == list(golden["url"])
+    for col in ("main_text", "extraction_json", "text_sha256", "json_sha256"):
+        mism = (got[col] != golden[col]).sum()
+        assert mism == 0, f"{col}: {mism} mismatching documents"
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
+
+
+def test_determinism_across_parallelism(spark, golden):
+    """Same input at different parallelism -> identical output hash
+    (SURVEY.md §7.4 hard-part 2)."""
+    a = _spark_extract_sorted(spark, 2)
+    b = _spark_extract_sorted(spark, 16)
+    pd.testing.assert_frame_equal(
+        a.drop(columns=[]), b, check_dtype=False
+    )
+    assert list(a["json_sha256"]) == list(golden["json_sha256"])
+
+
+def test_metrics_contract(spark):
+    pages = spark_pages(spark, 100, partitions=4)
+    out = extract_stage(pages, repartition_to=4)
+    m = metrics_from_extracted(out, "testrun").toPandas()
+    assert set(m.columns) == {
+        "run_id", "partition_id", "docs", "bytes_in", "ok", "fallback",
+        "truncated", "wall_ms",
+    }
+    assert m["docs"].sum() == 100
+    assert (m["ok"] + m["fallback"]).sum() == 100
+    assert m["bytes_in"].sum() > 0
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Exactly-once per bucket: a resumed run recomputes nothing already
+    done, and output row count stays stable (idempotent overwrite)."""
+    out_d, lin_d, met_d = (
+        str(tmp_path / "out"), str(tmp_path / "lineage"), str(tmp_path / "metrics"),
+    )
+    job = ExtractionJob(spark, out_d, lin_d, met_d, n_buckets=8)
+
+    half = spark_pages(spark, 60, partitions=4).where(F.col("url").isNotNull())
+    r1 = job.run(half)
+    assert r1["buckets_done_before"] == 0
+    assert r1["rows_in_output"] == 60
+
+    # resume over the same input: all buckets already done -> no new rows
+    r2 = job.run(half)
+    assert r2["buckets_done_before"] == 8
+    assert r2["rows_in_output"] == 60
+
+    lineage = spark.read.parquet(lin_d).toPandas()
+    assert set(lineage["status"]) == {"done"}
+    assert lineage["url_bucket"].nunique() == 8
