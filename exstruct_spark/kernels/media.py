@@ -1,0 +1,148 @@
+"""Multimodal (image/audio/video) column kernels — Spark plumbing is real,
+codec work is stubbed.
+
+Design (per the engine's training-data-pipeline charter): media travels
+as an opaque ``binary`` column + typed metadata struct.  Everything that
+does NOT need a codec is fully implemented and vectorized (numpy over the
+Arrow batch): container sniffing from magic bytes, size, byte entropy,
+deterministic content fingerprint.  The codec-dependent steps (pixel
+decode, resample, frame sampling) are STUBS — the image/audio libraries
+are not in this container — exposed behind an explicit ``fake`` mode
+(deterministic synthetic output, keyed by content hash, so the Spark-side
+schema/partitioning/batch plumbing is testable end-to-end) or
+``NotImplementedError`` in ``strict`` mode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"RIFF", "container/riff"),  # wav/avi/webp — refined below
+    (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+    (b"ID3", "audio/mpeg"),
+    (b"\x1a\x45\xdf\xa3", "video/webm"),
+    (b"%PDF", "application/pdf"),
+]
+
+
+def sniff_media_type(raw: bytes) -> str:
+    """Container detection from magic bytes (no codec needed)."""
+    if not raw:
+        return "empty"
+    for magic, mtype in _MAGIC:
+        if raw.startswith(magic):
+            if mtype == "container/riff" and len(raw) >= 12:
+                sub = raw[8:12]
+                return {
+                    b"WAVE": "audio/wav",
+                    b"AVI ": "video/avi",
+                    b"WEBP": "image/webp",
+                }.get(sub, "container/riff")
+            return mtype
+    if raw[4:8] == b"ftyp":
+        return "video/mp4"
+    head = raw[:256].lstrip()
+    if head[:1] == b"<":
+        return "text/html"
+    return "application/octet-stream"
+
+
+def byte_entropy(raw: bytes) -> float:
+    """Shannon entropy of the byte distribution (vectorized numpy)."""
+    if not raw:
+        return 0.0
+    counts = np.bincount(np.frombuffer(raw, dtype=np.uint8), minlength=256)
+    p = counts[counts > 0] / len(raw)
+    return float(round(-np.sum(p * np.log2(p)), 6))
+
+
+def content_fingerprint(raw: bytes) -> str:
+    return hashlib.sha256(raw).hexdigest()[:16]
+
+
+def decode_image_stub(raw: bytes, mode: str = "fake") -> dict:
+    """STUB image decode.
+
+    ``fake``: deterministic synthetic metadata keyed by content hash —
+    exercises the full Spark pipeline (schema, batching, partitioning)
+    without a codec.  ``strict``: NotImplementedError, as a real
+    deployment would plug Pillow/ffmpeg here.
+    """
+    if mode == "strict":
+        raise NotImplementedError(
+            "pixel decode requires an image codec (Pillow/libvips) — "
+            "not available in this environment; use mode='fake'"
+        )
+    h = int.from_bytes(hashlib.sha256(raw).digest()[:8], "big")
+    return {
+        "width": 64 + (h % 1920),
+        "height": 64 + ((h >> 16) % 1080),
+        "channels": 3,
+    }
+
+
+def frame_sample_stub(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list:
+    """STUB video frame sampling: deterministic per-frame fingerprints."""
+    if mode == "strict":
+        raise NotImplementedError(
+            "frame sampling requires ffmpeg — not available here; "
+            "use mode='fake'"
+        )
+    base = hashlib.sha256(raw).digest()
+    return [
+        hashlib.sha256(base + bytes([i])).hexdigest()[:12] for i in range(n_frames)
+    ]
+
+
+def media_meta_pdf(pdf: pd.DataFrame, blob_col: str = "blob", mode: str = "fake") -> pd.DataFrame:
+    """pandas batch kernel: opaque blobs -> typed metadata frame.
+
+    Output columns: media_type, n_bytes, entropy, fingerprint,
+    width, height, frame_fps (list of frame fingerprints, image/video
+    only).  This function body runs inside ``mapInPandas``.
+    """
+    out = []
+    for raw in pdf[blob_col].tolist():
+        raw = raw or b""
+        mtype = sniff_media_type(raw)
+        rec = {
+            "media_type": mtype,
+            "n_bytes": len(raw),
+            "entropy": byte_entropy(raw),
+            "fingerprint": content_fingerprint(raw),
+            "width": None,
+            "height": None,
+            "frame_fps": None,
+        }
+        if mtype.startswith("image/"):
+            meta = decode_image_stub(raw, mode)
+            rec["width"], rec["height"] = meta["width"], meta["height"]
+        elif mtype.startswith("video/"):
+            rec["frame_fps"] = frame_sample_stub(raw, mode=mode)
+        out.append(rec)
+    res = pd.DataFrame(
+        out,
+        columns=[
+            "media_type", "n_bytes", "entropy", "fingerprint",
+            "width", "height", "frame_fps",
+        ],
+    )
+    for key_col in pdf.columns:
+        if key_col != blob_col:
+            res.insert(0, key_col, pdf[key_col].values)
+    return res
+
+
+MEDIA_META_SCHEMA_DDL = (
+    "media_type string, n_bytes bigint, entropy double, fingerprint string, "
+    "width int, height int, frame_fps array<string>"
+)

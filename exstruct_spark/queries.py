@@ -34,6 +34,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _TOK = "split(trim(text), '\\\\s+')"
 
 
+def _dsum(expr, scale: int, out_round: int = 2):
+    """Order-independent money sum: per-row cast to exact DECIMAL (row
+    values have <= `scale` true decimal digits, so the double->decimal
+    cast is tie-free), exact decimal SUM, round, back to double.  Plain
+    SUM(double) is summation-order-dependent and flips the last rounded
+    digit vs the DuckDB oracle (observed at sf0.01)."""
+    return F.round(F.sum(expr.cast(f"decimal(27,{scale})")), out_round).cast("double")
+
+
+
 # --------------------------------------------------------------------------
 # 1. TPC-H-ish relational glue (Catalyst-native; SURVEY.md §2.3/2.4 —
 #    the reference has no cross-dataset joins, Spark gives them built-in)
@@ -46,21 +56,25 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("sum_disc_price"),
+            _dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                6,
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(27,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -69,12 +83,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -93,16 +107,14 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
 
 
 SQL_TPCH_Q6 = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -127,9 +139,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
         )
         .select(
             F.col("o_orderkey").alias("orderkey"),
@@ -141,7 +151,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q3 = """
 SELECT o_orderkey AS orderkey, o_orderdate AS orderdate,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -169,9 +179,7 @@ def q_tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .select(
@@ -185,7 +193,7 @@ def q_tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q5_REGION = """
 SELECT r_name AS region_name, n_name AS nation_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -204,7 +212,7 @@ def q_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            _dsum(F.col("o_totalprice"), 2).alias("total_spend"),
             F.count("*").alias("n_orders"),
         )
         .select(
@@ -218,7 +226,7 @@ def q_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CUSTOMER_SPEND = """
 SELECT c_custkey AS custkey, c_name AS name,
-       ROUND(SUM(o_totalprice), 2) AS total_spend,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,2))), 2) AS DOUBLE) AS total_spend,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
@@ -259,6 +267,159 @@ WHERE rn <= 5
 
 
 # --------------------------------------------------------------------------
+# 1b. spatial/interval join analogues (SURVEY.md §2.3 J1/J2/P4: the
+#     reference's joins are containment/overlap/anti joins, not equi —
+#     these are their cross-dataset Spark forms)
+
+
+def q_range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (J1 analogue): lineitem rows whose
+    l_shipdate falls in [o_orderdate, o_orderdate + 90d] of their own
+    order.  Equi key carries the join; the BETWEEN is a residual
+    predicate — the exact shape that scales (no theta-join explosion)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 90))
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_in_window"),
+        _dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+    ).select(F.col("o_orderstatus").alias("status"), "n_in_window", "sum_price")
+
+
+SQL_RANGE_JOIN_SHIP_WINDOW = """
+SELECT o_orderstatus AS status, COUNT(*) AS n_in_window,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,2))), 2) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderstatus
+"""
+
+
+def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D interval-overlap self-join (J2 rectangle-overlap analogue):
+    per customer, count pairs of orders whose 7-day windows overlap.
+    Partitioned by customer key first (the 'grid-cell bucketing then
+    residual predicate' pattern from SURVEY.md §2.3 J2) so the self-join
+    never goes quadratic in the corpus."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("b.o_orderdate") <= F.date_add(F.col("a.o_orderdate"), 7))
+        & (F.col("a.o_orderdate") <= F.date_add(F.col("b.o_orderdate"), 7)),
+    )
+    return pairs.groupBy(F.col("a.o_custkey").alias("custkey")).agg(
+        F.count("*").alias("overlapping_pairs")
+    )
+
+
+SQL_INTERVAL_OVERLAP_PAIRS = """
+SELECT a.o_custkey AS custkey, COUNT(*) AS overlapping_pairs
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+ AND a.o_orderdate <= b.o_orderdate + INTERVAL 7 DAY
+GROUP BY a.o_custkey
+"""
+
+
+def q_anti_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval ANTI join (P4 analogue — the reference's merged-cell
+    exclusion as a cross-dataset op): lineitem rows shipping OUTSIDE
+    every top-order 30-day window.  Blackout windows are a tiny derived
+    dim -> broadcast anti join."""
+    orders = _t(spark, sf_dir, "orders")
+    windows = F.broadcast(
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(5)
+        .select(
+            F.col("o_orderdate").alias("w_start"),
+            F.date_add("o_orderdate", 30).alias("w_end"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    inside = (F.col("l_shipdate") >= F.col("w_start")) & (
+        F.col("l_shipdate") <= F.col("w_end")
+    )
+    outside = li.join(windows, inside, "left_anti")
+    return outside.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_outside"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+SQL_ANTI_INTERVAL_JOIN = """
+WITH windows AS (
+  SELECT o_orderdate AS w_start, o_orderdate + INTERVAL 30 DAY AS w_end
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+SELECT l_returnflag, COUNT(*) AS n_outside,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE NOT EXISTS (
+  SELECT 1 FROM windows
+  WHERE l_shipdate >= w_start AND l_shipdate <= w_end)
+GROUP BY l_returnflag
+"""
+
+
+def q_docs_except_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op coverage (SURVEY.md §2.6: exceptAll for fixture diffs):
+    doc_ids that exact-dedup would DROP = all ids EXCEPT first-seen ids."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.select("doc_id").exceptAll(kept)
+
+
+SQL_DOCS_EXCEPT_KEPT = """
+SELECT doc_id FROM documents
+EXCEPT ALL
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def q_events_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY.md §2.4: the reference lacks these;
+    Catalyst provides them natively for metric rollups)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP_SETS = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
 # 2. events: metrics-rollup-shaped queries (lineage/metrics analogues,
 #    SURVEY.md §2.4 A7)
 
@@ -272,7 +433,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _dsum(F.col("value"), 2).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -281,7 +442,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour_ts, event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -293,7 +454,7 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _dsum(F.col("value"), 2).alias("sum_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
@@ -302,7 +463,7 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_USER_STATS = """
 SELECT user_id, COUNT(*) AS n_events,
        COUNT(DISTINCT event_type) AS n_types,
-       ROUND(SUM(value), 2) AS sum_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS sum_value,
        MIN(ts) AS first_ts, MAX(ts) AS last_ts
 FROM events
 GROUP BY user_id
@@ -315,30 +476,32 @@ def q_events_gap_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # NTZ-safe epoch seconds (micros / 1e6 as double)
-    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
-    gap = epoch_s - F.lag(epoch_s).over(w)
+    # gaps in WHOLE MICROSECONDS (bigint): double seconds round-trip ties
+    # at the 4th decimal and flips HALF_UP(Spark) vs half-away(DuckDB)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us).over(w)
     return (
-        ev.withColumn("gap_s", gap)
-        .where(F.col("gap_s").isNotNull())
+        ev.withColumn("gap_us", gap)
+        .where(F.col("gap_us").isNotNull())
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_gaps"),
-            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
-            F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+            F.sum("gap_us").cast("bigint").alias("total_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
         )
     )
 
 
 SQL_EVENTS_GAP_LAG = """
 SELECT user_id, COUNT(*) AS n_gaps,
-       ROUND(AVG(gap_s), 4) AS avg_gap_s,
-       ROUND(MAX(gap_s), 4) AS max_gap_s
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
 FROM (
   SELECT user_id,
-         EPOCH(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+         CAST(EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us
   FROM events)
-WHERE gap_s IS NOT NULL
+WHERE gap_us IS NOT NULL
 GROUP BY user_id
 """
 
@@ -741,10 +904,48 @@ def q_extract_documents_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column -> typed metadata via one
+    mapInPandas stage (codec steps stubbed deterministically; schema /
+    batching / partitioning are the real contract).  Uses page HTML bytes
+    as blobs plus synthetic magic-byte prefixes.  Rows-only check."""
+    from exstruct_spark.media import media_meta_stage
+
+    pages = spark_pages(spark, 200, partitions=8)
+    blobs = pages.select(
+        "url",
+        F.when(
+            F.xxhash64("url") % 3 == 0,
+            F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), F.col("html")),
+        )
+        .when(
+            F.xxhash64("url") % 3 == 1,
+            F.concat(F.lit(b"\x1a\x45\xdf\xa3"), F.col("html")),
+        )
+        .otherwise(F.col("html"))
+        .alias("blob"),
+    )
+    meta = media_meta_stage(blobs)
+    return (
+        meta.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_blobs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+            F.countDistinct("fingerprint").alias("distinct_fp"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
 QUERIES = {
+    "range_join_ship_window": q_range_join_ship_window,
+    "interval_overlap_pairs": q_interval_overlap_pairs,
+    "anti_interval_join": q_anti_interval_join,
+    "docs_except_kept": q_docs_except_kept,
+    "events_rollup_sets": q_events_rollup_sets,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5_region": q_tpch_q5_region,
@@ -769,9 +970,15 @@ QUERIES = {
     "extract_metrics": q_extract_metrics,
     "extract_fallback_audit": q_extract_fallback_audit,
     "extract_documents_flagship": q_extract_documents_flagship,
+    "media_metadata": q_media_metadata,
 }
 
 ORACLES = {
+    "range_join_ship_window": SQL_RANGE_JOIN_SHIP_WINDOW,
+    "interval_overlap_pairs": SQL_INTERVAL_OVERLAP_PAIRS,
+    "anti_interval_join": SQL_ANTI_INTERVAL_JOIN,
+    "docs_except_kept": SQL_DOCS_EXCEPT_KEPT,
+    "events_rollup_sets": SQL_EVENTS_ROLLUP_SETS,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5_region": SQL_TPCH_Q5_REGION,

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Production entry point for the extraction job.
+
+Cluster usage (the BASELINE.json deployment shape)::
+
+    zip -r exstruct_spark.zip exstruct_spark/
+    spark-submit \
+      --py-files exstruct_spark.zip \
+      --conf spark.sql.adaptive.enabled=true \
+      --conf spark.sql.execution.arrow.maxRecordsPerBatch=4096 \
+      jobs/run_extraction.py \
+      --input  <iceberg-table-or-parquet-path> \
+      --output  s3://.../extractions \
+      --lineage s3://.../lineage \
+      --metrics s3://.../metrics \
+      --buckets 4096
+
+At 10^12 docs set ``--buckets`` so one bucket is a few GB of output
+(resume granularity = one bucket).  Rerunning the same command after a
+partial failure resumes: completed buckets are anti-joined away.
+
+Local smoke::
+
+    python jobs/run_extraction.py --synthetic 2000 --output /tmp/x \
+      --lineage /tmp/x_lin --metrics /tmp/x_met
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="exstruct-spark extraction job")
+    ap.add_argument("--input", help="pages table path (parquet/Iceberg dir)")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic pages instead of --input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--metrics", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--master", default=None,
+                    help="override master (default: whatever spark-submit set)")
+    args = ap.parse_args()
+    if not args.input and not args.synthetic:
+        ap.error("one of --input / --synthetic is required")
+
+    from pyspark.sql import SparkSession
+
+    from exstruct_spark.engine import ExtractionJob, default_session
+    from exstruct_spark.pages import spark_pages
+
+    if args.master:
+        spark = default_session(app="exstruct-extract", master=args.master)
+    else:
+        spark = SparkSession.builder.appName("exstruct-extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthetic:
+        pages = spark_pages(spark, args.synthetic)
+        snapshot = f"synthetic:{args.synthetic}"
+    else:
+        pages = spark.read.parquet(args.input)
+        snapshot = args.input
+
+    job = ExtractionJob(
+        spark,
+        output_dir=args.output,
+        lineage_dir=args.lineage,
+        metrics_dir=args.metrics,
+        n_buckets=args.buckets,
+    )
+    summary = job.run(pages, input_snapshot=snapshot)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Streaming execution, multimodal stubs, and the production job CLI."""
+
+import json
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from exstruct_spark.engine import extract_stage
+from exstruct_spark.golden import GOLDEN_COLUMNS
+from exstruct_spark.kernels.media import (
+    byte_entropy,
+    decode_image_stub,
+    frame_sample_stub,
+    media_meta_pdf,
+    sniff_media_type,
+)
+from exstruct_spark.media import media_meta_stage
+from exstruct_spark.pages import spark_pages
+from exstruct_spark.streaming import stream_extract_available_now
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    """Structured-Streaming (Trigger.AvailableNow) output is byte-identical
+    to the batch run over the same files — same kernel, same bytes."""
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    spark_pages(spark, 80, partitions=4).write.parquet(in_dir)
+
+    stream_extract_available_now(spark, in_dir, out_dir, ckpt)
+    streamed = (
+        spark.read.parquet(out_dir)
+        .select(*GOLDEN_COLUMNS)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    batch = (
+        extract_stage(spark.read.parquet(in_dir))
+        .select(*GOLDEN_COLUMNS)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
+
+    # second AvailableNow trigger over the same dir: nothing new -> no dup
+    stream_extract_available_now(spark, in_dir, out_dir, ckpt)
+    again = spark.read.parquet(out_dir)
+    assert again.count() == 80
+    assert again.select("url").distinct().count() == 80
+
+
+def test_media_kernels():
+    assert sniff_media_type(b"\x89PNG\r\n\x1a\nxxxx") == "image/png"
+    assert sniff_media_type(b"\xff\xd8\xff\xe0") == "image/jpeg"
+    assert sniff_media_type(b"RIFF....WAVE") == "audio/wav"
+    assert sniff_media_type(b"RIFF....WEBP") == "image/webp"
+    assert sniff_media_type(b"\x00\x00\x00\x18ftypmp42") == "video/mp4"
+    assert sniff_media_type(b"  <html><body>") == "text/html"
+    assert sniff_media_type(b"") == "empty"
+    assert byte_entropy(b"") == 0.0
+    assert byte_entropy(b"\x00" * 100) == 0.0
+    assert byte_entropy(bytes(range(256))) == 8.0
+    # stubs: deterministic in fake mode, explicit error in strict mode
+    assert decode_image_stub(b"abc") == decode_image_stub(b"abc")
+    assert frame_sample_stub(b"abc") == frame_sample_stub(b"abc")
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"abc", mode="strict")
+    with pytest.raises(NotImplementedError):
+        frame_sample_stub(b"abc", mode="strict")
+
+
+def test_media_pdf_kernel_and_stage(spark):
+    pdf = pd.DataFrame(
+        {
+            "url": ["a", "b", "c"],
+            "blob": [b"\x89PNG\r\n\x1a\nimg", b"\x1a\x45\xdf\xa3vid", b"<p>hi</p>"],
+        }
+    )
+    meta = media_meta_pdf(pdf)
+    assert list(meta["media_type"]) == ["image/png", "video/webm", "text/html"]
+    assert meta.loc[0, "width"] is not None
+    assert len(meta.loc[1, "frame_fps"]) == 4
+
+    df = spark.createDataFrame(pdf)
+    got = media_meta_stage(df).toPandas().sort_values("url").reset_index(drop=True)
+    assert list(got["media_type"]) == ["image/png", "video/webm", "text/html"]
+    assert got.loc[2, "width"] is None or pd.isna(got.loc[2, "width"])
+
+
+def test_job_cli_smoke(tmp_path):
+    """Drive jobs/run_extraction.py exactly as spark-submit would."""
+    out = subprocess.run(
+        [
+            sys.executable, "jobs/run_extraction.py",
+            "--synthetic", "120",
+            "--output", str(tmp_path / "out"),
+            "--lineage", str(tmp_path / "lin"),
+            "--metrics", str(tmp_path / "met"),
+            "--buckets", "8",
+            "--master", "local[4]",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["rows_in_output"] == 120
