@@ -50,6 +50,9 @@ class ExtractOptions:
     include_charts: bool = True
     include_lists: bool = True
     include_links: bool = True
+    # Excel-style alpha column keys in rows.c (reference col_index_to_alpha,
+    # models/__init__.py:569-600; convert_workbook_keys_to_alpha 644-657)
+    alpha_keys: bool = False
     # boilerplate classifier thresholds (Boilerpipe/trafilatura-style;
     # the web analogue of exstruct's density/coverage gates)
     max_link_density: float = 0.333

@@ -60,15 +60,19 @@ def _series_values(svg: Node) -> list:
     return series
 
 
-def extract_charts(root: Node, tables_by_figure: Optional[dict] = None) -> list:
-    """All <figure> blocks containing an <svg> -> chart records.
+def extract_charts(figures, tables_by_figure: Optional[dict] = None) -> list:
+    """<figure> blocks containing an <svg> -> chart records.
 
-    ``tables_by_figure`` maps id(figure-node) -> table artifact index so a
-    chart's series can reference its companion data grid by range string
-    (the J7 chart-series->grid join, SURVEY.md §2.3).
+    ``figures`` is either a pre-collected list of figure nodes (single-pass
+    discipline) or a root ``Node`` to scan.  ``tables_by_figure`` maps
+    id(figure-node) -> table artifact index so a chart's series can
+    reference its companion data grid by range string (the J7
+    chart-series->grid join, SURVEY.md §2.3).
     """
+    if isinstance(figures, Node):
+        figures = figures.find_all("figure")
     charts: list = []
-    for i, fig in enumerate(root.find_all("figure")):
+    for i, fig in enumerate(figures):
         svg = fig.find_first("svg")
         if svg is None:
             continue

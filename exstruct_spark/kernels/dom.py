@@ -63,12 +63,16 @@ class Node:
     def iter(self) -> Iterator["Node"]:
         """Pre-order traversal including self (document order)."""
         stack = [self]
+        pop = stack.pop
+        push = stack.append
         while stack:
-            node = stack.pop()
+            node = pop()
             yield node
-            stack.extend(
-                c for c in reversed(node.children) if isinstance(c, Node)
-            )
+            children = node.children
+            for i in range(len(children) - 1, -1, -1):
+                c = children[i]
+                if type(c) is Node:
+                    push(c)
 
     def find_all(self, *tags: str) -> list:
         want = set(tags)
@@ -81,8 +85,17 @@ class Node:
                 return n
         return None
 
+    def collect_tags(self, groups: dict) -> None:
+        """Single-pass collection: ``groups`` maps tag -> list; every node
+        whose tag is a key is appended to its list in document order.
+        One traversal replaces one ``find_all`` per artifact family."""
+        for n in self.iter():
+            bucket = groups.get(n.tag)
+            if bucket is not None:
+                bucket.append(n)
+
     def element_children(self) -> list:
-        return [c for c in self.children if isinstance(c, Node)]
+        return [c for c in self.children if type(c) is Node]
 
     # -- text ------------------------------------------------------------
     def text_content(self) -> str:

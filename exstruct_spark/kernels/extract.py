@@ -38,12 +38,12 @@ from exstruct_spark.kernels.tables import detect_grid_candidates, extract_table
 _DEFAULT_OPTS = ExtractOptions()
 
 
-def _links_map(root: Node) -> dict:
+def _links_map(anchors: list) -> dict:
     """href -> occurrence count over content links (the analogue of the
     reference's inverted ``formulas_map``/``colors_map`` value->positions
     indexes, models/__init__.py:208-221; group-by-key aggregation A1/A2)."""
     counts: dict = {}
-    for a in root.find_all("a"):
+    for a in anchors:
         href = a.get("href")
         if href:
             counts[href] = counts.get(href, 0) + 1
@@ -76,9 +76,19 @@ def extract_document(
     else:
         try:
             root = parse_html(html)
-            body = root.find_first("body") or root
-            title_node = root.find_first("title")
-            title = title_node.text_content() if title_node is not None else ""
+            # ONE traversal collects every artifact family in document
+            # order (the memoized-single-parse discipline, SURVEY.md §4 R5)
+            groups: dict = {
+                t: [] for t in ("body", "title", "table", "figure", "svg", "a")
+            }
+            # ul/ol share one bucket so document order across both kinds is
+            # preserved (outer-before-inner matters for list-tree claiming)
+            groups["ul"] = groups["ol"] = []
+            root.collect_tags(groups)
+            body = groups["body"][0] if groups["body"] else root
+            title = (
+                groups["title"][0].text_content() if groups["title"] else ""
+            )
             if title:
                 extraction["title"] = title
             main_text = extract_main_text(root, opts)
@@ -87,18 +97,22 @@ def extract_document(
                 tables = []
                 figure_table_ids: dict = {}
                 fig_of_table: dict = {}
-                for fig in root.find_all("figure"):
+                for fig in groups["figure"]:
                     for t in fig.find_all("table"):
                         fig_of_table[id(t)] = id(fig)
-                for t_node in body.find_all("table"):
-                    art = extract_table(t_node, len(tables), opts.detection)
+                for t_node in groups["table"]:
+                    art = extract_table(
+                        t_node, len(tables), opts.detection, opts.alpha_keys
+                    )
                     if art is None:
                         continue
                     truncated = truncated or bool(art.get("truncated"))
                     if id(t_node) in fig_of_table:
                         figure_table_ids[fig_of_table[id(t_node)]] = art["id"]
                     tables.append(art)
-                for g in detect_grid_candidates(body, opts.detection):
+                for g in detect_grid_candidates(
+                    body, opts.detection, opts.alpha_keys
+                ):
                     g["id"] = len(tables)
                     tables.append(g)
                 candidates = [
@@ -119,7 +133,7 @@ def extract_document(
             if opts.include_shapes:
                 shapes_all: list = []
                 arrows_all: list = []
-                for svg in body.find_all("svg"):
+                for svg in groups["svg"]:
                     shapes, arrows = extract_svg_shapes(svg)
                     base = len(shapes_all)
                     for s in shapes:
@@ -138,19 +152,19 @@ def extract_document(
                 n_shapes, n_arrows = len(shapes_all), len(arrows_all)
 
             if opts.include_charts:
-                charts = extract_charts(body, figure_table_ids)
+                charts = extract_charts(groups["figure"], figure_table_ids)
                 if charts:
                     extraction["charts"] = charts
                 n_charts = len(charts)
 
             if opts.include_lists:
-                lists = extract_nested_lists(body)
+                lists = extract_nested_lists(body, lists=groups["ul"])
                 if lists:
                     extraction["lists"] = lists
                 n_lists = len(lists)
 
             if opts.include_links:
-                links = _links_map(body)
+                links = _links_map(groups["a"])
                 if links:
                     extraction["links_map"] = links
                 n_links = len(links)

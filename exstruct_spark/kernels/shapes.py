@@ -194,7 +194,7 @@ def extract_svg_shapes(svg: Node) -> tuple:
     return shapes, arrows
 
 
-def extract_nested_lists(root: Node, max_depth: int = 12) -> list:
+def extract_nested_lists(root: Node, max_depth: int = 12, lists=None) -> list:
     """Deep <ul>/<ol> nesting -> SmartArt-like recursive node trees.
 
     Parity: _build_smartart_tree level-stack algorithm (reference
@@ -230,7 +230,9 @@ def extract_nested_lists(root: Node, max_depth: int = 12) -> list:
 
     trees: list = []
     claimed: set = set()
-    for lst in root.find_all("ul", "ol"):
+    if lists is None:
+        lists = root.find_all("ul", "ol")
+    for lst in lists:
         if id(lst) in claimed:
             continue
         for inner in lst.iter():

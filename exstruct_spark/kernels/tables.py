@@ -26,7 +26,7 @@ from __future__ import annotations
 from typing import Optional
 
 from exstruct_spark.config import DetectionConfig
-from exstruct_spark.kernels.a1 import make_range
+from exstruct_spark.kernels.a1 import col_index_to_alpha, make_range
 from exstruct_spark.kernels.coerce import coerce_scalar
 from exstruct_spark.kernels.dom import Node
 
@@ -92,17 +92,22 @@ def _grid_from_table(table: Node, cfg: DetectionConfig):
     return cells, merged_items, links, len(trs), min(n_cols, cfg.max_cols), truncated
 
 
-def _sparse_rows(cells: dict, links: dict) -> list:
-    """(r, c)->value map -> sorted sparse CellRow dicts."""
+def _sparse_rows(cells: dict, links: dict, alpha_keys: bool = False) -> list:
+    """(r, c)->value map -> sorted sparse CellRow dicts.
+
+    ``alpha_keys``: Excel-style column letters instead of 0-based numeric
+    strings (parity: ``convert_workbook_keys_to_alpha``, reference
+    models/__init__.py:644-657)."""
+    key = col_index_to_alpha if alpha_keys else str
     by_row: dict = {}
     for (r, c), v in cells.items():
         by_row.setdefault(r, {})[c] = v
     rows = []
     for r in sorted(by_row):
-        cmap = {str(c): by_row[r][c] for c in sorted(by_row[r])}
+        cmap = {key(c): by_row[r][c] for c in sorted(by_row[r])}
         row: dict = {"r": r + 1, "c": cmap}
         row_links = {
-            str(c): links[(rr, c)] for (rr, c) in sorted(links) if rr == r
+            key(c): links[(rr, c)] for (rr, c) in sorted(links) if rr == r
         }
         if row_links:
             row["links"] = row_links
@@ -165,7 +170,9 @@ def score_candidate(
     return score, density, coverage
 
 
-def extract_table(table: Node, index: int, cfg: DetectionConfig) -> Optional[dict]:
+def extract_table(
+    table: Node, index: int, cfg: DetectionConfig, alpha_keys: bool = False
+) -> Optional[dict]:
     """One <table> element -> table artifact dict (or None if empty)."""
     cells, merged_items, links, n_rows, n_cols, truncated = _grid_from_table(table, cfg)
     if not cells:
@@ -185,7 +192,7 @@ def extract_table(table: Node, index: int, cfg: DetectionConfig) -> Optional[dic
         "id": index,
         "range": rng,
         "score": round(score, 4),
-        "rows": _sparse_rows(cells, links),
+        "rows": _sparse_rows(cells, links, alpha_keys),
     }
     if merged_items:
         out["merged_cells"] = {
@@ -203,7 +210,9 @@ def extract_table(table: Node, index: int, cfg: DetectionConfig) -> Optional[dic
     return out
 
 
-def detect_grid_candidates(root: Node, cfg: DetectionConfig) -> list:
+def detect_grid_candidates(
+    root: Node, cfg: DetectionConfig, alpha_keys: bool = False
+) -> list:
     """Heuristic detection of borderless div-grid layouts.
 
     The web analogue of exstruct's border-cluster detection pipeline
@@ -259,7 +268,7 @@ def detect_grid_candidates(root: Node, cfg: DetectionConfig) -> list:
                 "kind": "grid",
                 "range": make_range(min(rs), min(cs), max(rs), max(cs)),
                 "score": round(score, 4),
-                "rows": _sparse_rows(cells, {}),
+                "rows": _sparse_rows(cells, {}, alpha_keys),
                 "_metrics": {
                     "density": density,
                     "coverage": coverage,

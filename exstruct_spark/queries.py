@@ -904,6 +904,33 @@ def q_extract_documents_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_cells_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-column story (SURVEY.md §1.2: byte-identical JSON is the
+    contract, typed columns are emitted ADDITIONALLY for queryability):
+    parse extraction_json with from_json, explode the tables array, and
+    aggregate candidate scores per archetype.  Rows-only check."""
+    pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=16)
+    extracted = extract_stage(pages, repartition_to=16)
+    tables_schema = (
+        "struct<tables: array<struct<id:int, kind:string, range:string, "
+        "score:double>>, table_candidates: array<string>>"
+    )
+    typed = extracted.select(
+        "url", F.from_json("extraction_json", tables_schema).alias("x")
+    )
+    exploded = typed.select(
+        "url", F.explode("x.tables").alias("t")
+    ).join(pages.select("url", "archetype"), "url")
+    return (
+        exploded.groupBy("archetype", F.coalesce("t.kind", F.lit("declared")).alias("kind"))
+        .agg(
+            F.count("*").alias("n_tables"),
+            F.round(F.avg("t.score"), 4).alias("avg_score"),
+            F.countDistinct("t.range").alias("distinct_ranges"),
+        )
+    )
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary column -> typed metadata via one
     mapInPandas stage (codec steps stubbed deterministically; schema /
@@ -971,6 +998,7 @@ QUERIES = {
     "extract_fallback_audit": q_extract_fallback_audit,
     "extract_documents_flagship": q_extract_documents_flagship,
     "media_metadata": q_media_metadata,
+    "extract_cells_exploded": q_extract_cells_exploded,
 }
 
 ORACLES = {
