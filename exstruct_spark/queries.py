@@ -806,6 +806,106 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.35) — the
+    correctness baseline is exact pairwise cosine over the full corpus
+    (fine at oracle scale; ``ann_lsh_buckets`` is the candidate-generation
+    scale path).  Self-join keyed a.vec_id < b.vec_id; sims rounded
+    BEFORE thresholding so Spark and the oracle cut identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("ae"))
+    b = emb.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("be"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("aid") < F.col("bid"))
+        .withColumn("sim", F.expr(_cosine_expr("ae", "be")))
+        .where(F.col("sim") >= 0.35)
+    )
+    return pairs.select("aid", "bid", "sim")
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS aid, b.vec_id AS bid,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+FROM e a CROSS JOIN e b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+"""
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: GPT-2-style pre-tokenizer regex (word /
+    number / punctuation runs) — pure column regexp work, no UDF."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+    toks = F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+    return (
+        docs.select("lang", toks.alias("bpe_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("bpe_tok").cast("bigint").alias("total_bpe_tokens"),
+            F.round(
+                F.sum("bpe_tok").cast("double") / F.count("*"), 4
+            ).alias("avg_bpe_tokens"),
+        )
+    )
+
+
+SQL_DOC_BPE_TOKENS = r"""
+SELECT lang, COUNT(*) AS docs,
+       CAST(SUM(bpe_tok) AS BIGINT) AS total_bpe_tokens,
+       ROUND(CAST(SUM(bpe_tok) AS DOUBLE) / COUNT(*), 4) AS avg_bpe_tokens
+FROM (
+  SELECT lang,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpe_tok
+  FROM documents WHERE n_chars > 0)
+GROUP BY lang
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gap threshold (30 min): window lag -> boundary
+    flags -> per-user session count.  The stateful-streaming analogue
+    expressed as batch windows."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = epoch_us - F.lag(epoch_us).over(w)
+    boundary = F.when(
+        F.col("gap_us").isNull() | (F.col("gap_us") > 30 * 60 * 1000000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("gap_us", gap_us)
+        .withColumn("is_boundary", boundary)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_boundary").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+SELECT user_id, CAST(SUM(is_boundary) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS is_boundary
+  FROM (
+    SELECT user_id,
+           EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events))
+GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # 6. salting demo: skewed-key aggregation in two phases
 
@@ -992,6 +1092,9 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "embedding_neardup": q_embedding_neardup,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
+    "events_sessions": q_events_sessions,
     "docs_by_source_salted": q_docs_by_source_salted,
     "extract_rollup": q_extract_rollup,
     "extract_metrics": q_extract_metrics,
@@ -1023,6 +1126,9 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_bow": SQL_DEDUP_BOW,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
+    "events_sessions": SQL_EVENTS_SESSIONS,
     "docs_by_source_salted": SQL_DOCS_BY_SOURCE,
     # rows-only (non-SQL-expressible / Spark-specific hash or the engine's
     # own synthetic corpus): dedup_minhash_lsh, dedup_simhash,
