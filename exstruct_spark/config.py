@@ -50,6 +50,11 @@ class ExtractOptions:
     include_charts: bool = True
     include_lists: bool = True
     include_links: bool = True
+    # region-scoped views (PrintAreaView analogue, reference
+    # models/__init__.py:178-185,437-455) and class_map (colors_map
+    # analogue, core/cells.py:277-310)
+    include_sections: bool = True
+    include_class_map: bool = True
     # Excel-style alpha column keys in rows.c (reference col_index_to_alpha,
     # models/__init__.py:569-600; convert_workbook_keys_to_alpha 644-657)
     alpha_keys: bool = False

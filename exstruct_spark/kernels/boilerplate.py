@@ -42,14 +42,22 @@ def _link_text_len(node: Node) -> int:
 
 def _collect_blocks(node: Node, out: list) -> None:
     """Collect candidate text blocks in document order, pruning
-    boilerplate and structurally-parsed subtrees."""
-    if node.tag in _SKIP_SUBTREES:
-        return
-    if node.tag in _BLOCK_TAGS:
-        out.append(node)
-        return  # block content is atomic; nested li/p handled by recursion rules below
-    for child in node.element_children():
-        _collect_blocks(child, out)
+    boilerplate and structurally-parsed subtrees.  Iterative so deep
+    nesting cannot blow the recursion limit."""
+    stack = [node]
+    first = True
+    while stack:
+        n = stack.pop()
+        if not first:
+            if n.tag in _SKIP_SUBTREES:
+                continue
+            if n.tag in _BLOCK_TAGS:
+                out.append(n)  # block content is atomic
+                continue
+        first = False
+        kids = n.element_children()
+        for i in range(len(kids) - 1, -1, -1):
+            stack.append(kids[i])
 
 
 def _content_root(root: Node) -> Node:

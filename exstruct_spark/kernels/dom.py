@@ -102,24 +102,31 @@ class Node:
         """Whitespace-collapsed text of the subtree, skipping script/style.
 
         Parity role: ``_extract_text`` over ``.//a:t`` nodes (reference
-        ooxml_drawing.py:924-930) — concatenate then strip.
+        ooxml_drawing.py:924-930) — concatenate then strip.  Iterative
+        (explicit stack) so adversarially deep nesting cannot blow the
+        recursion limit (fallback-not-fail applies to MALFORMED input;
+        deep-but-valid input should extract normally).
         """
-        parts: list = []
-        self._collect_text(parts)
-        return _WS_RE.sub(" ", "".join(parts)).strip()
-
-    def _collect_text(self, parts: list) -> None:
         if self.tag in RAW_TEXT_SKIP:
-            return
-        for c in self.children:
-            if isinstance(c, str):
-                parts.append(c)
-            else:
-                if c.tag in BLOCK_ELEMENTS or c.tag == "br":
-                    parts.append(" ")
-                c._collect_text(parts)
-                if c.tag in BLOCK_ELEMENTS or c.tag == "br":
-                    parts.append(" ")
+            return ""
+        parts: list = []
+        # stack holds nodes to enter and sentinel strings to emit
+        stack: list = list(reversed(self.children))
+        while stack:
+            item = stack.pop()
+            if type(item) is str:
+                parts.append(item)
+                continue
+            c = item
+            if c.tag in RAW_TEXT_SKIP:
+                continue
+            is_block = c.tag in BLOCK_ELEMENTS or c.tag == "br"
+            if is_block:
+                parts.append(" ")
+                stack.append(" ")  # emitted after the subtree drains
+            for i in range(len(c.children) - 1, -1, -1):
+                stack.append(c.children[i])
+        return _WS_RE.sub(" ", "".join(parts)).strip()
 
     def get(self, name: str, default=None):
         return self.attrs.get(name, default)

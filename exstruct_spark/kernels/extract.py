@@ -38,6 +38,44 @@ from exstruct_spark.kernels.tables import detect_grid_candidates, extract_table
 _DEFAULT_OPTS = ExtractOptions()
 
 
+def _class_map(root: Node) -> dict:
+    """CSS class -> occurrence count: the web analogue of the reference's
+    ``colors_map`` inverted index (group DOM nodes by a style key,
+    models/__init__.py:208-221 / core/cells.py:277-310)."""
+    counts: dict = {}
+    for n in root.iter():
+        cls = n.attrs.get("class")
+        if cls:
+            for name in cls.split():
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def _section_views(body: Node, table_node_ids: dict, opts: ExtractOptions) -> list:
+    """Region-scoped views: the PrintAreaView analogue (reference
+    models/__init__.py:178-185, 437-455 + the rows⋈area containment join
+    io/__init__.py:199-235).  Each <section>/<article> becomes a view:
+    first heading as title, contained table artifact ids (containment =
+    DOM subtree membership — the in-document J1 join), text size."""
+    views: list = []
+    for i, sec in enumerate(body.find_all("section", "article")):
+        heading = sec.find_first("h1", "h2", "h3", "h4", "h5", "h6")
+        contained = [
+            table_node_ids[id(n)] for n in sec.iter() if id(n) in table_node_ids
+        ]
+        text = sec.text_content()
+        view: dict = {"id": i, "tag": sec.tag}
+        if heading is not None:
+            title = heading.text_content()
+            if title:
+                view["title"] = title
+        if contained:
+            view["table_ids"] = contained
+        view["text_chars"] = len(text)
+        views.append(view)
+    return views
+
+
 def _links_map(anchors: list) -> dict:
     """href -> occurrence count over content links (the analogue of the
     reference's inverted ``formulas_map``/``colors_map`` value->positions
@@ -97,6 +135,7 @@ def extract_document(
                 tables = []
                 figure_table_ids: dict = {}
                 fig_of_table: dict = {}
+                table_node_ids: dict = {}
                 for fig in groups["figure"]:
                     for t in fig.find_all("table"):
                         fig_of_table[id(t)] = id(fig)
@@ -109,6 +148,7 @@ def extract_document(
                     truncated = truncated or bool(art.get("truncated"))
                     if id(t_node) in fig_of_table:
                         figure_table_ids[fig_of_table[id(t_node)]] = art["id"]
+                    table_node_ids[id(t_node)] = art["id"]
                     tables.append(art)
                 for g in detect_grid_candidates(
                     body, opts.detection, opts.alpha_keys
@@ -129,6 +169,7 @@ def extract_document(
                 n_tables = len(tables)
             else:
                 figure_table_ids = {}
+                table_node_ids = {}
 
             if opts.include_shapes:
                 shapes_all: list = []
@@ -168,6 +209,16 @@ def extract_document(
                 if links:
                     extraction["links_map"] = links
                 n_links = len(links)
+
+            if opts.include_sections:
+                sections = _section_views(body, table_node_ids, opts)
+                if sections:
+                    extraction["sections"] = sections
+
+            if opts.include_class_map:
+                cmap = _class_map(body)
+                if cmap:
+                    extraction["class_map"] = cmap
         except Exception as exc:  # fallback-not-fail (pipeline.py:1097)
             status = "fallback"
             fallback_reason = f"{type(exc).__name__}"

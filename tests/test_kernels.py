@@ -275,3 +275,30 @@ def test_extract_document_deterministic():
     a = extract_document("u", page)
     b = extract_document("u", page)
     assert a == b
+
+
+def test_sections_and_class_map():
+    html = (
+        "<html><body>"
+        "<article><h2>Area One</h2><p class='lead body'>Long enough paragraph "
+        "content sits here fine.</p>"
+        "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>"
+        "</article>"
+        "<section><h3>Area Two</h3><p class='lead'>Second region paragraph "
+        "with plenty of characters.</p></section>"
+        "</body></html>"
+    ).encode()
+    x = json.loads(extract_document("u", html)["extraction_json"])
+    secs = x["sections"]
+    assert [s["tag"] for s in secs] == ["article", "section"]
+    assert secs[0]["title"] == "Area One"
+    assert secs[0]["table_ids"] == [0]  # containment join table -> region
+    assert "table_ids" not in secs[1]
+    assert x["class_map"] == {"lead": 2, "body": 1}
+
+
+def test_deep_nesting_extracts_ok():
+    bomb = ("<div>" * 30000 + "deep text that should extract").encode()
+    rec = extract_document("u", bomb)
+    assert rec["status"] == "ok"
+    assert "deep text" in rec["main_text"]
