@@ -47,6 +47,7 @@ _IMPLICIT_CLOSE = {
 }
 
 _WS_RE = re.compile(r"\s+")
+_NO_ATTRS: dict = {}  # shared empty attrs (never mutated)
 
 
 class Node:
@@ -56,7 +57,7 @@ class Node:
 
     def __init__(self, tag: str, attrs: Optional[dict] = None):
         self.tag = tag
-        self.attrs = attrs or {}
+        self.attrs = attrs if attrs is not None else _NO_ATTRS
         self.children: list = []
 
     # -- traversal -------------------------------------------------------
@@ -156,13 +157,17 @@ class _TreeBuilder(HTMLParser):
                     break
                 if t in ("table", "ul", "ol", "div", "section", "body"):
                     break
-        node = Node(tag, dict(attrs))
-        self._top().children.append(node)
+        # attrs is usually empty: share one frozen-by-convention dict to
+        # cut per-element allocations (attrs are never mutated)
+        node = Node(tag, dict(attrs) if attrs else _NO_ATTRS)
+        self.stack[-1].children.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        self._top().children.append(Node(tag, dict(attrs)))
+        self.stack[-1].children.append(
+            Node(tag, dict(attrs) if attrs else _NO_ATTRS)
+        )
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:

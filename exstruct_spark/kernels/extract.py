@@ -31,6 +31,7 @@ from exstruct_spark.kernels.dom import (
     parse_html,
     strip_tags_text,
 )
+from exstruct_spark.kernels.pdf import extract_pdf_document, is_pdf
 from exstruct_spark.kernels.serialize import canonical_json, sha256_hex
 from exstruct_spark.kernels.shapes import extract_nested_lists, extract_svg_shapes
 from exstruct_spark.kernels.tables import detect_grid_candidates, extract_table
@@ -38,27 +39,14 @@ from exstruct_spark.kernels.tables import detect_grid_candidates, extract_table
 _DEFAULT_OPTS = ExtractOptions()
 
 
-def _class_map(root: Node) -> dict:
-    """CSS class -> occurrence count: the web analogue of the reference's
-    ``colors_map`` inverted index (group DOM nodes by a style key,
-    models/__init__.py:208-221 / core/cells.py:277-310)."""
-    counts: dict = {}
-    for n in root.iter():
-        cls = n.attrs.get("class")
-        if cls:
-            for name in cls.split():
-                counts[name] = counts.get(name, 0) + 1
-    return counts
-
-
-def _section_views(body: Node, table_node_ids: dict, opts: ExtractOptions) -> list:
+def _section_views(sections: list, table_node_ids: dict) -> list:
     """Region-scoped views: the PrintAreaView analogue (reference
     models/__init__.py:178-185, 437-455 + the rows⋈area containment join
     io/__init__.py:199-235).  Each <section>/<article> becomes a view:
     first heading as title, contained table artifact ids (containment =
     DOM subtree membership — the in-document J1 join), text size."""
     views: list = []
-    for i, sec in enumerate(body.find_all("section", "article")):
+    for i, sec in enumerate(sections):
         heading = sec.find_first("h1", "h2", "h3", "h4", "h5", "h6")
         contained = [
             table_node_ids[id(n)] for n in sec.iter() if id(n) in table_node_ids
@@ -107,6 +95,37 @@ def extract_document(
     n_tables = n_shapes = n_arrows = n_charts = n_lists = n_links = 0
     truncated = False
 
+    # content-type routing (parser-per-kind dispatch — the analogue of the
+    # reference's backend dispatcher, core/cells.py:1897-1943)
+    if is_pdf(raw):
+        try:
+            pdf = extract_pdf_document(raw)
+            extraction["content_type"] = "pdf"
+            if pdf["title"]:
+                extraction["title"] = pdf["title"]
+            if pdf["n_pages"]:
+                extraction["n_pages"] = pdf["n_pages"]
+            extraction["approximation_level"] = pdf["approximation_level"]
+            main_text = unicodedata.normalize("NFC", pdf["text"])
+        except Exception as exc:
+            status = "fallback"
+            fallback_reason = f"pdf:{type(exc).__name__}"
+            extraction["fallback_reason"] = fallback_reason
+        extraction_json = canonical_json(extraction)
+        return {
+            "url": url,
+            "status": status,
+            "fallback_reason": fallback_reason,
+            "main_text": main_text,
+            "extraction_json": extraction_json,
+            "text_sha256": sha256_hex(main_text),
+            "json_sha256": sha256_hex(extraction_json),
+            "n_tables": 0, "n_shapes": 0, "n_arrows": 0,
+            "n_charts": 0, "n_lists": 0, "n_links": 0,
+            "bytes_in": bytes_in,
+            "truncated": False,
+        }
+
     html = decode_html_bytes(raw)
     if not html.strip():
         status = "fallback"
@@ -119,10 +138,20 @@ def extract_document(
             groups: dict = {
                 t: [] for t in ("body", "title", "table", "figure", "svg", "a")
             }
-            # ul/ol share one bucket so document order across both kinds is
-            # preserved (outer-before-inner matters for list-tree claiming)
+            # ul/ol (and section/article) share buckets so document order
+            # across kinds is preserved (outer-before-inner claiming)
             groups["ul"] = groups["ol"] = []
-            root.collect_tags(groups)
+            groups["section"] = groups["article"] = []
+            class_counts: dict = {}
+            get_bucket = groups.get
+            for n in root.iter():
+                bucket = get_bucket(n.tag)
+                if bucket is not None:
+                    bucket.append(n)
+                cls = n.attrs.get("class")
+                if cls:
+                    for name in cls.split():
+                        class_counts[name] = class_counts.get(name, 0) + 1
             body = groups["body"][0] if groups["body"] else root
             title = (
                 groups["title"][0].text_content() if groups["title"] else ""
@@ -211,14 +240,12 @@ def extract_document(
                 n_links = len(links)
 
             if opts.include_sections:
-                sections = _section_views(body, table_node_ids, opts)
+                sections = _section_views(groups["section"], table_node_ids)
                 if sections:
                     extraction["sections"] = sections
 
-            if opts.include_class_map:
-                cmap = _class_map(body)
-                if cmap:
-                    extraction["class_map"] = cmap
+            if opts.include_class_map and class_counts:
+                extraction["class_map"] = class_counts
         except Exception as exc:  # fallback-not-fail (pipeline.py:1097)
             status = "fallback"
             fallback_reason = f"{type(exc).__name__}"

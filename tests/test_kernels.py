@@ -302,3 +302,32 @@ def test_deep_nesting_extracts_ok():
     rec = extract_document("u", bomb)
     assert rec["status"] == "ok"
     assert "deep text" in rec["main_text"]
+
+
+def test_pdf_routing():
+    pdf_bytes = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 70 >> stream\n"
+        b"BT /F1 12 Tf 72 712 Td (Hello PDF world) Tj "
+        b"[(and ) (array text)] TJ ET\n"
+        b"endstream endobj\n"
+        b"5 0 obj << /Title (My Doc \\(v2\\)) >> endobj\n"
+        b"trailer << /Info 5 0 R >>\n%%EOF"
+    )
+    rec = extract_document("u://doc.pdf", pdf_bytes)
+    assert rec["status"] == "ok"
+    assert "Hello PDF world" in rec["main_text"]
+    assert "and array text" in rec["main_text"]
+    x = json.loads(rec["extraction_json"])
+    assert x["content_type"] == "pdf"
+    assert x["title"] == "My Doc (v2)"
+    assert x["n_pages"] == 1
+    assert x["approximation_level"] == 1
+
+    # compressed/opaque pdf -> metadata-only approximation, never fails
+    rec2 = extract_document("u", b"%PDF-1.7\nbinary<<garbage>>stream\x00\x01\x02")
+    assert rec2["status"] == "ok"
+    assert json.loads(rec2["extraction_json"])["approximation_level"] == 2
