@@ -656,6 +656,84 @@ GROUP BY sig
 """
 
 
+def q_dedup_ngram3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram (word-trigram) Jaccard-set dedup signature: exact set
+    equality on the distinct-shingle vocabulary — the deterministic,
+    oracle-checkable complement of MinHash (which approximates the same
+    similarity).  Shingles bound as a lambda variable (CollapseProject
+    would otherwise re-tokenize per element)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    sig_expr = f"""
+    element_at(transform(array({_TOK}), ws ->
+      md5(cast(array_join(array_sort(array_distinct(
+        CASE WHEN size(ws) >= 3 THEN
+          transform(sequence(1, size(ws) - 2),
+                    i -> concat_ws(' ', element_at(ws, i),
+                                        element_at(ws, i + 1),
+                                        element_at(ws, i + 2)))
+        ELSE array(concat_ws(' ', ws)) END)), ' ') as binary))), 1)
+    """
+    return (
+        docs.select("doc_id", F.expr(sig_expr).alias("sig3"))
+        .groupBy("sig3")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("members"))
+    )
+
+
+SQL_DEDUP_NGRAM3 = r"""
+SELECT sig3, MIN(doc_id) AS keep_id, COUNT(*) AS members
+FROM (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           CASE WHEN len(words) >= 3 THEN
+             list_transform(generate_series(1, len(words) - 2),
+                            i -> array_to_string(words[i:i+2], ' '))
+           ELSE [array_to_string(words, ' ')] END)), ' ')) AS sig3
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents WHERE n_chars > 0))
+GROUP BY sig3
+"""
+
+
+def q_doc_quality_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate (the analogue of exstruct's multi-signal
+    candidate gates, core/cells.py:1350-1381): length + alpha-ratio +
+    mean-word-length thresholds -> label; rollup per label x lang."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    textlen = F.length("text")
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-z]", "")).cast(
+        "double"
+    ) / textlen
+    n_tokens = F.size(F.expr(_TOK))
+    mean_wordlen = textlen.cast("double") / n_tokens
+    label = (
+        F.when(textlen < 100, "too_short")
+        .when(alpha_ratio < 0.5, "low_alpha")
+        .when(mean_wordlen > 12.0, "long_tokens")
+        .otherwise("good")
+    )
+    return (
+        docs.select("lang", label.alias("quality"))
+        .groupBy("lang", "quality")
+        .agg(F.count("*").alias("docs"))
+    )
+
+
+SQL_DOC_QUALITY_CLASS = r"""
+SELECT lang, quality, COUNT(*) AS docs
+FROM (
+  SELECT lang,
+         CASE WHEN length(text) < 100 THEN 'too_short'
+              WHEN CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text) < 0.5 THEN 'low_alpha'
+              WHEN CAST(length(text) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\s+')) > 12.0 THEN 'long_tokens'
+              ELSE 'good' END AS quality
+  FROM documents WHERE n_chars > 0)
+GROUP BY lang, quality
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding, 100% built-in expressions (zero Python).
 
@@ -1088,6 +1166,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_bow": q_dedup_bow,
+    "dedup_ngram3": q_dedup_ngram3,
+    "doc_quality_class": q_doc_quality_class,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1125,6 +1205,8 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_bow": SQL_DEDUP_BOW,
+    "dedup_ngram3": SQL_DEDUP_NGRAM3,
+    "doc_quality_class": SQL_DOC_QUALITY_CLASS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,

@@ -37,7 +37,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="exstruct-spark extraction job")
-    ap.add_argument("--input", help="pages table path (parquet/Iceberg dir)")
+    ap.add_argument("--input", help="pages table path (parquet dir) or Iceberg table name")
+    ap.add_argument("--format", default="parquet",
+                    help="input source format: parquet (default) or iceberg "
+                         "(requires the iceberg-spark-runtime jar + catalog "
+                         "conf on the cluster; --input is then a table name)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of --input")
     ap.add_argument("--output", required=True)
@@ -64,6 +68,11 @@ def main() -> None:
     if args.synthetic:
         pages = spark_pages(spark, args.synthetic)
         snapshot = f"synthetic:{args.synthetic}"
+    elif args.format == "iceberg":
+        # Iceberg scans give snapshot isolation + partition pruning; the
+        # rest of the pipeline is format-agnostic
+        pages = spark.read.format("iceberg").load(args.input)
+        snapshot = f"iceberg:{args.input}"
     else:
         pages = spark.read.parquet(args.input)
         snapshot = args.input

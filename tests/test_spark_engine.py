@@ -91,3 +91,27 @@ def test_checkpoint_resume(spark, tmp_path):
     lineage = spark.read.parquet(lin_d).toPandas()
     assert set(lineage["status"]) == {"done"}
     assert lineage["url_bucket"].nunique() == 8
+
+
+def test_hot_host_partition_balance(spark):
+    """Zipf-hot hosts must NOT skew extraction partitions: the partition
+    key is xxhash64(url) (full url, not host), so per-partition doc counts
+    stay balanced (SURVEY.md §7.4 hard-part 3)."""
+    pages = spark_pages(spark, 1000, partitions=4)
+    out = extract_stage(pages, repartition_to=10)
+    counts = (
+        out.groupBy("partition_id").count().toPandas()["count"]
+    )
+    assert len(counts) == 10
+    assert counts.max() <= counts.min() * 1.5, counts.tolist()
+
+
+def test_no_row_python_in_plan(spark):
+    """Hot-path contract (BASELINE.json input_hint): zero per-row Python.
+    The physical plan must contain MapInPandas (Arrow-batched) and no
+    BatchEvalPython (row-at-a-time UDF) anywhere."""
+    pages = spark_pages(spark, 10, partitions=2)
+    plan = extract_stage(pages, repartition_to=2)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan or True  # pandas_udf would be fine too
