@@ -146,6 +146,11 @@ class ExtractionJob:
     LEFT ANTI JOINs inputs against done buckets, so partially completed
     crawls never recompute finished work, and per-bucket output overwrite
     keeps the sink idempotent (dynamic partition overwrite).
+
+    Resume assumes a FIXED input snapshot (``input_snapshot`` names it):
+    a bucket marked done is done for that snapshot.  A new crawl snapshot
+    gets a fresh lineage dir (or equivalently a new output root) — the
+    Iceberg-snapshot-per-crawl deployment shape.
     """
 
     def __init__(

@@ -608,6 +608,29 @@ FROM documents
 # 4. deduplication operators
 
 
+def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of document length per lang (both
+    engines use linear interpolation; exact — not approx — so the
+    value-hash is stable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_DOC_LENGTH_PERCENTILES = """
+SELECT lang, COUNT(*) AS docs,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact dedup: hash-groupBy on content hash; map-side partial agg makes
     # this a single cheap shuffle at any scale
@@ -1164,6 +1187,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_length_percentiles": q_doc_length_percentiles,
     "dedup_exact": q_dedup_exact,
     "dedup_bow": q_dedup_bow,
     "dedup_ngram3": q_dedup_ngram3,
@@ -1203,6 +1227,7 @@ ORACLES = {
     "doc_quality": SQL_DOC_QUALITY,
     "doc_langid": SQL_DOC_LANGID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_length_percentiles": SQL_DOC_LENGTH_PERCENTILES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_bow": SQL_DEDUP_BOW,
     "dedup_ngram3": SQL_DEDUP_NGRAM3,
