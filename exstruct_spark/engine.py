@@ -178,21 +178,23 @@ class ExtractionJob:
             return self.spark.createDataFrame([], "url_bucket int")
         return lineage.where(F.col("status") == "done").select("url_bucket").distinct()
 
-    def run(self, pages: DataFrame, input_snapshot: str = "static") -> dict:
-        """Execute (or resume) an extraction run. Returns summary dict."""
-        run_id = uuid.uuid4().hex[:12]
-        bucketed = pages.withColumn(
+    def _bucketed(self, pages: DataFrame) -> DataFrame:
+        return pages.withColumn(
             "url_bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
         )
-        done = self._done_buckets()
-        # materialize before lineage append below (lazy re-read would
-        # otherwise see this run's own completion records)
-        n_done_before = done.count()
-        todo = bucketed.join(done, "url_bucket", "left_anti")
 
-        # bucket id re-derived from url post-extraction: a pure column
-        # function, so no join (and no shuffle) is needed to restore it
+    def _run_wave(
+        self, bucketed: DataFrame, wave_buckets: list, run_id: str,
+        input_snapshot: str,
+    ) -> None:
+        """Process one wave of buckets END-TO-END: extract -> write output
+        partitions -> write metrics -> append lineage.  Lineage lands only
+        after the wave's output is durable, so a crash between waves loses
+        at most one wave of work (incremental checkpointing — a whole-run
+        lineage commit would resume from zero after a mid-job failure)."""
+        todo = bucketed.where(F.col("url_bucket").isin(wave_buckets))
         extracted = extract_stage(todo, self.opts).withColumn(
+            # bucket id re-derived from url: pure column function, no join
             "url_bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
         )
         (
@@ -201,29 +203,68 @@ class ExtractionJob:
             .partitionBy("url_bucket")
             .parquet(self.output_dir)
         )
-
-        out = self.spark.read.parquet(self.output_dir)
-        new_out = out.join(done, "url_bucket", "left_anti")
-        metrics = metrics_from_extracted(new_out, run_id)
-        metrics.write.mode("append").parquet(self.metrics_dir)
-
-        done_now = (
-            out.select("url_bucket")
-            .distinct()
-            .select(
-                F.lit(run_id).alias("run_id"),
-                F.col("url_bucket"),
-                F.lit(input_snapshot).alias("input_snapshot"),
-                F.lit(self.code_version).alias("code_version"),
-                F.lit("done").alias("status"),
-                F.current_timestamp().alias("completed_at"),
-            )
+        wave_out = self.spark.read.parquet(self.output_dir).where(
+            F.col("url_bucket").isin(wave_buckets)
         )
-        done_now.write.mode("append").parquet(self.lineage_dir)
+        metrics_from_extracted(wave_out, run_id).write.mode("append").parquet(
+            self.metrics_dir
+        )
+        done_rows = [
+            (run_id, int(b), input_snapshot, self.code_version, "done")
+            for b in wave_buckets
+        ]
+        (
+            self.spark.createDataFrame(
+                done_rows,
+                "run_id string, url_bucket int, input_snapshot string, "
+                "code_version string, status string",
+            )
+            .withColumn("completed_at", F.current_timestamp())
+            .write.mode("append")
+            .parquet(self.lineage_dir)
+        )
 
-        n_out = out.count()
+    def run(
+        self,
+        pages: DataFrame,
+        input_snapshot: str = "static",
+        wave_size: int = 16,
+        max_waves: Optional[int] = None,
+    ) -> dict:
+        """Execute (or resume) an extraction run in waves of buckets.
+
+        ``wave_size``: buckets per checkpoint commit (resume granularity).
+        ``max_waves``: stop early after N waves (testing/chunked runs).
+        Returns a summary dict."""
+        run_id = uuid.uuid4().hex[:12]
+        bucketed = self._bucketed(pages)
+        done_pdf = self._done_buckets().toPandas()
+        n_done_before = len(done_pdf)
+        done_set = set(done_pdf["url_bucket"].tolist())
+        # only buckets that actually have input rows (cheap distinct)
+        present = sorted(
+            r["url_bucket"]
+            for r in bucketed.select("url_bucket").distinct().collect()
+        )
+        todo_buckets = [b for b in present if b not in done_set]
+
+        waves = [
+            todo_buckets[i : i + wave_size]
+            for i in range(0, len(todo_buckets), wave_size)
+        ]
+        if max_waves is not None:
+            waves = waves[:max_waves]
+        for wave in waves:
+            self._run_wave(bucketed, wave, run_id, input_snapshot)
+
+        try:
+            n_out = self.spark.read.parquet(self.output_dir).count()
+        except Exception:
+            n_out = 0
         return {
             "run_id": run_id,
             "buckets_done_before": n_done_before,
+            "buckets_processed": sum(len(w) for w in waves),
+            "waves": len(waves),
             "rows_in_output": n_out,
         }

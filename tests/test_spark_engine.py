@@ -115,3 +115,32 @@ def test_no_row_python_in_plan(spark):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan or True  # pandas_udf would be fine too
+
+
+def test_wave_resume_after_partial_failure(spark, tmp_path):
+    """Incremental checkpointing: a run stopped after its first wave (the
+    crash proxy) leaves durable lineage for that wave only; the resumed
+    run processes ONLY the remaining buckets and the final output is
+    complete and duplicate-free."""
+    out_d, lin_d, met_d = (
+        str(tmp_path / "o"), str(tmp_path / "l"), str(tmp_path / "m"),
+    )
+    job = ExtractionJob(spark, out_d, lin_d, met_d, n_buckets=8)
+    pages = spark_pages(spark, 80, partitions=4)
+
+    r1 = job.run(pages, wave_size=3, max_waves=1)  # "crash" after wave 1
+    assert r1["buckets_processed"] == 3
+    lineage1 = spark.read.parquet(lin_d).toPandas()
+    assert lineage1["url_bucket"].nunique() == 3
+
+    r2 = job.run(pages, wave_size=3)  # resume to completion
+    assert r2["buckets_done_before"] == 3
+    assert r2["buckets_processed"] == 5
+
+    out = spark.read.parquet(out_d)
+    assert out.count() == 80
+    assert out.select("url").distinct().count() == 80
+    lineage = spark.read.parquet(lin_d).toPandas()
+    assert lineage["url_bucket"].nunique() == 8
+    # two distinct run_ids prove the lineage records two commits
+    assert lineage["run_id"].nunique() == 2
