@@ -1132,6 +1132,27 @@ def q_extract_cells_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pages_by_host_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level rollup over the crawl corpus — THE skewed aggregation of
+    this engine (a hot host is millions of urls at 10^12 scale).  Two-phase
+    salted aggregation: phase 1 on (host, salt) spreads a hot host over 16
+    reducers, phase 2 merges.  Rows-only check (pages is the repo's own
+    synthetic table); salt-correctness itself is oracle-proven by
+    docs_by_source_salted."""
+    pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=16)
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    salted = pages.select(
+        host.alias("host"), F.length("html").alias("n_bytes"), "url"
+    ).withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(16)))
+    phase1 = salted.groupBy("host", "salt").agg(
+        F.count("*").alias("c"), F.sum("n_bytes").alias("s")
+    )
+    return phase1.groupBy("host").agg(
+        F.sum("c").alias("pages"),
+        F.sum("s").cast("bigint").alias("total_bytes"),
+    )
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary column -> typed metadata via one
     mapInPandas stage (codec steps stubbed deterministically; schema /
@@ -1205,6 +1226,7 @@ QUERIES = {
     "extract_fallback_audit": q_extract_fallback_audit,
     "extract_documents_flagship": q_extract_documents_flagship,
     "media_metadata": q_media_metadata,
+    "pages_by_host_salted": q_pages_by_host_salted,
     "extract_cells_exploded": q_extract_cells_exploded,
 }
 
