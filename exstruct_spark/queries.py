@@ -1007,6 +1007,66 @@ GROUP BY user_id
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the cosine-similarity
+    pair graph (embedding_neardup edges) via iterative min-label
+    propagation — the standard Spark CC pattern when components span the
+    corpus (unlike per-doc components, SURVEY.md §2.8 G2).  Converges in
+    O(log n) rounds; each round is one join + one aggregate.  Rows-only
+    check (verified against a union-find reference in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("ae"))
+    b = emb.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("be"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("aid") < F.col("bid"))
+        .withColumn("sim", F.expr(_cosine_expr("ae", "be")))
+        .where(F.col("sim") >= 0.35)
+        .select("aid", "bid")
+    )
+    # undirected edge list both ways; localCheckpoint TRUNCATES LINEAGE —
+    # without it each iteration's plan embeds all previous ones and the
+    # driver OOMs on plan explosion (the canonical iterative-DataFrame bug)
+    edges = pairs.union(
+        pairs.select(F.col("bid").alias("aid"), F.col("aid").alias("bid"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("aid").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # log2(corpus) bound; tiny graphs converge fast
+        neighbor_min = (
+            edges.join(labels, edges.bid == labels.node)
+            .groupBy("aid")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.aid, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy("label").agg(
+        F.count("*").alias("component_size"),
+        F.min("node").alias("component_min_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # 6. salting demo: skewed-key aggregation in two phases
 
@@ -1218,6 +1278,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "embedding_neardup": q_embedding_neardup,
+    "dedup_components": q_dedup_components,
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "events_sessions": q_events_sessions,
     "docs_by_source_salted": q_docs_by_source_salted,

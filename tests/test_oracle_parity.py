@@ -104,3 +104,44 @@ def test_entry_smoke(spark):
     pdf = df.toPandas()
     assert len(pdf) > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_dedup_components_vs_union_find(spark, duck):
+    """The iterative CC query must match a plain union-find over the same
+    similarity pair graph (computed by the DuckDB oracle of
+    embedding_neardup)."""
+    from exstruct_spark.queries import QUERIES, ORACLES
+
+    got = (
+        QUERIES["dedup_components"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    pairs = duck.execute(ORACLES["embedding_neardup"]).df()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in zip(pairs["aid"], pairs["bid"]):
+        union(int(a), int(b))
+    comp: dict = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    want = sorted(
+        (root, len(members), min(members)) for root, members in comp.items()
+    )
+    got_t = sorted(
+        zip(got["label"], got["component_size"], got["component_min_id"])
+    )
+    assert [tuple(map(int, t)) for t in got_t] == want
