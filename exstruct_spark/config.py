@@ -58,6 +58,10 @@ class ExtractOptions:
     # Excel-style alpha column keys in rows.c (reference col_index_to_alpha,
     # models/__init__.py:569-600; convert_workbook_keys_to_alpha 644-657)
     alpha_keys: bool = False
+    # resolve relative hrefs against the doc url in links_map (S5 URL
+    # resolution analogue, reference ooxml_drawing.py:863-921); off by
+    # default so hrefs stay verbatim join keys
+    absolutize_links: bool = False
     # boilerplate classifier thresholds (Boilerpipe/trafilatura-style;
     # the web analogue of exstruct's density/coverage gates)
     max_link_density: float = 0.333

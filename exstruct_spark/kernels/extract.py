@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import unicodedata
 from typing import Optional
+from urllib.parse import urljoin
 
 from exstruct_spark.config import ExtractOptions
 from exstruct_spark.kernels.boilerplate import extract_main_text
@@ -64,14 +65,21 @@ def _section_views(sections: list, table_node_ids: dict) -> list:
     return views
 
 
-def _links_map(anchors: list) -> dict:
+def _links_map(anchors: list, base_url: str = "", absolutize: bool = False) -> dict:
     """href -> occurrence count over content links (the analogue of the
     reference's inverted ``formulas_map``/``colors_map`` value->positions
-    indexes, models/__init__.py:208-221; group-by-key aggregation A1/A2)."""
+    indexes, models/__init__.py:208-221; group-by-key aggregation A1/A2).
+
+    ``absolutize``: resolve relative hrefs against the document url (the
+    S5 relationship-resolution analogue, reference ooxml_drawing.py:
+    863-921) — off by default to keep hrefs verbatim as join keys.
+    """
     counts: dict = {}
     for a in anchors:
         href = a.get("href")
         if href:
+            if absolutize and base_url:
+                href = urljoin(base_url, href)
             counts[href] = counts.get(href, 0) + 1
     # deterministic order: first-seen (dict preserves insertion)
     return counts
@@ -234,7 +242,9 @@ def extract_document(
                 n_lists = len(lists)
 
             if opts.include_links:
-                links = _links_map(groups["a"])
+                links = _links_map(
+                    groups["a"], url, opts.absolutize_links
+                )
                 if links:
                     extraction["links_map"] = links
                 n_links = len(links)

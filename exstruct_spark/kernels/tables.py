@@ -188,8 +188,12 @@ def extract_table(
     rs = [r for r, _ in cells]
     cs = [c for _, c in cells]
     rng = make_range(min(rs), min(cs), max(rs), max(cs))
+    caption = table.find_first("caption")
     out: dict = {
         "id": index,
+        # <caption> is the declared table name (the ListObject-name
+        # analogue, reference core/cells.py:1780-1815)
+        "name": caption.text_content() if caption is not None else "",
         "range": rng,
         "score": round(score, 4),
         "rows": _sparse_rows(cells, links, alpha_keys),

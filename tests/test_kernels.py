@@ -331,3 +331,20 @@ def test_pdf_routing():
     rec2 = extract_document("u", b"%PDF-1.7\nbinary<<garbage>>stream\x00\x01\x02")
     assert rec2["status"] == "ok"
     assert json.loads(rec2["extraction_json"])["approximation_level"] == 2
+
+
+def test_table_caption_name_and_absolutize_links():
+    html = (
+        "<table><caption>Sales Q1</caption>"
+        "<tr><th>a</th></tr><tr><td>1</td></tr></table>"
+        "<p><a href='/rel/path'>link text long enough</a></p>"
+    ).encode()
+    x = json.loads(extract_document("https://h.example/dir/page", html)["extraction_json"])
+    assert x["tables"][0]["name"] == "Sales Q1"
+    assert "/rel/path" in x["links_map"]  # verbatim by default
+
+    opts = ExtractOptions(absolutize_links=True)
+    x2 = json.loads(
+        extract_document("https://h.example/dir/page", html, opts)["extraction_json"]
+    )
+    assert "https://h.example/rel/path" in x2["links_map"]
