@@ -78,6 +78,10 @@ def main() -> None:
         pages.write.mode("overwrite").parquet(pages_path)
     pages_on_disk = spark.read.parquet(pages_path)
 
+    # warm-up at the same partitioning: Python-worker spawn + JVM JIT are
+    # one-time costs, not throughput (same discipline as scaling_bench)
+    extract_stage(pages_on_disk.limit(cpus * 64), repartition_to=cpus * 2).count()
+
     t0 = time.monotonic()
     extracted = extract_stage(pages_on_disk, repartition_to=cpus * 2)
     n_ok = extracted.where(F.col("status").isNotNull()).count()
