@@ -35,7 +35,7 @@ from exstruct_spark.config import ExtractOptions
 from exstruct_spark.golden import EXTRACT_SCHEMA_DDL, extract_pdf
 
 EXTRACT_WITH_PARTITION_DDL = (
-    EXTRACT_SCHEMA_DDL + ", partition_id int, batch_wall_ms bigint"
+    EXTRACT_SCHEMA_DDL + ", partition_id int, batch_seq int, batch_wall_ms bigint"
 )
 
 METRICS_SCHEMA_DDL = (
@@ -80,32 +80,53 @@ def extract_stage(
     pages: DataFrame,
     opts: ExtractOptions = ExtractOptions(),
     repartition_to: Optional[int] = None,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """The fused extraction transform: pages df -> extraction df.
 
     ``repartition_to``: explicit url-hash repartition width (None = keep
     upstream partitioning — no shuffle).  Each batch records its task
-    partition id + wall time so metrics are derivable with one cheap
-    aggregation downstream (SURVEY.md §2.4 A7 — lineage as first-class).
+    partition id, batch sequence number and wall time so metrics are
+    derivable with one cheap aggregation downstream (SURVEY.md §2.4 A7 —
+    lineage as first-class).
+
+    ``passthrough``: extra input columns carried through the Arrow batch
+    verbatim (lang, archetype, warc_ts, url_bucket, ...).  At 10^12 docs a
+    downstream re-join on url to recover these is a full extra shuffle —
+    carrying them through the same batch is free.
     """
     df = pages
     if repartition_to:
         df = df.repartition(repartition_to, F.xxhash64("url"))
+
+    reserved = set(EXTRACT_WITH_PARTITION_DDL.replace(",", " ").split()[::2])
+    for col in passthrough:
+        if col in reserved:
+            raise ValueError(f"passthrough column collides with output: {col}")
+    pass_ddl = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in df.select(*passthrough).schema.fields
+    ) if passthrough else ""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        for pdf in batches:
+        for seq, pdf in enumerate(batches):
             t0 = time.monotonic()
             out = extract_pdf(pdf, opts)
             wall_ms = int((time.monotonic() - t0) * 1000)
             out["partition_id"] = pid
+            out["batch_seq"] = seq
             out["batch_wall_ms"] = wall_ms
+            for col in passthrough:
+                out[col] = pdf[col].values
             yield out
 
-    return df.select("url", "html").mapInPandas(run, schema=EXTRACT_WITH_PARTITION_DDL)
+    return df.select("url", "html", *passthrough).mapInPandas(
+        run, schema=EXTRACT_WITH_PARTITION_DDL + pass_ddl
+    )
 
 
 def metrics_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
@@ -113,16 +134,30 @@ def metrics_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
 
     One narrow groupBy on the small extracted projection — partial
     (map-side) aggregation makes this shuffle negligible at any scale.
+
+    ``wall_ms`` is the SUM over the partition's Arrow batches of each
+    batch's wall time (rows within a batch all carry the same
+    ``batch_wall_ms``, so the inner max collapses them to one value per
+    batch) — a partition processing many batches reports its true total,
+    not its slowest single batch.
     """
+    per_batch = extracted.groupBy("partition_id", "batch_seq").agg(
+        F.count("*").alias("docs"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("fallback"),
+        F.sum(F.when(F.col("truncated"), 1).otherwise(0)).alias("truncated"),
+        F.max("batch_wall_ms").alias("batch_wall_ms"),
+    )
     return (
-        extracted.groupBy("partition_id")
+        per_batch.groupBy("partition_id")
         .agg(
-            F.count("*").alias("docs"),
+            F.sum("docs").alias("docs"),
             F.sum("bytes_in").alias("bytes_in"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("fallback"),
-            F.sum(F.when(F.col("truncated"), 1).otherwise(0)).alias("truncated"),
-            F.max("batch_wall_ms").alias("wall_ms"),
+            F.sum("ok").alias("ok"),
+            F.sum("fallback").alias("fallback"),
+            F.sum("truncated").alias("truncated"),
+            F.sum("batch_wall_ms").alias("wall_ms"),
         )
         .select(
             F.lit(run_id).alias("run_id"),
@@ -147,10 +182,20 @@ class ExtractionJob:
     crawls never recompute finished work, and per-bucket output overwrite
     keeps the sink idempotent (dynamic partition overwrite).
 
-    Resume assumes a FIXED input snapshot (``input_snapshot`` names it):
-    a bucket marked done is done for that snapshot.  A new crawl snapshot
-    gets a fresh lineage dir (or equivalently a new output root) — the
-    Iceberg-snapshot-per-crawl deployment shape.
+    Resume assumes a FIXED input snapshot (``input_snapshot`` names it),
+    and the assumption is ENFORCED, not conventional: lineage rows are
+    keyed by snapshot, so a run against a NEW snapshot never anti-joins
+    away buckets completed for an old one — every bucket of the new
+    snapshot is (re)processed and the per-bucket dynamic overwrite keeps
+    the output consistent.
+
+    Scale shape (the 100 TB contract): the input is STAGED ONCE as a
+    bucket-partitioned parquet table per snapshot; each wave then reads
+    only its buckets via partition pruning.  Without staging, every wave
+    re-scans the full input (64 buckets / 16 per wave = 4 full scans of a
+    100 TB table), and enumerating buckets with ``distinct().collect()``
+    adds a fifth — here bucket enumeration is ONE filesystem listing of
+    the staged partition directories.
     """
 
     def __init__(
@@ -162,6 +207,7 @@ class ExtractionJob:
         n_buckets: int = 64,
         opts: ExtractOptions = ExtractOptions(),
         code_version: str = "0.1.0",
+        staging_dir: Optional[str] = None,
     ):
         self.spark = spark
         self.output_dir = output_dir
@@ -170,39 +216,87 @@ class ExtractionJob:
         self.n_buckets = n_buckets
         self.opts = opts
         self.code_version = code_version
+        self.staging_dir = staging_dir or output_dir.rstrip("/") + ".staging"
 
-    def _done_buckets(self) -> DataFrame:
+    # -- filesystem helpers (Hadoop FS API: works on local/HDFS/S3A) ------
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, hpath
+
+    def _staged_path(self, input_snapshot: str) -> str:
+        return f"{self.staging_dir}/snapshot={input_snapshot}"
+
+    def _stage_input(self, pages: DataFrame, input_snapshot: str) -> str:
+        """Write the bucketed input ONCE per snapshot, partitioned by
+        url_bucket (idempotent: a complete staging — _SUCCESS present — is
+        reused; an interrupted one is rewritten).  This is the single full
+        input scan of the whole job."""
+        staged = self._staged_path(input_snapshot)
+        fs, hpath = self._fs(staged + "/_SUCCESS")
+        if fs.exists(hpath):
+            return staged
+        bucketed = pages.withColumn(
+            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
+        )
+        bucketed.write.mode("overwrite").partitionBy("url_bucket").parquet(staged)
+        return staged
+
+    def _list_staged_buckets(self, staged: str) -> list:
+        """Bucket enumeration = one directory listing of the staged table's
+        partition dirs (``url_bucket=N``) — no table scan, no distinct."""
+        fs, hpath = self._fs(staged)
+        buckets = []
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if name.startswith("url_bucket="):
+                buckets.append(int(name.split("=", 1)[1]))
+        return sorted(buckets)
+
+    def _done_buckets(self, input_snapshot: str) -> set:
+        """Buckets already completed FOR THIS SNAPSHOT (lineage filtered on
+        both status and input_snapshot — a different snapshot's completions
+        never mask new work)."""
         try:
             lineage = self.spark.read.parquet(self.lineage_dir)
         except Exception:
-            return self.spark.createDataFrame([], "url_bucket int")
-        return lineage.where(F.col("status") == "done").select("url_bucket").distinct()
-
-    def _bucketed(self, pages: DataFrame) -> DataFrame:
-        return pages.withColumn(
-            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
+            return set()
+        rows = (
+            lineage.where(
+                (F.col("status") == "done")
+                & (F.col("input_snapshot") == input_snapshot)
+            )
+            .select("url_bucket")
+            .distinct()
+            .collect()
         )
+        return {r["url_bucket"] for r in rows}
 
     def _run_wave(
-        self, bucketed: DataFrame, wave_buckets: list, run_id: str,
+        self, staged: DataFrame, wave_buckets: list, run_id: str,
         input_snapshot: str,
     ) -> None:
         """Process one wave of buckets END-TO-END: extract -> write output
         partitions -> write metrics -> append lineage.  Lineage lands only
         after the wave's output is durable, so a crash between waves loses
         at most one wave of work (incremental checkpointing — a whole-run
-        lineage commit would resume from zero after a mid-job failure)."""
-        todo = bucketed.where(F.col("url_bucket").isin(wave_buckets))
-        extracted = extract_stage(todo, self.opts).withColumn(
-            # bucket id re-derived from url: pure column function, no join
-            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
-        )
+        lineage commit would resume from zero after a mid-job failure).
+
+        ``staged`` is the bucket-partitioned staging table, so the filter
+        below is a PARTITION FILTER — the wave reads only its own buckets'
+        files, never the full input."""
+        todo = staged.where(F.col("url_bucket").isin(wave_buckets))
+        # url_bucket rides through the Arrow batch (passthrough) — no
+        # re-hash, no re-join to recover the sink partition key
+        extracted = extract_stage(todo, self.opts, passthrough=("url_bucket",))
         (
             extracted.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("url_bucket")
             .parquet(self.output_dir)
         )
+        # read back only the wave's output partitions (pruned) for metrics
         wave_out = self.spark.read.parquet(self.output_dir).where(
             F.col("url_bucket").isin(wave_buckets)
         )
@@ -237,15 +331,10 @@ class ExtractionJob:
         ``max_waves``: stop early after N waves (testing/chunked runs).
         Returns a summary dict."""
         run_id = uuid.uuid4().hex[:12]
-        bucketed = self._bucketed(pages)
-        done_pdf = self._done_buckets().toPandas()
-        n_done_before = len(done_pdf)
-        done_set = set(done_pdf["url_bucket"].tolist())
-        # only buckets that actually have input rows (cheap distinct)
-        present = sorted(
-            r["url_bucket"]
-            for r in bucketed.select("url_bucket").distinct().collect()
-        )
+        staged_path = self._stage_input(pages, input_snapshot)
+        staged = self.spark.read.parquet(staged_path)
+        done_set = self._done_buckets(input_snapshot)
+        present = self._list_staged_buckets(staged_path)
         todo_buckets = [b for b in present if b not in done_set]
 
         waves = [
@@ -255,15 +344,22 @@ class ExtractionJob:
         if max_waves is not None:
             waves = waves[:max_waves]
         for wave in waves:
-            self._run_wave(bucketed, wave, run_id, input_snapshot)
+            self._run_wave(staged, wave, run_id, input_snapshot)
 
+        # summary row count from the (tiny) metrics table — never a scan
+        # of the output corpus
         try:
-            n_out = self.spark.read.parquet(self.output_dir).count()
+            n_out = int(
+                self.spark.read.parquet(self.metrics_dir)
+                .agg(F.sum("docs").alias("d"))
+                .collect()[0]["d"]
+                or 0
+            )
         except Exception:
             n_out = 0
         return {
             "run_id": run_id,
-            "buckets_done_before": n_done_before,
+            "buckets_done_before": len(done_set),
             "buckets_processed": sum(len(w) for w in waves),
             "waves": len(waves),
             "rows_in_output": n_out,

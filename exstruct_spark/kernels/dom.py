@@ -219,6 +219,10 @@ _ATTR_RE = re.compile(
     r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
 )
 _RAW_TEXT_TAGS = ("script", "style")
+# close-tag scan for raw-text elements: case-insensitive with a word
+# boundary (html.parser CDATA semantics) — '</SCRIPT>' must terminate the
+# span and '</scripty>' must NOT (a case-sensitive str.find does neither)
+_RAW_CLOSE_RE = {t: re.compile(rf"</{t}\b", re.I) for t in _RAW_TEXT_TAGS}
 
 
 def _parse_attrs(raw: str) -> dict:
@@ -270,11 +274,12 @@ def _parse_html_fast(html: str) -> Node:
             if tag in _RAW_TEXT_TAGS:
                 # raw text until the matching close tag (html.parser CDATA
                 # semantics: no entity decoding, no nested tags)
-                close_idx = html.find(f"</{tag}", pos)
-                if close_idx == -1:
+                mclose = _RAW_CLOSE_RE[tag].search(html, pos)
+                if mclose is None:
                     node.children.append(html[pos:])
                     pos = n
                 else:
+                    close_idx = mclose.start()
                     if close_idx > pos:
                         node.children.append(html[pos:close_idx])
                     gt = html.find(">", close_idx)

@@ -66,23 +66,27 @@ def _section_views(sections: list, table_node_ids: dict) -> list:
 
 
 def _links_map(anchors: list, base_url: str = "", absolutize: bool = False) -> dict:
-    """href -> occurrence count over content links (the analogue of the
-    reference's inverted ``formulas_map``/``colors_map`` value->positions
-    indexes, models/__init__.py:208-221; group-by-key aggregation A1/A2).
+    """href -> POSITIONS over content links: the true inverted-index shape
+    of the reference's ``formulas_map`` (value -> list of coordinates,
+    core/cells.py:313-362, models/__init__.py:208-221).  A position is the
+    anchor's document-order node index — the DOM analogue of a cell
+    coordinate — so downstream link-graph joins can recover WHERE each
+    href occurs, not just how often (counts stay derivable as len()).
 
+    ``anchors`` is a list of (doc_order_index, node) pairs.
     ``absolutize``: resolve relative hrefs against the document url (the
     S5 relationship-resolution analogue, reference ooxml_drawing.py:
     863-921) — off by default to keep hrefs verbatim as join keys.
     """
-    counts: dict = {}
-    for a in anchors:
+    positions: dict = {}
+    for idx, a in anchors:
         href = a.get("href")
         if href:
             if absolutize and base_url:
                 href = urljoin(base_url, href)
-            counts[href] = counts.get(href, 0) + 1
+            positions.setdefault(href, []).append(idx)
     # deterministic order: first-seen (dict preserves insertion)
-    return counts
+    return positions
 
 
 def extract_document(
@@ -150,16 +154,20 @@ def extract_document(
             # across kinds is preserved (outer-before-inner claiming)
             groups["ul"] = groups["ol"] = []
             groups["section"] = groups["article"] = []
-            class_counts: dict = {}
+            class_positions: dict = {}
             get_bucket = groups.get
-            for n in root.iter():
+            for doc_idx, n in enumerate(root.iter()):
                 bucket = get_bucket(n.tag)
                 if bucket is not None:
-                    bucket.append(n)
+                    # anchors keep their document-order index: it is the
+                    # position key of the links_map inverted index (A2)
+                    bucket.append((doc_idx, n) if n.tag == "a" else n)
                 cls = n.attrs.get("class")
                 if cls:
                     for name in cls.split():
-                        class_counts[name] = class_counts.get(name, 0) + 1
+                        # class -> positions (A1 colors_map shape: value ->
+                        # coordinate list, reference core/cells.py:277-310)
+                        class_positions.setdefault(name, []).append(doc_idx)
             body = groups["body"][0] if groups["body"] else root
             title = (
                 groups["title"][0].text_content() if groups["title"] else ""
@@ -254,8 +262,8 @@ def extract_document(
                 if sections:
                     extraction["sections"] = sections
 
-            if opts.include_class_map and class_counts:
-                extraction["class_map"] = class_counts
+            if opts.include_class_map and class_positions:
+                extraction["class_map"] = class_positions
         except Exception as exc:  # fallback-not-fail (pipeline.py:1097)
             status = "fallback"
             fallback_reason = f"{type(exc).__name__}"

@@ -28,6 +28,7 @@ from typing import Optional
 from exstruct_spark.config import DetectionConfig
 from exstruct_spark.kernels.a1 import col_index_to_alpha, make_range
 from exstruct_spark.kernels.coerce import coerce_scalar
+from exstruct_spark.kernels.colors import cell_background
 from exstruct_spark.kernels.dom import Node
 
 
@@ -42,15 +43,20 @@ def _int_attr(node: Node, name: str, default: int = 1) -> int:
 def _grid_from_table(table: Node, cfg: DetectionConfig):
     """Occupancy-grid expansion of one <table>.
 
-    Returns (cells, merged_items, links, n_rows, n_cols, truncated) where
-    ``cells`` maps (r, c) 0-based -> coerced value for master cells only,
-    ``merged_items`` are [r1, c1, r2, c2, value] with r 1-based / c 0-based
-    (the reference's MergedCells coordinate convention), ``links`` maps
-    (r, c) -> first href in the cell.
+    Returns (cells, merged_items, links, th_cells, colors, n_rows, n_cols,
+    truncated) where ``cells`` maps (r, c) 0-based -> coerced value for
+    master cells only, ``merged_items`` are [r1, c1, r2, c2, value] with r
+    1-based / c 0-based (the reference's MergedCells coordinate convention),
+    ``links`` maps (r, c) -> first href in the cell, ``th_cells`` is the set
+    of (r, c) that came from <th> elements, and ``colors`` maps (r, c) ->
+    normalized background color (the colors_map source, reference
+    core/cells.py:277-310).
     """
     cells: dict = {}
     merged_items: list = []
     links: dict = {}
+    th_cells: set = set()
+    colors: dict = {}
     occupied: set = set()
     truncated = False
 
@@ -74,22 +80,34 @@ def _grid_from_table(table: Node, cfg: DetectionConfig):
             text = cell.text_content()
             if text:
                 cells[(r, c)] = coerce_scalar(text)
+            if cell.tag == "th":
+                th_cells.add((r, c))
+            if cell.attrs:
+                color = cell_background(cell.attrs)
+                if color:
+                    colors[(r, c)] = color
             a = cell.find_first("a")
             if a is not None and a.get("href"):
                 links[(r, c)] = a.get("href")
             if rowspan > 1 or colspan > 1:
                 r2 = min(r + rowspan - 1, cfg.max_rows - 1)
                 c2 = min(c + colspan - 1, cfg.max_cols - 1)
-                # merged value = top-left master cell; empty -> " " sentinel
-                # (parity: reference core/cells.py:780-795)
-                merged_items.append([r + 1, c, r2 + 1, c2, text if text else " "])
+                # merged value = COERCED top-left master cell (same typed
+                # value domain as ``cells`` — reference core/cells.py:780-795
+                # has ONE value domain); empty -> " " sentinel
+                merged_items.append(
+                    [r + 1, c, r2 + 1, c2, coerce_scalar(text) if text else " "]
+                )
                 for rr in range(r, r2 + 1):
                     for cc in range(c, c2 + 1):
                         if (rr, cc) != (r, c):
                             occupied.add((rr, cc))
             n_cols = max(n_cols, c + colspan)
             c += colspan
-    return cells, merged_items, links, len(trs), min(n_cols, cfg.max_cols), truncated
+    return (
+        cells, merged_items, links, th_cells, colors,
+        len(trs), min(n_cols, cfg.max_cols), truncated,
+    )
 
 
 def _sparse_rows(cells: dict, links: dict, alpha_keys: bool = False) -> list:
@@ -174,16 +192,21 @@ def extract_table(
     table: Node, index: int, cfg: DetectionConfig, alpha_keys: bool = False
 ) -> Optional[dict]:
     """One <table> element -> table artifact dict (or None if empty)."""
-    cells, merged_items, links, n_rows, n_cols, truncated = _grid_from_table(table, cfg)
+    (
+        cells, merged_items, links, th_cells, colors,
+        n_rows, n_cols, truncated,
+    ) = _grid_from_table(table, cfg)
     if not cells:
         return None
-    header_cells = {
-        (r, c)
-        for (r, c) in cells
-        if r == 0
-    }
-    has_th = any(n.tag == "th" for n in table.iter())
-    header = _header_like(cells, header_cells if has_th else set(), n_cols)
+    # the direct <th> signal counts only when row 0 consists ENTIRELY of
+    # <th> cells — a table whose <th>s are row headers in column 0 still
+    # has a <th> at (0,0), so that row must fall through to the
+    # string-vs-numeric heuristic instead (parity: reference
+    # core/cells.py:1334-1347 aggregates the first rows only)
+    first_row_th = {(r, c) for (r, c) in th_cells if r == 0}
+    first_row_cells = {(r, c) for (r, c) in cells if r == 0}
+    all_th = bool(first_row_cells) and first_row_cells <= th_cells
+    header = _header_like(cells, first_row_th if all_th else set(), n_cols)
     score, density, coverage = score_candidate(cells, n_rows, n_cols, header)
     rs = [r for r, _ in cells]
     cs = [c for _, c in cells]
@@ -203,6 +226,14 @@ def extract_table(
             "schema": ["r1", "c1", "r2", "c2", "v"],
             "items": merged_items,
         }
+    if colors:
+        # value -> positions inverted index, (row 1-based, col 0-based) —
+        # the exact coordinate convention of the reference colors_map
+        # (core/cells.py:277-310); row-major first-seen key order
+        cmap: dict = {}
+        for (r, c), key in colors.items():
+            cmap.setdefault(key, []).append([r + 1, c])
+        out["colors_map"] = cmap
     if truncated:
         out["truncated"] = True
     out["_metrics"] = {

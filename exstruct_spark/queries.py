@@ -413,7 +413,7 @@ def q_events_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_ROLLUP_SETS = """
 SELECT COALESCE(event_type, '<all>') AS event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY ROLLUP (event_type)
 """
@@ -1105,10 +1105,11 @@ _N_EXTRACT_DOCS = 500
 
 def q_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=16)
-    extracted = extract_stage(pages, repartition_to=16)
-    joined = extracted.join(pages.select("url", "archetype"), "url")
+    # archetype rides through the Arrow batch — at 10^12 docs a re-join on
+    # url to recover it would be a full extra shuffle + input recompute
+    extracted = extract_stage(pages, repartition_to=16, passthrough=("archetype",))
     return (
-        joined.groupBy("archetype", "status")
+        extracted.groupBy("archetype", "status")
         .agg(
             F.count("*").alias("docs"),
             F.sum("n_tables").alias("sum_tables"),
@@ -1151,12 +1152,9 @@ def q_extract_documents_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("binary").alias("html"),
         "lang",
     )
-    extracted = extract_stage(pages, repartition_to=8)
-    joined = extracted.join(
-        pages.select("url", "lang"), "url"
-    )
+    extracted = extract_stage(pages, repartition_to=8, passthrough=("lang",))
     return (
-        joined.groupBy("lang", "status")
+        extracted.groupBy("lang", "status")
         .agg(
             F.count("*").alias("docs"),
             F.sum(F.length("main_text")).cast("bigint").alias("main_text_chars"),
@@ -1171,17 +1169,17 @@ def q_extract_cells_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse extraction_json with from_json, explode the tables array, and
     aggregate candidate scores per archetype.  Rows-only check."""
     pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=16)
-    extracted = extract_stage(pages, repartition_to=16)
+    extracted = extract_stage(pages, repartition_to=16, passthrough=("archetype",))
     tables_schema = (
         "struct<tables: array<struct<id:int, kind:string, range:string, "
         "score:double>>, table_candidates: array<string>>"
     )
     typed = extracted.select(
-        "url", F.from_json("extraction_json", tables_schema).alias("x")
+        "archetype", F.from_json("extraction_json", tables_schema).alias("x")
     )
     exploded = typed.select(
-        "url", F.explode("x.tables").alias("t")
-    ).join(pages.select("url", "archetype"), "url")
+        "archetype", F.explode("x.tables").alias("t")
+    )
     return (
         exploded.groupBy("archetype", F.coalesce("t.kind", F.lit("declared")).alias("kind"))
         .agg(

@@ -294,7 +294,15 @@ def test_sections_and_class_map():
     assert secs[0]["title"] == "Area One"
     assert secs[0]["table_ids"] == [0]  # containment join table -> region
     assert "table_ids" not in secs[1]
-    assert x["class_map"] == {"lead": 2, "body": 1}
+    # value -> positions inverted index (A1 colors_map shape): positions
+    # are document-order node indexes, 2 occurrences of 'lead', 1 of 'body'
+    assert list(x["class_map"]) == ["lead", "body"]
+    assert len(x["class_map"]["lead"]) == 2
+    assert len(x["class_map"]["body"]) == 1
+    # both classes of the first <p> share one position; the second 'lead'
+    # occurs later in document order
+    assert x["class_map"]["body"][0] == x["class_map"]["lead"][0]
+    assert x["class_map"]["lead"][1] > x["class_map"]["lead"][0]
 
 
 def test_deep_nesting_extracts_ok():
@@ -348,3 +356,94 @@ def test_table_caption_name_and_absolutize_links():
         extract_document("https://h.example/dir/page", html, opts)["extraction_json"]
     )
     assert "https://h.example/rel/path" in x2["links_map"]
+
+
+# --- round 2: raw-text close-tag case-insensitivity (ADVICE r1)
+def test_uppercase_script_close_tag():
+    html = "<html><body><SCRIPT>var x = 1;</SCRIPT><p>Real content survives here.</p></body></html>"
+    root = parse_html(html)
+    assert "Real content survives" in root.text_content()
+    assert "var x" not in root.text_content()
+
+
+def test_scripty_tag_does_not_terminate_script():
+    # '</scripty>' must NOT close the raw-text span (word boundary)
+    html = "<script>a </scripty> b</script><p>after</p>"
+    root = parse_html(html)
+    assert root.text_content() == "after"
+    script = root.find_first("script")
+    assert "</scripty>" in "".join(c for c in script.children if isinstance(c, str))
+
+
+# --- round 2: color normalization (F1) + colors_map (A1 parity)
+def test_normalize_color():
+    from exstruct_spark.kernels.colors import normalize_color
+
+    assert normalize_color("#fff") == "FFFFFF"
+    assert normalize_color("#FF8800") == "FF8800"
+    assert normalize_color("#ff880080") == "FF8800"  # alpha dropped
+    assert normalize_color("rgb(255, 0, 10)") == "FF000A"
+    assert normalize_color("rgba(1,2,3,0.5)") == "010203"
+    assert normalize_color("red") == "FF0000"
+    assert normalize_color("Navy") == "000080"
+    assert normalize_color("transparent") is None
+    assert normalize_color("not-a-color") is None
+    assert normalize_color("") is None
+
+
+def test_table_colors_map():
+    root = parse_html(
+        "<table>"
+        "<tr><th bgcolor='#ff0'>h1</th><th style='background-color: red'>h2</th></tr>"
+        "<tr><td style='padding:2px;background:#FF0000'>1</td><td>2</td></tr>"
+        "</table>"
+    )
+    t = extract_table(root.find_first("table"), 0, CFG)
+    cm = t["colors_map"]
+    # value -> positions, row 1-based / col 0-based (reference
+    # core/cells.py:277-310 coordinate convention); row-major order
+    assert cm == {"FFFF00": [[1, 0]], "FF0000": [[1, 1], [2, 0]]}
+
+
+def test_merged_cell_values_coerced():
+    root = parse_html(
+        "<table><tr><td colspan='2'>1,234.50</td><td>x</td></tr>"
+        "<tr><td>a</td><td>b</td><td>c</td></tr></table>"
+    )
+    t = extract_table(root.find_first("table"), 0, CFG)
+    items = t["merged_cells"]["items"]
+    # merged master value shares the typed value domain of rows.c
+    assert items[0] == [1, 0, 1, 1, 1234.5]
+    assert t["rows"][0]["c"]["0"] == 1234.5
+
+
+def test_row_header_th_does_not_trigger_header_bonus():
+    # <th> only in column 0 (row headers): the direct header signal must
+    # not fire; row 0 = ["9","8"] is numeric -> not header-like either
+    root = parse_html(
+        "<table><tr><th>9</th><td>8</td></tr>"
+        "<tr><th>7</th><td>6</td></tr></table>"
+    )
+    t = extract_table(root.find_first("table"), 0, CFG)
+    assert t["_metrics"]["header"] is False
+
+    # <th> across row 0 -> direct signal fires even for numeric headers
+    root2 = parse_html(
+        "<table><tr><th>9</th><th>8</th></tr>"
+        "<tr><td>7</td><td>6</td></tr></table>"
+    )
+    t2 = extract_table(root2.find_first("table"), 0, CFG)
+    assert t2["_metrics"]["header"] is True
+
+
+def test_links_map_positions():
+    html = (
+        "<p><a href='/x'>first</a> then <a href='/y'>second</a> and "
+        "<a href='/x'>again</a></p>"
+    ).encode()
+    x = json.loads(extract_document("u", html)["extraction_json"])
+    lm = x["links_map"]
+    assert list(lm) == ["/x", "/y"]  # first-seen order
+    assert len(lm["/x"]) == 2 and len(lm["/y"]) == 1
+    # document-order positions: /x occurs before and after /y
+    assert lm["/x"][0] < lm["/y"][0] < lm["/x"][1]

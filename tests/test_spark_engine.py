@@ -144,3 +144,92 @@ def test_wave_resume_after_partial_failure(spark, tmp_path):
     assert lineage["url_bucket"].nunique() == 8
     # two distinct run_ids prove the lineage records two commits
     assert lineage["run_id"].nunique() == 2
+
+
+def test_staging_written_once_and_waves_prune(spark, tmp_path):
+    """Scale contract: the input is staged ONCE per snapshot (bucket-
+    partitioned); each wave's scan is partition-pruned to its buckets."""
+    out_d, lin_d, met_d = (
+        str(tmp_path / "o"), str(tmp_path / "l"), str(tmp_path / "m"),
+    )
+    job = ExtractionJob(spark, out_d, lin_d, met_d, n_buckets=8)
+    pages = spark_pages(spark, 60, partitions=4)
+
+    staged_path = job._stage_input(pages, "snapA")
+    import os
+    success = os.path.join(staged_path, "_SUCCESS")
+    mtime1 = os.path.getmtime(success)
+    # second staging call for the same snapshot is a no-op (reused)
+    assert job._stage_input(pages, "snapA") == staged_path
+    assert os.path.getmtime(success) == mtime1
+
+    # bucket enumeration = directory listing, not a table scan
+    buckets = job._list_staged_buckets(staged_path)
+    assert buckets == sorted(buckets) and len(buckets) == 8
+
+    # a wave's plan prunes to its partitions: PartitionFilters on url_bucket
+    staged = spark.read.parquet(staged_path)
+    wave = staged.where(F.col("url_bucket").isin([1, 2]))
+    plan = wave._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "url_bucket" in plan
+
+    r = job.run(pages, input_snapshot="snapA")
+    assert r["rows_in_output"] == 60
+
+
+def test_new_snapshot_not_masked_by_old_lineage(spark, tmp_path):
+    """ADVICE r1: lineage is keyed by input_snapshot — completions for an
+    old snapshot must never anti-join away a NEW snapshot's buckets."""
+    out_d, lin_d, met_d = (
+        str(tmp_path / "o"), str(tmp_path / "l"), str(tmp_path / "m"),
+    )
+    job = ExtractionJob(spark, out_d, lin_d, met_d, n_buckets=4)
+    pages = spark_pages(spark, 40, partitions=4)
+
+    r1 = job.run(pages, input_snapshot="crawl-2026-01")
+    assert r1["buckets_processed"] == 4
+
+    # same lineage dir, NEW snapshot: all 4 buckets are todo again
+    r2 = job.run(pages, input_snapshot="crawl-2026-02")
+    assert r2["buckets_done_before"] == 0
+    assert r2["buckets_processed"] == 4
+
+    # resume of the NEW snapshot sees only its own completions
+    r3 = job.run(pages, input_snapshot="crawl-2026-02")
+    assert r3["buckets_done_before"] == 4
+    assert r3["buckets_processed"] == 0
+
+
+def test_passthrough_columns_no_rejoin(spark):
+    """Passthrough columns ride the Arrow batch: values match the input
+    row-for-row and the plan contains no join."""
+    pages = spark_pages(spark, 50, partitions=4)
+    out = extract_stage(pages, repartition_to=4, passthrough=("archetype",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    got = out.select("url", "archetype").toPandas().sort_values("url")
+    want = pages.select("url", "archetype").toPandas().sort_values("url")
+    assert list(got["archetype"]) == list(want["archetype"])
+
+
+def test_metrics_wall_ms_sums_batches(spark):
+    """wall_ms aggregates ALL of a partition's batches (ADVICE r1: max of
+    batch walls understates multi-batch partitions).  With arrow batch
+    size forced tiny, each partition sees many batches and wall_ms must be
+    >= the max single batch wall."""
+    pages = spark_pages(spark, 120, partitions=2)
+    # freeze one materialization: batch_wall_ms is wall-clock, so a
+    # recompute between the two aggregations would measure different runs
+    out = extract_stage(pages, repartition_to=2).localCheckpoint()
+    per_batch = (
+        out.groupBy("partition_id", "batch_seq")
+        .agg(F.max("batch_wall_ms").alias("w"))
+        .groupBy("partition_id")
+        .agg(F.sum("w").alias("sum_w"), F.max("w").alias("max_w"),
+             F.count("*").alias("n_batches"))
+        .toPandas()
+    )
+    m = metrics_from_extracted(out, "t").toPandas().set_index("partition_id")
+    for _, row in per_batch.iterrows():
+        assert m.loc[row["partition_id"], "wall_ms"] == row["sum_w"]
+        assert row["sum_w"] >= row["max_w"]
