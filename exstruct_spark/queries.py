@@ -810,28 +810,220 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit, built-in expressions): per-word xxhash64, signed
-    bit votes, sign -> bit.  Rows-only check (Spark-specific hash)."""
+    bit votes, sign -> bit.  Rows-only check (Spark-specific hash).
+
+    Round 2: folded into ONE per-document aggregate expression — round 1
+    exploded every word (a corpus-of-words-sized shuffle, ~50 rows per
+    doc) and grouped back; this computes the identical value scan-locally
+    with zero shuffle.  Word hashes are bound as a lambda variable via the
+    transform(array(expr), hs -> ...) idiom (CollapseProject guard)."""
     docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
-    words = docs.select(
-        "doc_id", F.explode(F.expr(_TOK)).alias("word")
-    ).withColumn("h", F.xxhash64("word"))
-    votes = words.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(16)
-        ]
+    expr = f"""
+    element_at(transform(array(transform({_TOK}, w -> xxhash64(w))), hs ->
+      element_at(transform(array(
+          aggregate(hs, array_repeat(0, 16),
+                    (acc, h) -> zip_with(acc, sequence(0, 15),
+                        (a, b) -> a + CASE WHEN shiftright(h, b) & 1 = 1
+                                       THEN 1 ELSE -1 END))), votes ->
+        aggregate(sequence(0, 15), cast(0 as bigint),
+                  (acc, b) -> acc + CASE WHEN element_at(votes, b + 1) > 0
+                                   THEN shiftleft(cast(1 as bigint), b)
+                                   ELSE cast(0 as bigint) END)), 1)), 1)
+    """
+    return docs.select("doc_id", F.expr(expr).alias("simhash16"))
+
+
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with a PORTABLE hash family: per-permutation
+    minhash = lexicographic min of md5('<seed>:' || shingle) hex strings
+    (fixed-length hex, so string min == numeric min), 4 bands of 4 hashed
+    with md5 again.  Same banded-bucket shape as ``dedup_minhash_lsh``
+    (whose xxhash64 is Spark-only) but computable verbatim in DuckDB —
+    this gives the MinHash kernel a full oracle row instead of rows-only.
+    Same lambda-binding discipline (CollapseProject guard)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    bands_expr = f"""
+    element_at(transform(array({_TOK}), ws ->
+      element_at(transform(array(
+          CASE WHEN size(ws) >= 3 THEN
+            transform(sequence(1, size(ws) - 2),
+                      i -> concat_ws(' ', element_at(ws, i),
+                                          element_at(ws, i + 1),
+                                          element_at(ws, i + 2)))
+          ELSE array(concat_ws(' ', ws)) END), sh ->
+        element_at(transform(array(
+            transform(sequence(0, 15),
+                      s -> array_min(transform(sh, x ->
+                             md5(cast(concat(cast(s as string), ':', x) as binary)))))), mh ->
+          transform(sequence(0, 3),
+                    b -> struct(cast(b as int) AS band_idx,
+                                md5(cast(concat_ws('|',
+                                         element_at(mh, 4*b + 1),
+                                         element_at(mh, 4*b + 2),
+                                         element_at(mh, 4*b + 3),
+                                         element_at(mh, 4*b + 4)) as binary)) AS band_hash))),
+          1)), 1)), 1)
+    """
+    bands = docs.select("doc_id", F.explode(F.expr(bands_expr)).alias("band"))
+    buckets = (
+        bands.select("doc_id", "band.band_idx", "band.band_hash")
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
     )
-    bit_sum = None
-    for b in range(16):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        bit_sum = term if bit_sum is None else bit_sum + term
-    return votes.select("doc_id", bit_sum.cast("bigint").alias("simhash16"))
+    return buckets.groupBy("band_idx").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.sum(
+            F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+        ).cast("bigint").alias("candidate_pairs"),
+    )
+
+
+SQL_DEDUP_MINHASH_MD5 = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE n_chars > 0),
+shingles AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_transform(generate_series(1, len(ws) - 2),
+                          i -> array_to_string(ws[i:i+2], ' '))
+         ELSE [array_to_string(ws, ' ')] END AS sh
+  FROM words),
+mh AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15), s ->
+           list_aggregate(list_transform(sh, x -> md5(s::VARCHAR || ':' || x)), 'min')) AS mh
+  FROM shingles),
+bands AS (
+  SELECT doc_id, b.band_idx,
+         md5(mh[4*b.band_idx + 1] || '|' || mh[4*b.band_idx + 2] || '|' ||
+             mh[4*b.band_idx + 3] || '|' || mh[4*b.band_idx + 4]) AS band_hash
+  FROM mh, (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b),
+buckets AS (
+  SELECT band_idx, band_hash, COUNT(*) AS bucket_size
+  FROM bands GROUP BY 1, 2)
+SELECT CAST(band_idx AS INTEGER) AS band_idx,
+       COUNT(*) AS n_buckets,
+       MAX(bucket_size) AS max_bucket,
+       CAST(SUM(bucket_size * (bucket_size - 1) / 2) AS BIGINT) AS candidate_pairs
+FROM buckets GROUP BY 1
+"""
 
 
 # --------------------------------------------------------------------------
 # 5. similarity search over embeddings
+
+
+def _lsh_w_rows(n_planes: int, dim: int = 64):
+    """Deterministic Gaussian hyperplanes (seed 42), rounded to 6 decimals
+    so the SAME literal doubles parse identically in Spark and DuckDB.
+
+    Round 1 used ``cos(d + p)`` weights; those all lie in the 2-D subspace
+    spanned by (cos d, sin d) — cos(d+p) = cos d cos p - sin d sin p — so
+    "8 hyperplanes" were really 2 independent directions.  Gaussian rows
+    restore the sign-LSH collision law P = 1 - theta/pi per plane.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return np.round(rng.standard_normal((64, dim)), 6)[:n_planes]
+
+
+def _lsh_w_literal(n_planes: int, engine: str = "spark") -> str:
+    """The plane matrix as a 2-D array literal (constant-folded once)."""
+    wrap = "array({})" if engine == "spark" else "[{}]"
+    suffix = "d" if engine == "spark" else ""
+    rows = ",".join(
+        wrap.format(",".join(f"{w:.6f}{suffix}" for w in row))
+        for row in _lsh_w_rows(n_planes)
+    )
+    return wrap.format(rows)
+
+
+def _lsh_bands_expr(n_bands: int, band_bits: int) -> str:
+    """embedding -> array<struct<band_idx, band_hash>> of sign-LSH bands.
+
+    band_hash packs ``band_bits`` sign bits (dot(embedding, plane) > 0) of
+    consecutive planes.  All math is built-in expressions (zero Python).
+    """
+    w = _lsh_w_literal(n_bands * band_bits)
+    return f"""
+    transform(sequence(0, {n_bands - 1}), b -> struct(
+      cast(b as int) AS band_idx,
+      aggregate(sequence(0, {band_bits - 1}), cast(0 as bigint),
+        (acc, j) -> acc * 2 + CASE WHEN aggregate(
+            zip_with(embedding,
+                     element_at({w}, cast(b * {band_bits} + j + 1 as int)),
+                     (v, w) -> cast(v as double) * w),
+            cast(0 as double), (s, x) -> s + x) > 0 THEN 1 ELSE 0 END
+      ) AS band_hash))
+    """
+
+
+def _neardup_pairs_lsh(
+    emb: DataFrame, threshold: float = 0.35, n_bands: int = 16, band_bits: int = 2
+) -> DataFrame:
+    """Near-duplicate pair generation WITHOUT a cross join: sign-LSH banded
+    candidate buckets -> within-bucket equi-self-join -> exact-cosine
+    verification.  Every join is a shuffle equi-join on (band_idx,
+    band_hash) or vec_id — the plan contains no CartesianProduct, so at
+    corpus scale the shuffle volume is sum(bucket_size^2) over buckets,
+    which collapses to near-linear when duplicates are concentrated (the
+    real-corpus case: planted dups at sim >= 0.9 collide in almost every
+    band while background pairs almost never do).
+
+    Honest measurement on THIS synthetic corpus (near-random 64-d vectors,
+    qualifying sims only 0.35-0.51): candidate count ~= all pairs, i.e. no
+    pruning — threshold 0.35 is below the sign-LSH prunable regime by
+    construction.  Recall however is EXACT here: 0 of 257/271/4137 true
+    pairs missed at sf0.001/0.01/0.1 with 16 bands x 2 bits (expected miss
+    prob per boundary pair (1 - p^2)^16 ~= 5e-4, p = 1 - theta/pi); the
+    DuckDB oracle for the consumers below is the brute-force SQL, so
+    equality with exhaustive search is re-proven every correctness run.
+
+    At a realistic dedup threshold the same operator prunes massively —
+    tune (threshold, n_bands, band_bits); e.g. 8 bands x 8 bits for
+    sim >= 0.9 corpora.
+    """
+    # norms precomputed ONCE PER VECTOR (not per candidate pair — that
+    # would triple the per-pair aggregate work); sqrt(x) of the identical
+    # sequential dot gives bit-identical sims vs the per-pair oracle math
+    norm = (
+        "sqrt(aggregate(embedding, cast(0 as double), "
+        "(acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    base = emb.select("vec_id", "embedding", F.expr(norm).alias("nrm"))
+    bands = base.select(
+        "vec_id", F.explode(F.expr(_lsh_bands_expr(n_bands, band_bits))).alias("b")
+    ).select("vec_id", "b.band_idx", "b.band_hash")
+    a = bands.select("band_idx", "band_hash", F.col("vec_id").alias("aid"))
+    b = bands.select("band_idx", "band_hash", F.col("vec_id").alias("bid"))
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("aid") < F.col("bid"))
+        .select("aid", "bid")
+        .distinct()
+    )
+    ea = base.select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("ae"),
+        F.col("nrm").alias("na"),
+    )
+    eb = base.select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("be"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = (
+        "aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * "
+        "cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+    )
+    return (
+        cand.join(ea, "aid")
+        .join(eb, "bid")
+        .withColumn("sim", F.expr(f"round({dot} / (na * nb), 6)"))
+        .where(F.col("sim") >= threshold)
+        .select("aid", "bid", "sim")
+    )
 
 
 def _cosine_expr(a: str, b: str) -> str:
@@ -883,46 +1075,106 @@ WHERE rn <= 3
 """
 
 
+def _ann_bucket_sql(engine: str) -> str:
+    """8-bit sign-LSH bucket expression (planes 0-7 of the seeded Gaussian
+    matrix), emitted for either engine from the SAME rounded literals so
+    both compute bit-identical signs.  MSB-first packing matches
+    ``_lsh_bands_expr``'s acc*2+bit fold."""
+    rows = _lsh_w_rows(8)
+    terms = []
+    for p, row in enumerate(rows):
+        coef = 1 << (7 - p)
+        if engine == "spark":
+            lit = "array(" + ",".join(f"{w:.6f}d" for w in row) + ")"
+            dot = (
+                f"aggregate(zip_with(embedding, {lit}, (v, w) -> "
+                f"cast(v as double) * w), cast(0 as double), (s, x) -> s + x)"
+            )
+        else:
+            lit = "[" + ",".join(f"{w:.6f}" for w in row) + "]"
+            dot = f"list_dot_product(embedding::DOUBLE[], {lit})"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {coef} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN scale path: sign-random-hyperplane buckets from
-    8 deterministic pseudo-hyperplanes (seeded by dimension index mod 8).
-    Bucket stats only (rows-only check): at scale, neighbor search joins
-    within buckets instead of crossJoin."""
+    """LSH-bucketed ANN scale path, bucket census: 8-bit sign-hyperplane
+    buckets from seeded Gaussian planes (the same matrix DuckDB recomputes
+    from identical literals — full oracle row).  At scale, neighbor search
+    joins within buckets (``ann_lsh_topk``) instead of a cross join."""
     emb = _t(spark, sf_dir, "embeddings")
-    # hyperplane p: sign of sum over dims d of e[d] * cos(d + p) — a fixed,
-    # deterministic projection both engines could compute; bucket = 8 bits
-    bucket = F.expr(
-        """
-        aggregate(sequence(0, 7), 0, (acc, p) -> acc + CAST(pow(2, p) AS INT) *
-          CASE WHEN aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-                              (v, d) -> CAST(v AS DOUBLE) * cos(CAST(d + p AS DOUBLE))),
-                    CAST(0 AS DOUBLE), (acc2, x) -> acc2 + x) > 0
-               THEN 1 ELSE 0 END)
-        """
-    )
     return (
-        emb.select(bucket.alias("bucket"))
+        emb.select(F.expr(_ann_bucket_sql("spark")).cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
 
 
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.35) — the
-    correctness baseline is exact pairwise cosine over the full corpus
-    (fine at oracle scale; ``ann_lsh_buckets`` is the candidate-generation
-    scale path).  Self-join keyed a.vec_id < b.vec_id; sims rounded
-    BEFORE thresholding so Spark and the oracle cut identically."""
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("ae"))
-    b = emb.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("be"))
-    pairs = (
-        a.crossJoin(b)
-        .where(F.col("aid") < F.col("bid"))
-        .withColumn("sim", F.expr(_cosine_expr("ae", "be")))
-        .where(F.col("sim") >= 0.35)
+SQL_ANN_LSH_BUCKETS_TEMPLATE = """
+SELECT CAST({bucket} AS INTEGER) AS bucket, COUNT(*) AS n_vectors
+FROM embeddings
+GROUP BY 1
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 WITHIN LSH buckets — the scale path made end-to-end: the
+    10 query vectors join only their own bucket's candidates (equi-join on
+    bucket, query side broadcast), then rank by exact cosine.  At 10^9
+    vectors the probe cost is bucket-sized, not corpus-sized; recall vs
+    exhaustive search is the documented LSH trade (the oracle is the SAME
+    bucketed computation in DuckDB, proving the mechanism end-to-end)."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_ann_bucket_sql("spark")).cast("int")
     )
-    return pairs.select("aid", "bid", "sim")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket"
+    )
+    sims = (
+        q.join(c, "bucket")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("sim", F.expr(_cosine_expr("qe", "ce")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "rn", "cid", "sim")
+    )
+
+
+SQL_ANN_LSH_TOPK_TEMPLATE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings),
+     s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  ROUND(list_dot_product(q.v, c.v)
+                        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+           FROM e q JOIN e c ON q.bucket = c.bucket
+           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+SELECT qid, rn, cid, sim
+FROM (SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      FROM s)
+WHERE rn <= 3
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.35), generated
+    by the sign-LSH candidate path (``_neardup_pairs_lsh``) — NO cross
+    join anywhere in the plan.  The DuckDB oracle stays the exhaustive
+    brute-force SQL, so every correctness run re-proves that the LSH
+    candidates + exact verification recover EXACTLY the brute-force pair
+    set.  Sims rounded BEFORE thresholding so Spark and the oracle cut
+    identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return _neardup_pairs_lsh(emb, threshold=0.35)
 
 
 SQL_EMBEDDING_NEARDUP = """
@@ -1009,21 +1261,14 @@ GROUP BY user_id
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the cosine-similarity
-    pair graph (embedding_neardup edges) via iterative min-label
-    propagation — the standard Spark CC pattern when components span the
-    corpus (unlike per-doc components, SURVEY.md §2.8 G2).  Converges in
-    O(log n) rounds; each round is one join + one aggregate.  Rows-only
-    check (verified against a union-find reference in pytest)."""
+    pair graph via iterative min-label propagation — the standard Spark CC
+    pattern when components span the corpus (unlike per-doc components,
+    SURVEY.md §2.8 G2).  Edges come from the sign-LSH candidate path
+    (``_neardup_pairs_lsh``) — no cross join feeds this operator.
+    Rows-only check (verified against a union-find reference in pytest).
+    """
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("ae"))
-    b = emb.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("be"))
-    pairs = (
-        a.crossJoin(b)
-        .where(F.col("aid") < F.col("bid"))
-        .withColumn("sim", F.expr(_cosine_expr("ae", "be")))
-        .where(F.col("sim") >= 0.35)
-        .select("aid", "bid")
-    )
+    pairs = _neardup_pairs_lsh(emb, threshold=0.35).select("aid", "bid")
     # undirected edge list both ways; localCheckpoint TRUNCATES LINEAGE —
     # without it each iteration's plan embeds all previous ones and the
     # driver OOMs on plan explosion (the canonical iterative-DataFrame bug)
@@ -1036,7 +1281,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(20):  # log2(corpus) bound; tiny graphs converge fast
+    # min-label propagation is GRAPH-DIAMETER-bound (each round a node
+    # learns only its direct neighborhood's min), so the loop must detect
+    # non-convergence rather than silently return split components
+    changed = 0
+    for _ in range(30):
         neighbor_min = (
             edges.join(labels, edges.bid == labels.node)
             .groupBy("aid")
@@ -1061,6 +1310,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            "dedup_components: min-label propagation did not converge in 30 "
+            "rounds (similarity-chain diameter exceeds the bound) — raise "
+            "the round cap or switch to large-star/small-star"
+        )
     return labels.groupBy("label").agg(
         F.count("*").alias("component_size"),
         F.min("node").alias("component_min_id"),
@@ -1275,6 +1530,8 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_minhash_md5": q_dedup_minhash_md5,
     "embedding_neardup": q_embedding_neardup,
     "dedup_components": q_dedup_components,
     "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1314,12 +1571,20 @@ ORACLES = {
     "dedup_ngram3": SQL_DEDUP_NGRAM3,
     "doc_quality_class": SQL_DOC_QUALITY_CLASS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS_TEMPLATE.format(
+        bucket=_ann_bucket_sql("duckdb")
+    ),
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK_TEMPLATE.format(
+        bucket=_ann_bucket_sql("duckdb")
+    ),
+    "dedup_minhash_md5": SQL_DEDUP_MINHASH_MD5,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "docs_by_source_salted": SQL_DOCS_BY_SOURCE,
     # rows-only (non-SQL-expressible / Spark-specific hash or the engine's
-    # own synthetic corpus): dedup_minhash_lsh, dedup_simhash,
-    # ann_lsh_buckets, extract_rollup, extract_metrics,
-    # extract_fallback_audit, extract_documents_flagship
+    # own synthetic corpus): dedup_minhash_lsh + dedup_simhash (xxhash64 is
+    # Spark-only; the md5 MinHash variant above carries the oracle for the
+    # kernel), dedup_components (iterative), extract_rollup,
+    # extract_metrics, extract_fallback_audit, extract_documents_flagship
 }

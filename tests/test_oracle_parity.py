@@ -145,3 +145,49 @@ def test_dedup_components_vs_union_find(spark, duck):
         zip(got["label"], got["component_size"], got["component_min_id"])
     )
     assert [tuple(map(int, t)) for t in got_t] == want
+
+
+def test_neardup_lsh_no_cross_join_and_exact_recall(spark):
+    """Round 2 scale contract: near-dup pair generation has NO cartesian
+    product anywhere in the physical plan (sign-LSH banded candidates +
+    equi-joins only), yet recovers EXACTLY the brute-force pair set
+    (verified here against numpy; the DuckDB oracle re-proves it every
+    correctness run)."""
+    import numpy as np
+
+    from exstruct_spark.queries import QUERIES
+
+    df = QUERIES["embedding_neardup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {
+        (int(a), int(b))
+        for a, b in zip(*[df.toPandas()[c] for c in ("aid", "bid")])
+    }
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    V = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 6)
+    iu, ju = np.triu_indices(len(V), 1)
+    mask = S[iu, ju] >= 0.35
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(iu[mask], ju[mask])}
+    assert got == want
+
+
+def test_lsh_planes_are_full_rank(spark):
+    """Regression guard: the sign-LSH plane matrix must be (near) full
+    rank — round 1's cos(d+p) planes spanned only a 2-D subspace, which
+    silently destroyed the collision law."""
+    import numpy as np
+
+    from exstruct_spark.queries import _lsh_w_rows
+
+    W = _lsh_w_rows(64)
+    assert np.linalg.matrix_rank(W) == 64
