@@ -66,4 +66,10 @@ class ExtractOptions:
     # the web analogue of exstruct's density/coverage gates)
     max_link_density: float = 0.333
     min_block_chars: int = 25
+    # declared A1 print areas: each produces a PrintAreaView-shaped slice
+    # of every table's rows (reference io/__init__.py:199-235,
+    # models/__init__.py:437-455); normalize_areas re-bases r/c to the
+    # area origin like the reference's ``normalize=True``
+    print_areas: tuple = ()
+    normalize_areas: bool = False
     detection: DetectionConfig = field(default_factory=DetectionConfig)

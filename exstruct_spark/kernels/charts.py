@@ -20,10 +20,45 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-from exstruct_spark.kernels.a1 import make_range
+from exstruct_spark.kernels.a1 import col_index_to_alpha, make_range, parse_range_zero_based
 from exstruct_spark.kernels.dom import Node
 
 _NUM_RE = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
+
+
+def _cell_ref(r: int, c: int) -> str:
+    """0-based (r, c) -> single-cell A1 ref (the name_range shape)."""
+    return f"{col_index_to_alpha(c)}{r + 1}"
+
+
+def _grid_series_ranges(table_art: dict, n_series: int) -> list:
+    """Companion-grid binding: series -> REAL A1 refs into the linked
+    <table> artifact's grid (parity: SERIES formula name_range/x_range/
+    y_range, reference core/charts.py:201-214 + parse_series_formula).
+
+    Structural convention for HTML chart figures: the companion table's
+    first row is the header (x label + one series name per column), column
+    0 holds x values, column 1+s holds series s.  Returns one dict per
+    bindable series: {name_range, x_range, y_range} — series beyond the
+    table's width stay unbound (the caller keeps synthetic ranges).
+    """
+    try:
+        r1, c1, r2, c2 = parse_range_zero_based(table_art["range"])
+    except Exception:
+        return []
+    if r2 <= r1 or c2 <= c1:  # need a header row + >=1 data row, >=2 cols
+        return []
+    out = []
+    for s in range(min(n_series, c2 - c1)):
+        col = c1 + 1 + s
+        out.append(
+            {
+                "name_range": _cell_ref(r1, col),
+                "x_range": make_range(r1 + 1, c1, r2, c1),
+                "y_range": make_range(r1 + 1, col, r2, col),
+            }
+        )
+    return out
 
 
 def _chart_type(svg: Node) -> str:
@@ -65,9 +100,16 @@ def extract_charts(figures, tables_by_figure: Optional[dict] = None) -> list:
 
     ``figures`` is either a pre-collected list of figure nodes (single-pass
     discipline) or a root ``Node`` to scan.  ``tables_by_figure`` maps
-    id(figure-node) -> table artifact index so a chart's series can
-    reference its companion data grid by range string (the J7
-    chart-series->grid join, SURVEY.md §2.3).
+    id(figure-node) -> the companion <table> ARTIFACT dict, so a chart's
+    series bind to real grid ranges (the J7 chart-series->grid join,
+    SURVEY.md §2.3): name_range/x_range/y_range are A1 refs into that
+    table's rows, like the reference's SERIES-formula parse
+    (core/charts.py:201-214).  A figure without a companion table keeps a
+    synthetic y_range over the series' own vector.
+
+    ``y_axis_title`` comes from an svg <text> whose class mentions
+    'y-axis' (the web stand-in for Axes(2,1).AxisTitle, reference
+    libreoffice_backend.py:549-551).
     """
     if isinstance(figures, Node):
         figures = figures.find_all("figure")
@@ -85,20 +127,35 @@ def extract_charts(figures, tables_by_figure: Optional[dict] = None) -> list:
             "chart_type": _chart_type(svg),
             "title": title,
         }
+        for txt in svg.find_all("text"):
+            if "y-axis" in (txt.get("class") or ""):
+                axis_title = txt.text_content()
+                if axis_title:
+                    chart["y_axis_title"] = axis_title
+                break
         if all_vals:
             chart["y_axis_range"] = [min(all_vals), max(all_vals)]
+        table_art = (
+            tables_by_figure.get(id(fig)) if tables_by_figure else None
+        )
+        grid_ranges = (
+            _grid_series_ranges(table_art, len(values)) if table_art else []
+        )
         series_list = []
         for s_idx, ys in enumerate(values):
             series: dict = {"name": f"s{s_idx}"}
-            if ys:
-                # the series' grid footprint as an A1 range over its own
-                # value vector (1 row of len(ys) starting at series row)
+            if s_idx < len(grid_ranges):
+                series.update(grid_ranges[s_idx])
+            elif ys:
+                # unbound fallback: the series' grid footprint as an A1
+                # range over its own value vector
                 series["y_range"] = make_range(s_idx, 0, s_idx, len(ys) - 1)
+            if ys:
                 series["n_points"] = len(ys)
             series_list.append(series)
         if series_list:
             chart["series"] = series_list
-        if tables_by_figure and id(fig) in tables_by_figure:
-            chart["data_table_id"] = tables_by_figure[id(fig)]
+        if table_art is not None:
+            chart["data_table_id"] = table_art["id"]
         charts.append(chart)
     return charts

@@ -24,6 +24,7 @@ from typing import Optional
 from urllib.parse import urljoin
 
 from exstruct_spark.config import ExtractOptions
+from exstruct_spark.kernels.areas import area_views
 from exstruct_spark.kernels.boilerplate import extract_main_text
 from exstruct_spark.kernels.charts import extract_charts
 from exstruct_spark.kernels.dom import (
@@ -192,7 +193,9 @@ def extract_document(
                         continue
                     truncated = truncated or bool(art.get("truncated"))
                     if id(t_node) in fig_of_table:
-                        figure_table_ids[fig_of_table[id(t_node)]] = art["id"]
+                        # the whole artifact: charts bind series ranges to
+                        # the companion grid, not just its id (J7)
+                        figure_table_ids[fig_of_table[id(t_node)]] = art
                     table_node_ids[id(t_node)] = art["id"]
                     tables.append(art)
                 for g in detect_grid_candidates(
@@ -211,6 +214,12 @@ def extract_document(
                 if tables:
                     extraction["tables"] = tables
                     extraction["table_candidates"] = candidates
+                if opts.print_areas and tables:
+                    views = area_views(
+                        tables, opts.print_areas, opts.normalize_areas
+                    )
+                    if views:
+                        extraction["area_views"] = views
                 n_tables = len(tables)
             else:
                 figure_table_ids = {}

@@ -118,6 +118,7 @@ def extract_svg_shapes(svg: Node) -> tuple:
     shapes: list = []
     labels: list = []
     connectors: list = []
+    elem_id_map: dict = {}  # svg element id attr -> shape id (tier-1 key)
     next_id = 1
     for node in svg.iter():
         if node.tag == "svg":
@@ -134,6 +135,9 @@ def extract_svg_shapes(svg: Node) -> tuple:
                     "_box": box,
                 }
             )
+            eid = node.get("id")
+            if eid and eid not in elem_id_map:
+                elem_id_map[eid] = next_id
             next_id += 1
             continue
         if node.tag == "text":
@@ -146,7 +150,8 @@ def extract_svg_shapes(svg: Node) -> tuple:
                 or node.get("marker-start")
                 or "arrow" in (node.get("class") or "")
             )
-            connectors.append((ends, is_arrow, node.tag))
+            refs = (node.get("data-begin"), node.get("data-end"))
+            connectors.append((ends, is_arrow, node.tag, refs))
 
     # label assignment: point-in-box containment, first match in id order;
     # unmatched labels go to the nearest shape
@@ -166,21 +171,55 @@ def extract_svg_shapes(svg: Node) -> tuple:
                 f"{target['text']} {text}" if target.get("text") else text
             )
 
+    # tier-2 key: first shape claiming each label text (the UNO
+    # shape-name equi-join analogue, libreoffice_backend.py:526-545)
+    name_map: dict = {}
+    for s in shapes:
+        text = s.get("text")
+        if text and text not in name_map:
+            name_map[text] = s["id"]
+
+    def _direct(ref):
+        """Tier 1: element-id equi (url(#x) / '#x' / 'x' forms accepted);
+        tier 2: shape-label equi.  None -> unresolved (heuristic next)."""
+        if not ref:
+            return None
+        key = ref.strip()
+        if key.startswith("url(") and key.endswith(")"):
+            key = key[4:-1]
+        key = key.lstrip("#")
+        return elem_id_map.get(key) or name_map.get(key)
+
     arrows: list = []
-    for (x1, y1, x2, y2), is_arrow, tag in connectors:
+    for (x1, y1, x2, y2), is_arrow, tag, (bref, eref) in connectors:
         if not is_arrow:
             continue
-        begin_id = _nearest_shape_id(x1, y1, shapes)
-        end_id = _nearest_shape_id(x2, y2, shapes)
-        arrow: dict = {
-            "begin_id": begin_id,
-            "end_id": end_id,
-            "direction": angle_to_compass(x2 - x1, y2 - y1),
-        }
-        # endpoints resolved heuristically (tier-3 of the reference's
-        # resolution ladder, libreoffice_backend.py:526-579)
-        arrow["approximation_level"] = 1
-        arrows.append(arrow)
+        begin_id, end_id = _direct(bref), _direct(eref)
+        n_direct = (begin_id is not None) + (end_id is not None)
+        if begin_id is None:
+            begin_id = _nearest_shape_id(x1, y1, shapes)
+        if end_id is None:
+            end_id = _nearest_shape_id(x2, y2, shapes)
+        # provenance ladder parity (_classify_connector_resolution,
+        # reference libreoffice_backend.py:859-878): both endpoints by
+        # id/name equi -> direct (level 0, confidence 1.0); one -> partial
+        # (0.9); geometry-only -> heuristic (0.6)
+        if n_direct == 2:
+            resolution, confidence, level = "direct", 1.0, 0
+        elif n_direct == 1:
+            resolution, confidence, level = "partial", 0.9, 1
+        else:
+            resolution, confidence, level = "heuristic", 0.6, 1
+        arrows.append(
+            {
+                "begin_id": begin_id,
+                "end_id": end_id,
+                "direction": angle_to_compass(x2 - x1, y2 - y1),
+                "resolution": resolution,
+                "confidence": confidence,
+                "approximation_level": level,
+            }
+        )
 
     for s in shapes:
         del s["_box"]

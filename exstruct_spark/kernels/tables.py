@@ -245,6 +245,42 @@ def extract_table(
     return out
 
 
+def _shrink_sparse_borders(cells: dict, min_border_density: float = 0.2) -> dict:
+    """Peel outermost rows/cols whose fill ratio is below the threshold —
+    a light form of the reference's shrink-to-content loops
+    (core/cells.py:1405-1586): borders of decorative/low-density cells
+    are trimmed until every border row and column is content-dense.
+    Returns the surviving (r, c) -> value map (possibly empty).
+    """
+    cells = dict(cells)
+    while cells:
+        rs = [r for r, _ in cells]
+        cs = [c for _, c in cells]
+        r_lo, r_hi, c_lo, c_hi = min(rs), max(rs), min(cs), max(cs)
+        if r_hi == r_lo or c_hi == c_lo:
+            break  # single row/col left: nothing sensible to peel
+        width = c_hi - c_lo + 1
+        height = r_hi - r_lo + 1
+        peeled = False
+        for r_edge in (r_lo, r_hi):
+            fill = sum(1 for (r, _c) in cells if r == r_edge) / width
+            if fill < min_border_density:
+                cells = {k: v for k, v in cells.items() if k[0] != r_edge}
+                peeled = True
+                break
+        if peeled:
+            continue
+        for c_edge in (c_lo, c_hi):
+            fill = sum(1 for (_r, c) in cells if c == c_edge) / height
+            if fill < min_border_density:
+                cells = {k: v for k, v in cells.items() if k[1] != c_edge}
+                peeled = True
+                break
+        if not peeled:
+            break
+    return cells
+
+
 def detect_grid_candidates(
     root: Node, cfg: DetectionConfig, alpha_keys: bool = False
 ) -> list:
@@ -252,9 +288,13 @@ def detect_grid_candidates(
 
     The web analogue of exstruct's border-cluster detection pipeline
     (reference core/cells.py:1845-1894 ``detect_tables_openpyxl``): an
-    element whose element children are >= 2 row-like nodes, each with the
-    same >= 2 count of element children, is a candidate grid; candidates
-    then pass the same density/coverage/score gates as declared tables.
+    element whose element children are >= 2 row-like nodes with a modal
+    child count >= 2 is a candidate grid.  Raggedness is TOLERATED like
+    the reference's merge/shrink heuristics (core/cells.py:1405-1717)
+    rather than fatal: rows within +-1 of the modal width must make up
+    >= 80% of rows (one odd row no longer kills the candidate), sparse
+    borders are trimmed (``_shrink_sparse_borders``), and the survivors
+    pass the same density/coverage/score gates as declared tables.
     Returns candidate dicts shaped like ``extract_table`` output with
     ``"kind": "grid"``.
     """
@@ -273,16 +313,21 @@ def detect_grid_candidates(
         ]
         if len(rows) < 2:
             continue
-        widths = {len(r.element_children()) for r in rows}
-        if len(widths) != 1 or widths == {0} or min(widths) < 2:
+        widths = [len(r.element_children()) for r in rows]
+        modal = max(set(widths), key=lambda w: (widths.count(w), w))
+        if modal < 2:
             continue
-        n_cols = widths.pop()
+        near_modal = sum(1 for w in widths if abs(w - modal) <= 1)
+        if near_modal < max(2, int(0.8 * len(rows))):
+            continue
+        n_cols = max(widths)
         cells: dict = {}
         for r, row in enumerate(rows):
             for c, cell in enumerate(row.element_children()):
                 text = cell.text_content()
                 if text:
                     cells[(r, c)] = coerce_scalar(text)
+        cells = _shrink_sparse_borders(cells)
         if len(cells) < cfg.min_cells:
             continue
         header = _header_like(cells, set(), n_cols)

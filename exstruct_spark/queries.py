@@ -1445,6 +1445,73 @@ def q_extract_cells_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_chart_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart-series -> companion-grid RANGE JOIN, materialized (J7): parse
+    extraction_json, explode charts x series, decode each series' y_range
+    A1 ref (column letter + row band), join back to the linked table's
+    exploded rows on (url, table id, row in band), and pull the actual
+    cell values the range points at.  Proves the series->grid binding is
+    executable Spark-side, not just serialized metadata.  Rows-only check
+    (own synthetic corpus); the kernel-level binding is pytest-verified
+    against a hand-built figure."""
+    pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=16)
+    extracted = extract_stage(pages, repartition_to=16, passthrough=("archetype",))
+    schema = (
+        "struct<"
+        "charts: array<struct<name:string, data_table_id:int, "
+        "series: array<struct<name:string, name_range:string, "
+        "x_range:string, y_range:string, n_points:int>>>>, "
+        "tables: array<struct<id:int, rows: array<struct<r:int, "
+        "c:map<string,string>>>>>"
+        ">"
+    )
+    typed = extracted.select(
+        "url", "archetype", F.from_json("extraction_json", schema).alias("x")
+    ).where(F.size("x.charts") > 0)
+    series = (
+        typed.select(
+            "url", "archetype", "x.tables",
+            F.explode("x.charts").alias("chart"),
+        )
+        .select(
+            "url", "archetype", "tables",
+            F.col("chart.data_table_id").alias("table_id"),
+            F.explode("chart.series").alias("s"),
+        )
+        .where(F.col("s.y_range").isNotNull() & F.col("table_id").isNotNull())
+        # decode the A1 band: single-letter columns cover the synthetic
+        # corpus (ascii(letter) - 65); multi-letter grids would reuse
+        # kernels/a1.py in a pandas stage instead
+        .select(
+            "url", "archetype", "tables", "table_id",
+            (F.ascii(F.regexp_extract("s.y_range", r"^([A-Z])", 1)) - 65)
+            .alias("y_col"),
+            F.regexp_extract("s.y_range", r"([0-9]+):", 1).cast("int").alias("r1"),
+            F.regexp_extract("s.y_range", r":[A-Z]([0-9]+)$", 1).cast("int").alias("r2"),
+        )
+    )
+    rows = series.select(
+        "url", "archetype", "table_id", "y_col", "r1", "r2",
+        F.explode(F.filter("tables", lambda t: t["id"] == F.col("table_id"))).alias("t"),
+    ).select(
+        "url", "archetype", "y_col", "r1", "r2",
+        F.explode("t.rows").alias("row"),
+    )
+    vals = rows.where(
+        F.col("row.r").between(F.col("r1"), F.col("r2"))
+    ).select(
+        "url", "archetype",
+        F.element_at("row.c", F.col("y_col").cast("string")).cast("double").alias("y"),
+    )
+    return vals.groupBy("archetype").agg(
+        F.count("*").alias("points_materialized"),
+        F.countDistinct("url").alias("docs_with_bound_series"),
+        F.round(F.avg("y"), 4).alias("avg_y"),
+        F.round(F.min("y"), 4).alias("min_y"),
+        F.round(F.max("y"), 4).alias("max_y"),
+    )
+
+
 def q_pages_by_host_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level rollup over the crawl corpus — THE skewed aggregation of
     this engine (a hot host is millions of urls at 10^12 scale).  Two-phase
@@ -1544,6 +1611,7 @@ QUERIES = {
     "media_metadata": q_media_metadata,
     "pages_by_host_salted": q_pages_by_host_salted,
     "extract_cells_exploded": q_extract_cells_exploded,
+    "extract_chart_series": q_extract_chart_series,
 }
 
 ORACLES = {

@@ -197,7 +197,9 @@ def test_svg_shapes_and_arrows():
     assert [s["id"] for s in shapes] == [1, 2]
     assert shapes[0]["text"] == "A" and shapes[1]["text"] == "B"
     assert arrows == [
-        {"begin_id": 1, "end_id": 2, "direction": "S", "approximation_level": 1}
+        {"begin_id": 1, "end_id": 2, "direction": "S",
+         "resolution": "heuristic", "confidence": 0.6,
+         "approximation_level": 1}
     ]
 
 
@@ -447,3 +449,154 @@ def test_links_map_positions():
     assert len(lm["/x"]) == 2 and len(lm["/y"]) == 1
     # document-order positions: /x occurs before and after /y
     assert lm["/x"][0] < lm["/y"][0] < lm["/x"][1]
+
+
+def test_chart_series_bind_to_companion_grid():
+    """J7 parity: series name/x/y ranges are REAL A1 refs into the linked
+    <table> artifact, and materializing y_range from the table rows
+    recovers values consistent with the grid."""
+    html = (
+        "<figure><svg>"
+        "<text class='y-axis-title' x='1' y='1'>Revenue</text>"
+        "<polyline points='0,10 10,20 20,30 30,40'/></svg>"
+        "<figcaption>Quarterly</figcaption>"
+        "<table><tr><th>quarter</th><th>revenue</th></tr>"
+        "<tr><td>Q1</td><td>10</td></tr><tr><td>Q2</td><td>20</td></tr>"
+        "<tr><td>Q3</td><td>30</td></tr><tr><td>Q4</td><td>40</td></tr>"
+        "</table></figure>"
+    ).encode()
+    x = json.loads(extract_document("u", html)["extraction_json"])
+    chart = x["charts"][0]
+    table = x["tables"][0]
+    assert chart["data_table_id"] == table["id"]
+    assert chart["y_axis_title"] == "Revenue"
+    s = chart["series"][0]
+    assert s["name_range"] == "B1"
+    assert s["x_range"] == "A2:A5"
+    assert s["y_range"] == "B2:B5"
+    # materialize y_range against the table rows: col B = key "1",
+    # rows 2..5 (1-based r)
+    vals = [r["c"]["1"] for r in table["rows"] if 2 <= r["r"] <= 5]
+    assert vals == [10, 20, 30, 40]
+    # header name cell matches name_range
+    hdr = [r["c"]["1"] for r in table["rows"] if r["r"] == 1]
+    assert hdr == ["revenue"]
+
+
+def test_chart_without_table_keeps_synthetic_range():
+    html = (
+        "<figure><svg><polyline points='0,10 10,50 20,30'/></svg>"
+        "<figcaption>Sales</figcaption></figure>"
+    ).encode()
+    x = json.loads(extract_document("u", html)["extraction_json"])
+    s = x["charts"][0]["series"][0]
+    assert s["y_range"] == "A1:C1"
+    assert "name_range" not in s
+
+
+def test_connector_equi_tiers():
+    """J4 parity (_resolve_connector ladder, reference
+    libreoffice_backend.py:526-579): id-wired connectors resolve at
+    level 0 / confidence 1.0 ('direct'), one-sided wiring is 'partial',
+    geometry-only stays 'heuristic'.  The id-wired arrow here points the
+    OPPOSITE way from geometry to prove the equi tier wins."""
+    root = parse_html(
+        "<svg>"
+        "<rect id='start' x='0' y='0' width='10' height='10'/>"
+        "<text x='5' y='5'>Begin</text>"
+        "<rect id='end' x='0' y='100' width='10' height='10'/>"
+        "<text x='5' y='105'>Finish</text>"
+        # geometry says 1 -> 2, but data refs say end -> start
+        "<line x1='5' y1='10' x2='5' y2='100' marker-end='url(#m)'"
+        " data-begin='#end' data-end='start'/>"
+        # name-equi tier: label text as the ref, begin only -> partial
+        "<line x1='5' y1='10' x2='5' y2='100' marker-end='url(#m)'"
+        " data-begin='Finish'/>"
+        "</svg>"
+    )
+    shapes, arrows = extract_svg_shapes(root.find_first("svg"))
+    a0, a1 = arrows
+    assert (a0["begin_id"], a0["end_id"]) == (2, 1)  # refs beat geometry
+    assert (a0["resolution"], a0["confidence"], a0["approximation_level"]) == (
+        "direct", 1.0, 0,
+    )
+    assert (a1["begin_id"], a1["end_id"]) == (2, 2)  # name equi + 1-NN
+    assert a1["resolution"] == "partial" and a1["confidence"] == 0.9
+
+
+def test_print_area_views_slice_and_rebase():
+    """PrintAreaView parity (reference io/__init__.py:199-235): declared
+    A1 areas slice table rows to the region; normalize re-bases column
+    keys to col-c1 and row index to r-area_r1 (area's first row -> 0)."""
+    from exstruct_spark.kernels.areas import filter_row_to_area
+
+    html = (
+        "<table>"
+        "<tr><th>h1</th><th>h2</th><th>h3</th></tr>"
+        "<tr><td>a</td><td>1</td><td>2</td></tr>"
+        "<tr><td>b</td><td>3</td><td><a href='/x'>4</a></td></tr>"
+        "</table>"
+    ).encode()
+    opts = ExtractOptions(print_areas=("B2:C3",))
+    x = json.loads(extract_document("u", html, opts)["extraction_json"])
+    view = x["area_views"][0]
+    assert view["area"] == "B2:C3"
+    rows = view["tables"][0]["rows"]
+    # raw view: original coordinates, columns outside B..C dropped
+    assert rows == [
+        {"r": 2, "c": {"1": 1, "2": 2}},
+        {"r": 3, "c": {"1": 3, "2": 4}, "links": {"2": "/x"}},
+    ]
+
+    opts_n = ExtractOptions(print_areas=("B2:C3",), normalize_areas=True)
+    xn = json.loads(extract_document("u", html, opts_n)["extraction_json"])
+    rows_n = xn["area_views"][0]["tables"][0]["rows"]
+    # re-based: cols keyed from 0, first area row normalizes to r=0
+    assert rows_n == [
+        {"r": 0, "c": {"0": 1, "1": 2}},
+        {"r": 1, "c": {"0": 3, "1": 4}, "links": {"1": "/x"}},
+    ]
+
+    # row fully outside the area -> dropped entirely
+    assert filter_row_to_area({"r": 9, "c": {"1": "v"}}, (1, 1, 2, 2)) is None
+    # row inside band but all cells outside columns -> dropped
+    assert filter_row_to_area({"r": 2, "c": {"0": "v"}}, (1, 1, 2, 2)) is None
+
+
+def test_detect_grid_tolerates_ragged_rows():
+    """Round 2 (VERDICT item 10): one ragged row (an extra cell) must not
+    kill a grid candidate — parity with the reference's shrink/merge
+    robustness (core/cells.py:1405-1717)."""
+    html = (
+        "<div class='grid'>"
+        "<div><div>h1</div><div>h2</div><div>h3</div></div>"
+        "<div><div>a</div><div>1</div><div>2</div><div>extra</div></div>"
+        "<div><div>b</div><div>3</div><div>4</div></div>"
+        "</div>"
+    )
+    got = detect_grid_candidates(parse_html(html), CFG)
+    assert len(got) == 1
+    assert got[0]["kind"] == "grid"
+    assert len(got[0]["rows"]) == 3
+    # the ragged row keeps its extra cell at its true position
+    r2 = [r for r in got[0]["rows"] if r["r"] == 2][0]
+    assert r2["c"]["3"] == "extra"
+
+
+def test_detect_grid_shrinks_sparse_borders():
+    """A mostly-empty decorative border row is peeled (shrink-to-content
+    analogue) so the candidate's range covers only the dense grid."""
+    html = (
+        "<div class='grid'>"
+        "<div><div></div><div></div><div></div><div></div><div></div><div>x</div></div>"
+        + "".join(
+            "<div>" + "".join(f"<div>v{r}{c}</div>" for c in range(6)) + "</div>"
+            for r in range(3)
+        )
+        + "</div>"
+    )
+    got = detect_grid_candidates(parse_html(html), CFG)
+    assert len(got) == 1
+    # the sparse first row (1/6 filled) is trimmed -> range starts at row 2
+    assert got[0]["range"] == "A2:F4"
+    assert all(r["r"] >= 2 for r in got[0]["rows"])
