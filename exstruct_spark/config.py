@@ -33,6 +33,9 @@ class DetectionConfig:
     # (reference core/cells.py:118-165); truncation is LOGGED, never silent.
     max_rows: int = 5000
     max_cols: int = 200
+    # W3 parity: stop scanning after this many CONSECUTIVE all-empty rows
+    # (the reference's empty-run early termination); truncation is logged
+    max_empty_run: int = 200
 
     def with_params(self, **kw) -> "DetectionConfig":
         """Functional twin of exstruct's ``set_table_detection_params``."""
@@ -62,6 +65,10 @@ class ExtractOptions:
     # resolution analogue, reference ooxml_drawing.py:863-921); off by
     # default so hrefs stay verbatim join keys
     absolutize_links: bool = False
+    # canonicalize absolute hrefs (lowercase scheme/host, strip default
+    # port + fragment, collapse dot segments — the _normalize_zip_path
+    # analogue, ooxml_drawing.py:907-921); off by default, same reason
+    normalize_links: bool = False
     # boilerplate classifier thresholds (Boilerpipe/trafilatura-style;
     # the web analogue of exstruct's density/coverage gates)
     max_link_density: float = 0.333

@@ -23,6 +23,8 @@ import unicodedata
 from typing import Optional
 from urllib.parse import urljoin
 
+from urllib.parse import urlsplit, urlunsplit
+
 from exstruct_spark.config import ExtractOptions
 from exstruct_spark.kernels.areas import area_views
 from exstruct_spark.kernels.boilerplate import extract_main_text
@@ -66,7 +68,46 @@ def _section_views(sections: list, table_node_ids: dict) -> list:
     return views
 
 
-def _links_map(anchors: list, base_url: str = "", absolutize: bool = False) -> dict:
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def normalize_url(href: str) -> str:
+    """Canonicalize an (absolute) URL: lowercase scheme/host, strip the
+    default port and fragment, collapse dot segments, ensure a path.
+
+    The web analogue of the reference's relationship-target normalization
+    (``_normalize_zip_path``, ooxml_drawing.py:907-921 — base-join then
+    dot-segment resolution) — S5's second half, so links_map keys from
+    different pages agree on one spelling per resource.  Relative hrefs
+    and non-HTTP schemes pass through unchanged (join keys stay verbatim
+    unless ``absolutize`` resolved them first)."""
+    try:
+        parts = urlsplit(href)
+    except ValueError:
+        return href
+    if parts.scheme not in ("http", "https") or not parts.netloc:
+        return href
+    netloc = parts.netloc.lower()
+    default = _DEFAULT_PORTS[parts.scheme.lower()]
+    if netloc.endswith(default):
+        netloc = netloc[: -len(default)]
+    segments: list = []
+    for seg in parts.path.split("/"):
+        if seg == "." or seg == "":
+            continue
+        if seg == "..":
+            if segments:
+                segments.pop()
+            continue
+        segments.append(seg)
+    path = "/" + "/".join(segments)
+    if parts.path.endswith("/") and path != "/":
+        path += "/"
+    return urlunsplit((parts.scheme.lower(), netloc, path, parts.query, ""))
+
+
+def _links_map(anchors: list, base_url: str = "", absolutize: bool = False,
+               normalize: bool = False) -> dict:
     """href -> POSITIONS over content links: the true inverted-index shape
     of the reference's ``formulas_map`` (value -> list of coordinates,
     core/cells.py:313-362, models/__init__.py:208-221).  A position is the
@@ -85,6 +126,8 @@ def _links_map(anchors: list, base_url: str = "", absolutize: bool = False) -> d
         if href:
             if absolutize and base_url:
                 href = urljoin(base_url, href)
+            if normalize:
+                href = normalize_url(href)
             positions.setdefault(href, []).append(idx)
     # deterministic order: first-seen (dict preserves insertion)
     return positions
@@ -260,7 +303,8 @@ def extract_document(
 
             if opts.include_links:
                 links = _links_map(
-                    groups["a"], url, opts.absolutize_links
+                    groups["a"], url, opts.absolutize_links,
+                    opts.normalize_links,
                 )
                 if links:
                     extraction["links_map"] = links

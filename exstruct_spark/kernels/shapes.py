@@ -24,19 +24,58 @@ import re
 from typing import Optional
 
 from exstruct_spark.kernels.dom import Node
+from exstruct_spark.kernels.units import parse_css_length
 
 # compass order matches a standard 8-point rose starting at East,
 # counter-clockwise negative (SVG y grows downward, so S means dy > 0)
 _COMPASS = ["E", "SE", "S", "SW", "W", "NW", "N", "NE"]
 
 _NUM_RE = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
+_ROTATE_RE = re.compile(
+    r"rotate\(\s*([-+]?\d*\.?\d+)(?:[\s,]+([-+]?\d*\.?\d+)[\s,]+([-+]?\d*\.?\d+))?\s*\)"
+)
 
 
 def _f(node: Node, attr: str, default: float = 0.0) -> float:
-    try:
-        return float(str(node.get(attr, default)))
-    except (TypeError, ValueError):
-        return default
+    # geometry attrs accept CSS units (width='9pt') — normalized to px
+    # (F6 unit conversion, kernels/units.py)
+    v = parse_css_length(node.get(attr), None)
+    return default if v is None else v
+
+
+def _rotation_of(node: Node):
+    """SVG ``transform="rotate(a [cx cy])"`` -> (deg, cx, cy) or None.
+
+    The web analogue of OOXML's xfrm ``rot`` attribute (reference
+    ooxml_drawing.py:638-644 decodes 60000ths-of-a-degree; SVG carries
+    degrees directly)."""
+    t = node.get("transform")
+    if not t:
+        return None
+    m = _ROTATE_RE.search(t)
+    if not m:
+        return None
+    deg = float(m.group(1))
+    cx = float(m.group(2)) if m.group(2) is not None else 0.0
+    cy = float(m.group(3)) if m.group(3) is not None else 0.0
+    return deg, cx, cy
+
+
+def _rotate_bbox(box: tuple, deg: float, cx: float, cy: float) -> tuple:
+    """Axis-aligned bbox of a rotated rectangle (F5 rotation trig):
+    rotate the four corners around (cx, cy) — SVG rotate is clockwise in
+    screen coords — and take the envelope.  Mirrors the reference's
+    rotation-aware geometry (ooxml_drawing.py:310-337 carries rotation
+    into the shape model; endpoint math in _rotate_connector_delta)."""
+    l, t, w, h = box
+    rad = math.radians(deg)
+    cos_a, sin_a = math.cos(rad), math.sin(rad)
+    xs, ys = [], []
+    for px, py in ((l, t), (l + w, t), (l, t + h), (l + w, t + h)):
+        dx, dy = px - cx, py - cy
+        xs.append(cx + dx * cos_a - dy * sin_a)
+        ys.append(cy + dx * sin_a + dy * cos_a)
+    return (min(xs), min(ys), max(xs) - min(xs), max(ys) - min(ys))
 
 
 def angle_to_compass(dx: float, dy: float) -> str:
@@ -125,16 +164,22 @@ def extract_svg_shapes(svg: Node) -> tuple:
             continue
         box = _shape_bbox(node)
         if box is not None:
-            shapes.append(
-                {
-                    "id": next_id,
-                    "l": box[0],
-                    "t": box[1],
-                    "w": box[2],
-                    "h": box[3],
-                    "_box": box,
-                }
-            )
+            rot = _rotation_of(node)
+            shape = {
+                "id": next_id,
+                "l": box[0],
+                "t": box[1],
+                "w": box[2],
+                "h": box[3],
+            }
+            if rot is not None and rot[0] % 360.0 != 0.0:
+                # declared geometry stays verbatim; rotation recorded like
+                # the reference shape model, and the CONTAINMENT box used
+                # for label/connector joins is the rotated envelope
+                shape["rotation"] = rot[0]
+                box = _rotate_bbox(box, *rot)
+            shape["_box"] = box
+            shapes.append(shape)
             eid = node.get("id")
             if eid and eid not in elem_id_map:
                 elem_id_map[eid] = next_id
@@ -223,11 +268,13 @@ def extract_svg_shapes(svg: Node) -> tuple:
 
     for s in shapes:
         del s["_box"]
-        # canonical key order: id, text, l, t, w, h
+        # canonical key order: id, text, l, t, w, h, rotation?
         ordered = {"id": s["id"]}
         if s.get("text"):
             ordered["text"] = s["text"]
         ordered.update({k: s[k] for k in ("l", "t", "w", "h")})
+        if "rotation" in s:
+            ordered["rotation"] = s["rotation"]
         s.clear()
         s.update(ordered)
     return shapes, arrows

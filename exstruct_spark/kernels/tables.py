@@ -65,7 +65,11 @@ def _grid_from_table(table: Node, cfg: DetectionConfig):
         trs = trs[: cfg.max_rows]
         truncated = True
     n_cols = 0
+    empty_run = 0
+    n_rows_scanned = 0
     for r, tr in enumerate(trs):
+        n_rows_scanned = r + 1
+        row_had_content = False
         c = 0
         for cell in tr.element_children():
             if cell.tag not in ("td", "th"):
@@ -80,6 +84,7 @@ def _grid_from_table(table: Node, cfg: DetectionConfig):
             text = cell.text_content()
             if text:
                 cells[(r, c)] = coerce_scalar(text)
+                row_had_content = True
             if cell.tag == "th":
                 th_cells.add((r, c))
             if cell.attrs:
@@ -104,9 +109,15 @@ def _grid_from_table(table: Node, cfg: DetectionConfig):
                             occupied.add((rr, cc))
             n_cols = max(n_cols, c + colspan)
             c += colspan
+        # W3 empty-run early termination (the reference stops scanning a
+        # used range after a long run of empty rows; logged as truncation)
+        empty_run = 0 if row_had_content else empty_run + 1
+        if empty_run >= cfg.max_empty_run:
+            truncated = True
+            break
     return (
         cells, merged_items, links, th_cells, colors,
-        len(trs), min(n_cols, cfg.max_cols), truncated,
+        n_rows_scanned, min(n_cols, cfg.max_cols), truncated,
     )
 
 

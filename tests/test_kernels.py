@@ -600,3 +600,80 @@ def test_detect_grid_shrinks_sparse_borders():
     # the sparse first row (1/6 filled) is trimmed -> range starts at row 2
     assert got[0]["range"] == "A2:F4"
     assert all(r["r"] >= 2 for r in got[0]["rows"])
+
+
+def test_units_and_css_lengths():
+    """F6 parity: EMU/pt/px conversions use the reference's constants
+    (12700 EMU per pt, ooxml_drawing.py:24) and geometry attrs accept CSS
+    units."""
+    from exstruct_spark.kernels.units import (
+        emu_to_points, emu_to_px, ooxml_rot_to_degrees, parse_css_length,
+        points_to_px,
+    )
+
+    assert emu_to_points(12700) == 1.0
+    assert emu_to_px(9525) == 1.0
+    assert points_to_px(72) == 96.0
+    assert ooxml_rot_to_degrees(5400000) == 90.0
+    assert ooxml_rot_to_degrees("x") is None
+    assert parse_css_length("10") == 10.0
+    assert parse_css_length("9pt") == 12.0
+    assert parse_css_length("1in") == 96.0
+    assert abs(parse_css_length("2.54cm") - 96.0) < 1e-9
+    assert parse_css_length("2em") is None  # layout-relative: degraded
+
+    # unit-bearing svg geometry flows into shapes as px
+    root = parse_html("<svg><rect x='0' y='0' width='9pt' height='1in'/></svg>")
+    shapes, _ = extract_svg_shapes(root.find_first("svg"))
+    assert (shapes[0]["w"], shapes[0]["h"]) == (12.0, 96.0)
+
+
+def test_rotated_shape_bbox_and_metadata():
+    """F5 rotation trig: a rotated rect records its rotation (like the
+    reference shape model's rotation field) and label containment uses
+    the ROTATED envelope."""
+    root = parse_html(
+        "<svg>"
+        # 40x10 rect rotated 90deg about its center (30,15) -> occupies
+        # roughly x in [25,35], y in [-5,35]
+        "<rect x='10' y='10' width='40' height='10'"
+        " transform='rotate(90 30 15)'/>"
+        "<text x='30' y='32'>L</text>"  # inside rotated envelope only
+        "</svg>"
+    )
+    shapes, _ = extract_svg_shapes(root.find_first("svg"))
+    s = shapes[0]
+    assert s["rotation"] == 90.0
+    assert (s["l"], s["t"], s["w"], s["h"]) == (10.0, 10.0, 40.0, 10.0)
+    assert s["text"] == "L"  # containment used the rotated box
+
+
+def test_normalize_url():
+    from exstruct_spark.kernels.extract import normalize_url
+
+    assert normalize_url("HTTP://Example.COM:80/a/./b/../c?q=1#frag") == \
+        "http://example.com/a/c?q=1"
+    assert normalize_url("https://h.example:443/") == "https://h.example/"
+    assert normalize_url("https://h.example/dir/") == "https://h.example/dir/"
+    # relative / non-http pass through verbatim (join keys preserved)
+    assert normalize_url("/rel/path") == "/rel/path"
+    assert normalize_url("mailto:x@y.z") == "mailto:x@y.z"
+
+    html = b"<p><a href='HTTP://H.Example/a/../b#x'>link text here ok</a></p>"
+    opts = ExtractOptions(normalize_links=True)
+    x = json.loads(extract_document("u", html, opts)["extraction_json"])
+    assert list(x["links_map"]) == ["http://h.example/b"]
+
+
+def test_empty_run_early_termination():
+    """W3 parity: a long run of empty rows stops the scan (logged as
+    truncation) instead of walking thousands of empty <tr>s."""
+    cfg = CFG.with_params(max_empty_run=5)
+    html = (
+        "<table><tr><td>head</td><td>x</td></tr>"
+        + "<tr><td></td></tr>" * 50
+        + "<tr><td>tail</td><td>y</td></tr></table>"
+    )
+    t = extract_table(parse_html(html).find_first("table"), 0, cfg)
+    assert t["truncated"] is True
+    assert max(r["r"] for r in t["rows"]) == 1  # tail never reached
