@@ -324,17 +324,33 @@ class ExtractionJob:
         input_snapshot: str = "static",
         wave_size: int = 16,
         max_waves: Optional[int] = None,
+        stage_input: bool = True,
     ) -> dict:
         """Execute (or resume) an extraction run in waves of buckets.
 
         ``wave_size``: buckets per checkpoint commit (resume granularity).
         ``max_waves``: stop early after N waves (testing/chunked runs).
+        ``stage_input``: True (default, the 100 TB shape) materializes the
+        bucketed input once so each wave is a partition-pruned read —
+        pays one input write to avoid buckets/wave_size full input scans.
+        False skips staging for inputs that are CHEAP to re-scan or
+        already partition-pruned at the source (an Iceberg table
+        partitioned by the bucket key, or a synthetic generator): waves
+        filter the input directly and buckets are enumerated statically
+        as range(n_buckets) — never a corpus-wide distinct().
         Returns a summary dict."""
         run_id = uuid.uuid4().hex[:12]
-        staged_path = self._stage_input(pages, input_snapshot)
-        staged = self.spark.read.parquet(staged_path)
+        if stage_input:
+            staged_path = self._stage_input(pages, input_snapshot)
+            staged = self.spark.read.parquet(staged_path)
+            present = self._list_staged_buckets(staged_path)
+        else:
+            staged = pages.withColumn(
+                "url_bucket",
+                F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int"),
+            )
+            present = list(range(self.n_buckets))
         done_set = self._done_buckets(input_snapshot)
-        present = self._list_staged_buckets(staged_path)
         todo_buckets = [b for b in present if b not in done_set]
 
         waves = [

@@ -589,6 +589,67 @@ GROUP BY predicted, lang
 """
 
 
+_LANGID_MARKERS = {
+    # tiny per-language marker vocabularies (stopword n-gram profiles) —
+    # the standard lightweight langid signal; zh scores CJK glyph mass
+    "en": r"\b(the|and|of|to|in|is|for)\b",
+    "de": r"\b(der|die|und|das|ist|nicht|mit)\b",
+    "es": r"\b(el|la|que|los|una|para|con)\b",
+    "fr": r"\b(le|les|des|une|est|dans|pour)\b",
+    "zh": "[一-鿿]",
+}
+
+
+def _langid_scores_sql(len_fn: str) -> str:
+    """Per-language marker-hit scores + deterministic argmax CASE chain,
+    shared by Spark (len_fn=size) and DuckDB (len_fn=len).  Spark SQL
+    string literals process backslash escapes ('\\b' -> backspace!) while
+    DuckDB keeps them verbatim, so the Spark variant doubles them."""
+    esc = (lambda p: p.replace("\\", "\\\\")) if len_fn == "size" else (lambda p: p)
+    score_list = [
+        f"{len_fn}(regexp_extract_all(text, '{esc(pat)}', 0)) AS s_{lang}"
+        for lang, pat in _LANGID_MARKERS.items()
+    ]
+    scores = ", ".join(score_list)
+    all_scores = ", ".join(f"s_{lang}" for lang in _LANGID_MARKERS)
+    # fixed evaluation order = deterministic tie-break (zh first: glyph
+    # mass is the strongest signal when present)
+    argmax = " ".join(
+        f"WHEN s_{lang} >= greatest({all_scores}) AND s_{lang} > 0 "
+        f"THEN '{lang}'"
+        for lang in _LANGID_MARKERS
+    )
+    return score_list, scores, f"CASE {argmax} ELSE 'unknown' END"
+
+
+def q_doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class language ID via marker-n-gram profiles (the real-langid
+    upgrade of ``doc_langid``'s latin/nonlatin binary): per-language
+    stopword/glyph hit counts -> deterministic argmax -> confusion counts
+    against the labeled ``lang`` column.  Pure column regexp work (scan-
+    local, zero shuffle before the final small groupBy); the identical
+    expressions run in DuckDB for the oracle."""
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    score_list, _scores, argmax = _langid_scores_sql("size")
+    return (
+        docs.selectExpr("lang", *score_list)
+        .selectExpr("lang", f"{argmax} AS predicted")
+        .groupBy("predicted", "lang")
+        .agg(F.count("*").alias("docs"))
+    )
+
+
+def _sql_doc_langid_ngram() -> str:
+    _score_list, scores, argmax = _langid_scores_sql("len")
+    return f"""
+SELECT predicted, lang, COUNT(*) AS docs
+FROM (
+  SELECT lang, {argmax} AS predicted
+  FROM (SELECT lang, text, {scores} FROM documents WHERE length(text) > 0))
+GROUP BY predicted, lang
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document fingerprinting: md5 over whitespace-normalized lowercase text
     docs = _t(spark, sf_dir, "documents")
@@ -833,24 +894,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.expr(expr).alias("simhash16"))
 
 
-def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding with a PORTABLE hash family: per-permutation
-    minhash = lexicographic min of md5('<seed>:' || shingle) hex strings
-    (fixed-length hex, so string min == numeric min), 4 bands of 4 hashed
-    with md5 again.  Same banded-bucket shape as ``dedup_minhash_lsh``
-    (whose xxhash64 is Spark-only) but computable verbatim in DuckDB —
-    this gives the MinHash kernel a full oracle row instead of rows-only.
-    Same lambda-binding discipline (CollapseProject guard)."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
-    bands_expr = f"""
-    element_at(transform(array({_TOK}), ws ->
-      element_at(transform(array(
+# 3-word shingle set (distinct) and md5 MinHash band expressions, shared
+# by the md5-family dedup queries; DuckDB computes the identical values
+_SHINGLES_CASE = f"""
           CASE WHEN size(ws) >= 3 THEN
             transform(sequence(1, size(ws) - 2),
                       i -> concat_ws(' ', element_at(ws, i),
                                           element_at(ws, i + 1),
                                           element_at(ws, i + 2)))
-          ELSE array(concat_ws(' ', ws)) END), sh ->
+          ELSE array(concat_ws(' ', ws)) END
+"""
+
+_MINHASH_MD5_BANDS_EXPR = f"""
+    element_at(transform(array({_TOK}), ws ->
+      element_at(transform(array({_SHINGLES_CASE}), sh ->
         element_at(transform(array(
             transform(sequence(0, 15),
                       s -> array_min(transform(sh, x ->
@@ -863,8 +920,26 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          element_at(mh, 4*b + 3),
                                          element_at(mh, 4*b + 4)) as binary)) AS band_hash))),
           1)), 1)), 1)
-    """
-    bands = docs.select("doc_id", F.explode(F.expr(bands_expr)).alias("band"))
+"""
+
+_SHINGLE_SET_EXPR = f"""
+    element_at(transform(array({_TOK}), ws ->
+      array_distinct({_SHINGLES_CASE})), 1)
+"""
+
+
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with a PORTABLE hash family: per-permutation
+    minhash = lexicographic min of md5('<seed>:' || shingle) hex strings
+    (fixed-length hex, so string min == numeric min), 4 bands of 4 hashed
+    with md5 again.  Same banded-bucket shape as ``dedup_minhash_lsh``
+    (whose xxhash64 is Spark-only) but computable verbatim in DuckDB —
+    this gives the MinHash kernel a full oracle row instead of rows-only.
+    Same lambda-binding discipline (CollapseProject guard)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    bands = docs.select(
+        "doc_id", F.explode(F.expr(_MINHASH_MD5_BANDS_EXPR)).alias("band")
+    )
     buckets = (
         bands.select("doc_id", "band.band_idx", "band.band_hash")
         .groupBy("band_idx", "band_hash")
@@ -879,7 +954,7 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_MINHASH_MD5 = r"""
+_SQL_MINHASH_MD5_BANDS_CTE = r"""
 WITH words AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
   FROM documents WHERE n_chars > 0),
@@ -899,7 +974,10 @@ bands AS (
   SELECT doc_id, b.band_idx,
          md5(mh[4*b.band_idx + 1] || '|' || mh[4*b.band_idx + 2] || '|' ||
              mh[4*b.band_idx + 3] || '|' || mh[4*b.band_idx + 4]) AS band_hash
-  FROM mh, (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b),
+  FROM mh, (SELECT UNNEST(generate_series(0, 3)) AS band_idx) b)
+"""
+
+SQL_DEDUP_MINHASH_MD5 = _SQL_MINHASH_MD5_BANDS_CTE + r""",
 buckets AS (
   SELECT band_idx, band_hash, COUNT(*) AS bucket_size
   FROM bands GROUP BY 1, 2)
@@ -908,6 +986,62 @@ SELECT CAST(band_idx AS INTEGER) AS band_idx,
        MAX(bucket_size) AS max_bucket,
        CAST(SUM(bucket_size * (bucket_size - 1) / 2) AS BIGINT) AS candidate_pairs
 FROM buckets GROUP BY 1
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup END-TO-END: md5 band buckets -> within-bucket
+    candidate pairs (equi-join, distinct) -> EXACT 3-gram-set Jaccard
+    verification on the candidates only.  The complete scale shape of
+    shingle dedup — shuffle is bucket-sized, the expensive set
+    intersection runs only on collided pairs — with a full DuckDB oracle
+    reproducing the identical buckets and Jaccard values."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    bands = docs.select(
+        "doc_id", F.explode(F.expr(_MINHASH_MD5_BANDS_EXPR)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = bands.select("band_idx", "band_hash", F.col("doc_id").alias("aid"))
+    b = bands.select("band_idx", "band_hash", F.col("doc_id").alias("bid"))
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("aid") < F.col("bid"))
+        .select("aid", "bid")
+        .distinct()
+    )
+    sh = docs.select("doc_id", F.expr(_SHINGLE_SET_EXPR).alias("shset"))
+    sa = sh.select(F.col("doc_id").alias("aid"), F.col("shset").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("bid"), F.col("shset").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(sa, "aid")
+        .join(sb, "bid")
+        .select(
+            "aid", "bid",
+            F.round(
+                inter.cast("double")
+                / (F.size("sa") + F.size("sb") - inter),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_DEDUP_MINHASH_PAIRS = _SQL_MINHASH_MD5_BANDS_CTE + r""",
+cand AS (
+  SELECT a.doc_id AS aid, b.doc_id AS bid
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+shsets AS (
+  SELECT doc_id, list_distinct(sh) AS shset FROM shingles)
+SELECT aid, bid,
+       ROUND(CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+             / (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))),
+             6) AS jaccard
+FROM cand
+JOIN shsets x ON x.doc_id = aid
+JOIN shsets y ON y.doc_id = bid
 """
 
 
@@ -1587,6 +1721,7 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
+    "doc_langid_ngram": q_doc_langid_ngram,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_length_percentiles": q_doc_length_percentiles,
     "dedup_exact": q_dedup_exact,
@@ -1599,6 +1734,7 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "dedup_minhash_md5": q_dedup_minhash_md5,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "dedup_components": q_dedup_components,
     "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1632,6 +1768,7 @@ ORACLES = {
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_langid": SQL_DOC_LANGID,
+    "doc_langid_ngram": _sql_doc_langid_ngram(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_length_percentiles": SQL_DOC_LENGTH_PERCENTILES,
     "dedup_exact": SQL_DEDUP_EXACT,
@@ -1646,6 +1783,7 @@ ORACLES = {
         bucket=_ann_bucket_sql("duckdb")
     ),
     "dedup_minhash_md5": SQL_DEDUP_MINHASH_MD5,
+    "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
     "events_sessions": SQL_EVENTS_SESSIONS,

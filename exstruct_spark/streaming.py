@@ -10,15 +10,86 @@ page files is processed exactly once per file with no recomputation
 
 Extraction is stateless per row, so no watermarks/state stores are
 needed; late data is N/A under snapshot/file semantics.
+
+``stream_sessionize`` adds the CUSTOM STATEFUL operator form
+(``applyInPandasWithState``): gap-based sessionization whose per-user
+state (last event time, session count) survives across micro-batches —
+the streaming twin of the batch ``events_sessions`` query, and the
+pattern any bespoke stateful operator on this engine follows (Arrow
+batches in/out; state is a small typed tuple, never per-row Python).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
 
 from exstruct_spark.config import ExtractOptions
 from exstruct_spark.engine import extract_stage
 from exstruct_spark.pages import PAGES_SCHEMA_DDL
+
+EVENTS_SCHEMA_DDL = (
+    "event_id bigint, user_id bigint, event_type string, "
+    "ts timestamp, value double"
+)
+
+SESSION_OUTPUT_DDL = "user_id bigint, n_sessions bigint, n_events bigint"
+SESSION_STATE_DDL = "last_ts_us bigint, n_sessions bigint, n_events bigint"
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    gap_minutes: int = 30,
+    input_schema: str = EVENTS_SCHEMA_DDL,
+) -> DataFrame:
+    """Streaming gap-sessionization: returns an UNSTARTED streaming
+    DataFrame of running per-user (n_sessions, n_events) counts.
+
+    Semantics match the batch ``events_sessions`` query exactly: a new
+    session starts when the gap to the previous event exceeds
+    ``gap_minutes`` (strict >, integer microseconds — the same tie-free
+    arithmetic the batch/oracle pair uses).  State per user is a 3-tuple;
+    each micro-batch sorts its own slice by (ts, event_id) and folds it
+    into the state, so a user's history never needs re-reading.
+    """
+    import pandas as pd  # noqa: F401 (executor-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        batch = pd.concat(list(pdfs))
+        batch = batch.sort_values(["ts", "event_id"])
+        for ts in batch["ts"]:
+            t_us = ts.value // 1000  # pandas ns -> us
+            if last_ts is None or t_us - last_ts > gap_us:
+                n_sessions += 1
+            last_ts = t_us
+            n_events += 1
+        state.update((last_ts, int(n_sessions), int(n_events)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [int(n_sessions)],
+                "n_events": [int(n_events)],
+            }
+        )
+
+    events = spark.readStream.schema(input_schema).parquet(events_dir)
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUTPUT_DDL,
+        SESSION_STATE_DDL,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
 
 
 def stream_extract_available_now(

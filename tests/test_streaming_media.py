@@ -110,3 +110,43 @@ def test_job_cli_smoke(tmp_path):
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     summary = json.loads(line)
     assert summary["rows_in_output"] == 120
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    streaming gap-sessionizer's final per-user counts equal the batch
+    events_sessions query over the same events."""
+    from exstruct_spark.queries import QUERIES
+    from exstruct_spark.streaming import stream_sessionize
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir = str(tmp_path / "ev")
+    events.coalesce(1).write.parquet(in_dir)
+
+    sessions = stream_sessionize(spark, in_dir, input_schema=events.schema)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM sess_stream")
+        .toPandas()
+        .drop_duplicates("user_id", keep="last")
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        QUERIES["events_sessions"](spark, sf_dir)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for col in ("user_id", "n_sessions", "n_events"):
+        assert list(got[col].astype(int)) == list(want[col].astype(int)), col
