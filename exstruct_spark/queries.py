@@ -1299,6 +1299,86 @@ WHERE rn <= 3
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantization into K=16 cells (centroids =
+    the first 16 vectors — deterministic, training-free), then the 10
+    query vectors probe ONLY their own cell (nprobe=1) and rank by exact
+    cosine.  The two scale properties IVF buys: assignment is a broadcast
+    of K tiny centroids against the corpus (never O(n^2)), and probe cost
+    is cell-sized.  Full DuckDB oracle computes identical cells and sims;
+    recall vs exhaustive search is the documented IVF trade."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        emb.where(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("k"), F.col("embedding").alias("ce")
+        )
+    )
+    dist = (
+        "aggregate(zip_with(embedding, ce, (x, y) -> "
+        "(cast(x as double) - cast(y as double)) * "
+        "(cast(x as double) - cast(y as double))), "
+        "cast(0 as double), (s, t) -> s + t)"
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("dist", "k")
+    cells = (
+        emb.join(cent)  # broadcast x K=16: bounded fan-out, not a corpus self-join
+        .withColumn("dist", F.expr(dist))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("k").alias("cell"))
+    )
+    e2 = emb.join(cells, "vec_id")
+    q = F.broadcast(
+        e2.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell"
+        )
+    )
+    c = e2.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce2"), "cell"
+    )
+    sims = (
+        q.join(c, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("sim", F.expr(_cosine_expr("qe", "ce2")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "rn", "cid", "sim")
+    )
+
+
+SQL_ANN_IVF_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS k, v AS c FROM e WHERE vec_id < 16),
+d AS (SELECT e.vec_id, cent.k,
+             list_dot_product(
+               list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i]),
+               list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i])
+             ) AS dist
+      FROM e CROSS JOIN cent),
+cells AS (SELECT vec_id, k AS cell
+          FROM (SELECT vec_id, k,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+                FROM d)
+          WHERE rn = 1),
+e2 AS (SELECT e.vec_id, e.v, cells.cell FROM e JOIN cells USING (vec_id)),
+s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      FROM e2 q JOIN e2 c ON q.cell = c.cell
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+SELECT qid, rn, cid, sim
+FROM (SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      FROM s)
+WHERE rn <= 3
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35), generated
     by the sign-LSH candidate path (``_neardup_pairs_lsh``) — NO cross
@@ -1733,6 +1813,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -1782,6 +1863,7 @@ ORACLES = {
     "ann_lsh_topk": SQL_ANN_LSH_TOPK_TEMPLATE.format(
         bucket=_ann_bucket_sql("duckdb")
     ),
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "dedup_minhash_md5": SQL_DEDUP_MINHASH_MD5,
     "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
