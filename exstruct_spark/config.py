@@ -69,6 +69,10 @@ class ExtractOptions:
     # port + fragment, collapse dot segments — the _normalize_zip_path
     # analogue, ooxml_drawing.py:907-921); off by default, same reason
     normalize_links: bool = False
+    # P7 parity: drop resolution/confidence/approximation_level from
+    # arrows before serialization (reference _BACKEND_METADATA_CLEAR,
+    # io/__init__.py:32-89 — provenance fields are backend-internal)
+    scrub_backend_metadata: bool = False
     # boilerplate classifier thresholds (Boilerpipe/trafilatura-style;
     # the web analogue of exstruct's density/coverage gates)
     max_link_density: float = 0.333

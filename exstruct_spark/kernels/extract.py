@@ -283,6 +283,13 @@ def extract_document(
                             a["end_id"] += base
                     shapes_all.extend(shapes)
                     arrows_all.extend(arrows)
+                if opts.scrub_backend_metadata:
+                    # P7: provenance fields are backend-internal (reference
+                    # _BACKEND_METADATA_CLEAR, io/__init__.py:32-89)
+                    for a in arrows_all:
+                        for k in ("resolution", "confidence",
+                                  "approximation_level"):
+                            a.pop(k, None)
                 if shapes_all:
                     extraction["shapes"] = shapes_all
                 if arrows_all:

@@ -677,3 +677,22 @@ def test_empty_run_early_termination():
     t = extract_table(parse_html(html).find_first("table"), 0, cfg)
     assert t["truncated"] is True
     assert max(r["r"] for r in t["rows"]) == 1  # tail never reached
+
+
+def test_scrub_backend_metadata():
+    """P7 parity (reference _BACKEND_METADATA_CLEAR, io/__init__.py:32-89):
+    provenance fields vanish from arrows; geometry/direction stay."""
+    html = (
+        "<svg><rect x='0' y='0' width='10' height='10'/>"
+        "<rect x='0' y='100' width='10' height='10'/>"
+        "<line x1='5' y1='10' x2='5' y2='100' marker-end='url(#m)'/></svg>"
+    ).encode()
+    plain = json.loads(extract_document("u", html)["extraction_json"])
+    assert "resolution" in plain["arrows"][0]
+    scrubbed = json.loads(
+        extract_document(
+            "u", html, ExtractOptions(scrub_backend_metadata=True)
+        )["extraction_json"]
+    )
+    a = scrubbed["arrows"][0]
+    assert set(a) == {"begin_id", "end_id", "direction"}
