@@ -228,6 +228,12 @@ class ExtractionJob:
     def _staged_path(self, input_snapshot: str) -> str:
         return f"{self.staging_dir}/snapshot={input_snapshot}"
 
+    def _output_schema_ddl(self) -> str:
+        return (
+            EXTRACT_WITH_PARTITION_DDL
+            + ", url_bucket int, input_snapshot string"
+        )
+
     def _stage_input(self, pages: DataFrame, input_snapshot: str) -> str:
         """Write the bucketed input ONCE per snapshot, partitioned by
         url_bucket (idempotent: a complete staging — _SUCCESS present — is
@@ -285,20 +291,34 @@ class ExtractionJob:
 
         ``staged`` is the bucket-partitioned staging table, so the filter
         below is a PARTITION FILTER — the wave reads only its own buckets'
-        files, never the full input."""
+        files, never the full input.
+
+        Output is partitioned by (input_snapshot, url_bucket): snapshots
+        never share partitions, so a new snapshot's dynamic overwrite can
+        neither leave another snapshot's rows looking current nor have
+        them mis-attributed to this run's metrics."""
         todo = staged.where(F.col("url_bucket").isin(wave_buckets))
         # url_bucket rides through the Arrow batch (passthrough) — no
         # re-hash, no re-join to recover the sink partition key
-        extracted = extract_stage(todo, self.opts, passthrough=("url_bucket",))
+        extracted = extract_stage(
+            todo, self.opts, passthrough=("url_bucket",)
+        ).withColumn("input_snapshot", F.lit(input_snapshot))
         (
             extracted.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("url_bucket")
+            .partitionBy("input_snapshot", "url_bucket")
             .parquet(self.output_dir)
         )
-        # read back only the wave's output partitions (pruned) for metrics
-        wave_out = self.spark.read.parquet(self.output_dir).where(
-            F.col("url_bucket").isin(wave_buckets)
+        # read back only the wave's output partitions (pruned) for
+        # metrics; the explicit schema keeps an all-empty wave readable
+        # (schema inference has no data files to look at then)
+        wave_out = (
+            self.spark.read.schema(self._output_schema_ddl())
+            .parquet(self.output_dir)
+            .where(
+                (F.col("input_snapshot") == input_snapshot)
+                & F.col("url_bucket").isin(wave_buckets)
+            )
         )
         metrics_from_extracted(wave_out, run_id).write.mode("append").parquet(
             self.metrics_dir
@@ -362,14 +382,16 @@ class ExtractionJob:
         for wave in waves:
             self._run_wave(staged, wave, run_id, input_snapshot)
 
-        # summary row count from the (tiny) metrics table — never a scan
-        # of the output corpus
+        # summary row count = rows in THIS SNAPSHOT's output partitions
+        # (metrics history is append-only and would double-count a
+        # reprocessed bucket; the output partitions are the truth).  One
+        # partition-pruned count at job end, not per wave.
         try:
-            n_out = int(
-                self.spark.read.parquet(self.metrics_dir)
-                .agg(F.sum("docs").alias("d"))
-                .collect()[0]["d"]
-                or 0
+            n_out = (
+                self.spark.read.schema(self._output_schema_ddl())
+                .parquet(self.output_dir)
+                .where(F.col("input_snapshot") == input_snapshot)
+                .count()
             )
         except Exception:
             n_out = 0

@@ -75,14 +75,10 @@ def normalize_color(raw: Optional[str]) -> Optional[str]:
 def cell_background(attrs: dict) -> Optional[str]:
     """Element attrs -> normalized background color key (or None).
 
-    Sources in precedence order: the legacy ``bgcolor`` attribute, then the
-    first ``background``/``background-color`` declaration in ``style``.
+    CSS cascade order: an inline ``style`` declaration WINS over the
+    legacy ``bgcolor`` attribute (presentational hints are the lowest
+    priority in every browser); ``bgcolor`` is the fallback.
     """
-    bg = attrs.get("bgcolor")
-    if bg:
-        key = normalize_color(bg)
-        if key:
-            return key
     style = attrs.get("style")
     if style:
         m = _STYLE_BG_RE.search(style)
@@ -91,4 +87,7 @@ def cell_background(attrs: dict) -> Optional[str]:
                 key = normalize_color(tok)
                 if key:
                     return key
+    bg = attrs.get("bgcolor")
+    if bg:
+        return normalize_color(bg)
     return None

@@ -91,18 +91,24 @@ def normalize_url(href: str) -> str:
     default = _DEFAULT_PORTS[parts.scheme.lower()]
     if netloc.endswith(default):
         netloc = netloc[: -len(default)]
-    segments: list = []
-    for seg in parts.path.split("/"):
-        if seg == "." or seg == "":
+    # RFC 3986 §5.2.4 remove_dot_segments: empty segments ('//') are
+    # PRESERVED (servers may distinguish them), and a trailing '.'/'..'
+    # leaves a trailing slash
+    raw = parts.path.split("/")
+    segments: list = [""]  # leading '' keeps the path absolute
+    for seg in raw[1:] if raw and raw[0] == "" else raw:
+        if seg == ".":
             continue
         if seg == "..":
-            if segments:
+            if len(segments) > 1:
                 segments.pop()
             continue
         segments.append(seg)
-    path = "/" + "/".join(segments)
-    if parts.path.endswith("/") and path != "/":
-        path += "/"
+    if raw and raw[-1] in (".", "..") and segments[-1] != "":
+        segments.append("")
+    path = "/".join(segments) or "/"
+    if not path.startswith("/"):
+        path = "/" + path
     return urlunsplit((parts.scheme.lower(), netloc, path, parts.query, ""))
 
 

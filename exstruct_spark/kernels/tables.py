@@ -341,8 +341,20 @@ def detect_grid_candidates(
         cells = _shrink_sparse_borders(cells)
         if len(cells) < cfg.min_cells:
             continue
-        header = _header_like(cells, set(), n_cols)
-        score, density, coverage = score_candidate(cells, len(rows), n_cols, header)
+        # gates run on the POST-shrink effective spans: a peeled border
+        # must not keep inflating the density/coverage denominator, and
+        # the header heuristic looks at the first SURVIVING row — trimming
+        # can then only help a candidate, never sink it
+        rs = [r for r, _ in cells]
+        cs = [c for _, c in cells]
+        r0, c0 = min(rs), min(cs)
+        shifted = {(r - r0, c - c0): v for (r, c), v in cells.items()}
+        n_rows_eff = max(rs) - r0 + 1
+        n_cols_eff = max(cs) - c0 + 1
+        header = _header_like(shifted, set(), n_cols_eff)
+        score, density, coverage = score_candidate(
+            shifted, n_rows_eff, n_cols_eff, header
+        )
         if (
             score < cfg.min_score
             or density < cfg.min_density

@@ -591,12 +591,14 @@ GROUP BY predicted, lang
 
 _LANGID_MARKERS = {
     # tiny per-language marker vocabularies (stopword n-gram profiles) —
-    # the standard lightweight langid signal; zh scores CJK glyph mass
+    # the standard lightweight langid signal.  DICT ORDER IS THE TIE-BREAK
+    # ORDER of the argmax CASE chain: zh first (glyph mass is the
+    # strongest signal when present), then the latin languages.
+    "zh": "[一-鿿]",
     "en": r"\b(the|and|of|to|in|is|for)\b",
     "de": r"\b(der|die|und|das|ist|nicht|mit)\b",
     "es": r"\b(el|la|que|los|una|para|con)\b",
     "fr": r"\b(le|les|des|une|est|dans|pour)\b",
-    "zh": "[一-鿿]",
 }
 
 
@@ -1060,6 +1062,11 @@ def _lsh_w_rows(n_planes: int, dim: int = 64):
     """
     import numpy as np
 
+    if n_planes > 64:
+        raise ValueError(
+            f"n_planes={n_planes} > 64: the seeded plane matrix is 64 rows "
+            "— widen the RandomState draw before requesting more bands"
+        )
     rng = np.random.RandomState(42)
     return np.round(rng.standard_normal((64, dim)), 6)[:n_planes]
 
@@ -1692,7 +1699,10 @@ def q_extract_chart_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chart.data_table_id").alias("table_id"),
             F.explode("chart.series").alias("s"),
         )
-        .where(F.col("s.y_range").isNotNull() & F.col("table_id").isNotNull())
+        # name_range marks a GRID-BOUND series: the synthetic-fallback
+        # y_range (a series' own vector footprint) has no name_range and
+        # must never be range-joined into the companion table
+        .where(F.col("s.name_range").isNotNull() & F.col("table_id").isNotNull())
         # decode the A1 band: single-letter columns cover the synthetic
         # corpus (ascii(letter) - 65); multi-letter grids would reuse
         # kernels/a1.py in a pandas stage instead

@@ -47,12 +47,21 @@ def stream_sessionize(
     """Streaming gap-sessionization: returns an UNSTARTED streaming
     DataFrame of running per-user (n_sessions, n_events) counts.
 
-    Semantics match the batch ``events_sessions`` query exactly: a new
-    session starts when the gap to the previous event exceeds
-    ``gap_minutes`` (strict >, integer microseconds — the same tie-free
-    arithmetic the batch/oracle pair uses).  State per user is a 3-tuple;
-    each micro-batch sorts its own slice by (ts, event_id) and folds it
-    into the state, so a user's history never needs re-reading.
+    Semantics: a new session starts when the gap to the previous event
+    exceeds ``gap_minutes`` (strict >, integer microseconds — the same
+    tie-free arithmetic the batch/oracle pair uses).  State per user is a
+    3-tuple; each micro-batch sorts its own slice by (ts, event_id) and
+    folds it into the state, so a user's history never needs re-reading.
+
+    Ordering contract: results equal the batch ``events_sessions`` query
+    when each user's events arrive in event-time order ACROSS micro-
+    batches (the append-only event-log case; within a batch any order is
+    fine — the batch is sorted here).  A LATE event (ts <= the state's
+    last seen time) cannot be re-sequenced without buffering the user's
+    history, so it is merged into the current session deterministically:
+    it increments n_events, never opens a session, and never moves
+    last_ts backwards (monotonic state).  True late-data re-sequencing
+    belongs to a watermark + event-time window formulation instead.
     """
     import pandas as pd  # noqa: F401 (executor-side)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -71,7 +80,9 @@ def stream_sessionize(
             t_us = ts.value // 1000  # pandas ns -> us
             if last_ts is None or t_us - last_ts > gap_us:
                 n_sessions += 1
-            last_ts = t_us
+            # monotonic: a late event joins the current session and must
+            # not drag last_ts backwards (see ordering contract above)
+            last_ts = t_us if last_ts is None else max(last_ts, t_us)
             n_events += 1
         state.update((last_ts, int(n_sessions), int(n_events)))
         yield pd.DataFrame(

@@ -696,3 +696,54 @@ def test_scrub_backend_metadata():
     )
     a = scrubbed["arrows"][0]
     assert set(a) == {"begin_id", "end_id", "direction"}
+
+
+def test_style_beats_bgcolor():
+    # CSS cascade: inline style wins over the bgcolor presentational hint
+    from exstruct_spark.kernels.colors import cell_background
+
+    assert cell_background({"bgcolor": "red", "style": "background: blue"}) == "0000FF"
+    assert cell_background({"bgcolor": "red"}) == "FF0000"
+
+
+def test_normalize_url_rfc_dot_segments():
+    from exstruct_spark.kernels.extract import normalize_url
+
+    # empty segments preserved (servers may distinguish //)
+    assert normalize_url("http://h/a//b") == "http://h/a//b"
+    # trailing '..' implies a trailing slash (RFC 3986 5.2.4)
+    assert normalize_url("http://h/a/b/..") == "http://h/a/"
+    assert normalize_url("http://h/..") == "http://h/"
+
+
+def test_lsh_planes_cap_raises():
+    import pytest as _pytest
+
+    from exstruct_spark.queries import _lsh_w_rows
+
+    with _pytest.raises(ValueError):
+        _lsh_w_rows(65)
+
+
+def test_grid_gates_use_post_shrink_spans():
+    """A sparse decorative border must not sink a dense grid: gates are
+    computed on the post-shrink effective area (finding: pre-shrink
+    denominators made trimming strictly harmful)."""
+    # 3 dense 4-wide rows under a 1-of-8-cells decorative row; with the
+    # old pre-shrink denominator (4 rows x 8 cols = 32) density would be
+    # 12/32 = 0.375 + no header row at r==0 -> score ~0.475... this grid
+    # must survive with a clean post-shrink score instead
+    html = (
+        "<div class='grid'>"
+        "<div>" + "<div></div>" * 7 + "<div>x</div></div>"
+        + "".join(
+            "<div>" + "".join(f"<div>w{r}{c}</div>" for c in range(4)) + "</div>"
+            for r in range(3)
+        )
+        + "</div>"
+    )
+    got = detect_grid_candidates(parse_html(html), CFG)
+    assert len(got) == 1
+    m = got[0]["_metrics"]
+    assert m["density"] == 1.0  # 12 cells / (3x4) effective area
+    assert got[0]["range"] == "A2:D4"

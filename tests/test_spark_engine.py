@@ -233,3 +233,29 @@ def test_metrics_wall_ms_sums_batches(spark):
     for _, row in per_batch.iterrows():
         assert m.loc[row["partition_id"], "wall_ms"] == row["sum_w"]
         assert row["sum_w"] >= row["max_w"]
+
+
+def test_nonstaged_empty_wave_and_snapshot_isolation(spark, tmp_path):
+    """Review findings: (a) stage_input=False with all-empty waves must
+    not crash on schema inference; (b) a new snapshot's output and
+    metrics are isolated from an old snapshot's partitions."""
+    out_d, lin_d, met_d = (
+        str(tmp_path / "o"), str(tmp_path / "l"), str(tmp_path / "m"),
+    )
+    # 32 buckets but only 20 docs: many buckets are empty -> the first
+    # wave can be entirely empty in non-staged (range-enumerated) mode
+    job = ExtractionJob(spark, out_d, lin_d, met_d, n_buckets=32)
+    pages = spark_pages(spark, 20, partitions=2)
+    r = job.run(pages, input_snapshot="s1", wave_size=4, stage_input=False)
+    assert r["rows_in_output"] == 20
+    assert r["buckets_processed"] == 32
+
+    # new snapshot over the same dirs: summary counts ONLY its own rows
+    # (append-only metrics history must not leak into the summary), and
+    # old-snapshot partitions stay untouched on disk
+    r2 = job.run(pages, input_snapshot="s2", wave_size=4, stage_input=False)
+    assert r2["buckets_done_before"] == 0
+    assert r2["rows_in_output"] == 20
+    out = spark.read.parquet(out_d)
+    assert out.where(F.col("input_snapshot") == "s1").count() == 20
+    assert out.where(F.col("input_snapshot") == "s2").count() == 20
