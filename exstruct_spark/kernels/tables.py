@@ -27,6 +27,7 @@ from typing import Optional
 
 from exstruct_spark.config import DetectionConfig
 from exstruct_spark.kernels.a1 import col_index_to_alpha, make_range
+from exstruct_spark.kernels.clusters import merge_rectangles, nonempty_clusters
 from exstruct_spark.kernels.coerce import coerce_scalar
 from exstruct_spark.kernels.colors import cell_background
 from exstruct_spark.kernels.dom import Node
@@ -341,44 +342,58 @@ def detect_grid_candidates(
         cells = _shrink_sparse_borders(cells)
         if len(cells) < cfg.min_cells:
             continue
-        # gates run on the POST-shrink effective spans: a peeled border
-        # must not keep inflating the density/coverage denominator, and
-        # the header heuristic looks at the first SURVIVING row — trimming
-        # can then only help a candidate, never sink it
-        rs = [r for r, _ in cells]
-        cs = [c for _, c in cells]
-        r0, c0 = min(rs), min(cs)
-        shifted = {(r - r0, c - c0): v for (r, c), v in cells.items()}
-        n_rows_eff = max(rs) - r0 + 1
-        n_cols_eff = max(cs) - c0 + 1
-        header = _header_like(shifted, set(), n_cols_eff)
-        score, density, coverage = score_candidate(
-            shifted, n_rows_eff, n_cols_eff, header
-        )
-        if (
-            score < cfg.min_score
-            or density < cfg.min_density
-            or coverage < cfg.min_coverage
-        ):
-            continue
-        for inner in node.iter():
-            claimed.add(id(inner))
-        rs = [r for r, _ in cells]
-        cs = [c for _, c in cells]
-        out.append(
-            {
-                "id": idx,
-                "kind": "grid",
-                "range": make_range(min(rs), min(cs), max(rs), max(cs)),
-                "score": round(score, 4),
-                "rows": _sparse_rows(cells, {}, alpha_keys),
-                "_metrics": {
-                    "density": density,
-                    "coverage": coverage,
-                    "n_cells": len(cells),
-                    "header": header,
-                },
+        # split disconnected cell regions into separate candidates, then
+        # merge overlapping boxes — the nonempty-CC + rectangle-merge
+        # detection core (reference core/cells.py:1277-1320, 1671-1717):
+        # two blocks separated by an empty band inside one container are
+        # two tables, not one sparse one
+        boxes = merge_rectangles(nonempty_clusters(cells))
+        emitted = False
+        for br1, bc1, br2, bc2 in boxes:
+            sub = {
+                k: v
+                for k, v in cells.items()
+                if br1 <= k[0] <= br2 and bc1 <= k[1] <= bc2
             }
-        )
-        idx += 1
+            if len(sub) < cfg.min_cells:
+                continue
+            # gates run on the POST-shrink effective spans: a peeled
+            # border must not keep inflating the density/coverage
+            # denominator, and the header heuristic looks at the first
+            # SURVIVING row — trimming only ever helps a candidate
+            shifted = {
+                (r - br1, c - bc1): v for (r, c), v in sub.items()
+            }
+            n_rows_eff = br2 - br1 + 1
+            n_cols_eff = bc2 - bc1 + 1
+            header = _header_like(shifted, set(), n_cols_eff)
+            score, density, coverage = score_candidate(
+                shifted, n_rows_eff, n_cols_eff, header
+            )
+            if (
+                score < cfg.min_score
+                or density < cfg.min_density
+                or coverage < cfg.min_coverage
+            ):
+                continue
+            out.append(
+                {
+                    "id": idx,
+                    "kind": "grid",
+                    "range": make_range(br1, bc1, br2, bc2),
+                    "score": round(score, 4),
+                    "rows": _sparse_rows(sub, {}, alpha_keys),
+                    "_metrics": {
+                        "density": density,
+                        "coverage": coverage,
+                        "n_cells": len(sub),
+                        "header": header,
+                    },
+                }
+            )
+            idx += 1
+            emitted = True
+        if emitted:
+            for inner in node.iter():
+                claimed.add(id(inner))
     return out

@@ -747,3 +747,39 @@ def test_grid_gates_use_post_shrink_spans():
     m = got[0]["_metrics"]
     assert m["density"] == 1.0  # 12 cells / (3x4) effective area
     assert got[0]["range"] == "A2:D4"
+
+
+def test_nonempty_clusters_and_merge():
+    from exstruct_spark.kernels.clusters import merge_rectangles, nonempty_clusters
+
+    # two 4-connected blocks separated by an empty band
+    cells = {(0, 0): 1, (0, 1): 2, (1, 0): 3, (1, 1): 4,
+             (5, 0): 5, (5, 1): 6, (6, 0): 7, (6, 1): 8}
+    assert nonempty_clusters(cells) == [(0, 0, 1, 1), (5, 0, 6, 1)]
+    # diagonal contact is NOT 4-connected
+    assert len(nonempty_clusters({(0, 0): 1, (1, 1): 1})) == 2
+
+    # overlap merges; containment is preserved (reference semantics)
+    assert merge_rectangles([(0, 0, 2, 2), (1, 1, 3, 3)]) == [(0, 0, 3, 3)]
+    assert merge_rectangles([(0, 0, 5, 5), (1, 1, 2, 2)]) == [
+        (0, 0, 5, 5), (1, 1, 2, 2),
+    ]
+
+
+def test_grid_detector_splits_disconnected_blocks():
+    """Two dense blocks separated by an empty band inside one container
+    emit TWO candidates (nonempty-CC split, reference cells.py:1277-1320),
+    each with its own range and header scoring."""
+    def block(rows, tag):
+        return "".join(
+            "<div>" + "".join(f"<div>{tag}{r}{c}</div>" for c in range(3)) + "</div>"
+            for r in range(rows)
+        )
+    empty_band = "<div><div></div><div></div><div></div></div>" * 2
+    html = "<div class='grid'>" + block(3, "a") + empty_band + block(3, "b") + "</div>"
+    got = detect_grid_candidates(parse_html(html), CFG)
+    assert len(got) == 2
+    assert got[0]["range"] == "A1:C3"
+    assert got[1]["range"] == "A6:C8"
+    assert got[0]["_metrics"]["density"] == 1.0
+    assert got[1]["_metrics"]["density"] == 1.0
