@@ -65,6 +65,10 @@ def _grid_from_table(table: Node, cfg: DetectionConfig):
     if len(trs) > cfg.max_rows:
         trs = trs[: cfg.max_rows]
         truncated = True
+    # one table-level probe gates the per-cell anchor scans: most tables
+    # carry no links, and the per-cell subtree walk is the grid pass's
+    # hottest incidental cost (profiled)
+    table_has_links = table.find_first("a") is not None
     n_cols = 0
     empty_run = 0
     n_rows_scanned = 0
@@ -92,9 +96,10 @@ def _grid_from_table(table: Node, cfg: DetectionConfig):
                 color = cell_background(cell.attrs)
                 if color:
                     colors[(r, c)] = color
-            a = cell.find_first("a")
-            if a is not None and a.get("href"):
-                links[(r, c)] = a.get("href")
+            if table_has_links:
+                a = cell.find_first("a")
+                if a is not None and a.get("href"):
+                    links[(r, c)] = a.get("href")
             if rowspan > 1 or colspan > 1:
                 r2 = min(r + rowspan - 1, cfg.max_rows - 1)
                 c2 = min(c + colspan - 1, cfg.max_cols - 1)

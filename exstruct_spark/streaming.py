@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from exstruct_spark.config import ExtractOptions
 from exstruct_spark.engine import extract_stage
@@ -36,6 +37,45 @@ EVENTS_SCHEMA_DDL = (
 
 SESSION_OUTPUT_DDL = "user_id bigint, n_sessions bigint, n_events bigint"
 SESSION_STATE_DDL = "last_ts_us bigint, n_sessions bigint, n_events bigint"
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    events_dir: str,
+    input_schema,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked event-time tumbling-window aggregation — the built-in
+    late-data form (vs ``stream_sessionize``'s custom-state form): counts
+    + exact-decimal value sums per (window, event_type).  The watermark
+    bounds state: windows older than max(event_time) - watermark are
+    finalized and dropped from the store, so state size is O(active
+    windows), not O(history) — the property that keeps this runnable
+    against an unbounded crawl-event stream.  Returns an unstarted
+    streaming DataFrame.
+    """
+    events = spark.readStream.schema(input_schema).parquet(events_dir)
+    # testdata timestamps read as TIMESTAMP_NTZ; watermarks require an
+    # instant-typed event-time column (session TZ is pinned to UTC, so
+    # the cast is deterministic)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(27,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
 
 
 def stream_sessionize(

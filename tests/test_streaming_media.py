@@ -150,3 +150,51 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert len(got) == len(want)
     for col in ("user_id", "n_sessions", "n_events"):
         assert list(got[col].astype(int)) == list(want[col].astype(int)), col
+
+
+def test_stream_windowed_counts_matches_batch(spark, tmp_path):
+    """Watermarked event-time windows (the built-in late-data form): the
+    stream's final per-(window, event_type) aggregates equal the batch
+    computation over the same events."""
+    from exstruct_spark.streaming import stream_windowed_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir = str(tmp_path / "ev")
+    events.coalesce(1).write.parquet(in_dir)
+
+    win = stream_windowed_counts(spark, in_dir, events.schema)
+    q = (
+        win.writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM win_stream")
+        .toPandas()
+        .drop_duplicates(["window_start", "event_type"], keep="last")
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(27,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert list(got["n_events"]) == list(want["n_events"])
+    assert list(got["sum_value"]) == list(want["sum_value"])
