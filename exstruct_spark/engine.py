@@ -226,7 +226,11 @@ class ExtractionJob:
         return fs, hpath
 
     def _staged_path(self, input_snapshot: str) -> str:
-        return f"{self.staging_dir}/snapshot={input_snapshot}"
+        # snapshot names may be paths/URIs ("iceberg:db.tbl", "s3://...");
+        # percent-encode for the directory name like partitionBy would
+        from urllib.parse import quote
+
+        return f"{self.staging_dir}/snapshot={quote(input_snapshot, safe='')}"
 
     def _output_schema_ddl(self) -> str:
         return (

@@ -1543,6 +1543,70 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline as ONE query — the
+    shape every real corpus build runs: quality gate (length/alpha/word-
+    length thresholds) -> exact dedup (min doc_id per content hash) ->
+    per-lang corpus accounting (docs kept, token mass, char mass).  Each
+    stage is scan-local column math; the only shuffles are the dedup
+    groupBy and the final small rollup."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    textlen = F.length("text")
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-z]", "")).cast(
+        "double"
+    ) / textlen
+    n_tokens = F.size(F.expr(_TOK))
+    good = (
+        docs.where(
+            (textlen >= 100)
+            & (alpha_ratio >= 0.5)
+            & (textlen.cast("double") / n_tokens <= 12.0)
+        )
+        .select(
+            "doc_id", "lang", n_tokens.alias("n_tokens"),
+            textlen.alias("text_len"),
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+        )
+    )
+    kept = (
+        good.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("members"),
+        )
+    )
+    survivors = good.join(
+        kept.select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("text_len").cast("bigint").alias("total_chars"),
+    )
+
+
+SQL_CORPUS_CURATION = r"""
+WITH good AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(text) AS text_len,
+         md5(text) AS fp
+  FROM documents
+  WHERE n_chars > 0
+    AND length(text) >= 100
+    AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        / length(text) >= 0.5
+    AND CAST(length(text) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\s+')) <= 12.0),
+kept AS (SELECT MIN(doc_id) AS doc_id FROM good GROUP BY fp)
+SELECT lang, COUNT(*) AS docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(text_len) AS BIGINT) AS total_chars
+FROM good JOIN kept USING (doc_id)
+GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # 6. salting demo: skewed-key aggregation in two phases
 
@@ -1818,6 +1882,7 @@ QUERIES = {
     "dedup_bow": q_dedup_bow,
     "dedup_ngram3": q_dedup_ngram3,
     "doc_quality_class": q_doc_quality_class,
+    "corpus_curation": q_corpus_curation,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1866,6 +1931,7 @@ ORACLES = {
     "dedup_bow": SQL_DEDUP_BOW,
     "dedup_ngram3": SQL_DEDUP_NGRAM3,
     "doc_quality_class": SQL_DOC_QUALITY_CLASS,
+    "corpus_curation": SQL_CORPUS_CURATION,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS_TEMPLATE.format(
         bucket=_ann_bucket_sql("duckdb")

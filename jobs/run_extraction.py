@@ -48,6 +48,19 @@ def main() -> None:
     ap.add_argument("--lineage", required=True)
     ap.add_argument("--metrics", required=True)
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--wave-size", type=int, default=16,
+                    help="buckets per checkpoint commit (resume granularity)")
+    ap.add_argument("--snapshot", default=None,
+                    help="input snapshot name keying lineage + output "
+                         "partitions (default: derived from the input)")
+    ap.add_argument("--staging", default=None,
+                    help="staging dir for the bucketed input (default: "
+                         "<output>.staging)")
+    ap.add_argument("--no-stage-input", action="store_true",
+                    help="skip input staging: waves filter the input "
+                         "directly (use when the source is already "
+                         "partition-pruned on the bucket key or cheap to "
+                         "re-scan)")
     ap.add_argument("--master", default=None,
                     help="override master (default: whatever spark-submit set)")
     args = ap.parse_args()
@@ -83,8 +96,14 @@ def main() -> None:
         lineage_dir=args.lineage,
         metrics_dir=args.metrics,
         n_buckets=args.buckets,
+        staging_dir=args.staging,
     )
-    summary = job.run(pages, input_snapshot=snapshot)
+    summary = job.run(
+        pages,
+        input_snapshot=args.snapshot or snapshot,
+        wave_size=args.wave_size,
+        stage_input=not args.no_stage_input,
+    )
     print(json.dumps(summary))
     spark.stop()
 
