@@ -243,6 +243,124 @@ def build_page(doc_id: int, seed: int = 42) -> dict:
     }
 
 
+# --- rich-feature corpus (round 2) -----------------------------------------
+# A SEPARATE archetype family exercising the round-2 extraction features
+# (colors_map, id-wired connectors, rotated shapes, unit geometry, grid
+# splitting, multi-series grid-bound charts).  Kept out of ARCHETYPES so
+# the bench corpus — the cross-round regression workload — stays
+# byte-identical.
+
+def _colored_table(rng: random.Random, lang: str) -> str:
+    palette = ["#ff0000", "#00ff00", "rgb(0,0,255)", "gold", "#ABC"]
+    rows = []
+    for r in range(3):
+        tds = "".join(
+            f"<td style='background:{rng.choice(palette)}'>{rng.randint(1, 99)}</td>"
+            if rng.random() < 0.6
+            else f"<td bgcolor='{rng.choice(palette)}'>{rng.randint(1, 99)}</td>"
+            for _ in range(3)
+        )
+        rows.append(f"<tr>{tds}</tr>")
+    return "<table><tr><th>a</th><th>b</th><th>c</th></tr>" + "".join(rows) + "</table>"
+
+
+def _wired_flowchart(rng: random.Random, lang: str) -> str:
+    y2 = 150 + rng.randint(0, 40)
+    return (
+        "<svg>"
+        "<rect id='n1' x='20' y='20' width='100' height='40'/>"
+        f"<rect id='n2' x='20' y='{y2}' width='100' height='40'"
+        f" transform='rotate({rng.choice([15, 30, 90])} 70 {y2 + 20})'/>"
+        "<text x='60' y='40'>Start</text>"
+        f"<line x1='70' y1='60' x2='70' y2='{y2}' marker-end='url(#a)'"
+        " data-begin='#n1' data-end='#n2'/>"
+        f"<line x1='75' y1='60' x2='75' y2='{y2}' marker-end='url(#a)'/>"
+        "</svg>"
+    )
+
+
+def _split_grid(rng: random.Random, lang: str) -> str:
+    def block(tag):
+        return "".join(
+            "<div>" + "".join(
+                f"<div>{tag}{r}{c} {rng.randint(0, 9)}</div>" for c in range(3)
+            ) + "</div>"
+            for r in range(3)
+        )
+    band = "<div><div></div><div></div><div></div></div>" * 2
+    return f"<div class='grid'>{block('a')}{band}{block('b')}</div>"
+
+
+def _unit_chart(rng: random.Random, lang: str) -> str:
+    pts = " ".join(f"{i * 10},{rng.randint(5, 90)}" for i in range(4))
+    pts2 = " ".join(f"{i * 10},{rng.randint(5, 90)}" for i in range(4))
+    table_rows = "".join(
+        f"<tr><td>{i}</td><td>{rng.randint(0, 50)}</td><td>{rng.randint(50, 99)}</td></tr>"
+        for i in range(4)
+    )
+    return (
+        "<figure><svg>"
+        "<text class='y-axis-title' x='1' y='1'>Value</text>"
+        f"<rect x='0' y='0' width='9pt' height='0.5in'/>"
+        f"<polyline points='{pts}'/><polyline points='{pts2}'/>"
+        "</svg><figcaption>Series pair</figcaption>"
+        "<table><tr><th>x</th><th>s1</th><th>s2</th></tr>"
+        + table_rows + "</table></figure>"
+    )
+
+
+RICH_ARCHETYPES = ["colored_table", "wired_flowchart", "split_grid", "unit_chart"]
+_RICH_BUILDERS = {
+    "colored_table": _colored_table,
+    "wired_flowchart": _wired_flowchart,
+    "split_grid": _split_grid,
+    "unit_chart": _unit_chart,
+}
+
+
+def build_rich_page(doc_id: int, seed: int = 42) -> dict:
+    rng = _rng(seed ^ 0x5A5A, doc_id)
+    archetype = RICH_ARCHETYPES[doc_id % len(RICH_ARCHETYPES)]
+    lang = "en"
+    url = f"https://rich.example/{archetype}/{doc_id}"
+    nav, footer = _nav_footer(rng)
+    title = _sentence(rng, lang, 3)
+    html = (
+        "<!DOCTYPE html><html><head>"
+        f"<meta charset='utf-8'><title>{title}</title></head>"
+        f"<body>{nav}<main><h1>{title}</h1>"
+        f"{_paragraphs(rng, lang, 2)}{_RICH_BUILDERS[archetype](rng, lang)}"
+        f"</main>{footer}</body></html>"
+    )
+    raw = html.encode("utf-8")
+    ts = _EPOCH + _dt.timedelta(seconds=(doc_id * 211) % 7_776_000)
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": raw,
+        "text": strip_tags_text(html),
+        "lang": lang,
+        "archetype": archetype,
+    }
+
+
+def gen_rich_pages_pdf(doc_ids: Iterable[int], seed: int = 42) -> pd.DataFrame:
+    rows = [build_rich_page(int(i), seed) for i in doc_ids]
+    return pd.DataFrame(
+        rows, columns=["url", "warc_ts", "html", "text", "lang", "archetype"]
+    )
+
+
+def spark_rich_pages(spark, n: int, seed: int = 42, partitions: int = 8):
+    def gen(batches):
+        for pdf in batches:
+            yield gen_rich_pages_pdf(pdf["id"].tolist(), seed)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen, schema=PAGES_SCHEMA_DDL
+    )
+
+
 def gen_pages_pdf(doc_ids: Iterable[int], seed: int = 42) -> pd.DataFrame:
     """pandas kernel: ids -> pages frame (usable inside mapInPandas)."""
     rows = [build_page(int(i), seed) for i in doc_ids]

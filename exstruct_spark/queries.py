@@ -1800,6 +1800,57 @@ def q_extract_chart_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_rich_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 feature sweep through the REAL Spark engine: a dedicated
+    rich-archetype corpus (colored tables, id-wired/rotated flowcharts,
+    split grids, multi-series unit-geometry charts) is extracted and each
+    feature's footprint counted from the typed JSON — colors_map keys,
+    direct-resolution arrows, rotated shapes, grid-split candidates,
+    grid-bound series.  Rows-only check (own corpus); each feature's
+    value-level behavior is pytest-verified at the kernel."""
+    from exstruct_spark.pages import spark_rich_pages
+
+    pages = spark_rich_pages(spark, 400, partitions=8)
+    extracted = extract_stage(pages, repartition_to=8, passthrough=("archetype",))
+    schema = (
+        "struct<"
+        "tables: array<struct<id:int, kind:string, "
+        "colors_map: map<string, array<array<int>>>>>, "
+        "charts: array<struct<series: array<struct<name_range:string>>>>, "
+        "arrows: array<struct<resolution:string>>, "
+        "shapes: array<struct<rotation:double>>"
+        ">"
+    )
+    typed = extracted.select(
+        "archetype", F.from_json("extraction_json", schema).alias("x")
+    )
+    z = F.lit(0)
+    return typed.groupBy("archetype").agg(
+        F.count("*").alias("docs"),
+        F.sum(
+            F.coalesce(F.size(F.expr(
+                "filter(x.tables, t -> t.colors_map is not null)")), z)
+        ).cast("bigint").alias("tables_with_colors"),
+        F.sum(
+            F.coalesce(F.size(F.expr(
+                "filter(x.arrows, a -> a.resolution = 'direct')")), z)
+        ).cast("bigint").alias("direct_arrows"),
+        F.sum(
+            F.coalesce(F.size(F.expr(
+                "filter(x.shapes, s -> s.rotation is not null)")), z)
+        ).cast("bigint").alias("rotated_shapes"),
+        F.sum(
+            F.coalesce(F.size(F.expr(
+                "filter(x.tables, t -> t.kind = 'grid')")), z)
+        ).cast("bigint").alias("grid_candidates"),
+        F.sum(
+            F.coalesce(F.expr(
+                "aggregate(x.charts, 0, (acc, c) -> acc + "
+                "size(filter(c.series, s -> s.name_range is not null)))"), z)
+        ).cast("bigint").alias("grid_bound_series"),
+    )
+
+
 def q_pages_by_host_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level rollup over the crawl corpus — THE skewed aggregation of
     this engine (a hot host is millions of urls at 10^12 scale).  Two-phase
@@ -1904,6 +1955,7 @@ QUERIES = {
     "pages_by_host_salted": q_pages_by_host_salted,
     "extract_cells_exploded": q_extract_cells_exploded,
     "extract_chart_series": q_extract_chart_series,
+    "extract_rich_features": q_extract_rich_features,
 }
 
 ORACLES = {

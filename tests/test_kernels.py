@@ -783,3 +783,25 @@ def test_grid_detector_splits_disconnected_blocks():
     assert got[1]["range"] == "A6:C8"
     assert got[0]["_metrics"]["density"] == 1.0
     assert got[1]["_metrics"]["density"] == 1.0
+
+
+def test_multi_series_chart_grid_binding():
+    """Two polylines + a 3-column companion table: series s binds to
+    column s+1; a third svg series beyond the table's width stays
+    synthetic."""
+    html = (
+        "<figure><svg>"
+        "<polyline points='0,1 1,2 2,3'/>"
+        "<polyline points='0,4 1,5 2,6'/>"
+        "<polyline points='0,7 1,8 2,9'/>"
+        "</svg>"
+        "<table><tr><th>x</th><th>a</th><th>b</th></tr>"
+        "<tr><td>1</td><td>10</td><td>20</td></tr>"
+        "<tr><td>2</td><td>11</td><td>21</td></tr></table>"
+        "</figure>"
+    ).encode()
+    x = json.loads(extract_document("u", html)["extraction_json"])
+    s0, s1, s2 = x["charts"][0]["series"]
+    assert (s0["name_range"], s0["y_range"]) == ("B1", "B2:B3")
+    assert (s1["name_range"], s1["y_range"]) == ("C1", "C2:C3")
+    assert "name_range" not in s2 and s2["y_range"] == "A3:C3"

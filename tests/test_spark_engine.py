@@ -259,3 +259,23 @@ def test_nonstaged_empty_wave_and_snapshot_isolation(spark, tmp_path):
     out = spark.read.parquet(out_d)
     assert out.where(F.col("input_snapshot") == "s1").count() == 20
     assert out.where(F.col("input_snapshot") == "s2").count() == 20
+
+
+def test_rich_feature_sweep_counts(spark):
+    """Round-2 features exercised END-TO-END through the Spark engine on
+    the rich-archetype corpus: expected per-archetype footprints (2 grid
+    candidates per split_grid doc, 2 bound series per unit_chart doc, one
+    direct arrow + one rotated shape per wired_flowchart doc, colors on
+    every colored_table doc)."""
+    from exstruct_spark.queries import q_extract_rich_features
+
+    pdf = (
+        q_extract_rich_features(spark, "unused")
+        .toPandas()
+        .set_index("archetype")
+    )
+    assert pdf.loc["colored_table", "tables_with_colors"] == pdf.loc["colored_table", "docs"]
+    assert pdf.loc["split_grid", "grid_candidates"] == 2 * pdf.loc["split_grid", "docs"]
+    assert pdf.loc["unit_chart", "grid_bound_series"] == 2 * pdf.loc["unit_chart", "docs"]
+    assert pdf.loc["wired_flowchart", "direct_arrows"] == pdf.loc["wired_flowchart", "docs"]
+    assert pdf.loc["wired_flowchart", "rotated_shapes"] == pdf.loc["wired_flowchart", "docs"]
