@@ -1543,6 +1543,35 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the oracle computes the SAME components with a recursive transitive
+# closure over the brute-force similarity edges — so both the LSH pair
+# generation AND the iterative min-label loop are value-checked against
+# exhaustive, independent machinery every correctness run (closure size is
+# sum of component sizes squared: fine at oracle scale, never run on the
+# corpus)
+SQL_DEDUP_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT a.vec_id AS aid, b.vec_id AS bid
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+  CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+  WHERE a.vec_id <> b.vec_id
+    AND ROUND(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
+reach(node, r) AS (
+  SELECT aid, aid FROM e
+  UNION
+  SELECT aid, bid FROM e
+  UNION
+  SELECT reach.node, e.bid FROM reach JOIN e ON reach.r = e.aid
+)
+SELECT CAST(label AS BIGINT) AS label,
+       COUNT(*) AS component_size,
+       CAST(MIN(node) AS BIGINT) AS component_min_id
+FROM (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+GROUP BY label
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation pipeline as ONE query — the
     shape every real corpus build runs: quality gate (length/alpha/word-
@@ -1998,9 +2027,10 @@ ORACLES = {
     "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "docs_by_source_salted": SQL_DOCS_BY_SOURCE,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     # rows-only (non-SQL-expressible / Spark-specific hash or the engine's
     # own synthetic corpus): dedup_minhash_lsh + dedup_simhash (xxhash64 is
     # Spark-only; the md5 MinHash variant above carries the oracle for the
-    # kernel), dedup_components (iterative), extract_rollup,
+    # kernel), extract_rollup,
     # extract_metrics, extract_fallback_audit, extract_documents_flagship
 }
