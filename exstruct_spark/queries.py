@@ -930,6 +930,53 @@ _SHINGLE_SET_EXPR = f"""
 """
 
 
+_HI_NIBBLES = "('8','9','a','b','c','d','e','f')"
+
+
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with a PORTABLE bit family: bit b of a word's signature is
+    the high bit of hex nibble b of md5(word) (lowercase hex in both
+    engines), so DuckDB reproduces the identical 16-bit fingerprints —
+    the oracle row for the SimHash kernel (the xxhash64 variant stays the
+    fast Spark-native path).  Same zero-shuffle per-document aggregate
+    fold as ``dedup_simhash``."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    expr = f"""
+    element_at(transform(array(transform({_TOK}, w -> md5(cast(w as binary)))), hs ->
+      element_at(transform(array(
+          aggregate(hs, array_repeat(0, 16),
+                    (acc, h) -> zip_with(acc, sequence(0, 15),
+                        (a, b) -> a + CASE WHEN substring(h, b + 1, 1)
+                                       IN {_HI_NIBBLES}
+                                       THEN 1 ELSE -1 END))), votes ->
+        aggregate(sequence(0, 15), cast(0 as bigint),
+                  (acc, b) -> acc + CASE WHEN element_at(votes, b + 1) > 0
+                                   THEN shiftleft(cast(1 as bigint), b)
+                                   ELSE cast(0 as bigint) END)), 1)), 1)
+    """
+    return docs.select("doc_id", F.expr(expr).alias("simhash16"))
+
+
+def _sql_dedup_simhash_md5() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN substring(md5(w), {b + 1}, 1) IN {_HI_NIBBLES} "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return rf"""
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16
+FROM (
+  SELECT doc_id, {votes}
+  FROM (SELECT doc_id,
+               UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE n_chars > 0)
+  GROUP BY doc_id)
+"""
+
+
 def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding with a PORTABLE hash family: per-permutation
     minhash = lexicographic min of md5('<seed>:' || shingle) hex strings
@@ -1965,6 +2012,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_md5": q_dedup_simhash_md5,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2022,6 +2070,7 @@ ORACLES = {
     ),
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "dedup_minhash_md5": SQL_DEDUP_MINHASH_MD5,
+    "dedup_simhash_md5": _sql_dedup_simhash_md5(),
     "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
