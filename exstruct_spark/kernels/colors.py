@@ -81,8 +81,9 @@ def cell_background(attrs: dict) -> Optional[str]:
     """
     style = attrs.get("style")
     if style:
-        m = _STYLE_BG_RE.search(style)
-        if m:
+        # last VALID declaration wins (CSS cascade within one style
+        # attribute; invalid values are dropped at parse time)
+        for m in reversed(list(_STYLE_BG_RE.finditer(style))):
             for tok in _COLOR_TOKEN_RE.findall(m.group(1)):
                 key = normalize_color(tok)
                 if key:

@@ -104,7 +104,10 @@ def normalize_url(href: str) -> str:
                 segments.pop()
             continue
         segments.append(seg)
-    if raw and raw[-1] in (".", "..") and segments[-1] != "":
+    if raw and raw[-1] in (".", ".."):
+        # RFC 3986 5.2.4: a trailing dot segment leaves a trailing slash
+        # (unconditionally — '/a//.' keeps its preserved empty segment
+        # AND gains the slash: '/a//')
         segments.append("")
     path = "/".join(segments) or "/"
     if not path.startswith("/"):

@@ -1369,11 +1369,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("k"), F.col("embedding").alias("ce")
         )
     )
+    # round-before-rank, the module's float-parity convention: a near-tied
+    # assignment must not flip between engines on a last-ULP summation
+    # difference (ties after rounding break on k)
     dist = (
-        "aggregate(zip_with(embedding, ce, (x, y) -> "
+        "round(aggregate(zip_with(embedding, ce, (x, y) -> "
         "(cast(x as double) - cast(y as double)) * "
         "(cast(x as double) - cast(y as double))), "
-        "cast(0 as double), (s, t) -> s + t)"
+        "cast(0 as double), (s, t) -> s + t), 6)"
     )
     w_assign = Window.partitionBy("vec_id").orderBy("dist", "k")
     cells = (
@@ -1409,10 +1412,10 @@ SQL_ANN_IVF_TOPK = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS k, v AS c FROM e WHERE vec_id < 16),
 d AS (SELECT e.vec_id, cent.k,
-             list_dot_product(
+             ROUND(list_dot_product(
                list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i]),
                list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i])
-             ) AS dist
+             ), 6) AS dist
       FROM e CROSS JOIN cent),
 cells AS (SELECT vec_id, k AS cell
           FROM (SELECT vec_id, k,
@@ -1533,7 +1536,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern when components span the corpus (unlike per-doc components,
     SURVEY.md §2.8 G2).  Edges come from the sign-LSH candidate path
     (``_neardup_pairs_lsh``) — no cross join feeds this operator.
-    Rows-only check (verified against a union-find reference in pytest).
+    FULL oracle check: DuckDB recomputes the components with a recursive
+    transitive closure over brute-force edges (SQL_DEDUP_COMPONENTS
+    below), value-hashed every correctness run; a union-find pytest
+    cross-checks as well.
     """
     emb = _t(spark, sf_dir, "embeddings")
     pairs = _neardup_pairs_lsh(emb, threshold=0.35).select("aid", "bid")

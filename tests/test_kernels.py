@@ -805,3 +805,18 @@ def test_multi_series_chart_grid_binding():
     assert (s0["name_range"], s0["y_range"]) == ("B1", "B2:B3")
     assert (s1["name_range"], s1["y_range"]) == ("C1", "C2:C3")
     assert "name_range" not in s2 and s2["y_range"] == "A3:C3"
+
+
+def test_style_last_declaration_wins():
+    from exstruct_spark.kernels.colors import cell_background
+
+    assert cell_background({"style": "background: red; background: blue"}) == "0000FF"
+    # last declaration invalid -> previous valid one wins
+    assert cell_background({"style": "background: red; background: var(--x)"}) == "FF0000"
+
+
+def test_normalize_url_trailing_dot_after_empty_segment():
+    from exstruct_spark.kernels.extract import normalize_url
+
+    assert normalize_url("http://h/a//.") == "http://h/a//"
+    assert normalize_url("http://h/a/.") == "http://h/a/"
