@@ -2085,7 +2085,8 @@ ORACLES = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     # rows-only (non-SQL-expressible / Spark-specific hash or the engine's
     # own synthetic corpus): dedup_minhash_lsh + dedup_simhash (xxhash64 is
-    # Spark-only; the md5 MinHash variant above carries the oracle for the
-    # kernel), extract_rollup,
-    # extract_metrics, extract_fallback_audit, extract_documents_flagship
+    # Spark-only; their md5 twins above carry the oracle for each kernel),
+    # and the extraction-engine queries over the repo's own corpora
+    # (extract_* / media_metadata / pages_by_host_salted), each covered by
+    # pytest instead
 }
