@@ -84,3 +84,30 @@ class ExtractOptions:
     print_areas: tuple = ()
     normalize_areas: bool = False
     detection: DetectionConfig = field(default_factory=DetectionConfig)
+
+    @classmethod
+    def from_mode(cls, mode: str, **overrides) -> "ExtractOptions":
+        """Mode presets mirroring the reference's ExtractionMode dial
+        (reference engine.py:260-277, shapes.py:115-126):
+
+        * ``light``    — text + tables only (shapes/charts/lists/maps
+          excluded, like the reference's always-exclude-shapes rule)
+        * ``standard`` — the defaults (everything except provenance scrub)
+        * ``verbose``  — everything, including provenance fields on arrows
+
+        ``overrides`` are applied on top of the preset.
+        """
+        if mode == "light":
+            base = dict(
+                include_shapes=False, include_charts=False,
+                include_lists=False, include_links=False,
+                include_sections=False, include_class_map=False,
+            )
+        elif mode == "standard":
+            base = dict(scrub_backend_metadata=True)
+        elif mode == "verbose":
+            base = {}
+        else:
+            raise ValueError(f"unknown extraction mode: {mode!r}")
+        base.update(overrides)
+        return cls(**base)

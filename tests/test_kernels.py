@@ -820,3 +820,34 @@ def test_normalize_url_trailing_dot_after_empty_segment():
 
     assert normalize_url("http://h/a//.") == "http://h/a//"
     assert normalize_url("http://h/a/.") == "http://h/a/"
+
+
+def test_extraction_mode_presets():
+    """Mode dial parity (reference engine.py:260-277): light = text +
+    tables only; standard scrubs provenance; verbose keeps everything."""
+    html = (
+        "<svg><rect x='0' y='0' width='9' height='9'/>"
+        "<rect x='0' y='50' width='9' height='9'/>"
+        "<line x1='4' y1='9' x2='4' y2='50' marker-end='url(#m)'/></svg>"
+        "<table><tr><th>a</th></tr><tr><td>1</td></tr></table>"
+        "<p><a href='/x'>some link text here</a></p>"
+    ).encode()
+    light = json.loads(
+        extract_document("u", html, ExtractOptions.from_mode("light"))["extraction_json"]
+    )
+    assert "tables" in light
+    assert all(k not in light for k in ("shapes", "arrows", "links_map", "class_map"))
+
+    std = json.loads(
+        extract_document("u", html, ExtractOptions.from_mode("standard"))["extraction_json"]
+    )
+    assert "resolution" not in std["arrows"][0]
+
+    verb = json.loads(
+        extract_document("u", html, ExtractOptions.from_mode("verbose"))["extraction_json"]
+    )
+    assert verb["arrows"][0]["resolution"] == "heuristic"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ExtractOptions.from_mode("nope")
