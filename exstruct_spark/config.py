@@ -92,7 +92,9 @@ class ExtractOptions:
 
         * ``light``    — text + tables only (shapes/charts/lists/maps
           excluded, like the reference's always-exclude-shapes rule)
-        * ``standard`` — the defaults (everything except provenance scrub)
+        * ``standard`` — every artifact family, provenance metadata
+          SCRUBBED from arrows (note: the bare ``ExtractOptions()``
+          dataclass defaults equal the ``verbose`` preset, not this one)
         * ``verbose``  — everything, including provenance fields on arrows
 
         ``overrides`` are applied on top of the preset.

@@ -27,44 +27,47 @@ def strip_empty(value: Any) -> Any:
     applies bottom-up so a dict that becomes empty is itself dropped by the
     caller one level up.  ``0``/``0.0``/``False`` are NOT empty.
     """
-    # scalars are the overwhelmingly common case: handle children inline
-    # (one type() dispatch) instead of recursing per scalar — ~2x fewer
-    # Python calls on real documents, byte-identical output (covered by
-    # the unit + hypothesis fixpoint tests)
-    t = type(value)
-    if t is dict:
+    # one flat helper call per child (exact-type fast path inside) instead
+    # of recursion + a separate emptiness call — fewer Python calls on
+    # real documents, byte-identical output (unit + hypothesis fixpoint
+    # tests), with isinstance fallbacks preserving subclass semantics
+    if isinstance(value, dict):
         out = {}
         for k, v in value.items():
-            tv = type(v)
-            if tv is dict or tv is list or tv is tuple:
-                v = strip_empty(v)
-                if len(v) == 0:
-                    continue
-            elif v is None or (tv is str and not v):
-                continue
-            out[k] = v
+            v = _strip_child(v)
+            if v is not _DROP:
+                out[k] = v
         return out
-    if t is list or t is tuple:
+    if isinstance(value, (list, tuple)):
         out_l = []
         for v in value:
-            tv = type(v)
-            if tv is dict or tv is list or tv is tuple:
-                v = strip_empty(v)
-                if len(v) == 0:
-                    continue
-            elif v is None or (tv is str and not v):
-                continue
-            out_l.append(v)
+            v = _strip_child(v)
+            if v is not _DROP:
+                out_l.append(v)
         return out_l
     return value
 
 
-def _is_empty(v: Any) -> bool:
-    if v is None:
-        return True
-    if isinstance(v, (str, list, dict, tuple)) and len(v) == 0:
-        return True
-    return False
+_DROP = object()  # sentinel: child stripped away entirely
+
+
+def _strip_child(v: Any) -> Any:
+    """One child: exact-type fast path for the dominant builtin cases,
+    isinstance fallback so dict/list/str SUBCLASSES keep the original
+    semantics (recursed / dropped-when-empty) instead of silently passing
+    through."""
+    tv = type(v)
+    if tv is dict or tv is list or tv is tuple:
+        v = strip_empty(v)
+        return _DROP if len(v) == 0 else v
+    if v is None or (tv is str and not v):
+        return _DROP
+    if isinstance(v, (dict, list, tuple)):
+        v = strip_empty(v)
+        return _DROP if len(v) == 0 else v
+    if isinstance(v, str) and not v:
+        return _DROP
+    return v
 
 
 def canonical_json(value: Any) -> str:

@@ -717,11 +717,9 @@ def test_normalize_url_rfc_dot_segments():
 
 
 def test_lsh_planes_cap_raises():
-    import pytest as _pytest
-
     from exstruct_spark.queries import _lsh_w_rows
 
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         _lsh_w_rows(65)
 
 
@@ -848,6 +846,5 @@ def test_extraction_mode_presets():
     )
     assert verb["arrows"][0]["resolution"] == "heuristic"
 
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         ExtractOptions.from_mode("nope")
