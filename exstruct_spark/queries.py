@@ -1555,9 +1555,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    # min-label propagation is GRAPH-DIAMETER-bound (each round a node
-    # learns only its direct neighborhood's min), so the loop must detect
-    # non-convergence rather than silently return split components
+    # plain min-label propagation is GRAPH-DIAMETER-bound (each round a
+    # node learns only its direct neighborhood's min).  Each round here
+    # adds a POINTER-JUMPING shortcut — label(u) := min(label(u),
+    # label(label(u))) — which halves label-chain lengths, so convergence
+    # is O(log diameter) rounds (the ADVICE-r1 fix; labels only ever
+    # decrease toward the component min, so the fixpoint is unchanged).
+    # Non-convergence still raises rather than silently splitting.
     changed = 0
     for _ in range(30):
         neighbor_min = (
@@ -1565,12 +1569,24 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("aid")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.aid, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # shortcut: follow one's label to ITS label and take the min
+        parent = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.aid, "left")
+            stepped.join(parent, stepped.label == parent.pnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
