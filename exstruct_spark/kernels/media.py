@@ -103,6 +103,43 @@ def frame_sample_stub(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list
     ]
 
 
+def resize_image_stub(
+    raw: bytes, max_side: int = 256, mode: str = "fake"
+) -> dict:
+    """STUB image resize: computes the aspect-preserving target dims from
+    the (stubbed) decode and a deterministic fingerprint standing in for
+    the resized bytes.  ``strict`` raises like the other codec steps."""
+    if mode == "strict":
+        raise NotImplementedError(
+            "resize requires an image codec (Pillow/libvips) — "
+            "not available in this environment; use mode='fake'"
+        )
+    meta = decode_image_stub(raw, mode)
+    w, h = meta["width"], meta["height"]
+    scale = min(1.0, max_side / max(w, h))
+    rw, rh = max(1, int(w * scale)), max(1, int(h * scale))
+    fp = hashlib.sha256(
+        raw + rw.to_bytes(4, "big") + rh.to_bytes(4, "big")
+    ).hexdigest()[:12]
+    return {"resized_w": rw, "resized_h": rh, "resized_fp": fp}
+
+
+def image_features_stub(raw: bytes, dim: int = 8, mode: str = "fake") -> list:
+    """STUB feature extraction: a deterministic unit-norm float vector
+    derived from the content hash — the embedding-column shape a real
+    vision encoder would emit, without the model."""
+    if mode == "strict":
+        raise NotImplementedError(
+            "feature extraction requires a vision encoder — "
+            "not available in this environment; use mode='fake'"
+        )
+    digest = hashlib.sha256(b"feat:" + raw).digest()
+    v = np.frombuffer(digest[: dim * 4], dtype=np.uint32).astype(np.float64)
+    v = (v / 2**32) - 0.5
+    n = float(np.sqrt((v * v).sum())) or 1.0
+    return [float(round(x / n, 6)) for x in v]
+
+
 def media_meta_pdf(pdf: pd.DataFrame, blob_col: str = "blob", mode: str = "fake") -> pd.DataFrame:
     """pandas batch kernel: opaque blobs -> typed metadata frame.
 
@@ -121,11 +158,18 @@ def media_meta_pdf(pdf: pd.DataFrame, blob_col: str = "blob", mode: str = "fake"
             "fingerprint": content_fingerprint(raw),
             "width": None,
             "height": None,
+            "resized_w": None,
+            "resized_h": None,
+            "feature": None,
             "frame_fps": None,
         }
         if mtype.startswith("image/"):
             meta = decode_image_stub(raw, mode)
             rec["width"], rec["height"] = meta["width"], meta["height"]
+            resized = resize_image_stub(raw, mode=mode)
+            rec["resized_w"] = resized["resized_w"]
+            rec["resized_h"] = resized["resized_h"]
+            rec["feature"] = image_features_stub(raw, mode=mode)
         elif mtype.startswith("video/"):
             rec["frame_fps"] = frame_sample_stub(raw, mode=mode)
         out.append(rec)
@@ -133,7 +177,8 @@ def media_meta_pdf(pdf: pd.DataFrame, blob_col: str = "blob", mode: str = "fake"
         out,
         columns=[
             "media_type", "n_bytes", "entropy", "fingerprint",
-            "width", "height", "frame_fps",
+            "width", "height", "resized_w", "resized_h", "feature",
+            "frame_fps",
         ],
     )
     for key_col in pdf.columns:
@@ -144,5 +189,6 @@ def media_meta_pdf(pdf: pd.DataFrame, blob_col: str = "blob", mode: str = "fake"
 
 MEDIA_META_SCHEMA_DDL = (
     "media_type string, n_bytes bigint, entropy double, fingerprint string, "
-    "width int, height int, frame_fps array<string>"
+    "width int, height int, resized_w int, resized_h int, "
+    "feature array<float>, frame_fps array<string>"
 )

@@ -198,3 +198,49 @@ def test_stream_windowed_counts_matches_batch(spark, tmp_path):
     assert len(got) == len(want)
     assert list(got["n_events"]) == list(want["n_events"])
     assert list(got["sum_value"]) == list(want["sum_value"])
+
+
+def test_resize_and_feature_stubs():
+    """Brief checklist: decode / feature-extract / RESIZE / frame-sample.
+    The codec steps stay honest stubs; the Spark-side shapes are real."""
+    import pytest as _p
+
+    from exstruct_spark.kernels.media import (
+        image_features_stub,
+        media_meta_pdf,
+        resize_image_stub,
+    )
+
+    raw = b"\x89PNG\r\n\x1a\n" + b"payload" * 50
+    r = resize_image_stub(raw, max_side=256)
+    assert 1 <= r["resized_w"] <= 256 and 1 <= r["resized_h"] <= 256
+    assert resize_image_stub(raw, max_side=256) == r  # deterministic
+
+    f = image_features_stub(raw)
+    assert len(f) == 8
+    assert abs(sum(x * x for x in f) - 1.0) < 1e-3  # unit norm
+
+    with _p.raises(NotImplementedError):
+        resize_image_stub(raw, mode="strict")
+    with _p.raises(NotImplementedError):
+        image_features_stub(raw, mode="strict")
+
+    out = media_meta_pdf(pd.DataFrame({"url": ["u"], "blob": [raw]}))
+    row = out.iloc[0]
+    assert row["media_type"].startswith("image/")
+    assert row["resized_w"] == r["resized_w"] and len(row["feature"]) == 8
+
+
+def test_media_features_through_spark(spark):
+    """resize/feature columns survive the Arrow round-trip with the
+    declared schema."""
+    from pyspark.sql import functions as F
+
+    pages = spark_pages(spark, 30, partitions=2)
+    blobs = pages.select(
+        "url",
+        F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), F.col("html")).alias("blob"),
+    )
+    meta = media_meta_stage(blobs).toPandas()
+    assert (meta["resized_w"] <= 256).all()
+    assert meta["feature"].map(len).eq(8).all()
