@@ -133,8 +133,14 @@ def image_features_stub(raw: bytes, dim: int = 8, mode: str = "fake") -> list:
             "feature extraction requires a vision encoder — "
             "not available in this environment; use mode='fake'"
         )
-    digest = hashlib.sha256(b"feat:" + raw).digest()
-    v = np.frombuffer(digest[: dim * 4], dtype=np.uint32).astype(np.float64)
+    # chain digests until dim*4 bytes are available (one sha256 yields
+    # only 8 uint32 lanes — a silent truncation for dim > 8 otherwise)
+    buf = b""
+    block = hashlib.sha256(b"feat:" + raw).digest()
+    while len(buf) < dim * 4:
+        buf += block
+        block = hashlib.sha256(block).digest()
+    v = np.frombuffer(buf[: dim * 4], dtype=np.uint32).astype(np.float64)
     v = (v / 2**32) - 0.5
     n = float(np.sqrt((v * v).sum())) or 1.0
     return [float(round(x / n, 6)) for x in v]
@@ -143,9 +149,10 @@ def image_features_stub(raw: bytes, dim: int = 8, mode: str = "fake") -> list:
 def media_meta_pdf(pdf: pd.DataFrame, blob_col: str = "blob", mode: str = "fake") -> pd.DataFrame:
     """pandas batch kernel: opaque blobs -> typed metadata frame.
 
-    Output columns: media_type, n_bytes, entropy, fingerprint,
-    width, height, frame_fps (list of frame fingerprints, image/video
-    only).  This function body runs inside ``mapInPandas``.
+    Output columns: media_type, n_bytes, entropy, fingerprint, width,
+    height, resized_w, resized_h, feature (unit-norm stub embedding),
+    frame_fps (list of frame fingerprints; video only).  This function
+    body runs inside ``mapInPandas``.
     """
     out = []
     for raw in pdf[blob_col].tolist():
@@ -165,10 +172,13 @@ def media_meta_pdf(pdf: pd.DataFrame, blob_col: str = "blob", mode: str = "fake"
         }
         if mtype.startswith("image/"):
             meta = decode_image_stub(raw, mode)
-            rec["width"], rec["height"] = meta["width"], meta["height"]
-            resized = resize_image_stub(raw, mode=mode)
-            rec["resized_w"] = resized["resized_w"]
-            rec["resized_h"] = resized["resized_h"]
+            w, h = meta["width"], meta["height"]
+            rec["width"], rec["height"] = w, h
+            # resize target from the ALREADY-decoded dims (with real
+            # codecs a second decode would dominate the hot path)
+            scale = min(1.0, 256 / max(w, h))
+            rec["resized_w"] = max(1, int(w * scale))
+            rec["resized_h"] = max(1, int(h * scale))
             rec["feature"] = image_features_stub(raw, mode=mode)
         elif mtype.startswith("video/"):
             rec["frame_fps"] = frame_sample_stub(raw, mode=mode)

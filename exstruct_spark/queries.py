@@ -1576,7 +1576,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("label"),
-        )
+        ).localCheckpoint()  # referenced twice below: materialize once
         # shortcut: follow one's label to ITS label and take the min
         parent = stepped.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")

@@ -203,8 +203,6 @@ def test_stream_windowed_counts_matches_batch(spark, tmp_path):
 def test_resize_and_feature_stubs():
     """Brief checklist: decode / feature-extract / RESIZE / frame-sample.
     The codec steps stay honest stubs; the Spark-side shapes are real."""
-    import pytest as _p
-
     from exstruct_spark.kernels.media import (
         image_features_stub,
         media_meta_pdf,
@@ -220,9 +218,9 @@ def test_resize_and_feature_stubs():
     assert len(f) == 8
     assert abs(sum(x * x for x in f) - 1.0) < 1e-3  # unit norm
 
-    with _p.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError):
         resize_image_stub(raw, mode="strict")
-    with _p.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError):
         image_features_stub(raw, mode="strict")
 
     out = media_meta_pdf(pd.DataFrame({"url": ["u"], "blob": [raw]}))
