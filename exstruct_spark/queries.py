@@ -1038,25 +1038,95 @@ FROM buckets GROUP BY 1
 """
 
 
-def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH dedup END-TO-END: md5 band buckets -> within-bucket
-    candidate pairs (equi-join, distinct) -> EXACT 3-gram-set Jaccard
-    verification on the candidates only.  The complete scale shape of
-    shingle dedup — shuffle is bucket-sized, the expensive set
-    intersection runs only on collided pairs — with a full DuckDB oracle
-    reproducing the identical buckets and Jaccard values."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
-    bands = docs.select(
-        "doc_id", F.explode(F.expr(_MINHASH_MD5_BANDS_EXPR)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_hash")
-    a = bands.select("band_idx", "band_hash", F.col("doc_id").alias("aid"))
-    b = bands.select("band_idx", "band_hash", F.col("doc_id").alias("bid"))
-    cand = (
+# --------------------------------------------------------------------------
+# LSH bucket-size guard (the quadratic hazard at corpus scale)
+#
+# The within-bucket self-join behind every LSH pair generator costs
+# sum(bucket_size^2) over buckets.  On a real web corpus one degenerate band
+# bucket — every empty / boilerplate / templated page sharing a band hash —
+# turns an otherwise linear plan into a quadratic shuffle, and AQE's
+# skew-split only rebalances the join, not the pair-count explosion it
+# feeds downstream.  The guard: buckets larger than ``max_bucket`` are
+# DROPPED from candidate generation (truly-degenerate buckets are near-
+# identical boilerplate better handled by exact dedup upstream), and the
+# drop is NEVER silent — ``_lsh_bucket_audit`` reports kept/dropped bucket
+# and candidate-pair counts, mirroring the logged-truncation discipline of
+# ``TableScanLimits`` (reference core/cells.py:118-165; SURVEY §2.6 O3).
+
+# Default cap: far above every bucket in the test corpora (minhash buckets
+# max 4; embedding band buckets ~= n_vectors/4 <= ~700 at sf0.1), so the
+# oracle rows are byte-identical with or without the guard — while bounding
+# a degenerate bucket's pair cost at C(4096, 2) ~= 8.4M instead of C(n, 2).
+LSH_MAX_BUCKET = 4096
+
+
+def _capped_bucket_pairs(bands: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """(id, band_idx, band_hash) rows -> distinct candidate (aid, bid) pairs,
+    skipping buckets larger than ``max_bucket``.
+
+    bucket_size is computed with a window over the SAME keys the self-join
+    shuffles on, so the exchange is planned once and reused — the guard
+    adds no extra shuffle stage."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band_idx", "band_hash")
+    kept = (
+        bands.withColumn("bucket_size", F.count("*").over(w))
+        .where(F.col("bucket_size") <= max_bucket)
+        .drop("bucket_size")
+    )
+    a = kept.select("band_idx", "band_hash", F.col(id_col).alias("aid"))
+    b = kept.select("band_idx", "band_hash", F.col(id_col).alias("bid"))
+    return (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("aid") < F.col("bid"))
         .select("aid", "bid")
         .distinct()
     )
+
+
+def _lsh_bucket_audit(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Per-band guard accounting: kept/dropped buckets and candidate pairs.
+
+    ``dropped_pairs`` is exactly the candidate volume the guard refused to
+    generate — the no-silent-caps companion to ``_capped_bucket_pairs``."""
+    pairs = (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("bigint")
+    over = F.col("bucket_size") > max_bucket
+    return (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("band_idx")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("dropped_buckets"),
+            F.sum(F.when(over, pairs).otherwise(0)).cast("bigint").alias("dropped_pairs"),
+            F.sum(F.when(over, 0).otherwise(pairs)).cast("bigint").alias("kept_pairs"),
+        )
+    )
+
+
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, band_idx, band_hash) md5-MinHash band rows."""
+    return docs.select(
+        "doc_id", F.explode(F.expr(_MINHASH_MD5_BANDS_EXPR)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def q_dedup_minhash_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """MinHash-LSH dedup END-TO-END: md5 band buckets -> within-bucket
+    candidate pairs (equi-join, distinct) -> EXACT 3-gram-set Jaccard
+    verification on the candidates only.  The complete scale shape of
+    shingle dedup — shuffle is bucket-sized, the expensive set
+    intersection runs only on collided pairs — with a full DuckDB oracle
+    reproducing the identical buckets and Jaccard values.
+
+    Oversized-bucket guard: buckets larger than ``max_bucket`` are skipped
+    (see ``_capped_bucket_pairs``); ``q_dedup_bucket_guard`` is the audit
+    query that accounts for every dropped candidate."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    cand = _capped_bucket_pairs(_minhash_bands(docs), "doc_id", max_bucket)
     sh = docs.select("doc_id", F.expr(_SHINGLE_SET_EXPR).alias("shset"))
     sa = sh.select(F.col("doc_id").alias("aid"), F.col("shset").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("bid"), F.col("shset").alias("sb"))
@@ -1091,6 +1161,35 @@ SELECT aid, bid,
 FROM cand
 JOIN shsets x ON x.doc_id = aid
 JOIN shsets y ON y.doc_id = bid
+"""
+
+
+def q_dedup_bucket_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH oversized-bucket guard's audit surface, oracle-checked:
+    md5-MinHash band buckets with a deliberately tight cap (2) so the
+    guard provably fires on the test corpus — per band: bucket count,
+    dropped buckets, dropped candidate pairs, kept candidate pairs.
+    ``dropped_pairs`` is the exact quadratic volume the guard refused to
+    generate in ``q_dedup_minhash_pairs`` / ``_neardup_pairs_lsh`` had the
+    cap been this size; the production default (LSH_MAX_BUCKET=4096) sits
+    far above every test-corpus bucket, so the pair oracles are unaffected
+    while degenerate boilerplate buckets at web scale are bounded."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    return _lsh_bucket_audit(_minhash_bands(docs), max_bucket=2).orderBy("band_idx")
+
+
+SQL_DEDUP_BUCKET_GUARD = _SQL_MINHASH_MD5_BANDS_CTE + r""",
+buckets AS (
+  SELECT band_idx, band_hash, COUNT(*) AS bucket_size
+  FROM bands GROUP BY 1, 2)
+SELECT CAST(band_idx AS INTEGER) AS band_idx,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(CASE WHEN bucket_size > 2 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
+       CAST(SUM(CASE WHEN bucket_size > 2
+                THEN bucket_size * (bucket_size - 1) / 2 ELSE 0 END) AS BIGINT) AS dropped_pairs,
+       CAST(SUM(CASE WHEN bucket_size > 2
+                THEN 0 ELSE bucket_size * (bucket_size - 1) / 2 END) AS BIGINT) AS kept_pairs
+FROM buckets GROUP BY 1 ORDER BY 1
 """
 
 
@@ -1150,7 +1249,11 @@ def _lsh_bands_expr(n_bands: int, band_bits: int) -> str:
 
 
 def _neardup_pairs_lsh(
-    emb: DataFrame, threshold: float = 0.35, n_bands: int = 16, band_bits: int = 2
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_bands: int = 16,
+    band_bits: int = 2,
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pair generation WITHOUT a cross join: sign-LSH banded
     candidate buckets -> within-bucket equi-self-join -> exact-cosine
@@ -1185,14 +1288,10 @@ def _neardup_pairs_lsh(
     bands = base.select(
         "vec_id", F.explode(F.expr(_lsh_bands_expr(n_bands, band_bits))).alias("b")
     ).select("vec_id", "b.band_idx", "b.band_hash")
-    a = bands.select("band_idx", "band_hash", F.col("vec_id").alias("aid"))
-    b = bands.select("band_idx", "band_hash", F.col("vec_id").alias("bid"))
-    cand = (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("aid") < F.col("bid"))
-        .select("aid", "bid")
-        .distinct()
-    )
+    # oversized-bucket guard: see _capped_bucket_pairs / LSH_MAX_BUCKET —
+    # the cap bounds the within-bucket self-join's quadratic term; dropped
+    # volume is accounted by _lsh_bucket_audit (never silent)
+    cand = _capped_bucket_pairs(bands, "vec_id", max_bucket)
     ea = base.select(
         F.col("vec_id").alias("aid"), F.col("embedding").alias("ae"),
         F.col("nrm").alias("na"),
@@ -2041,6 +2140,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_bucket_guard": q_dedup_bucket_guard,
     "embedding_neardup": q_embedding_neardup,
     "dedup_components": q_dedup_components,
     "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -2094,6 +2194,7 @@ ORACLES = {
     "dedup_minhash_md5": SQL_DEDUP_MINHASH_MD5,
     "dedup_simhash_md5": _sql_dedup_simhash_md5(),
     "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+    "dedup_bucket_guard": SQL_DEDUP_BUCKET_GUARD,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
     "events_sessions": SQL_EVENTS_SESSIONS,

@@ -181,6 +181,52 @@ def test_neardup_lsh_no_cross_join_and_exact_recall(spark):
     assert got == want
 
 
+def test_lsh_bucket_guard_bounds_degenerate_buckets(spark):
+    """Adversarial web-scale corpus: 1000 byte-identical boilerplate docs
+    collapse into ONE band bucket per band — ungated, that single bucket
+    yields C(1000,2)=499500 candidate pairs per band (the quadratic
+    hazard).  With the guard: candidates stay bounded, a genuine near-dup
+    pair OUTSIDE the degenerate bucket is still found, and the audit
+    accounts for every dropped candidate (no silent truncation)."""
+    from exstruct_spark.queries import (
+        _capped_bucket_pairs,
+        _lsh_bucket_audit,
+        _minhash_bands,
+    )
+
+    boiler = [
+        (i, "the same boilerplate footer text repeated on every page")
+        for i in range(1000)
+    ]
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = boiler + [(2000, dup), (2001, dup)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bands = _minhash_bands(docs)
+
+    cand = _capped_bucket_pairs(bands, "doc_id", max_bucket=32).toPandas()
+    assert set(zip(cand["aid"], cand["bid"])) == {(2000, 2001)}
+
+    audit = _lsh_bucket_audit(bands, max_bucket=32).toPandas()
+    assert int(audit["dropped_buckets"].sum()) == 4  # the giant bucket, per band
+    assert int(audit["dropped_pairs"].sum()) == 4 * (1000 * 999 // 2)
+    assert int(audit["kept_pairs"].sum()) == 4  # the true dup pair, per band
+
+
+def test_lsh_bucket_guard_default_cap_is_transparent(spark):
+    """With the production default cap the test-corpus pair set is
+    byte-identical to the unguarded result (every bucket is far below
+    LSH_MAX_BUCKET), so the guard costs nothing on healthy corpora."""
+    from exstruct_spark.queries import LSH_MAX_BUCKET, QUERIES
+
+    assert LSH_MAX_BUCKET >= 4096
+    capped = QUERIES["dedup_minhash_pairs"](spark, SF_DIR).toPandas()
+    from exstruct_spark.queries import q_dedup_minhash_pairs
+
+    uncapped = q_dedup_minhash_pairs(spark, SF_DIR, max_bucket=1 << 40).toPandas()
+    key = lambda pdf: sorted(zip(pdf["aid"], pdf["bid"], pdf["jaccard"]))
+    assert key(capped) == key(uncapped)
+
+
 def test_lsh_planes_are_full_rank(spark):
     """Regression guard: the sign-LSH plane matrix must be (near) full
     rank — round 1's cos(d+p) planes spanned only a 2-D subspace, which
