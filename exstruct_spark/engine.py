@@ -99,7 +99,12 @@ def extract_stage(
     if repartition_to:
         df = df.repartition(repartition_to, F.xxhash64("url"))
 
-    reserved = set(EXTRACT_WITH_PARTITION_DDL.replace(",", " ").split()[::2])
+    # field names via the real DDL parser — a positional token split would
+    # silently yield garbage names (weakening the collision check) if any
+    # type ever gained a space, e.g. 'decimal(10, 2)' (ADVICE r2)
+    from pyspark.sql.types import StructType
+
+    reserved = set(StructType.fromDDL(EXTRACT_WITH_PARTITION_DDL).fieldNames())
     for col in passthrough:
         if col in reserved:
             raise ValueError(f"passthrough column collides with output: {col}")

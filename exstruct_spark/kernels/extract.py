@@ -87,10 +87,26 @@ def normalize_url(href: str) -> str:
         return href
     if parts.scheme not in ("http", "https") or not parts.netloc:
         return href
-    netloc = parts.netloc.lower()
-    default = _DEFAULT_PORTS[parts.scheme.lower()]
-    if netloc.endswith(default):
-        netloc = netloc[: -len(default)]
+    # userinfo is case-SENSITIVE — split it off before lowercasing, and
+    # strip the default port only when it is a genuine sole port suffix
+    # (digits after the last ':', host part itself colon-free unless
+    # bracketed IPv6).  A malformed netloc like 'h:80:80' passes through
+    # verbatim, so normalization reaches its fixpoint in ONE call
+    # (ADVICE r2 — the advertised idempotency held only on well-formed
+    # input before).
+    userinfo, at, hostport = parts.netloc.rpartition("@")
+    host, port = hostport, ""
+    if ":" in hostport:
+        maybe_host, _, maybe_port = hostport.rpartition(":")
+        if (maybe_port.isdigit() or maybe_port == "") and (
+            ":" not in maybe_host or maybe_host.endswith("]")
+        ):
+            host, port = maybe_host, maybe_port
+    host = host.lower()
+    default = _DEFAULT_PORTS[parts.scheme.lower()].lstrip(":")
+    if port == default or port == "":
+        port = ""
+    netloc = (userinfo + at) + host + (":" + port if port else "")
     # RFC 3986 §5.2.4 remove_dot_segments: empty segments ('//') are
     # PRESERVED (servers may distinguish them), and a trailing '.'/'..'
     # leaves a trailing slash

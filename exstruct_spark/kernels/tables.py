@@ -72,6 +72,7 @@ def _grid_from_table(table: Node, cfg: DetectionConfig):
     n_cols = 0
     empty_run = 0
     n_rows_scanned = 0
+    span_floor = -1  # deepest row still covered by an active rowspan
     for r, tr in enumerate(trs):
         n_rows_scanned = r + 1
         row_had_content = False
@@ -96,13 +97,19 @@ def _grid_from_table(table: Node, cfg: DetectionConfig):
                 color = cell_background(cell.attrs)
                 if color:
                     colors[(r, c)] = color
+                    # a colored cell is content for the empty-run counter:
+                    # rows carrying only formatting must not truncate real
+                    # trailing data (ADVICE r2)
+                    row_had_content = True
             if table_has_links:
                 a = cell.find_first("a")
                 if a is not None and a.get("href"):
                     links[(r, c)] = a.get("href")
+                    row_had_content = True
             if rowspan > 1 or colspan > 1:
                 r2 = min(r + rowspan - 1, cfg.max_rows - 1)
                 c2 = min(c + colspan - 1, cfg.max_cols - 1)
+                span_floor = max(span_floor, r2)
                 # merged value = COERCED top-left master cell (same typed
                 # value domain as ``cells`` — reference core/cells.py:780-795
                 # has ONE value domain); empty -> " " sentinel
@@ -116,8 +123,10 @@ def _grid_from_table(table: Node, cfg: DetectionConfig):
             n_cols = max(n_cols, c + colspan)
             c += colspan
         # W3 empty-run early termination (the reference stops scanning a
-        # used range after a long run of empty rows; logged as truncation)
-        empty_run = 0 if row_had_content else empty_run + 1
+        # used range after a long run of empty rows; logged as truncation).
+        # A row fully covered by a tall rowspan is NOT empty — the merged
+        # master's extent is content (ADVICE r2).
+        empty_run = 0 if row_had_content or r <= span_floor else empty_run + 1
         if empty_run >= cfg.max_empty_run:
             truncated = True
             break

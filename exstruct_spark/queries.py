@@ -1239,11 +1239,11 @@ def _lsh_bands_expr(n_bands: int, band_bits: int) -> str:
     transform(sequence(0, {n_bands - 1}), b -> struct(
       cast(b as int) AS band_idx,
       aggregate(sequence(0, {band_bits - 1}), cast(0 as bigint),
-        (acc, j) -> acc * 2 + CASE WHEN aggregate(
+        (acc, j) -> acc * 2 + CASE WHEN round(aggregate(
             zip_with(embedding,
                      element_at({w}, cast(b * {band_bits} + j + 1 as int)),
                      (v, w) -> cast(v as double) * w),
-            cast(0 as double), (s, x) -> s + x) > 0 THEN 1 ELSE 0 END
+            cast(0 as double), (s, x) -> s + x), 6) > 0 THEN 1 ELSE 0 END
       ) AS band_hash))
     """
 
@@ -1380,7 +1380,10 @@ def _ann_bucket_sql(engine: str) -> str:
         else:
             lit = "[" + ",".join(f"{w:.6f}" for w in row) + "]"
             dot = f"list_dot_product(embedding::DOUBLE[], {lit})"
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {coef} ELSE 0 END)")
+        # round BEFORE the sign test: a near-zero projection could
+        # otherwise flip between the engines' summation orders (ADVICE r2;
+        # q_ann_ivf_topk rounds distances for the same reason)
+        terms.append(f"(CASE WHEN round({dot}, 6) > 0 THEN {coef} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -1964,9 +1967,12 @@ def q_extract_chart_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         # y_range (a series' own vector footprint) has no name_range and
         # must never be range-joined into the companion table
         .where(F.col("s.name_range").isNotNull() & F.col("table_id").isNotNull())
-        # decode the A1 band: single-letter columns cover the synthetic
-        # corpus (ascii(letter) - 65); multi-letter grids would reuse
-        # kernels/a1.py in a pandas stage instead
+        # decode the A1 band: the ascii(letter)-65 decode below is only
+        # valid for SINGLE-letter columns, so gate on that shape explicitly
+        # — a >26-column grid's 'AA2:AA5' must be skipped, not silently
+        # misparsed as column A (ADVICE r2); multi-letter grids would
+        # reuse kernels/a1.py in a pandas stage instead
+        .where(F.col("s.y_range").rlike(r"^[A-Z][0-9]+:[A-Z][0-9]+$"))
         .select(
             "url", "archetype", "tables", "table_id",
             (F.ascii(F.regexp_extract("s.y_range", r"^([A-Z])", 1)) - 65)

@@ -658,6 +658,16 @@ def test_normalize_url():
     # relative / non-http pass through verbatim (join keys preserved)
     assert normalize_url("/rel/path") == "/rel/path"
     assert normalize_url("mailto:x@y.z") == "mailto:x@y.z"
+    # userinfo is case-SENSITIVE: host lowercased, credentials untouched
+    assert normalize_url("http://User:Pw@H.Example:80/") == "http://User:Pw@h.example/"
+    # malformed double-port netloc: verbatim, fixpoint in ONE call
+    assert normalize_url("http://h:80:80/") == "http://h:80:80/"
+    # non-default port kept; empty trailing-colon port dropped
+    assert normalize_url("http://h.example:8080/") == "http://h.example:8080/"
+    assert normalize_url("http://h.example:/") == "http://h.example/"
+    # bracketed IPv6: port split respects the bracket, not inner colons
+    assert normalize_url("http://[::1]:80/x") == "http://[::1]/x"
+    assert normalize_url("http://[::1]:8080/x") == "http://[::1]:8080/x"
 
     html = b"<p><a href='HTTP://H.Example/a/../b#x'>link text here ok</a></p>"
     opts = ExtractOptions(normalize_links=True)
@@ -677,6 +687,23 @@ def test_empty_run_early_termination():
     t = extract_table(parse_html(html).find_first("table"), 0, cfg)
     assert t["truncated"] is True
     assert max(r["r"] for r in t["rows"]) == 1  # tail never reached
+
+
+def test_empty_run_ignores_formatting_and_rowspan_rows():
+    """ADVICE r2: rows carrying only links/background colors, or rows fully
+    covered by a tall rowspan, are NOT empty for the early-termination
+    counter — real trailing data must survive."""
+    cfg = CFG.with_params(max_empty_run=3)
+    html = (
+        "<table><tr><td rowspan='6'>tall</td><td>x</td></tr>"
+        + "<tr><td></td></tr>" * 5  # textless but covered by the rowspan
+        + "<tr><td bgcolor='red'></td></tr>"  # color-only row
+        + "<tr><td><a href='u'></a></td></tr>"  # link-only row
+        + "<tr><td>tail</td></tr></table>"
+    )
+    t = extract_table(parse_html(html).find_first("table"), 0, cfg)
+    assert t.get("truncated") is not True
+    assert max(r["r"] for r in t["rows"]) == 9  # tail reached
 
 
 def test_scrub_backend_metadata():
