@@ -146,7 +146,10 @@ def image_features_stub(raw: bytes, dim: int = 8, mode: str = "fake") -> list:
     return [float(round(x / n, 6)) for x in v]
 
 
-def media_meta_pdf(pdf: pd.DataFrame, blob_col: str = "blob", mode: str = "fake") -> pd.DataFrame:
+def media_meta_pdf(
+    pdf: pd.DataFrame, blob_col: str = "blob", mode: str = "fake",
+    feature_dim: int = 8,
+) -> pd.DataFrame:
     """pandas batch kernel: opaque blobs -> typed metadata frame.
 
     Output columns: media_type, n_bytes, entropy, fingerprint, width,
@@ -179,7 +182,7 @@ def media_meta_pdf(pdf: pd.DataFrame, blob_col: str = "blob", mode: str = "fake"
             scale = min(1.0, 256 / max(w, h))
             rec["resized_w"] = max(1, int(w * scale))
             rec["resized_h"] = max(1, int(h * scale))
-            rec["feature"] = image_features_stub(raw, mode=mode)
+            rec["feature"] = image_features_stub(raw, dim=feature_dim, mode=mode)
         elif mtype.startswith("video/"):
             rec["frame_fps"] = frame_sample_stub(raw, mode=mode)
         out.append(rec)

@@ -2108,6 +2108,109 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _media_feature_frame(
+    spark: SparkSession, n_docs: int = 240, n_images: int = 60
+) -> DataFrame:
+    """Synthetic image corpus with PLANTED duplicates, pushed through the
+    REAL media stage: each of ``n_images`` distinct PNG payloads appears on
+    ~``n_docs/n_images`` pages (img_id = pmod(xxhash64(url), n_images) —
+    deterministic, partitioning-independent), blobs flow through
+    ``media_meta_stage`` (mapInPandas, Arrow batches), and the 64-wide stub
+    feature vector comes out matching the sign-LSH plane matrix — so the
+    multimodal path exercises the genuine ANN/near-dup machinery
+    end-to-end.  The codec stays a stub (no pixels exist in this
+    container); everything around it — binary column, batch plumbing,
+    feature schema, bucketed similarity — is the real scale shape.
+    Returns (vec_id=url, img_id, embedding array<float> 64-d unit-norm)."""
+    from exstruct_spark.media import media_meta_stage
+
+    pages = spark_pages(spark, n_docs, partitions=8)
+    img_id = F.pmod(F.xxhash64("url"), F.lit(n_images))
+    blobs = pages.select(
+        "url",
+        img_id.alias("img_id"),
+        F.concat(
+            F.lit(_PNG_MAGIC),
+            F.encode(F.concat(F.lit("img-"), img_id.cast("string")), "UTF-8"),
+        ).alias("blob"),
+    )
+    meta = media_meta_stage(blobs, mode="fake", feature_dim=64)
+    # img_id is re-derivable from url; recompute instead of passing it
+    # through the Python stage (keeps the stage's (key, blob) contract).
+    # localCheckpoint: the consumers fan this frame into 3-4 join branches
+    # (bands a/b + embedding a/b) — staging the Python stage's output once
+    # is the same stage-once discipline as ExtractionJob, instead of
+    # re-running mapInPandas per branch.
+    return (
+        meta.where(F.col("media_type") == "image/png")
+        .select(
+            F.col("url").alias("vec_id"),
+            F.pmod(F.xxhash64("url"), F.lit(n_images)).alias("img_id"),
+            F.col("feature").alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+
+
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup detection through the REAL dedup machinery:
+    stub image features -> sign-LSH bands -> capped within-bucket
+    candidate join -> exact-cosine verify (the same `_neardup_pairs_lsh`
+    the text-embedding path uses; no cross join anywhere in the plan).
+    Planted duplicate images (identical payload -> identical stub feature
+    -> sim 1.000000) separate cleanly from distinct images (random-ish
+    64-d unit vectors, |cos| ~ 0.12) at threshold 0.9.  Rows-only check
+    (the engine's own synthetic corpus); pytest verifies the pair set
+    against a numpy brute-force over the same stub features."""
+    feats = _media_feature_frame(spark)
+    pairs = _neardup_pairs_lsh(
+        feats.select("vec_id", "embedding"),
+        threshold=0.9, n_bands=8, band_bits=4,
+    )
+    return pairs.orderBy("aid", "bid")
+
+
+def q_media_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ANN through the REAL bucketed probe: 5 query images
+    search ONLY their own 8-bit sign-LSH bucket (broadcast query side,
+    equi-join on bucket), ranked by exact cosine — the same scale shape as
+    ``ann_lsh_topk``, fed by the media stage's stub features.  Each
+    query's duplicate copies surface at sim 1.0.  Rows-only check; pytest
+    verifies against numpy over the same stub features."""
+    from pyspark.sql.window import Window
+
+    feats = _media_feature_frame(spark).withColumn(
+        "bucket", F.expr(_ann_bucket_sql("spark")).cast("int")
+    )
+    q = F.broadcast(
+        feats.where(F.col("img_id") < 5)
+        .groupBy("img_id")
+        .agg(
+            F.min("vec_id").alias("qid"),
+            F.min_by("embedding", "vec_id").alias("qe"),
+            F.min_by("bucket", "vec_id").alias("qbucket"),
+        )
+        .select("qid", "qe", F.col("qbucket").alias("bucket"))
+    )
+    c = feats.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket"
+    )
+    sims = (
+        q.join(c, "bucket")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("sim", F.expr(_cosine_expr("qe", "ce")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "rn", "cid", "sim")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2157,6 +2260,8 @@ QUERIES = {
     "extract_fallback_audit": q_extract_fallback_audit,
     "extract_documents_flagship": q_extract_documents_flagship,
     "media_metadata": q_media_metadata,
+    "media_neardup": q_media_neardup,
+    "media_ann_topk": q_media_ann_topk,
     "pages_by_host_salted": q_pages_by_host_salted,
     "extract_cells_exploded": q_extract_cells_exploded,
     "extract_chart_series": q_extract_chart_series,
