@@ -875,3 +875,28 @@ def test_extraction_mode_presets():
 
     with pytest.raises(ValueError):
         ExtractOptions.from_mode("nope")
+
+
+def test_bpe_train_and_encode():
+    """Classic BPE on a toy corpus: merges come out in frequency order
+    with lexicographic ties, and encoding applies them exactly."""
+    from exstruct_spark.kernels.bpe import encode_word, train_bpe
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(freqs, n_merges=4)
+    # 'es' (9) then 'est' (9) dominate; 'lo' (7) then 'low' (7) follow
+    assert merges[:4] == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("newest", ranks) == ["n", "e", "w", "est"]
+    assert encode_word("lowest", ranks) == ["low", "est"]
+    assert encode_word("xyz", ranks) == ["x", "y", "z"]
+    # determinism: identical inputs, identical table
+    assert train_bpe(dict(freqs), n_merges=4) == merges
+
+
+def test_bpe_pretokenize_matches_regex_families():
+    from exstruct_spark.kernels.bpe import pretokenize
+
+    assert pretokenize("ab1 2cd, e-f") == ["ab", "1", "2", "cd", ",", "e", "-", "f"]
+    assert pretokenize("") == []
+    assert pretokenize(None) == []

@@ -237,3 +237,51 @@ def test_lsh_planes_are_full_rank(spark):
 
     W = _lsh_w_rows(64)
     assert np.linalg.matrix_rank(W) == 64
+
+
+def test_doc_bpe_real_matches_pure_python(spark, duck):
+    """VERDICT r2 #3: the distributed BPE pipeline (mapInPandas counting ->
+    bounded top-V collect -> driver training -> broadcast -> pandas-UDF
+    encoding) equals a single-process pure-Python run of the same kernel
+    over the same parquet, exactly."""
+    from collections import Counter
+
+    from exstruct_spark.queries import QUERIES
+    from exstruct_spark.kernels.bpe import (
+        bpe_token_count,
+        pretokenize,
+        train_bpe,
+    )
+
+    got = (
+        QUERIES["doc_bpe_real"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+    docs = duck.execute(
+        "SELECT lang, text FROM documents WHERE n_chars > 0"
+    ).df()
+    freqs = Counter()
+    for t in docs["text"]:
+        freqs.update(pretokenize(t))
+    # same top-256 selection: count desc, token asc (UTF-8 binary order ==
+    # codepoint order, so Python sorted() agrees with Spark's orderBy)
+    top = dict(sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:256])
+    ranks = {p: i for i, p in enumerate(train_bpe(top, 64))}
+    cache: dict = {}
+    docs["toks"] = docs["text"].map(lambda t: bpe_token_count(t, ranks, cache))
+    want = (
+        docs.groupby("lang")
+        .agg(docs_=("toks", "size"), total=("toks", "sum"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert list(got["lang"]) == list(want["lang"])
+    assert list(got["docs"]) == list(want["docs_"])
+    assert list(got["total_bpe_tokens"]) == list(want["total"])
+    assert (got["n_merges"] == len(ranks)).all()
+    for g, w in zip(got["avg_bpe_tokens"], want["total"] / want["docs_"]):
+        assert abs(g - round(w, 4)) < 1e-9
