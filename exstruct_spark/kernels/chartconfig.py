@@ -1,0 +1,347 @@
+"""Inline <script> chart-config parser — the web twin of the reference's
+SERIES-formula tokenizer (F7 parity).
+
+The reference parses `=SERIES(...)` with a REAL tokenizer: paren/brace
+depth tracking, quote-escape awareness, top-level argument split
+(``_extract_series_args_text`` / ``_split_top_level_args``, reference
+core/charts.py:16-170).  The web's actual chart-data carrier is not a
+formula but an embedded Chart.js / ECharts config object inside a
+``<script>`` tag — a JS object literal with nested quotes, braces,
+unquoted keys, trailing commas, and callback functions, which no regex
+(and no strict-JSON parser) can read.  SURVEY.md §2.7 F7 flags exactly
+this.
+
+This module is that tokenizer, transplanted to the web shape:
+
+  * ``find_config_objects``: scan for chart constructors (``new
+    Chart(...)``, ``.setOption(...)``) and extract each balanced
+    ``{...}`` argument — depth + string-state machine, the direct
+    analogue of ``_extract_series_args_text``;
+  * ``parse_js_value``: recursive-descent parse of the JS object-literal
+    subset (objects with quoted/bare keys, arrays, single/double/backtick
+    strings with backslash escapes, numbers, true/false/null/undefined,
+    bare identifiers as strings); callback values (``function`` /
+    ``=>``) are consumed as balanced token runs and yield ``None`` —
+    skipped, never crashed on;
+  * ``charts_from_script``: normalize both config dialects (Chart.js
+    ``{type, data:{labels, datasets:[{label, data}]}}`` and ECharts
+    ``{title, xAxis:{data}, series:[{name, type, data}]}``) into the
+    engine's intermediate chart shape {chart_type, title, labels,
+    series: [(name, [values])]}.
+
+Pure Python, no Spark: runs inside the single mapInPandas extraction
+stage like every other kernel.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+_MARKER_RE = re.compile(r"new\s+Chart\s*\(|\.setOption\s*\(")
+
+_NUM_START = set("-+.0123456789")
+_IDENT_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*")
+_WS_AND_COMMENTS_RE = re.compile(r"(?:\s+|//[^\n]*|/\*.*?\*/)+", re.S)
+
+
+def _skip_ws(s: str, i: int) -> int:
+    m = _WS_AND_COMMENTS_RE.match(s, i)
+    return m.end() if m else i
+
+
+def _scan_string(s: str, i: int) -> int:
+    """i at the opening quote -> index just past the closing quote.
+    Backslash escapes (the JS rule; the reference's SERIES dialect used
+    quote-doubling instead — same state machine, different escape)."""
+    q = s[i]
+    i += 1
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == q:
+            return i + 1
+        i += 1
+    return n  # unterminated: consume to end (fallback-not-fail)
+
+
+def _extract_balanced(s: str, i: int) -> Optional[str]:
+    """i at '{' -> the balanced object-literal text, or None if unmatched.
+    Depth + string awareness, like _extract_series_args_text."""
+    if i >= len(s) or s[i] != "{":
+        return None
+    depth = 0
+    start = i
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "\"'`":
+            i = _scan_string(s, i)
+            continue
+        if ch == "/":
+            j = _skip_ws(s, i)  # comment? the ws+comment regex consumes it
+            i = j if j > i else i + 1  # lone slash: step over
+            continue
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return s[start : i + 1]
+        i += 1
+    return None
+
+
+def find_config_objects(script_text: str) -> list:
+    """All balanced ``{...}`` config arguments following a chart
+    constructor marker.  ``new Chart(ctx, {...})`` takes the LAST
+    top-level object argument; ``.setOption({...})`` takes the first."""
+    out = []
+    for m in _MARKER_RE.finditer(script_text or ""):
+        i = m.end()
+        n = len(script_text)
+        depth = 0
+        last_obj = None
+        while i < n:
+            ch = script_text[i]
+            if ch in "\"'`":
+                i = _scan_string(script_text, i)
+                continue
+            if ch == "{":
+                obj = _extract_balanced(script_text, i)
+                if obj is None:
+                    break
+                last_obj = obj
+                i += len(obj)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            i += 1
+        if last_obj is not None:
+            out.append(last_obj)
+    return out
+
+
+def _skip_function_value(s: str, i: int) -> int:
+    """Consume a callback value (function/arrow) as a balanced token run
+    up to the next top-level ',' or closing '}' / ']'."""
+    depth = 0
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "\"'`":
+            i = _scan_string(s, i)
+            continue
+        if ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return i
+        i += 1
+    return n
+
+
+def parse_js_value(s: str, i: int = 0):
+    """Recursive-descent parse of one JS value -> (python_value, next_i).
+    Unparseable/callback values yield (None, i_past) — skip, don't fail."""
+    i = _skip_ws(s, i)
+    if i >= len(s):
+        return None, i
+    ch = s[i]
+    if ch == "{":
+        return _parse_object(s, i)
+    if ch == "[":
+        return _parse_array(s, i)
+    if ch in "\"'`":
+        j = _scan_string(s, i)
+        body = s[i + 1 : j - 1]
+        return re.sub(r"\\(.)", r"\1", body), j
+    if ch in _NUM_START:
+        m = re.match(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?", s[i:])
+        if m:
+            txt = m.group(0)
+            val = float(txt) if any(c in txt for c in ".eE") else int(txt)
+            return val, i + m.end()
+        return None, _skip_function_value(s, i)
+    m = _IDENT_RE.match(s, i)
+    if m:
+        word = m.group(0)
+        j = _skip_ws(s, m.end())
+        # callback or constructor call: consume the balanced run
+        if word == "function" or word == "new" or (j < len(s) and s[j] == "("):
+            return None, _skip_function_value(s, i)
+        if j + 1 < len(s) and s[j : j + 2] == "=>":
+            return None, _skip_function_value(s, i)
+        return {
+            "true": True, "false": False, "null": None, "undefined": None,
+        }.get(word, word), m.end()
+    return None, _skip_function_value(s, i)
+
+
+def _parse_object(s: str, i: int):
+    obj: dict = {}
+    i += 1  # past '{'
+    n = len(s)
+    while i < n:
+        i = _skip_ws(s, i)
+        if i < n and s[i] == "}":
+            return obj, i + 1
+        # key: quoted string, bare identifier, or computed [expr] (skipped)
+        if i < n and s[i] in "\"'`":
+            j = _scan_string(s, i)
+            key = s[i + 1 : j - 1]
+            i = j
+        else:
+            m = _IDENT_RE.match(s, i)
+            if not m:
+                i = _skip_function_value(s, i)
+                i = _skip_ws(s, i)
+                if i < n and s[i] == ",":
+                    i += 1
+                continue
+            key, i = m.group(0), m.end()
+        i = _skip_ws(s, i)
+        if i < n and s[i] == ":":
+            val, i = parse_js_value(s, i + 1)
+            # spread/shorthand keys with parse failures stay out
+            obj[key] = val
+        else:
+            obj[key] = None  # ES6 shorthand {x}
+        i = _skip_ws(s, i)
+        if i < n and s[i] == ",":
+            i += 1
+    return obj, i
+
+
+def _parse_array(s: str, i: int):
+    arr: list = []
+    i += 1  # past '['
+    n = len(s)
+    while i < n:
+        i = _skip_ws(s, i)
+        if i < n and s[i] == "]":
+            return arr, i + 1
+        val, i = parse_js_value(s, i)
+        arr.append(val)
+        i = _skip_ws(s, i)
+        if i < n and s[i] == ",":
+            i += 1
+    return arr, i
+
+
+_TYPE_MAP = {
+    "line": "Line", "bar": "Column", "horizontalbar": "Bar", "pie": "Pie",
+    "doughnut": "Pie", "scatter": "Scatter", "radar": "Radar", "area": "Line",
+}
+
+
+def _numeric(values) -> list:
+    out = []
+    for v in values or []:
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            out.append(float(v))
+        elif isinstance(v, dict) and isinstance(v.get("y"), (int, float)):
+            out.append(float(v["y"]))
+    return out
+
+
+def _norm_type(raw, horizontal: bool = False) -> str:
+    t = _TYPE_MAP.get(str(raw or "").lower(), None)
+    if t == "Column" and horizontal:
+        return "Bar"
+    return t or "Unknown"
+
+
+def _from_chartjs(cfg: dict) -> Optional[dict]:
+    data = cfg.get("data")
+    if not isinstance(data, dict):
+        return None
+    datasets = data.get("datasets")
+    if not isinstance(datasets, list) or not datasets:
+        return None
+    horizontal = (
+        isinstance(cfg.get("options"), dict)
+        and cfg["options"].get("indexAxis") == "y"
+    )
+    title = ""
+    opts = cfg.get("options")
+    if isinstance(opts, dict):
+        plugins = opts.get("plugins")
+        if isinstance(plugins, dict) and isinstance(plugins.get("title"), dict):
+            title = str(plugins["title"].get("text") or "")
+    series = []
+    for k, ds in enumerate(datasets):
+        if not isinstance(ds, dict):
+            continue
+        series.append(
+            (str(ds.get("label") or f"s{k}"), _numeric(ds.get("data")))
+        )
+    if not series:
+        return None
+    labels = [
+        str(x) for x in data.get("labels") or [] if not isinstance(x, (dict, list))
+    ]
+    return {
+        "chart_type": _norm_type(cfg.get("type"), horizontal),
+        "title": title,
+        "labels": labels,
+        "series": series,
+    }
+
+
+def _from_echarts(cfg: dict) -> Optional[dict]:
+    raw_series = cfg.get("series")
+    if isinstance(raw_series, dict):
+        raw_series = [raw_series]
+    if not isinstance(raw_series, list) or not raw_series:
+        return None
+    series = []
+    stype = None
+    for k, s in enumerate(raw_series):
+        if not isinstance(s, dict):
+            continue
+        stype = stype or s.get("type")
+        series.append((str(s.get("name") or f"s{k}"), _numeric(s.get("data"))))
+    if not series:
+        return None
+    title = ""
+    if isinstance(cfg.get("title"), dict):
+        title = str(cfg["title"].get("text") or "")
+    labels: list = []
+    xaxis = cfg.get("xAxis")
+    if isinstance(xaxis, list) and xaxis:
+        xaxis = xaxis[0]
+    if isinstance(xaxis, dict) and isinstance(xaxis.get("data"), list):
+        labels = [
+            str(x) for x in xaxis["data"] if not isinstance(x, (dict, list))
+        ]
+    return {
+        "chart_type": _norm_type(stype),
+        "title": title,
+        "labels": labels,
+        "series": series,
+    }
+
+
+def charts_from_script(script_text: str) -> list:
+    """One <script>'s text -> normalized chart dicts (possibly several —
+    a page can construct many charts in one script block)."""
+    out = []
+    for obj_text in find_config_objects(script_text):
+        cfg, _ = parse_js_value(obj_text)
+        if not isinstance(cfg, dict):
+            continue
+        chart = _from_chartjs(cfg) or _from_echarts(cfg)
+        if chart is not None:
+            out.append(chart)
+    return out

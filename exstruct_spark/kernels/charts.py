@@ -21,9 +21,60 @@ import re
 from typing import Optional
 
 from exstruct_spark.kernels.a1 import col_index_to_alpha, make_range, parse_range_zero_based
+from exstruct_spark.kernels.chartconfig import charts_from_script
 from exstruct_spark.kernels.dom import Node
 
 _NUM_RE = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
+
+
+def _script_text(node: Node) -> str:
+    """Raw text of a <script> node (the parser stores raw-text children
+    verbatim; text_content() deliberately skips script/style)."""
+    return "".join(c for c in node.children if type(c) is str)
+
+
+def _records_from_scripts(script_nodes, start_idx: int, table_art) -> list:
+    """<script> nodes -> chart records via the real config tokenizer
+    (kernels/chartconfig.py — F7 parity with the reference's SERIES
+    parser, core/charts.py:16-170).  When a companion table artifact is
+    present, series bind to REAL A1 ranges into its grid exactly like the
+    SVG path; otherwise they keep synthetic own-vector ranges."""
+    recs = []
+    i = start_idx
+    for sn in script_nodes:
+        for parsed in charts_from_script(_script_text(sn)):
+            values = [ys for (_, ys) in parsed["series"]]
+            all_vals = [v for ys in values for v in ys]
+            chart: dict = {
+                "name": f"chart{i}",
+                "chart_type": parsed["chart_type"],
+                "title": parsed["title"],
+                "config_source": "script",
+            }
+            if all_vals:
+                chart["y_axis_range"] = [min(all_vals), max(all_vals)]
+            grid_ranges = (
+                _grid_series_ranges(table_art, len(values)) if table_art else []
+            )
+            series_list = []
+            for s_idx, (sname, ys) in enumerate(parsed["series"]):
+                series: dict = {"name": sname or f"s{s_idx}"}
+                if s_idx < len(grid_ranges):
+                    series.update(grid_ranges[s_idx])
+                elif ys:
+                    series["y_range"] = make_range(s_idx, 0, s_idx, len(ys) - 1)
+                if ys:
+                    series["n_points"] = len(ys)
+                series_list.append(series)
+            if series_list:
+                chart["series"] = series_list
+            if parsed["labels"]:
+                chart["n_labels"] = len(parsed["labels"])
+            if table_art is not None:
+                chart["data_table_id"] = table_art["id"]
+            recs.append(chart)
+            i += 1
+    return recs
 
 
 def _cell_ref(r: int, c: int) -> str:
@@ -95,7 +146,9 @@ def _series_values(svg: Node) -> list:
     return series
 
 
-def extract_charts(figures, tables_by_figure: Optional[dict] = None) -> list:
+def extract_charts(
+    figures, tables_by_figure: Optional[dict] = None, scripts=None
+) -> list:
     """<figure> blocks containing an <svg> -> chart records.
 
     ``figures`` is either a pre-collected list of figure nodes (single-pass
@@ -114,10 +167,21 @@ def extract_charts(figures, tables_by_figure: Optional[dict] = None) -> list:
     if isinstance(figures, Node):
         figures = figures.find_all("figure")
     charts: list = []
-    for i, fig in enumerate(figures):
+    for fig in figures:
         svg = fig.find_first("svg")
         if svg is None:
+            # inline-script chart configs (Chart.js / ECharts) — the real
+            # tokenizer path, with companion-grid binding like SVG charts
+            table_art = (
+                tables_by_figure.get(id(fig)) if tables_by_figure else None
+            )
+            charts.extend(
+                _records_from_scripts(
+                    fig.find_all("script"), len(charts), table_art
+                )
+            )
             continue
+        i = len(charts)
         caption = fig.find_first("figcaption")
         title = caption.text_content() if caption is not None else ""
         values = _series_values(svg)
@@ -158,4 +222,8 @@ def extract_charts(figures, tables_by_figure: Optional[dict] = None) -> list:
         if table_art is not None:
             chart["data_table_id"] = table_art["id"]
         charts.append(chart)
+    # standalone <script> chart constructors (outside any <figure>):
+    # parsed by the same tokenizer, unbound (no companion grid)
+    if scripts:
+        charts.extend(_records_from_scripts(scripts, len(charts), None))
     return charts

@@ -217,7 +217,9 @@ def extract_document(
             # ONE traversal collects every artifact family in document
             # order (the memoized-single-parse discipline, SURVEY.md §4 R5)
             groups: dict = {
-                t: [] for t in ("body", "title", "table", "figure", "svg", "a")
+                t: []
+                for t in ("body", "title", "table", "figure", "svg", "a",
+                          "script")
             }
             # ul/ol (and section/article) share buckets so document order
             # across kinds is preserved (outer-before-inner claiming)
@@ -322,7 +324,19 @@ def extract_document(
                 n_shapes, n_arrows = len(shapes_all), len(arrows_all)
 
             if opts.include_charts:
-                charts = extract_charts(groups["figure"], figure_table_ids)
+                # scripts INSIDE figures are handled by the figure path
+                # (companion-grid binding); only standalone ones pass here
+                in_figure = {
+                    id(s)
+                    for fig in groups["figure"]
+                    for s in fig.find_all("script")
+                }
+                standalone_scripts = [
+                    s for s in groups["script"] if id(s) not in in_figure
+                ]
+                charts = extract_charts(
+                    groups["figure"], figure_table_ids, standalone_scripts
+                )
                 if charts:
                     extraction["charts"] = charts
                 n_charts = len(charts)

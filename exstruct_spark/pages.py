@@ -309,12 +309,45 @@ def _unit_chart(rng: random.Random, lang: str) -> str:
     )
 
 
-RICH_ARCHETYPES = ["colored_table", "wired_flowchart", "split_grid", "unit_chart"]
+def _script_chart(rng: random.Random, lang: str) -> str:
+    """Inline Chart.js config (the web's dominant chart-data carrier) with
+    a companion table — exercises the F7 nested-quote/brace tokenizer:
+    quoted braces in the title, a callback returning '}', single AND
+    double quotes, trailing commas."""
+    a = [rng.randint(1, 99) for _ in range(4)]
+    b = [rng.randint(1, 99) for _ in range(4)]
+    rows = "".join(
+        f"<tr><td>Q{i + 1}</td><td>{a[i]}</td><td>{b[i]}</td></tr>"
+        for i in range(4)
+    )
+    return (
+        "<figure><figcaption>Quarterly revenue</figcaption>"
+        "<canvas id='c1'></canvas>"
+        "<script>const ctx = document.getElementById('c1');\n"
+        "new Chart(ctx, {type: 'line', data: {"
+        "labels: ['Q1','Q2','Q3','Q4'], datasets: ["
+        f"{{label: 'north', data: {a}, borderColor: '#36a2eb'}},"
+        f'{{label: "south", data: {b}}},'
+        "]}, options: {plugins: {title: {display: true,"
+        " text: 'Revenue (\"net\")'}},"
+        " scales: {y: {ticks: {callback: function(v) { return v + '}'; }}}},"
+        "}});"
+        "</script>"
+        "<table><tr><th>q</th><th>north</th><th>south</th></tr>"
+        + rows + "</table></figure>"
+    )
+
+
+RICH_ARCHETYPES = [
+    "colored_table", "wired_flowchart", "split_grid", "unit_chart",
+    "script_chart",
+]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
     "wired_flowchart": _wired_flowchart,
     "split_grid": _split_grid,
     "unit_chart": _unit_chart,
+    "script_chart": _script_chart,
 }
 
 

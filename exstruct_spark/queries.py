@@ -2089,7 +2089,8 @@ def q_extract_rich_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "struct<"
         "tables: array<struct<id:int, kind:string, "
         "colors_map: map<string, array<array<int>>>>>, "
-        "charts: array<struct<series: array<struct<name_range:string>>>>, "
+        "charts: array<struct<config_source:string, "
+        "series: array<struct<name_range:string>>>>, "
         "arrows: array<struct<resolution:string>>, "
         "shapes: array<struct<rotation:double>>"
         ">"
@@ -2121,6 +2122,10 @@ def q_extract_rich_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "aggregate(x.charts, 0, (acc, c) -> acc + "
                 "size(filter(c.series, s -> s.name_range is not null)))"), z)
         ).cast("bigint").alias("grid_bound_series"),
+        F.sum(
+            F.coalesce(F.size(F.expr(
+                "filter(x.charts, c -> c.config_source = 'script')")), z)
+        ).cast("bigint").alias("script_charts"),
     )
 
 

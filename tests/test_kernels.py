@@ -900,3 +900,103 @@ def test_bpe_pretokenize_matches_regex_families():
     assert pretokenize("ab1 2cd, e-f") == ["ab", "1", "2", "cd", ",", "e", "-", "f"]
     assert pretokenize("") == []
     assert pretokenize(None) == []
+
+
+# --- inline <script> chart-config tokenizer (F7 parity —
+#     reference core/charts.py:16-170's depth/quote-aware SERIES parser,
+#     transplanted to the web's Chart.js/ECharts carrier)
+def test_chartconfig_tokenizer_nested_quotes_and_callbacks():
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    script = """
+    const ctx = document.getElementById('c');
+    // a comment with a stray { brace
+    new Chart(ctx, {
+      type: 'line',
+      data: {
+        labels: ['Q1', "Q2", 'Q3', 'Q4'],
+        datasets: [
+          {label: 'north "region"', data: [1, 2.5, 3, 4], borderColor: '#36a2eb'},
+          {label: "south 'region'", data: [5, 6, 7, 8],},
+        ],
+      },
+      options: {
+        plugins: {title: {display: true, text: 'Revenue ("net") {braces}'}},
+        scales: {y: {ticks: {callback: function(v) { return v + "}"; }}}},
+        onClick: (e) => { console.log('}'); },
+      },
+    });
+    """
+    charts = charts_from_script(script)
+    assert len(charts) == 1
+    c = charts[0]
+    assert c["chart_type"] == "Line"
+    assert c["title"] == 'Revenue ("net") {braces}'
+    assert c["labels"] == ["Q1", "Q2", "Q3", "Q4"]
+    assert c["series"] == [
+        ('north "region"', [1.0, 2.5, 3.0, 4.0]),
+        ("south 'region'", [5.0, 6.0, 7.0, 8.0]),
+    ]
+
+
+def test_chartconfig_echarts_and_multiple_charts():
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    script = """
+    chart1.setOption({
+      title: {text: 'Usage'},
+      xAxis: {type: 'category', data: ['a', 'b']},
+      series: [{name: 'cpu', type: 'bar', data: [10, 20]}]
+    });
+    new Chart(x, {type: 'pie', data: {datasets: [{data: [1, 2, 3]}]}});
+    """
+    charts = charts_from_script(script)
+    assert len(charts) == 2
+    assert charts[0]["chart_type"] == "Column"
+    assert charts[0]["title"] == "Usage"
+    assert charts[0]["series"] == [("cpu", [10.0, 20.0])]
+    assert charts[1]["chart_type"] == "Pie"
+    assert charts[1]["series"] == [("s0", [1.0, 2.0, 3.0])]
+
+
+def test_chartconfig_malformed_never_raises():
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    for bad in (
+        "", None, "new Chart(ctx, {type: 'line', data: {",  # unterminated
+        "new Chart(ctx);", "setOption(", "new Chart(c, 'nope')",
+        "new Chart(c, {data: {datasets: 'not-a-list'}})",
+        "x.setOption({series: [{data: ['strings', 'only']}]})",
+    ):
+        assert isinstance(charts_from_script(bad or ""), list)
+
+
+def test_script_chart_binds_companion_grid():
+    """A figure with a <canvas>+<script> Chart.js config AND a companion
+    table: series bind to REAL A1 ranges into the table grid (same J7
+    shape as SVG charts); without a table the ranges stay synthetic."""
+    html = """
+    <figure><figcaption>rev</figcaption><canvas></canvas>
+    <script>new Chart(ctx, {type: 'bar', data: {
+      labels: ['q1','q2'],
+      datasets: [{label: 'north', data: [3, 4]}, {label: 'south', data: [5, 6]}]
+    }});</script>
+    <table><tr><th>q</th><th>north</th><th>south</th></tr>
+    <tr><td>q1</td><td>3</td><td>5</td></tr>
+    <tr><td>q2</td><td>4</td><td>6</td></tr></table></figure>
+    """
+    x = json.loads(extract_document("u", html.encode())["extraction_json"])
+    assert len(x["charts"]) == 1
+    c = x["charts"][0]
+    assert c["chart_type"] == "Column"
+    assert c["config_source"] == "script"
+    assert c["data_table_id"] == x["tables"][0]["id"]
+    s0, s1 = c["series"]
+    assert s0 == {"name": "north", "name_range": "B1", "x_range": "A2:A3",
+                  "y_range": "B2:B3", "n_points": 2}
+    assert s1["y_range"] == "C2:C3"
+    # standalone script (no figure): parsed, unbound
+    solo = "<script>new Chart(c, {type:'line', data:{datasets:[{label:'z', data:[1,2,3]}]}})</script>"
+    x2 = json.loads(extract_document("u", solo.encode())["extraction_json"])
+    assert x2["charts"][0]["series"][0]["y_range"] == "A1:C1"
+    assert "data_table_id" not in x2["charts"][0]

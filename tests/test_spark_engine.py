@@ -279,3 +279,7 @@ def test_rich_feature_sweep_counts(spark):
     assert pdf.loc["unit_chart", "grid_bound_series"] == 2 * pdf.loc["unit_chart", "docs"]
     assert pdf.loc["wired_flowchart", "direct_arrows"] == pdf.loc["wired_flowchart", "docs"]
     assert pdf.loc["wired_flowchart", "rotated_shapes"] == pdf.loc["wired_flowchart", "docs"]
+    # F7 tokenizer path: every script_chart doc parses one inline Chart.js
+    # config whose 2 series BOTH bind to the companion grid
+    assert pdf.loc["script_chart", "script_charts"] == pdf.loc["script_chart", "docs"]
+    assert pdf.loc["script_chart", "grid_bound_series"] == 2 * pdf.loc["script_chart", "docs"]
