@@ -307,107 +307,165 @@ def _shrink_sparse_borders(cells: dict, min_border_density: float = 0.2) -> dict
     return cells
 
 
+def _boxes_to_candidates(
+    boxes, cells: dict, cfg: DetectionConfig, alpha_keys: bool,
+    start_idx: int, extra: Optional[dict] = None,
+) -> list:
+    """Cluster bounding boxes + content cells -> gated candidate dicts.
+
+    Shared by the structural and border detection signals: each box is
+    re-based, header-checked and scored on its POST-shrink effective
+    spans — a peeled border must not keep inflating the density/coverage
+    denominator, and the header heuristic looks at the first SURVIVING
+    row."""
+    out = []
+    idx = start_idx
+    for br1, bc1, br2, bc2 in boxes:
+        sub = {
+            k: v
+            for k, v in cells.items()
+            if br1 <= k[0] <= br2 and bc1 <= k[1] <= bc2
+        }
+        if len(sub) < cfg.min_cells:
+            continue
+        shifted = {(r - br1, c - bc1): v for (r, c), v in sub.items()}
+        n_rows_eff = br2 - br1 + 1
+        n_cols_eff = bc2 - bc1 + 1
+        header = _header_like(shifted, set(), n_cols_eff)
+        score, density, coverage = score_candidate(
+            shifted, n_rows_eff, n_cols_eff, header
+        )
+        if (
+            score < cfg.min_score
+            or density < cfg.min_density
+            or coverage < cfg.min_coverage
+        ):
+            continue
+        cand = {
+            "id": idx,
+            "kind": "grid",
+            "range": make_range(br1, bc1, br2, bc2),
+            "score": round(score, 4),
+            "rows": _sparse_rows(sub, {}, alpha_keys),
+            "_metrics": {
+                "density": density,
+                "coverage": coverage,
+                "n_cells": len(sub),
+                "header": header,
+            },
+        }
+        if extra:
+            cand.update(extra)
+        out.append(cand)
+        idx += 1
+    return out
+
+
+def _structural_candidates(
+    node: Node, cfg: DetectionConfig, alpha_keys: bool, idx: int
+) -> list:
+    """Child-uniformity signal: >= 2 row-like children with a modal child
+    count >= 2; raggedness tolerated within +-1 of the modal width for
+    >= 80% of rows, sparse borders trimmed."""
+    rows = [
+        ch
+        for ch in node.element_children()
+        if ch.tag == "div" and ch.element_children()
+    ]
+    if len(rows) < 2:
+        return []
+    widths = [len(r.element_children()) for r in rows]
+    modal = max(set(widths), key=lambda w: (widths.count(w), w))
+    if modal < 2:
+        return []
+    near_modal = sum(1 for w in widths if abs(w - modal) <= 1)
+    if near_modal < max(2, int(0.8 * len(rows))):
+        return []
+    cells: dict = {}
+    for r, row in enumerate(rows):
+        for c, cell in enumerate(row.element_children()):
+            text = cell.text_content()
+            if text:
+                cells[(r, c)] = coerce_scalar(text)
+    cells = _shrink_sparse_borders(cells)
+    if len(cells) < cfg.min_cells:
+        return []
+    # split disconnected cell regions into separate candidates, then
+    # merge overlapping boxes — the nonempty-CC + rectangle-merge
+    # detection core (reference core/cells.py:1277-1320, 1671-1717):
+    # two blocks separated by an empty band inside one container are
+    # two tables, not one sparse one
+    boxes = merge_rectangles(nonempty_clusters(cells))
+    return _boxes_to_candidates(boxes, cells, cfg, alpha_keys, idx)
+
+
+def _border_candidates(
+    node: Node, cfg: DetectionConfig, alpha_keys: bool, idx: int
+) -> list:
+    """CSS/attribute border signal (G1): per-cell border presence is the
+    detection mask — the reference's primary table evidence (border maps
+    clustered 4-connected, core/cells.py:940-1078).  A bordered div
+    layout with NON-uniform children (which the structural gate rejects)
+    is detected by clustering its border mask; content values come from
+    the cells inside each cluster box."""
+    from exstruct_spark.kernels.borders import has_visible_border
+
+    rows = [
+        ch
+        for ch in node.element_children()
+        if ch.tag == "div" and ch.element_children()
+    ]
+    if len(rows) < 2:
+        return []
+    mask: dict = {}
+    cells: dict = {}
+    for r, row in enumerate(rows):
+        row_bordered = has_visible_border(row.attrs)
+        for c, cell in enumerate(row.element_children()):
+            if row_bordered or has_visible_border(cell.attrs):
+                mask[(r, c)] = True
+            text = cell.text_content()
+            if text:
+                cells[(r, c)] = coerce_scalar(text)
+    if len(mask) < cfg.min_cells or max(c for _, c in mask) < 1:
+        return []
+    # cluster the BORDER map, not the content map (reference
+    # _detect_border_clusters_numpy); values fill from content afterwards
+    boxes = merge_rectangles(nonempty_clusters(mask))
+    return _boxes_to_candidates(
+        boxes, cells, cfg, alpha_keys, idx, extra={"signal": "border"}
+    )
+
+
 def detect_grid_candidates(
     root: Node, cfg: DetectionConfig, alpha_keys: bool = False
 ) -> list:
-    """Heuristic detection of borderless div-grid layouts.
+    """Heuristic detection of div-grid layouts, two signals per container:
 
-    The web analogue of exstruct's border-cluster detection pipeline
-    (reference core/cells.py:1845-1894 ``detect_tables_openpyxl``): an
-    element whose element children are >= 2 row-like nodes with a modal
-    child count >= 2 is a candidate grid.  Raggedness is TOLERATED like
-    the reference's merge/shrink heuristics (core/cells.py:1405-1717)
-    rather than fatal: rows within +-1 of the modal width must make up
-    >= 80% of rows (one odd row no longer kills the candidate), sparse
-    borders are trimmed (``_shrink_sparse_borders``), and the survivors
-    pass the same density/coverage/score gates as declared tables.
-    Returns candidate dicts shaped like ``extract_table`` output with
-    ``"kind": "grid"``.
+    1. STRUCTURAL (child uniformity) — the borderless-layout path;
+    2. BORDER MAPS (CSS ``style`` borders / ``border`` attributes,
+       G1 parity) — tried when the structural gate rejects the
+       container, so layouts that express table-ness purely through
+       borders are detected like the reference's border-cluster pipeline
+       (core/cells.py:940-1078, 1845-1894).
+
+    Both feed the same nonempty-CC + rectangle-merge core and the same
+    density/coverage/score gates as declared tables.  Returns candidate
+    dicts shaped like ``extract_table`` output with ``"kind": "grid"``
+    (border-signal candidates additionally carry ``"signal": "border"``).
     """
-    out = []
-    idx = 0
+    out: list = []
     claimed: set = set()
     for node in root.iter():
         if node.tag not in ("div", "section"):
             continue
         if id(node) in claimed:
             continue
-        rows = [
-            ch
-            for ch in node.element_children()
-            if ch.tag == "div" and ch.element_children()
-        ]
-        if len(rows) < 2:
-            continue
-        widths = [len(r.element_children()) for r in rows]
-        modal = max(set(widths), key=lambda w: (widths.count(w), w))
-        if modal < 2:
-            continue
-        near_modal = sum(1 for w in widths if abs(w - modal) <= 1)
-        if near_modal < max(2, int(0.8 * len(rows))):
-            continue
-        n_cols = max(widths)
-        cells: dict = {}
-        for r, row in enumerate(rows):
-            for c, cell in enumerate(row.element_children()):
-                text = cell.text_content()
-                if text:
-                    cells[(r, c)] = coerce_scalar(text)
-        cells = _shrink_sparse_borders(cells)
-        if len(cells) < cfg.min_cells:
-            continue
-        # split disconnected cell regions into separate candidates, then
-        # merge overlapping boxes — the nonempty-CC + rectangle-merge
-        # detection core (reference core/cells.py:1277-1320, 1671-1717):
-        # two blocks separated by an empty band inside one container are
-        # two tables, not one sparse one
-        boxes = merge_rectangles(nonempty_clusters(cells))
-        emitted = False
-        for br1, bc1, br2, bc2 in boxes:
-            sub = {
-                k: v
-                for k, v in cells.items()
-                if br1 <= k[0] <= br2 and bc1 <= k[1] <= bc2
-            }
-            if len(sub) < cfg.min_cells:
-                continue
-            # gates run on the POST-shrink effective spans: a peeled
-            # border must not keep inflating the density/coverage
-            # denominator, and the header heuristic looks at the first
-            # SURVIVING row — trimming only ever helps a candidate
-            shifted = {
-                (r - br1, c - bc1): v for (r, c), v in sub.items()
-            }
-            n_rows_eff = br2 - br1 + 1
-            n_cols_eff = bc2 - bc1 + 1
-            header = _header_like(shifted, set(), n_cols_eff)
-            score, density, coverage = score_candidate(
-                shifted, n_rows_eff, n_cols_eff, header
-            )
-            if (
-                score < cfg.min_score
-                or density < cfg.min_density
-                or coverage < cfg.min_coverage
-            ):
-                continue
-            out.append(
-                {
-                    "id": idx,
-                    "kind": "grid",
-                    "range": make_range(br1, bc1, br2, bc2),
-                    "score": round(score, 4),
-                    "rows": _sparse_rows(sub, {}, alpha_keys),
-                    "_metrics": {
-                        "density": density,
-                        "coverage": coverage,
-                        "n_cells": len(sub),
-                        "header": header,
-                    },
-                }
-            )
-            idx += 1
-            emitted = True
-        if emitted:
+        found = _structural_candidates(node, cfg, alpha_keys, len(out))
+        if not found:
+            found = _border_candidates(node, cfg, alpha_keys, len(out))
+        if found:
+            out.extend(found)
             for inner in node.iter():
                 claimed.add(id(inner))
     return out

@@ -338,9 +338,26 @@ def _script_chart(rng: random.Random, lang: str) -> str:
     )
 
 
+def _bordered_grid(rng: random.Random, lang: str) -> str:
+    """Bordered div layout with NON-uniform rows (widths 3/5/3/1): only
+    the CSS-border signal (G1) detects it — the structural child-
+    uniformity gate rejects the raggedness."""
+    cell = "style='border:1px solid #999'"
+    widths = [3, 5, 3, 1]
+    rows = []
+    for r, w in enumerate(widths):
+        cells = "".join(
+            f"<div {cell}>{rng.randint(1, 99)}</div>" if r or c == 0
+            else f"<div {cell}>h{c}</div>"
+            for c in range(w)
+        )
+        rows.append(f"<div>{cells}</div>")
+    return "<div class='bordered-layout'>" + "".join(rows) + "</div>"
+
+
 RICH_ARCHETYPES = [
     "colored_table", "wired_flowchart", "split_grid", "unit_chart",
-    "script_chart",
+    "script_chart", "bordered_grid",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -348,6 +365,7 @@ _RICH_BUILDERS = {
     "split_grid": _split_grid,
     "unit_chart": _unit_chart,
     "script_chart": _script_chart,
+    "bordered_grid": _bordered_grid,
 }
 
 

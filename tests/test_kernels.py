@@ -1000,3 +1000,82 @@ def test_script_chart_binds_companion_grid():
     x2 = json.loads(extract_document("u", solo.encode())["extraction_json"])
     assert x2["charts"][0]["series"][0]["y_range"] == "A1:C1"
     assert "data_table_id" not in x2["charts"][0]
+
+
+# --- CSS-border grid signal (G1 parity — reference border maps,
+#     core/cells.py:940-1078)
+def test_has_visible_border():
+    from exstruct_spark.kernels.borders import has_visible_border
+
+    yes = [
+        {"style": "border: 1px solid #ccc"},
+        {"style": "padding:2px; border-top: 2px dashed red"},
+        {"style": "BORDER-STYLE: Solid"},
+        {"style": "border-left-width: 3px"},
+        {"border": "1"},
+        {"border": " 2 "},
+    ]
+    no = [
+        {}, None,
+        {"style": "border: none"},
+        {"style": "border: 0"},
+        {"style": "border-width: 0px"},
+        {"style": "border: hidden"},
+        {"style": "background: red"},
+        {"style": "border-radius: 4px"},  # radius/color alone: no border
+        {"style": "border-color: red"},
+        {"border": "0"},
+        {"border": "abc"},
+    ]
+    for attrs in yes:
+        assert has_visible_border(attrs), attrs
+    for attrs in no:
+        assert not has_visible_border(attrs or {}), attrs
+
+
+def test_border_signal_detects_nonuniform_div_grid():
+    """A bordered div layout whose rows have NON-uniform child counts
+    (structural gate rejects it) is detected from its border mask —
+    previously zero candidates (VERDICT r2 'What's missing' #2)."""
+    cell = "style='border:1px solid #999'"
+    html = (
+        "<div class='layout'>"
+        f"<div><div {cell}>name</div><div {cell}>qty</div><div {cell}>price</div></div>"
+        f"<div><div {cell}>alpha</div><div {cell}>3</div><div {cell}>5</div>"
+        "<div>stray</div><div>note</div></div>"  # ragged width: 5
+        f"<div><div {cell}>beta</div><div {cell}>7</div><div {cell}>9</div></div>"
+        f"<div><div {cell}>gamma</div></div>"  # ragged width: 1
+        "</div>"
+    )
+    root = parse_html(html)
+    # structural gate alone rejects: widths 3,5,3,1 -> near-modal 2/4
+    got = detect_grid_candidates(root, CFG)
+    assert len(got) == 1
+    g = got[0]
+    assert g["kind"] == "grid" and g["signal"] == "border"
+    assert g["range"] == "A1:C4"
+    assert g["rows"][0]["c"] == {"0": "name", "1": "qty", "2": "price"}
+    assert g["rows"][1]["c"]["1"] == 3  # coerced
+    assert g["rows"][3]["c"] == {"0": "gamma"}
+    # the unbordered stray cells sit outside the border-cluster box
+    assert all("3" not in r["c"] and "4" not in r["c"] for r in g["rows"])
+
+
+def test_border_signal_row_level_and_attr_borders():
+    """border='1' attrs and row-level borders count; an unbordered layout
+    with the same non-uniform structure stays undetected."""
+    rows_spec = [3, 5, 3, 1]  # widths reject the structural gate (2/4 near-modal)
+
+    def make(bordered: bool) -> str:
+        attr = " border='1'" if bordered else ""
+        body = "".join(
+            f"<div{attr}>"
+            + "".join(f"<div>r{r}c{c}</div>" for c in range(w))
+            + "</div>"
+            for r, w in enumerate(rows_spec)
+        )
+        return f"<div>{body}</div>"
+
+    got = detect_grid_candidates(parse_html(make(True)), CFG)
+    assert len(got) == 1 and got[0]["signal"] == "border"
+    assert detect_grid_candidates(parse_html(make(False)), CFG) == []

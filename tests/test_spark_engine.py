@@ -283,3 +283,6 @@ def test_rich_feature_sweep_counts(spark):
     # config whose 2 series BOTH bind to the companion grid
     assert pdf.loc["script_chart", "script_charts"] == pdf.loc["script_chart", "docs"]
     assert pdf.loc["script_chart", "grid_bound_series"] == 2 * pdf.loc["script_chart", "docs"]
+    # G1 border signal: every bordered_grid doc's ragged layout is caught
+    # by the CSS-border mask (structural uniformity alone rejects it)
+    assert pdf.loc["bordered_grid", "grid_candidates"] == pdf.loc["bordered_grid", "docs"]
