@@ -1488,20 +1488,30 @@ WHERE rn <= 3
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantization into K=16 cells (centroids =
-    the first 16 vectors — deterministic, training-free), then the 10
-    query vectors probe ONLY their own cell (nprobe=1) and rank by exact
-    cosine.  The two scale properties IVF buys: assignment is a broadcast
-    of K tiny centroids against the corpus (never O(n^2)), and probe cost
-    is cell-sized.  Full DuckDB oracle computes identical cells and sims;
-    recall vs exhaustive search is the documented IVF trade."""
+    """IVF-style ANN: coarse quantization into K=16 cells, then the 10
+    query vectors probe their TWO nearest cells (nprobe=2) and rank by
+    exact cosine.  Round-3 quality pass (VERDICT r2 #7): centroids are a
+    deterministic HASH-SPREAD sample — the 16 vectors with the smallest
+    md5(vec_id), a seeded-reservoir equivalent both engines compute
+    identically — instead of the first 16 rows (which inherit whatever
+    locality the table order has), and nprobe=2 doubles probe coverage
+    for 2/K of the corpus cost.  The two scale properties IVF buys stay:
+    assignment is a broadcast of K tiny centroids against the corpus
+    (never O(n^2)), probe cost is cell-sized.  Full DuckDB oracle
+    computes identical cells and sims; recall@3 vs exhaustive search is
+    pinned in pytest and recorded in BENCH."""
     from pyspark.sql.window import Window
 
     emb = _t(spark, sf_dir, "embeddings")
     cent = F.broadcast(
-        emb.where(F.col("vec_id") < 16).select(
-            F.col("vec_id").alias("k"), F.col("embedding").alias("ce")
+        emb.select(
+            F.col("vec_id").alias("k"),
+            F.col("embedding").alias("ce"),
+            F.md5(F.col("vec_id").cast("string").cast("binary")).alias("h"),
         )
+        .orderBy("h")
+        .limit(16)
+        .drop("h")
     )
     # round-before-rank, the module's float-parity convention: a near-tied
     # assignment must not flip between engines on a last-ULP summation
@@ -1513,17 +1523,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(0 as double), (s, t) -> s + t), 6)"
     )
     w_assign = Window.partitionBy("vec_id").orderBy("dist", "k")
-    cells = (
+    ranked = (
         emb.join(cent)  # broadcast x K=16: bounded fan-out, not a corpus self-join
         .withColumn("dist", F.expr(dist))
         .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("k").alias("cell"))
+    )
+    cells = ranked.where(F.col("rn") == 1).select(
+        "vec_id", F.col("k").alias("cell")
     )
     e2 = emb.join(cells, "vec_id")
+    # queries probe their 2 nearest cells (nprobe=2); corpus vectors live
+    # in exactly one cell, so probing 2 cells can't duplicate candidates
     q = F.broadcast(
-        e2.where(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell"
+        ranked.where((F.col("vec_id") < 10) & (F.col("rn") <= 2)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("k").alias("cell"),
         )
     )
     c = e2.select(
@@ -1544,24 +1559,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ANN_IVF_TOPK = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS k, v AS c FROM e WHERE vec_id < 16),
+cent AS (SELECT vec_id AS k, v AS c FROM e ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
 d AS (SELECT e.vec_id, cent.k,
              ROUND(list_dot_product(
                list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i]),
                list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i])
              ), 6) AS dist
       FROM e CROSS JOIN cent),
-cells AS (SELECT vec_id, k AS cell
-          FROM (SELECT vec_id, k,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
-                FROM d)
-          WHERE rn = 1),
+ranked AS (SELECT vec_id, k,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+           FROM d),
+cells AS (SELECT vec_id, k AS cell FROM ranked WHERE rn = 1),
 e2 AS (SELECT e.vec_id, e.v, cells.cell FROM e JOIN cells USING (vec_id)),
-s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-             ROUND(list_dot_product(q.v, c.v)
-                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
-      FROM e2 q JOIN e2 c ON q.cell = c.cell
-      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+qp AS (SELECT r.vec_id AS qid, e.v AS qv, r.k AS cell
+       FROM ranked r JOIN e ON e.vec_id = r.vec_id
+       WHERE r.vec_id < 10 AND r.rn <= 2),
+s AS (SELECT qp.qid, c.vec_id AS cid,
+             ROUND(list_dot_product(qp.qv, c.v)
+                   / (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      FROM qp JOIN e2 c ON qp.cell = c.cell
+      WHERE qp.qid <> c.vec_id)
 SELECT qid, rn, cid, sim
 FROM (SELECT qid, cid, sim,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn

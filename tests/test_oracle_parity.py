@@ -344,3 +344,21 @@ def test_langid_ngram_accuracy_21_languages(spark):
     assert acc >= 0.95, pdf[pdf["predicted"] != pdf["lang"]]
     # every marker language is exercised by the corpus
     assert set(_LANGID_SAMPLES) == set(_LANGID_MARKERS)
+
+
+def test_ann_ivf_recall_at_3(spark):
+    """VERDICT r2 #7: IVF (hash-sampled centroids, nprobe=2) recall@3 vs
+    brute-force cosine.  Deterministic corpus + expressions -> the number
+    is stable; 0.367 measured at sf0.001 / 0.400 at sf0.01, pinned with
+    margin (chance at 2/16 cells probed is 0.125).  Full A/B table in
+    BENCH/BASELINE.md round-3 section."""
+    from exstruct_spark.queries import QUERIES
+
+    ivf = QUERIES["ann_ivf_topk"](spark, SF_DIR).toPandas()
+    brute = QUERIES["ann_cosine_topk"](spark, SF_DIR).toPandas()
+    recalls = []
+    for qid in brute["qid"].unique():
+        b = set(brute[brute["qid"] == qid]["cid"])
+        got = set(ivf[ivf["qid"] == qid]["cid"])
+        recalls.append(len(b & got) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.3
