@@ -160,21 +160,26 @@ def _sparse_rows(cells: dict, links: dict, alpha_keys: bool = False) -> list:
 
 
 def _header_like(cells: dict, header_cells: set, n_cols: int) -> bool:
-    """First-row header heuristic.
+    """First-TWO-rows header heuristic (A5).
 
-    Parity: ``_header_like_row`` (reference core/cells.py:1334-1347) —
-    header iff string-like count >= numeric-like count and >= 1 among the
-    first rows; <th> presence is a direct positive signal on web tables
-    (SURVEY.md §2.4 A5).
+    Parity: ``_table_signal_score`` aggregates ``_header_like_row`` over
+    ``normalized[:2]`` (reference core/cells.py:1334-1358) — a table with
+    a title-ish row 0 and the real header in row 1 still counts.  Per
+    row: >= 2 nonempty cells, string-like count >= numeric-like count,
+    >= 1 string-like.  <th> presence is a direct positive signal on web
+    tables (SURVEY.md §2.4 A5).
     """
     if header_cells:
         return True
-    first_row = [v for (r, _c), v in cells.items() if r == 0]
-    if not first_row:
-        return False
-    n_str = sum(1 for v in first_row if isinstance(v, str))
-    n_num = len(first_row) - n_str
-    return n_str >= n_num and n_str >= 1
+    for row_idx in (0, 1):
+        row = [v for (r, _c), v in cells.items() if r == row_idx]
+        if len(row) < 2:
+            continue
+        n_str = sum(1 for v in row if isinstance(v, str))
+        n_num = len(row) - n_str
+        if n_str >= n_num and n_str >= 1:
+            return True
+    return False
 
 
 def score_candidate(
@@ -252,6 +257,13 @@ def extract_table(
             "schema": ["r1", "c1", "r2", "c2", "v"],
             "items": merged_items,
         }
+        # companion A1 strings per merged region — the reference's
+        # SheetData carries BOTH merged_cells and merged_ranges
+        # (models/__init__.py:208-214); items are (r 1-based, c 0-based)
+        out["merged_ranges"] = [
+            make_range(r1 - 1, c1, r2 - 1, c2)
+            for r1, c1, r2, c2, _v in merged_items
+        ]
     if colors:
         # value -> positions inverted index, (row 1-based, col 0-based) —
         # the exact coordinate convention of the reference colors_map

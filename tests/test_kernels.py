@@ -1079,3 +1079,33 @@ def test_border_signal_row_level_and_attr_borders():
     got = detect_grid_candidates(parse_html(make(True)), CFG)
     assert len(got) == 1 and got[0]["signal"] == "border"
     assert detect_grid_candidates(parse_html(make(False)), CFG) == []
+
+
+def test_header_aggregates_first_two_rows():
+    """A5 parity (reference core/cells.py:1334-1358): a numeric row 0 with
+    the real header in row 1 still counts as a header table; a 1-cell row
+    no longer qualifies on its own (>= 2 nonempty per the reference)."""
+    html = (
+        "<table><tr><td>1</td><td>2</td></tr>"
+        "<tr><td>name</td><td>qty</td></tr>"
+        "<tr><td>alpha</td><td>3</td></tr></table>"
+    )
+    t = extract_table(parse_html(html).find_first("table"), 0, CFG)
+    assert t["_metrics"]["header"] is True
+
+    solo = "<table><tr><td>title</td></tr><tr><td>7</td><td>8</td></tr></table>"
+    t2 = extract_table(parse_html(solo).find_first("table"), 0, CFG)
+    assert t2["_metrics"]["header"] is False
+
+
+def test_merged_ranges_companion_list():
+    """Reference SheetData carries merged_cells AND merged_ranges A1
+    strings (models/__init__.py:208-214)."""
+    html = (
+        "<table><tr><td rowspan='2'>R</td><td>a</td></tr>"
+        "<tr><td>b</td></tr>"
+        "<tr><td colspan='2'>wide</td></tr></table>"
+    )
+    t = extract_table(parse_html(html).find_first("table"), 0, CFG)
+    assert t["merged_ranges"] == ["A1:A2", "A3:B3"]
+    assert len(t["merged_ranges"]) == len(t["merged_cells"]["items"])
