@@ -83,6 +83,11 @@ class ExtractOptions:
     # area origin like the reference's ``normalize=True``
     print_areas: tuple = ()
     normalize_areas: bool = False
+    # auto-derive areas from document structure: contiguous row bands of
+    # each table split at empty-row gaps — the web analogue of the
+    # reference's COM-computed auto_print_areas (page-break areas,
+    # models/__init__.py:199-206, core/pipeline.py:677-744)
+    auto_areas: bool = False
     detection: DetectionConfig = field(default_factory=DetectionConfig)
 
     @classmethod

@@ -20,7 +20,46 @@ from __future__ import annotations
 
 from typing import Optional
 
-from exstruct_spark.kernels.a1 import parse_range_zero_based
+from exstruct_spark.kernels.a1 import make_range, parse_range_zero_based
+
+
+def auto_areas(tables: list) -> list:
+    """Derive auto print-area A1 strings from document structure: each
+    table's grid is split at empty-row gaps into contiguous row bands,
+    one area per band spanning the table's full column range.
+
+    The web analogue of the reference's COM-computed ``auto_print_areas``
+    (page-break areas, models/__init__.py:199-206, core/pipeline.py:
+    677-744): a page break splits the sheet into row bands; here a run of
+    empty rows plays the page break.  A gapless table yields exactly its
+    own range.  Deterministic: tables in id order, bands top-down;
+    duplicate ranges (two tables sharing a band footprint) are emitted
+    once, first-seen order."""
+    seen: set = set()
+    out: list = []
+    for t in tables:
+        rows = t.get("rows", [])
+        if not rows:
+            continue
+        try:
+            _r1, c1, _r2, c2 = parse_range_zero_based(t["range"])
+        except Exception:
+            continue
+        rs = sorted({row["r"] for row in rows})  # 1-based row indices
+        bands = []
+        start = prev = rs[0]
+        for r in rs[1:]:
+            if r > prev + 1:
+                bands.append((start, prev))
+                start = r
+            prev = r
+        bands.append((start, prev))
+        for bs, be in bands:
+            a1 = make_range(bs - 1, c1, be - 1, c2)
+            if a1 not in seen:
+                seen.add(a1)
+                out.append(a1)
+    return out
 
 
 def filter_row_to_area(

@@ -26,7 +26,7 @@ from urllib.parse import urljoin
 from urllib.parse import urlsplit, urlunsplit
 
 from exstruct_spark.config import ExtractOptions
-from exstruct_spark.kernels.areas import area_views
+from exstruct_spark.kernels.areas import area_views, auto_areas
 from exstruct_spark.kernels.boilerplate import extract_main_text
 from exstruct_spark.kernels.charts import extract_charts
 from exstruct_spark.kernels.dom import (
@@ -290,6 +290,19 @@ def extract_document(
                     )
                     if views:
                         extraction["area_views"] = views
+                if opts.auto_areas and tables:
+                    # structure-derived areas (the auto_print_areas
+                    # analogue): empty-row gaps split each table into row
+                    # bands; the SAME slicer produces the views, so
+                    # declared-vs-auto parity is testable directly
+                    derived = auto_areas(tables)
+                    if derived:
+                        extraction["auto_areas"] = derived
+                        auto_views = area_views(
+                            tables, tuple(derived), opts.normalize_areas
+                        )
+                        if auto_views:
+                            extraction["auto_area_views"] = auto_views
                 n_tables = len(tables)
             else:
                 figure_table_ids = {}

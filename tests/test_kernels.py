@@ -1109,3 +1109,60 @@ def test_merged_ranges_companion_list():
     t = extract_table(parse_html(html).find_first("table"), 0, CFG)
     assert t["merged_ranges"] == ["A1:A2", "A3:B3"]
     assert len(t["merged_ranges"]) == len(t["merged_cells"]["items"])
+
+
+def test_auto_areas_split_at_empty_row_gaps():
+    """Auto print-area derivation (the COM page-break analogue): a table
+    whose sparse rows jump from r=2 to r=5 splits into two bands; a
+    gapless table yields exactly its own range."""
+    from exstruct_spark.kernels.areas import auto_areas
+
+    gap_table = {
+        "id": 0, "range": "A1:C6",
+        "rows": [
+            {"r": 1, "c": {"0": "h1", "1": "h2", "2": "h3"}},
+            {"r": 2, "c": {"0": "a", "1": 1}},
+            {"r": 5, "c": {"0": "b", "1": 2}},
+            {"r": 6, "c": {"2": 3}},
+        ],
+    }
+    assert auto_areas([gap_table]) == ["A1:C2", "A5:C6"]
+    dense = {"id": 1, "range": "B2:D4",
+             "rows": [{"r": r, "c": {"1": r}} for r in (2, 3, 4)]}
+    assert auto_areas([dense]) == ["B2:D4"]
+
+
+def test_auto_area_views_match_declared_views():
+    """VERDICT r2 #9 'Done' gate: extracting with auto_areas on produces
+    the IDENTICAL views as declaring the derived ranges as print_areas —
+    one slicer, two sources of areas."""
+    html = (
+        "<h2>section one</h2>"
+        "<table><tr><th>name</th><th>qty</th></tr>"
+        "<tr><td>alpha</td><td>3</td></tr>"
+        "<tr><td></td><td></td></tr><tr><td></td><td></td></tr>"
+        "<tr><td>beta</td><td>7</td></tr>"
+        "<tr><td>gamma</td><td>9</td></tr></table>"
+    ).encode()
+    auto = json.loads(
+        extract_document("u", html, ExtractOptions(auto_areas=True))[
+            "extraction_json"
+        ]
+    )
+    assert auto["auto_areas"] == ["A1:B2", "A5:B6"]
+    declared = json.loads(
+        extract_document(
+            "u", html,
+            ExtractOptions(print_areas=tuple(auto["auto_areas"])),
+        )["extraction_json"]
+    )
+    assert auto["auto_area_views"] == declared["area_views"]
+    # normalize flows through the auto path too
+    auto_norm = json.loads(
+        extract_document(
+            "u", html, ExtractOptions(auto_areas=True, normalize_areas=True)
+        )["extraction_json"]
+    )
+    v2 = auto_norm["auto_area_views"][1]
+    assert v2["normalized"] is True
+    assert v2["tables"][0]["rows"][0]["r"] == 0  # re-based to band origin
