@@ -1750,17 +1750,102 @@ GROUP BY user_id
 """
 
 
+# round counts of the most recent CC runs (diagnostics for BENCH; the
+# convergence itself raises on failure, this is observability only)
+CC_ROUNDS: dict = {}
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over the cosine-similarity
-    pair graph via iterative min-label propagation — the standard Spark CC
-    pattern when components span the corpus (unlike per-doc components,
-    SURVEY.md §2.8 G2).  Edges come from the sign-LSH candidate path
-    (``_neardup_pairs_lsh``) — no cross join feeds this operator.
-    FULL oracle check: DuckDB recomputes the components with a recursive
-    transitive closure over brute-force edges (SQL_DEDUP_COMPONENTS
-    below), value-hashed every correctness run; a union-find pytest
-    cross-checks as well.
-    """
+    """Near-dup CLUSTERS via LARGE-STAR/SMALL-STAR connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the round-3 replacement for min-label+pointer-jumping (VERDICT r2
+    #10): provably O(log n) rounds with ONE localCheckpoint per round
+    (the old loop took 3 checkpoints + a count per round).  Edges come
+    from the sign-LSH candidate path (``_neardup_pairs_lsh``) — no cross
+    join feeds this operator.  FULL oracle check: DuckDB recomputes the
+    components with a recursive transitive closure over brute-force
+    edges (SQL_DEDUP_COMPONENTS below), value-hashed every correctness
+    run; pytest additionally cross-checks against union-find AND the
+    retained min-label implementation (``dedup_components_minlabel``).
+
+    Per round on canonical (u > v) edges:
+      * large-star: for each node, hang its LARGER neighbors onto
+        min(neighborhood ∪ self);
+      * small-star: group by the larger endpoint, hang that node and its
+        smaller neighbors onto the smallest neighbor.
+    Both preserve connectivity; the fixpoint is the star graph
+    (member -> component min)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = _neardup_pairs_lsh(emb, threshold=0.35).select("aid", "bid")
+    # canonical orientation: u is the LARGER endpoint (aid < bid upstream)
+    e = (
+        pairs.select(F.col("bid").alias("u"), F.col("aid").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e_count = e.count()
+    for rounds in range(1, 31):
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # large-star: m(u) = min over sym-neighbors and self
+        m = (
+            sym.union(sym.select("u", F.col("u").alias("v")))
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        large = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on large's output (already canonical u > v)
+        mn = large.groupBy("u").agg(F.min("v").alias("m"))
+        members = large.join(mn, "u")
+        small = (
+            members.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(members.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # the round's ONE materialization
+        )
+        # converged when the edge set is unchanged (both frames distinct:
+        # equal counts + empty difference <=> equality; e's count carries
+        # over from last round, so this is one count + one except per
+        # round on checkpointed data)
+        small_count = small.count()
+        converged = (
+            small_count == e_count and small.exceptAll(e).count() == 0
+        )
+        e, e_count = small, small_count
+        if converged:
+            CC_ROUNDS["star"] = rounds
+            break
+    else:
+        raise RuntimeError(
+            "dedup_components: large-star/small-star did not converge in "
+            "30 rounds — component structure exceeds the bound"
+        )
+    # fixpoint star edges: (member, component_min); mins label themselves
+    labels = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("label")))
+        .distinct()
+    )
+    return labels.groupBy("label").agg(
+        F.count("*").alias("component_size"),
+        F.min("node").alias("component_min_id"),
+    )
+
+
+def q_dedup_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retained min-label + pointer-jumping CC loop (round-2 design),
+    kept as an oracle-checked second implementation: identical components
+    from independent iterative machinery (cross-checked against the
+    large-star/small-star primary in pytest and against the recursive-
+    closure oracle every correctness run)."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = _neardup_pairs_lsh(emb, threshold=0.35).select("aid", "bid")
     # undirected edge list both ways; localCheckpoint TRUNCATES LINEAGE —
@@ -1783,7 +1868,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decrease toward the component min, so the fixpoint is unchanged).
     # Non-convergence still raises rather than silently splitting.
     changed = 0
-    for _ in range(30):
+    for rounds in range(1, 31):
         neighbor_min = (
             edges.join(labels, edges.bid == labels.node)
             .groupBy("aid")
@@ -1819,6 +1904,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            CC_ROUNDS["minlabel"] = rounds
             break
     if changed != 0:
         raise RuntimeError(
@@ -2375,6 +2461,7 @@ QUERIES = {
     "dedup_bucket_guard": q_dedup_bucket_guard,
     "embedding_neardup": q_embedding_neardup,
     "dedup_components": q_dedup_components,
+    "dedup_components_minlabel": q_dedup_components_minlabel,
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_bpe_real": q_doc_bpe_real,
     "events_sessions": q_events_sessions,
@@ -2435,6 +2522,7 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "docs_by_source_salted": SQL_DOCS_BY_SOURCE,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "dedup_components_minlabel": SQL_DEDUP_COMPONENTS,
     # rows-only (non-SQL-expressible / Spark-specific hash or the engine's
     # own synthetic corpus): dedup_minhash_lsh + dedup_simhash (xxhash64 is
     # Spark-only; their md5 twins above carry the oracle for each kernel),

@@ -362,3 +362,17 @@ def test_ann_ivf_recall_at_3(spark):
         got = set(ivf[ivf["qid"] == qid]["cid"])
         recalls.append(len(b & got) / len(b))
     assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_cc_star_equals_minlabel(spark):
+    """VERDICT r2 #10 'Done' gate: large-star/small-star components are
+    IDENTICAL to the retained min-label+pointer-jumping loop (both also
+    carry the recursive-closure oracle row)."""
+    from exstruct_spark.queries import QUERIES
+
+    key = lambda pdf: sorted(
+        map(tuple, pdf[["label", "component_size", "component_min_id"]].values)
+    )
+    star = QUERIES["dedup_components"](spark, SF_DIR).toPandas()
+    minlabel = QUERIES["dedup_components_minlabel"](spark, SF_DIR).toPandas()
+    assert key(star) == key(minlabel)
