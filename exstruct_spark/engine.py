@@ -177,6 +177,39 @@ def metrics_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+class TableIO:
+    """Source/sink format adapter — the Iceberg seam.
+
+    BASELINE's input hint names an Iceberg table of Common-Crawl-style
+    pages; this sandbox has no Iceberg runtime, so the job's every read
+    and write goes through ONE format indirection instead of hard-coded
+    ``.parquet(...)`` calls.  ``TableIO("iceberg")`` routes through
+    ``spark.read.format("iceberg").load(path)`` / ``df.write.format(
+    "iceberg").save(path)`` — the public path-based (HadoopTables) usage
+    — so deploying against a real catalog is a constructor argument, not
+    a code change.  ``parquet`` (default) is byte-for-byte the previous
+    behavior: ``format("parquet").load/save`` is exactly ``.parquet()``.
+    """
+
+    def __init__(self, fmt: str = "parquet"):
+        self.format = fmt
+
+    def read(self, spark: SparkSession, path: str, schema: Optional[str] = None) -> DataFrame:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.format(self.format).load(path)
+
+    def write(self, df: DataFrame, path: str, mode: str,
+              partition_by: tuple = (), dynamic: bool = False) -> None:
+        writer = df.write.mode(mode).format(self.format)
+        if dynamic:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+
+
 class ExtractionJob:
     """Checkpoint-resumable extraction run over a pages table.
 
@@ -213,6 +246,7 @@ class ExtractionJob:
         opts: ExtractOptions = ExtractOptions(),
         code_version: str = "0.1.0",
         staging_dir: Optional[str] = None,
+        table_format: str = "parquet",
     ):
         self.spark = spark
         self.output_dir = output_dir
@@ -222,6 +256,11 @@ class ExtractionJob:
         self.opts = opts
         self.code_version = code_version
         self.staging_dir = staging_dir or output_dir.rstrip("/") + ".staging"
+        # output/lineage/metrics tables go through the format seam
+        # (TableIO); the STAGING table stays parquet — it is the job's own
+        # scratch space whose bucket enumeration and _SUCCESS idempotence
+        # are filesystem-listing based by design
+        self.io = TableIO(table_format)
 
     # -- filesystem helpers (Hadoop FS API: works on local/HDFS/S3A) ------
     def _fs(self, path: str):
@@ -274,7 +313,7 @@ class ExtractionJob:
         both status and input_snapshot — a different snapshot's completions
         never mask new work)."""
         try:
-            lineage = self.spark.read.parquet(self.lineage_dir)
+            lineage = self.io.read(self.spark, self.lineage_dir)
         except Exception:
             return set()
         rows = (
@@ -312,40 +351,38 @@ class ExtractionJob:
         extracted = extract_stage(
             todo, self.opts, passthrough=("url_bucket",)
         ).withColumn("input_snapshot", F.lit(input_snapshot))
-        (
-            extracted.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("input_snapshot", "url_bucket")
-            .parquet(self.output_dir)
+        self.io.write(
+            extracted, self.output_dir, "overwrite",
+            partition_by=("input_snapshot", "url_bucket"), dynamic=True,
         )
         # read back only the wave's output partitions (pruned) for
         # metrics; the explicit schema keeps an all-empty wave readable
         # (schema inference has no data files to look at then)
         wave_out = (
-            self.spark.read.schema(self._output_schema_ddl())
-            .parquet(self.output_dir)
+            self.io.read(
+                self.spark, self.output_dir, schema=self._output_schema_ddl()
+            )
             .where(
                 (F.col("input_snapshot") == input_snapshot)
                 & F.col("url_bucket").isin(wave_buckets)
             )
         )
-        metrics_from_extracted(wave_out, run_id).write.mode("append").parquet(
-            self.metrics_dir
+        self.io.write(
+            metrics_from_extracted(wave_out, run_id), self.metrics_dir, "append"
         )
         done_rows = [
             (run_id, int(b), input_snapshot, self.code_version, "done")
             for b in wave_buckets
         ]
-        (
+        done_df = (
             self.spark.createDataFrame(
                 done_rows,
                 "run_id string, url_bucket int, input_snapshot string, "
                 "code_version string, status string",
             )
             .withColumn("completed_at", F.current_timestamp())
-            .write.mode("append")
-            .parquet(self.lineage_dir)
         )
+        self.io.write(done_df, self.lineage_dir, "append")
 
     def run(
         self,
@@ -397,8 +434,10 @@ class ExtractionJob:
         # partition-pruned count at job end, not per wave.
         try:
             n_out = (
-                self.spark.read.schema(self._output_schema_ddl())
-                .parquet(self.output_dir)
+                self.io.read(
+                    self.spark, self.output_dir,
+                    schema=self._output_schema_ddl(),
+                )
                 .where(F.col("input_snapshot") == input_snapshot)
                 .count()
             )

@@ -286,3 +286,29 @@ def test_rich_feature_sweep_counts(spark):
     # G1 border signal: every bordered_grid doc's ragged layout is caught
     # by the CSS-border mask (structural uniformity alone rejects it)
     assert pdf.loc["bordered_grid", "grid_candidates"] == pdf.loc["bordered_grid", "docs"]
+
+
+def test_table_io_format_seam(spark, tmp_path):
+    """The Iceberg seam: every ExtractionJob read/write routes through
+    TableIO.  parquet (default) roundtrips with partitioning; a non-
+    default format string demonstrably reaches Spark's source resolution
+    (no Iceberg runtime in this sandbox, so resolution fails BY NAME —
+    deploying against a real catalog is a constructor argument)."""
+    from exstruct_spark.engine import ExtractionJob, TableIO
+
+    io = TableIO()
+    df = spark.range(5).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+    io.write(df, str(tmp_path / "t"), "overwrite", partition_by=("p",))
+    assert io.read(spark, str(tmp_path / "t")).count() == 5
+
+    with pytest.raises(Exception, match="iceberg"):
+        TableIO("iceberg").read(spark, str(tmp_path / "t")).count()
+
+    job = ExtractionJob(
+        spark,
+        output_dir=str(tmp_path / "out"),
+        lineage_dir=str(tmp_path / "lineage"),
+        metrics_dir=str(tmp_path / "metrics"),
+        table_format="iceberg",
+    )
+    assert job.io.format == "iceberg"
