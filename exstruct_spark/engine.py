@@ -203,11 +203,27 @@ class TableIO:
     def write(self, df: DataFrame, path: str, mode: str,
               partition_by: tuple = (), dynamic: bool = False) -> None:
         writer = df.write.mode(mode).format(self.format)
-        if dynamic:
-            writer = writer.option("partitionOverwriteMode", "dynamic")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.save(path)
+        if not dynamic:
+            writer.save(path)
+            return
+        # dynamic partition overwrite: file sources honor the per-write
+        # option, but DSv2 sources (Iceberg) resolve SaveMode.Overwrite
+        # via the SESSION conf spark.sql.sources.partitionOverwriteMode —
+        # the option alone would truncate an Iceberg table to the current
+        # wave's partitions (review r3 finding).  Set both, restore after.
+        conf = df.sparkSession.conf
+        key = "spark.sql.sources.partitionOverwriteMode"
+        old = conf.get(key, None)
+        conf.set(key, "dynamic")
+        try:
+            writer.option("partitionOverwriteMode", "dynamic").save(path)
+        finally:
+            if old is None:
+                conf.unset(key)
+            else:
+                conf.set(key, old)
 
 
 class ExtractionJob:

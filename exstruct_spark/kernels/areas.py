@@ -45,7 +45,13 @@ def auto_areas(tables: list) -> list:
             _r1, c1, _r2, c2 = parse_range_zero_based(t["range"])
         except Exception:
             continue
-        rs = sorted({row["r"] for row in rows})  # 1-based row indices
+        occupied = {row["r"] for row in rows}  # 1-based row indices
+        # rows covered by a merged region are NOT empty — a band boundary
+        # must never cut through a tall rowspan (review r3 finding; same
+        # rule as the scan's empty-run counter)
+        for item in t.get("merged_cells", {}).get("items", []):
+            occupied.update(range(item[0], item[2] + 1))
+        rs = sorted(occupied)
         bands = []
         start = prev = rs[0]
         for r in rs[1:]:

@@ -68,22 +68,72 @@ def _scan_string(s: str, i: int) -> int:
     return n  # unterminated: consume to end (fallback-not-fail)
 
 
+def _scan_regex(s: str, i: int) -> int:
+    """i at the '/' opening a JS regex literal -> index past the closing
+    '/' and its flags.  Char classes may contain unescaped '/'; an
+    unterminated-on-this-line literal bails at the newline (then it was
+    division after all)."""
+    i += 1
+    n = len(s)
+    in_class = False
+    while i < n:
+        ch = s[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "]":
+            in_class = False
+        elif ch == "/" and not in_class:
+            i += 1
+            while i < n and s[i].isalpha():
+                i += 1
+            return i
+        elif ch == "\n":
+            return i
+        i += 1
+    return n
+
+
+# a '/' after one of these (or at expression start) begins a REGEX
+# LITERAL, not division — the standard JS lexing heuristic.  Without it a
+# callback like .replace(/\}/g, '') corrupts the brace depth (a confirmed
+# executor-hang in review).
+_REGEX_PREV = set("([{,=:;!&|?+-*/%<>~^")
+
+
+def _slash(s: str, i: int, prev) -> int:
+    """Handle '/' at i given the previous significant char: comment,
+    regex literal, or division.  Always advances."""
+    j = _skip_ws(s, i)
+    if j > i:
+        return j  # comment (or trailing ws)
+    if prev is None or prev in _REGEX_PREV:
+        j = _scan_regex(s, i)
+        return j if j > i else i + 1
+    return i + 1  # division operator
+
+
 def _extract_balanced(s: str, i: int) -> Optional[str]:
     """i at '{' -> the balanced object-literal text, or None if unmatched.
-    Depth + string awareness, like _extract_series_args_text."""
+    Depth + string/regex/comment awareness, like
+    _extract_series_args_text."""
     if i >= len(s) or s[i] != "{":
         return None
     depth = 0
     start = i
     n = len(s)
+    prev = None
     while i < n:
         ch = s[i]
         if ch in "\"'`":
             i = _scan_string(s, i)
+            prev = '"'
             continue
         if ch == "/":
-            j = _skip_ws(s, i)  # comment? the ws+comment regex consumes it
-            i = j if j > i else i + 1  # lone slash: step over
+            i = _slash(s, i, prev)
+            prev = "/"
             continue
         if ch == "{":
             depth += 1
@@ -91,6 +141,8 @@ def _extract_balanced(s: str, i: int) -> Optional[str]:
             depth -= 1
             if depth == 0:
                 return s[start : i + 1]
+        if not ch.isspace():
+            prev = ch
         i += 1
     return None
 
@@ -98,24 +150,36 @@ def _extract_balanced(s: str, i: int) -> Optional[str]:
 def find_config_objects(script_text: str) -> list:
     """All balanced ``{...}`` config arguments following a chart
     constructor marker.  ``new Chart(ctx, {...})`` takes the LAST
-    top-level object argument; ``.setOption({...})`` takes the first."""
+    top-level object argument; ``chart.setOption(option, opts?)`` takes
+    the FIRST (the config is ECharts' first parameter; the optional
+    second argument is notMerge/lazyUpdate settings)."""
     out = []
     for m in _MARKER_RE.finditer(script_text or ""):
+        want_first = "setOption" in m.group(0)
         i = m.end()
         n = len(script_text)
         depth = 0
-        last_obj = None
+        found = None
+        prev = None
         while i < n:
             ch = script_text[i]
             if ch in "\"'`":
                 i = _scan_string(script_text, i)
+                prev = '"'
+                continue
+            if ch == "/":
+                i = _slash(script_text, i, prev)
+                prev = "/"
                 continue
             if ch == "{":
                 obj = _extract_balanced(script_text, i)
                 if obj is None:
                     break
-                last_obj = obj
+                found = obj
+                if want_first:
+                    break
                 i += len(obj)
+                prev = "}"
                 continue
             if ch == "(":
                 depth += 1
@@ -123,21 +187,31 @@ def find_config_objects(script_text: str) -> list:
                 if depth == 0:
                     break
                 depth -= 1
+            if not ch.isspace():
+                prev = ch
             i += 1
-        if last_obj is not None:
-            out.append(last_obj)
+        if found is not None:
+            out.append(found)
     return out
 
 
 def _skip_function_value(s: str, i: int) -> int:
     """Consume a callback value (function/arrow) as a balanced token run
-    up to the next top-level ',' or closing '}' / ']'."""
+    up to the next top-level ',' or closing '}' / ']'.  May return i
+    unchanged when already AT a top-level terminator — callers needing
+    guaranteed progress must advance themselves."""
     depth = 0
     n = len(s)
+    prev = None
     while i < n:
         ch = s[i]
         if ch in "\"'`":
             i = _scan_string(s, i)
+            prev = '"'
+            continue
+        if ch == "/":
+            i = _slash(s, i, prev)
+            prev = "/"
             continue
         if ch in "({[":
             depth += 1
@@ -147,8 +221,60 @@ def _skip_function_value(s: str, i: int) -> int:
             depth -= 1
         elif ch == "," and depth == 0:
             return i
+        if not ch.isspace():
+            prev = ch
         i += 1
     return n
+
+
+_JS_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "v": "\v",
+    "0": "\0",
+}
+
+
+def _decode_js_string(body: str) -> str:
+    """Decode JS string escapes: named escapes, \\uXXXX, \\u{X..}, \\xXX;
+    an unknown escape yields the bare char (the JS rule, so \\q -> q)."""
+    out: list = []
+    i = 0
+    n = len(body)
+    while i < n:
+        ch = body[i]
+        if ch != "\\" or i + 1 >= n:
+            out.append(ch)
+            i += 1
+            continue
+        c = body[i + 1]
+        if c in _JS_ESCAPES:
+            out.append(_JS_ESCAPES[c])
+            i += 2
+        elif c == "u" and body[i + 2 : i + 3] == "{":
+            j = body.find("}", i + 3)
+            try:
+                out.append(chr(int(body[i + 3 : j], 16)))
+                i = j + 1
+            except (ValueError, TypeError, OverflowError):
+                out.append(c)
+                i += 2
+        elif c == "u":
+            try:
+                out.append(chr(int(body[i + 2 : i + 6], 16)))
+                i += 6
+            except ValueError:
+                out.append(c)
+                i += 2
+        elif c == "x":
+            try:
+                out.append(chr(int(body[i + 2 : i + 4], 16)))
+                i += 4
+            except ValueError:
+                out.append(c)
+                i += 2
+        else:
+            out.append(c)
+            i += 2
+    return "".join(out)
 
 
 def parse_js_value(s: str, i: int = 0):
@@ -164,28 +290,29 @@ def parse_js_value(s: str, i: int = 0):
         return _parse_array(s, i)
     if ch in "\"'`":
         j = _scan_string(s, i)
-        body = s[i + 1 : j - 1]
-        return re.sub(r"\\(.)", r"\1", body), j
+        return _decode_js_string(s[i + 1 : j - 1]), j
     if ch in _NUM_START:
         m = re.match(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?", s[i:])
         if m:
             txt = m.group(0)
             val = float(txt) if any(c in txt for c in ".eE") else int(txt)
             return val, i + m.end()
-        return None, _skip_function_value(s, i)
+        return None, max(_skip_function_value(s, i), i + 1)
     m = _IDENT_RE.match(s, i)
     if m:
         word = m.group(0)
         j = _skip_ws(s, m.end())
         # callback or constructor call: consume the balanced run
         if word == "function" or word == "new" or (j < len(s) and s[j] == "("):
-            return None, _skip_function_value(s, i)
+            return None, max(_skip_function_value(s, i), i + 1)
         if j + 1 < len(s) and s[j : j + 2] == "=>":
-            return None, _skip_function_value(s, i)
+            return None, max(_skip_function_value(s, i), i + 1)
         return {
             "true": True, "false": False, "null": None, "undefined": None,
         }.get(word, word), m.end()
-    return None, _skip_function_value(s, i)
+    # stray token (a ')' from a mis-nested script, etc.): ALWAYS advance —
+    # a same-index return here looped forever (confirmed in review)
+    return None, max(_skip_function_value(s, i), i + 1)
 
 
 def _parse_object(s: str, i: int):
@@ -204,10 +331,13 @@ def _parse_object(s: str, i: int):
         else:
             m = _IDENT_RE.match(s, i)
             if not m:
+                i0 = i
                 i = _skip_function_value(s, i)
                 i = _skip_ws(s, i)
                 if i < n and s[i] == ",":
                     i += 1
+                if i <= i0:  # stray terminator: force progress (no hangs)
+                    i = i0 + 1
                 continue
             key, i = m.group(0), m.end()
         i = _skip_ws(s, i)
@@ -231,11 +361,14 @@ def _parse_array(s: str, i: int):
         i = _skip_ws(s, i)
         if i < n and s[i] == "]":
             return arr, i + 1
+        i0 = i
         val, i = parse_js_value(s, i)
         arr.append(val)
         i = _skip_ws(s, i)
         if i < n and s[i] == ",":
             i += 1
+        if i <= i0:  # no forward progress on a stray token: never loop
+            i = i0 + 1
     return arr, i
 
 
@@ -250,8 +383,15 @@ def _numeric(values) -> list:
     for v in values or []:
         if isinstance(v, (int, float)) and not isinstance(v, bool):
             out.append(float(v))
-        elif isinstance(v, dict) and isinstance(v.get("y"), (int, float)):
-            out.append(float(v["y"]))
+        elif isinstance(v, dict):
+            # Chart.js point objects {x, y}; ECharts item objects
+            # {value, name} (the pie/named-datum shape)
+            for k in ("y", "value"):
+                if isinstance(v.get(k), (int, float)) and not isinstance(
+                    v.get(k), bool
+                ):
+                    out.append(float(v[k]))
+                    break
     return out
 
 

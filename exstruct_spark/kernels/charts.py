@@ -222,6 +222,12 @@ def extract_charts(
         if table_art is not None:
             chart["data_table_id"] = table_art["id"]
         charts.append(chart)
+        # a figure can carry BOTH an svg rendering and a script config —
+        # the scripts parse too (same companion-table binding), they are
+        # distinct chart artifacts, not alternatives (review r3 finding)
+        charts.extend(
+            _records_from_scripts(fig.find_all("script"), len(charts), table_art)
+        )
     # standalone <script> chart constructors (outside any <figure>):
     # parsed by the same tokenizer, unbound (no companion grid)
     if scripts:

@@ -599,7 +599,7 @@ _LANGID_MARKERS = {
     # prevalence.  Markers are chosen so both regex engines (Java, RE2)
     # agree: script classes are literal codepoint ranges, stopwords are
     # ASCII-only (ASCII \b semantics are identical in both).
-    "ja": "[ぁ-ヿ]",      # hiragana + katakana
+    "ja": "[ぁ-ヿ]",      # hiragana + katakana (weighted — see below)
     "ko": "[가-힣]",      # hangul syllables
     "zh": "[一-鿿]",      # han ideographs
     "ru": "[Ѐ-ӿ]",        # cyrillic
@@ -623,6 +623,14 @@ _LANGID_MARKERS = {
 }
 
 
+# per-language score weights (default 1).  Japanese: kana is the
+# DECISIVE glyph class but real Japanese text is often kanji-heavy
+# (news style runs >70% han, which also feeds s_zh) — weighting each
+# kana hit x8 means ja wins whenever kana make up >~11% of CJK glyphs,
+# while Chinese text (zero kana) is untouched (review r3 finding).
+_LANGID_WEIGHTS = {"ja": 8}
+
+
 def _langid_scores_sql(len_fn: str) -> str:
     """Per-language marker-hit scores + deterministic argmax CASE chain,
     shared by Spark (len_fn=size) and DuckDB (len_fn=len).  Spark SQL
@@ -630,6 +638,7 @@ def _langid_scores_sql(len_fn: str) -> str:
     DuckDB keeps them verbatim, so the Spark variant doubles them."""
     esc = (lambda p: p.replace("\\", "\\\\")) if len_fn == "size" else (lambda p: p)
     score_list = [
+        f"{_LANGID_WEIGHTS.get(lang, 1)} * "
         f"{len_fn}(regexp_extract_all(text, '{esc(pat)}', 0)) AS s_{lang}"
         for lang, pat in _LANGID_MARKERS.items()
     ]

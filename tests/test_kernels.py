@@ -1166,3 +1166,100 @@ def test_auto_area_views_match_declared_views():
     v2 = auto_norm["auto_area_views"][1]
     assert v2["normalized"] is True
     assert v2["tables"][0]["rows"][0]["r"] == 0  # re-based to band origin
+
+
+def test_chartconfig_never_hangs_and_lexes_regex_literals():
+    """Review r3: stray tokens and JS regex literals must neither hang the
+    parser (a confirmed 120s+ executor hang pre-fix) nor corrupt brace
+    depth."""
+    from exstruct_spark.kernels.chartconfig import (
+        charts_from_script,
+        find_config_objects,
+        parse_js_value,
+    )
+
+    # no-progress tokens: must terminate (pre-fix: infinite loop)
+    assert parse_js_value("[1, )")[0] is not None
+    assert parse_js_value("{a: )")[0] is not None
+    charts_from_script("new Chart(c, {data: {labels: [1, )}})")
+
+    # the confirmed real-world hang: a brace inside a regex literal
+    cfg = """
+    new Chart(ctx, {type: 'line',
+      data: {labels: ['a'], datasets: [{label: 'x', data: [1, 2]}]},
+      options: {scales: {y: {ticks: {
+        callback: (c) => String(c).replace(/\\}/g, '')}}}},
+    });
+    """
+    charts = charts_from_script(cfg)
+    assert len(charts) == 1
+    assert charts[0]["series"] == [("x", [1.0, 2.0])]
+
+    # char class with braces/slashes: depth survives, config still parses
+    echarts = charts_from_script(
+        "x.setOption({series: [{name: 'n', type: 'bar', data: [3]}], "
+        "f: v => v.replace(/[{}/]+/g, '-')})"
+    )
+    assert echarts and echarts[0]["series"] == [("n", [3.0])]
+    assert find_config_objects("new Chart(c, )") == []
+
+
+def test_chartconfig_setoption_takes_first_argument():
+    """ECharts setOption(option, {notMerge: true}) — the config is the
+    FIRST argument (review r3: the last-object rule dropped every ECharts
+    chart constructed with a second settings argument)."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    charts = charts_from_script(
+        "chart.setOption({title: {text: 'T'}, series: [{name: 's', "
+        "type: 'line', data: [1, 2]}]}, {notMerge: true});"
+    )
+    assert len(charts) == 1
+    assert charts[0]["title"] == "T"
+    # new Chart still takes the LAST object (ctx options come first)
+    charts2 = charts_from_script(
+        "new Chart(document.getElementById('c'), "
+        "{type: 'pie', data: {datasets: [{data: [1]}]}});"
+    )
+    assert len(charts2) == 1 and charts2[0]["chart_type"] == "Pie"
+
+
+def test_chartconfig_js_escape_decoding():
+    from exstruct_spark.kernels.chartconfig import parse_js_value
+
+    assert parse_js_value(r'"a\nb"')[0] == "a\nb"
+    assert parse_js_value(r'"café"')[0] == "café"
+    assert parse_js_value(r'"\u{1F600}"')[0] == "\U0001F600"
+    assert parse_js_value(r'"\x41\q\""')[0] == 'Aq"'
+
+
+def test_figure_with_svg_and_script_emits_both_charts():
+    """Review r3: scripts inside an svg-bearing figure were silently lost
+    (excluded from standalone processing, skipped by the figure path)."""
+    html = (
+        "<figure><svg><polyline points='0,1 1,2'/></svg>"
+        "<script>new Chart(c, {type: 'line', data: {datasets: "
+        "[{label: 'z', data: [1, 2, 3]}]}})</script></figure>"
+    ).encode()
+    x = json.loads(extract_document("u", html)["extraction_json"])
+    assert len(x["charts"]) == 2
+    assert x["charts"][0]["chart_type"] == "Line"  # the svg chart
+    assert x["charts"][1]["config_source"] == "script"
+    assert x["charts"][1]["series"][0]["name"] == "z"
+
+
+def test_auto_areas_do_not_split_through_rowspan():
+    """Review r3: a tall rowspan's covered rows are content — the band
+    boundary must not cut through a merged region."""
+    html = (
+        "<table><tr><td>h1</td><td>h2</td></tr>"
+        "<tr><td rowspan='4'>tall</td><td>x</td></tr>"
+        "<tr><td></td></tr><tr><td></td></tr><tr><td></td></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    ).encode()
+    x = json.loads(
+        extract_document("u", html, ExtractOptions(auto_areas=True))[
+            "extraction_json"
+        ]
+    )
+    assert x["auto_areas"] == ["A1:B6"]  # one band — no split at rows 3-5

@@ -312,7 +312,10 @@ _LANGID_SAMPLES = {
            "ini itu yang dan dengan tidak untuk kami"],
     "vi": ["đường phố ở hà nội rất đẹp vào buổi sáng",
            "người dân thường đi chợ mua đồ ăn tươi"],
-    "ja": ["これは日本語のテストです", "きょうは天気がいいですね"],
+    "ja": ["これは日本語のテストです", "きょうは天気がいいですね",
+           # kanji-heavy news style: far more han than kana — the
+           # weighted-kana score must still beat the shared-han zh score
+           "東京都議会議員選挙は本日実施された"],
     "ko": ["한국어 문장입니다 오늘", "날씨가 좋습니다 정말"],
     "zh": ["今天天气很好我们去公园散步", "这是一个中文测试句子"],
     "ru": ["сегодня хорошая погода и мы идем в парк",

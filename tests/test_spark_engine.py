@@ -301,6 +301,15 @@ def test_table_io_format_seam(spark, tmp_path):
     io.write(df, str(tmp_path / "t"), "overwrite", partition_by=("p",))
     assert io.read(spark, str(tmp_path / "t")).count() == 5
 
+    # dynamic overwrite routes through the SESSION conf (the only switch
+    # DSv2 sources honor) and restores it afterwards (review r3)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, None)
+    io.write(df, str(tmp_path / "t"), "overwrite",
+             partition_by=("p",), dynamic=True)
+    assert spark.conf.get(key, None) == before
+    assert io.read(spark, str(tmp_path / "t")).count() == 5
+
     with pytest.raises(Exception, match="iceberg"):
         TableIO("iceberg").read(spark, str(tmp_path / "t")).count()
 
