@@ -166,3 +166,36 @@ def stream_extract_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_media_meta_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    mode: str = "fake",
+    feature_dim: int = 8,
+    input_schema: str = "url string, blob binary",
+) -> None:
+    """Streaming twin of the multimodal metadata stage: drain all
+    currently-available blob files through ``media_meta_stage``
+    (mapInPandas over Arrow batches — stateless per row, so the same
+    exactly-once-per-file AvailableNow semantics as extraction apply),
+    then stop.  Blocking.
+
+    This makes the media path's ingestion shape identical to the text
+    path's: landed binary files -> incremental drain -> typed metadata +
+    feature columns, ready for the bucketed similarity operators."""
+    from exstruct_spark.media import media_meta_stage
+
+    blobs = spark.readStream.schema(input_schema).parquet(input_dir)
+    meta = media_meta_stage(blobs, mode=mode, feature_dim=feature_dim)
+    q = (
+        meta.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

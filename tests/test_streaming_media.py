@@ -308,3 +308,43 @@ def test_media_ann_topk_probes_buckets(spark):
         # duplicates (sim exactly 1.0) fill the head, tie-broken by cid
         assert list(top["cid"]) == dups[: len(top)]
         assert (top["sim"] == 1.0).all()
+
+
+def test_stream_media_meta_matches_batch(spark, tmp_path):
+    """Streaming multimodal ingestion == batch: the same blobs drained
+    via AvailableNow produce the identical typed-metadata rows as the
+    batch media stage, and a second drain adds nothing (exactly-once per
+    file)."""
+    from exstruct_spark.streaming import stream_media_meta_available_now
+
+    pages = spark_pages(spark, 40, partitions=2)
+    blobs = pages.select(
+        "url",
+        F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), F.col("html")).alias("blob"),
+    )
+    in_d = str(tmp_path / "blobs")
+    out_d = str(tmp_path / "meta")
+    ck_d = str(tmp_path / "ck")
+    blobs.write.parquet(in_d)
+
+    stream_media_meta_available_now(spark, in_d, out_d, ck_d)
+    got = (
+        spark.read.parquet(out_d)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        media_meta_stage(blobs)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    for col in ("url", "media_type", "n_bytes", "entropy", "fingerprint"):
+        assert list(got[col]) == list(want[col])
+    assert got["feature"].map(tuple).equals(want["feature"].map(tuple))
+
+    # second drain: no new files -> no new rows
+    stream_media_meta_available_now(spark, in_d, out_d, ck_d)
+    assert spark.read.parquet(out_d).count() == 40
