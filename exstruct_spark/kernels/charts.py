@@ -42,7 +42,14 @@ def _records_from_scripts(script_nodes, start_idx: int, table_art) -> list:
     recs = []
     i = start_idx
     for sn in script_nodes:
-        for parsed in charts_from_script(_script_text(sn)):
+        try:
+            parsed_charts = charts_from_script(_script_text(sn))
+        except Exception:
+            # fallback-not-fail at the ARTIFACT level: a pathological
+            # script (e.g. recursion-depth nesting) loses its own charts
+            # only — never the document's tables/shapes/text
+            continue
+        for parsed in parsed_charts:
             values = [ys for (_, ys) in parsed["series"]]
             all_vals = [v for ys in values for v in ys]
             chart: dict = {

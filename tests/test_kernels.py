@@ -1263,3 +1263,18 @@ def test_auto_areas_do_not_split_through_rowspan():
         ]
     )
     assert x["auto_areas"] == ["A1:B6"]  # one band — no split at rows 3-5
+
+
+def test_pathological_script_degrades_chart_only():
+    """Fallback-not-fail at the artifact level: a recursion-bomb script
+    loses its own charts, never the document's other artifacts."""
+    bomb = "new Chart(c, {a: " + "[" * 3000 + "]" * 3000 + "})"
+    html = (
+        "<table><tr><th>h1</th><th>h2</th></tr><tr><td>a</td><td>1</td></tr></table>"
+        f"<script>{bomb}</script>"
+    ).encode()
+    rec = extract_document("u", html)
+    assert rec["status"] == "ok"
+    x = json.loads(rec["extraction_json"])
+    assert len(x["tables"]) == 1  # table survived
+    assert "charts" not in x or x["charts"] == []

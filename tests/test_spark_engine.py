@@ -321,3 +321,33 @@ def test_table_io_format_seam(spark, tmp_path):
         table_format="iceberg",
     )
     assert job.io.format == "iceberg"
+
+
+def test_job_runs_end_to_end_on_json_sink(spark, tmp_path):
+    """The TableIO seam is real multi-format plumbing, not a docstring:
+    the SAME job runs end-to-end with table_format='json' (JSONL sinks —
+    the reference's native output family) — output, lineage, metrics and
+    resume all flow through the adapter."""
+    job = ExtractionJob(
+        spark,
+        output_dir=str(tmp_path / "out"),
+        lineage_dir=str(tmp_path / "lin"),
+        metrics_dir=str(tmp_path / "met"),
+        n_buckets=4,
+        table_format="json",
+    )
+    pages = spark_pages(spark, 30, partitions=2)
+    r1 = job.run(pages)
+    assert r1["rows_in_output"] == 30
+    # resume: everything already done
+    r2 = job.run(pages)
+    assert r2["buckets_done_before"] == 4
+    assert r2["rows_in_output"] == 30
+    # the sink really is JSONL
+    import glob
+    files = glob.glob(str(tmp_path / "out" / "**" / "*.json"), recursive=True)
+    assert files
+    import json as _json
+    with open(files[0]) as fh:
+        rec = _json.loads(fh.readline())
+    assert "url" in rec
