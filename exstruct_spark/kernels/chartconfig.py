@@ -38,7 +38,9 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-_MARKER_RE = re.compile(r"new\s+Chart\s*\(|\.setOption\s*\(")
+_MARKER_RE = re.compile(
+    r"new\s+Chart\s*\(|\.setOption\s*\(|Highcharts\s*\.\s*chart\s*\("
+)
 
 _NUM_START = set("-+.0123456789")
 _IDENT_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*")
@@ -375,6 +377,9 @@ def _parse_array(s: str, i: int):
 _TYPE_MAP = {
     "line": "Line", "bar": "Column", "horizontalbar": "Bar", "pie": "Pie",
     "doughnut": "Pie", "scatter": "Scatter", "radar": "Radar", "area": "Line",
+    # Highcharts names ('bar' there is horizontal, but it is vertical in
+    # Chart.js/ECharts — the shared key keeps the majority dialect)
+    "column": "Column", "spline": "Line", "areaspline": "Line",
 }
 
 
@@ -440,6 +445,10 @@ def _from_chartjs(cfg: dict) -> Optional[dict]:
 
 
 def _from_echarts(cfg: dict) -> Optional[dict]:
+    """ECharts and Highcharts share the series-list config dialect:
+    ``series: [{name, type?, data}]`` with ``title.text``; labels live in
+    ``xAxis.data`` (ECharts) or ``xAxis.categories`` (Highcharts), and a
+    config-level type fallback in ``chart.type`` (Highcharts)."""
     raw_series = cfg.get("series")
     if isinstance(raw_series, dict):
         raw_series = [raw_series]
@@ -454,6 +463,8 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
         series.append((str(s.get("name") or f"s{k}"), _numeric(s.get("data"))))
     if not series:
         return None
+    if stype is None and isinstance(cfg.get("chart"), dict):
+        stype = cfg["chart"].get("type")
     title = ""
     if isinstance(cfg.get("title"), dict):
         title = str(cfg["title"].get("text") or "")
@@ -461,10 +472,15 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
     xaxis = cfg.get("xAxis")
     if isinstance(xaxis, list) and xaxis:
         xaxis = xaxis[0]
-    if isinstance(xaxis, dict) and isinstance(xaxis.get("data"), list):
-        labels = [
-            str(x) for x in xaxis["data"] if not isinstance(x, (dict, list))
-        ]
+    if isinstance(xaxis, dict):
+        for key in ("data", "categories"):
+            if isinstance(xaxis.get(key), list):
+                labels = [
+                    str(x)
+                    for x in xaxis[key]
+                    if not isinstance(x, (dict, list))
+                ]
+                break
     return {
         "chart_type": _norm_type(stype),
         "title": title,

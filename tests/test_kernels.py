@@ -1278,3 +1278,24 @@ def test_pathological_script_degrades_chart_only():
     x = json.loads(rec["extraction_json"])
     assert len(x["tables"]) == 1  # table survived
     assert "charts" not in x or x["charts"] == []
+
+
+def test_chartconfig_highcharts_dialect():
+    """Highcharts.chart('container', {...}): config is the last object;
+    type comes from chart.type, labels from xAxis.categories."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    charts = charts_from_script("""
+    Highcharts.chart('container', {
+      chart: {type: 'column'},
+      title: {text: 'Fruit'},
+      xAxis: {categories: ['apple', 'pear']},
+      series: [{name: 'north', data: [5, 3]}, {name: 'south', data: [2, 4]}]
+    });
+    """)
+    assert len(charts) == 1
+    c = charts[0]
+    assert c["chart_type"] == "Column"
+    assert c["title"] == "Fruit"
+    assert c["labels"] == ["apple", "pear"]
+    assert c["series"] == [("north", [5.0, 3.0]), ("south", [2.0, 4.0])]
