@@ -191,12 +191,17 @@ class TableIO:
     behavior: ``format("parquet").load/save`` is exactly ``.parquet()``.
     """
 
+    # file-based sources accept a user-specified read schema; DSv2
+    # catalog sources (Iceberg) REJECT one ('does not support user
+    # specified schema') — their table metadata is authoritative
+    _FILE_FORMATS = frozenset({"parquet", "json", "csv", "orc", "text", "avro"})
+
     def __init__(self, fmt: str = "parquet"):
         self.format = fmt
 
     def read(self, spark: SparkSession, path: str, schema: Optional[str] = None) -> DataFrame:
         reader = spark.read
-        if schema is not None:
+        if schema is not None and self.format in self._FILE_FORMATS:
             reader = reader.schema(schema)
         return reader.format(self.format).load(path)
 

@@ -46,11 +46,14 @@ def auto_areas(tables: list) -> list:
         except Exception:
             continue
         occupied = {row["r"] for row in rows}  # 1-based row indices
-        # rows covered by a merged region are NOT empty — a band boundary
-        # must never cut through a tall rowspan (review r3 finding; same
-        # rule as the scan's empty-run counter)
+        # the scan's content definition applies here too (review r3):
+        # rows covered by a merged region, and rows carrying only
+        # background colors, are NOT empty — a band boundary must never
+        # cut through them (colors_map positions are (r 1-based, c))
         for item in t.get("merged_cells", {}).get("items", []):
             occupied.update(range(item[0], item[2] + 1))
+        for positions in t.get("colors_map", {}).values():
+            occupied.update(p[0] for p in positions)
         rs = sorted(occupied)
         bands = []
         start = prev = rs[0]

@@ -173,6 +173,22 @@ def find_config_objects(script_text: str) -> list:
                 i = _slash(script_text, i, prev)
                 prev = "/"
                 continue
+            # a callback ARGUMENT (Highcharts.chart('c', cfg, function(){…})
+            # or an arrow) is not a config object: consume the whole
+            # function expression, body braces and all (review r3 #2)
+            if (
+                ch == "f"
+                and script_text.startswith("function", i)
+                and not (prev and (prev.isalnum() or prev in "_$"))
+                and _IDENT_RE.match(script_text, i).group(0) == "function"
+            ):
+                i = max(_skip_function_value(script_text, i), i + 1)
+                prev = ")"
+                continue
+            if ch == "=" and script_text[i + 1 : i + 2] == ">":
+                i = max(_skip_function_value(script_text, i), i + 2)
+                prev = ")"
+                continue
             if ch == "{":
                 obj = _extract_balanced(script_text, i)
                 if obj is None:
@@ -253,6 +269,10 @@ def _decode_js_string(body: str) -> str:
             i += 2
         elif c == "u" and body[i + 2 : i + 3] == "{":
             j = body.find("}", i + 3)
+            if j < 0:  # unterminated \u{…: bare-char rule, NEVER i=j+1=0
+                out.append(c)
+                i += 2
+                continue
             try:
                 out.append(chr(int(body[i + 3 : j], 16)))
                 i = j + 1

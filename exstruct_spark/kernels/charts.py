@@ -154,7 +154,8 @@ def _series_values(svg: Node) -> list:
 
 
 def extract_charts(
-    figures, tables_by_figure: Optional[dict] = None, scripts=None
+    figures, tables_by_figure: Optional[dict] = None, scripts=None,
+    figure_scripts: Optional[dict] = None,
 ) -> list:
     """<figure> blocks containing an <svg> -> chart records.
 
@@ -174,6 +175,13 @@ def extract_charts(
     if isinstance(figures, Node):
         figures = figures.find_all("figure")
     charts: list = []
+    # figure_scripts: precollected id(fig) -> [script nodes] (the caller's
+    # single traversal); fallback walks the subtree here
+    def _fig_scripts(fig):
+        if figure_scripts is not None:
+            return figure_scripts.get(id(fig), [])
+        return fig.find_all("script")
+
     for fig in figures:
         svg = fig.find_first("svg")
         if svg is None:
@@ -183,9 +191,7 @@ def extract_charts(
                 tables_by_figure.get(id(fig)) if tables_by_figure else None
             )
             charts.extend(
-                _records_from_scripts(
-                    fig.find_all("script"), len(charts), table_art
-                )
+                _records_from_scripts(_fig_scripts(fig), len(charts), table_art)
             )
             continue
         i = len(charts)
@@ -233,7 +239,7 @@ def extract_charts(
         # the scripts parse too (same companion-table binding), they are
         # distinct chart artifacts, not alternatives (review r3 finding)
         charts.extend(
-            _records_from_scripts(fig.find_all("script"), len(charts), table_art)
+            _records_from_scripts(_fig_scripts(fig), len(charts), table_art)
         )
     # standalone <script> chart constructors (outside any <figure>):
     # parsed by the same tokenizer, unbound (no companion grid)

@@ -337,18 +337,22 @@ def extract_document(
                 n_shapes, n_arrows = len(shapes_all), len(arrows_all)
 
             if opts.include_charts:
-                # scripts INSIDE figures are handled by the figure path
-                # (companion-grid binding); only standalone ones pass here
-                in_figure = {
-                    id(s)
+                # ONE subtree walk per figure collects its scripts; the
+                # same map serves both the figure path (companion-grid
+                # binding) and the standalone split
+                fig_scripts = {
+                    id(fig): fig.find_all("script")
                     for fig in groups["figure"]
-                    for s in fig.find_all("script")
+                }
+                in_figure = {
+                    id(s) for ss in fig_scripts.values() for s in ss
                 }
                 standalone_scripts = [
                     s for s in groups["script"] if id(s) not in in_figure
                 ]
                 charts = extract_charts(
-                    groups["figure"], figure_table_ids, standalone_scripts
+                    groups["figure"], figure_table_ids, standalone_scripts,
+                    figure_scripts=fig_scripts,
                 )
                 if charts:
                     extraction["charts"] = charts

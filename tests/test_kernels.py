@@ -1299,3 +1299,52 @@ def test_chartconfig_highcharts_dialect():
     assert c["title"] == "Fruit"
     assert c["labels"] == ["apple", "pear"]
     assert c["series"] == [("north", [5.0, 3.0]), ("south", [2.0, 4.0])]
+
+
+def test_chartconfig_unterminated_unicode_escape_terminates():
+    """Review r3 second pass: an unterminated \\u{ escape must decode via
+    the bare-char rule, not reset the scan index (a confirmed hang)."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script, parse_js_value
+
+    assert parse_js_value(r'"\u{41"')[0] == "u{41"
+    charts = charts_from_script(
+        "new Chart(ctx, {data:{labels:['\\u{41'], datasets:[{data:[1]}]}})"
+    )
+    assert len(charts) == 1 and charts[0]["series"] == [("s0", [1.0])]
+
+
+def test_chartconfig_callback_argument_not_taken_as_config():
+    """Highcharts.chart('c', cfg, function(chart){...}) — the callback's
+    body must not shadow the real config (review r3 second pass)."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    charts = charts_from_script("""
+    Highcharts.chart('c', {chart:{type:'line'},
+      series:[{name:'s1', data:[1,2]}]}, function (chart) {
+        console.log(chart); });
+    """)
+    assert len(charts) == 1
+    assert charts[0]["series"] == [("s1", [1.0, 2.0])]
+    # arrow-callback variant
+    charts2 = charts_from_script(
+        "Highcharts.chart('c', {series:[{name:'a', data:[3]}]}, "
+        "(chart) => { chart.reflow(); });"
+    )
+    assert len(charts2) == 1 and charts2[0]["series"] == [("a", [3.0])]
+
+
+def test_auto_areas_color_only_rows_not_gaps():
+    """Review r3 second pass: a bgcolor-only separator row is content per
+    the scan's own definition — auto_areas must not split there."""
+    html = (
+        "<table><tr><td>h1</td><td>h2</td></tr>"
+        "<tr><td>a</td><td>1</td></tr>"
+        "<tr><td bgcolor='red'></td><td bgcolor='red'></td></tr>"
+        "<tr><td>b</td><td>2</td></tr></table>"
+    ).encode()
+    x = json.loads(
+        extract_document("u", html, ExtractOptions(auto_areas=True))[
+            "extraction_json"
+        ]
+    )
+    assert x["auto_areas"] == ["A1:B4"]
