@@ -189,3 +189,21 @@ def test_filter_row_to_area_total(cmap, r, area):
     if out_n is not None:
         # re-based keys start at 0 within the area's width
         assert all(0 <= int(k) <= area[3] - area[1] for k in out_n["c"])
+
+
+@given(
+    st.text(
+        alphabet="{}[]()'\"`\\/,:;=> \nfunctionewChar.setOp01xé",
+        max_size=120,
+    )
+)
+@settings(max_examples=300, deadline=2000)
+def test_charts_from_script_is_total(s):
+    """The chart-config tokenizer is TOTAL on arbitrary script text: it
+    terminates and returns a list, bare and inside constructor wrappers —
+    the property two review-confirmed executor hangs violated."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    assert isinstance(charts_from_script(s), list)
+    assert isinstance(charts_from_script("new Chart(ctx, " + s + ")"), list)
+    assert isinstance(charts_from_script("x.setOption(" + s + ");"), list)
