@@ -861,6 +861,119 @@ GROUP BY lang, quality
 """
 
 
+# Gopher-style repetition/format quality rules (Rae et al. 2021, public):
+# the de-facto standard first-pass filter set of web-scale training-data
+# pipelines.  All scan-local column math; the ONLY shuffle is the final
+# per-lang rollup.  Word metrics are computed in one struct expression
+# with the token array bound as a lambda variable (CollapseProject guard).
+_GOPHER_WORDS_STRUCT = f"""
+    element_at(transform(array({_TOK}), ws -> struct(
+      size(ws) AS wc,
+      aggregate(ws, 0, (a, w) -> a + length(w)) AS chars,
+      size(filter(ws, w -> w rlike '[A-Za-z]')) AS alpha_words
+    )), 1)
+"""
+
+_GOPHER_LINES_STRUCT = """
+    element_at(transform(array(split(text, '\\n')), ls -> struct(
+      size(ls) AS nl,
+      size(filter(ls, l -> trim(l) rlike '^[-*•]')) AS bullet_l,
+      size(filter(ls, l -> rtrim(l) like '%...')) AS ell_l
+    )), 1)
+"""
+
+_GOPHER_STOPWORDS = r"\b(the|be|to|of|and|that|have|with)\b"
+
+
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules over the corpus, each with a per-lang failure
+    count plus the all-rules pass count: word count in [50, 100k], mean
+    word length in [3, 10], symbol-to-word ratio ('#'/'...') < 0.1,
+    bullet-start line fraction <= 0.9, ellipsis-end line fraction <= 0.3,
+    >= 80% words containing an alphabetic char, >= 2 English stopwords.
+    Full DuckDB oracle (identical expressions; single-division doubles
+    are IEEE-identical across engines)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    d = docs.select(
+        "lang",
+        F.expr(_GOPHER_WORDS_STRUCT).alias("w"),
+        F.expr(_GOPHER_LINES_STRUCT).alias("l"),
+        F.expr(
+            "(length(text) - length(replace(text, '#', ''))) + "
+            "(length(text) - length(replace(text, '...', ''))) / 3"
+        ).alias("symbols"),
+        F.expr(
+            "size(regexp_extract_all(lower(text), "
+            f"'{_GOPHER_STOPWORDS}', 0))".replace("\\", "\\\\")
+        ).alias("stops"),
+    )
+    rules = d.select(
+        "lang",
+        (F.col("w.wc").between(50, 100000)).alias("r_wc"),
+        ((F.col("w.chars") / F.col("w.wc")).between(3.0, 10.0)).alias("r_mwl"),
+        ((F.col("symbols") / F.col("w.wc")) < 0.1).alias("r_sym"),
+        ((F.col("l.bullet_l") / F.col("l.nl")) <= 0.9).alias("r_bullet"),
+        ((F.col("l.ell_l") / F.col("l.nl")) <= 0.3).alias("r_ellipsis"),
+        ((F.col("w.alpha_words") / F.col("w.wc")) >= 0.8).alias("r_alpha"),
+        (F.col("stops") >= 2).alias("r_stop"),
+    )
+    fails = [
+        F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("bigint").alias(f"fail_{c[2:]}")
+        for c in ("r_wc", "r_mwl", "r_sym", "r_bullet", "r_ellipsis",
+                  "r_alpha", "r_stop")
+    ]
+    all_pass = (
+        F.col("r_wc") & F.col("r_mwl") & F.col("r_sym") & F.col("r_bullet")
+        & F.col("r_ellipsis") & F.col("r_alpha") & F.col("r_stop")
+    )
+    return rules.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.when(all_pass, 1).otherwise(0)).cast("bigint").alias("pass_docs"),
+        *fails,
+    )
+
+
+SQL_DOC_GOPHER_RULES = r"""
+WITH m AS (
+  SELECT lang,
+         len(ws) AS wc,
+         list_aggregate(list_transform(ws, w -> len(w)), 'sum') AS chars,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+         len(ls) AS nl,
+         len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS bullet_l,
+         len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS ell_l,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3 AS symbols,
+         len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b', 0)) AS stops
+  FROM (SELECT lang, text,
+               regexp_split_to_array(trim(text), '\s+') AS ws,
+               regexp_split_to_array(text, '\n') AS ls
+        FROM documents WHERE n_chars > 0)),
+r AS (
+  SELECT lang,
+         (wc BETWEEN 50 AND 100000) AS r_wc,
+         (CAST(chars AS DOUBLE) / wc BETWEEN 3.0 AND 10.0) AS r_mwl,
+         (CAST(symbols AS DOUBLE) / wc < 0.1) AS r_sym,
+         (CAST(bullet_l AS DOUBLE) / nl <= 0.9) AS r_bullet,
+         (CAST(ell_l AS DOUBLE) / nl <= 0.3) AS r_ellipsis,
+         (CAST(alpha_words AS DOUBLE) / wc >= 0.8) AS r_alpha,
+         (stops >= 2) AS r_stop
+  FROM m)
+SELECT lang, COUNT(*) AS docs,
+       CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_bullet
+                      AND r_ellipsis AND r_alpha AND r_stop
+                THEN 1 ELSE 0 END) AS BIGINT) AS pass_docs,
+       CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+       CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+       CAST(SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_sym,
+       CAST(SUM(CASE WHEN NOT r_bullet THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullet,
+       CAST(SUM(CASE WHEN NOT r_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis,
+       CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+       CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
+FROM r GROUP BY lang
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding, 100% built-in expressions (zero Python).
 
@@ -2075,6 +2188,87 @@ def q_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pages_host_pagerank(
+    spark: SparkSession, sf_dir: str, iters: int = 10, d: float = 0.85
+) -> DataFrame:
+    """Host-level PageRank over the EXTRACTED link graph — the crawl-
+    curation operator real pipelines use to prioritize/weight URLs
+    (Common-Crawl publishes exactly this ranking).  End-to-end through
+    the engine: pages -> fused extraction -> links_map keys -> (src_host,
+    dst_host) edges (relative hrefs resolve to the source host) -> the
+    standard distributed power iteration:
+
+      * contributions = rank/out_degree shipped along edges (equi-join),
+        summed per destination with map-side combine;
+      * dangling mass redistributed uniformly — ONE scalar aggregate per
+        round (the same bounded driver-coordination class as the CC
+        loops' convergence counts, never a per-row collect);
+      * localCheckpoint per round (lineage truncation), fixed ``iters``
+        rounds for determinism.
+
+    At 10^12 docs every step is scan-local or an equi-join on host —
+    shuffle is edge-count-sized; no cartesian anywhere.  Rows-only check
+    (own corpus); pytest verifies exact agreement with a pure-Python
+    power iteration on the same edge list."""
+    pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=8)
+    extracted = extract_stage(pages, repartition_to=8)
+    schema = "struct<links_map: map<string, array<int>>>"
+    host_of = lambda c: F.regexp_extract(c, r"^https?://([^/]+)", 1)
+    links = extracted.select(
+        host_of("url").alias("src"),
+        F.from_json("extraction_json", schema).alias("x"),
+    ).where(F.col("x.links_map").isNotNull())
+    pairs = links.select(
+        "src", F.explode(F.map_keys("x.links_map")).alias("href")
+    )
+    dst = F.when(
+        F.col("href").rlike("^https?://"), host_of("href")
+    ).otherwise(F.col("src"))
+    edges = (
+        pairs.select("src", dst.alias("dst"))
+        .where((F.col("dst") != "") & (F.col("src") != ""))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.host)
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        incoming = contribs.groupBy("dst").agg(F.sum("c").alias("inc"))
+        dangling = (
+            ranks.join(out_deg, ranks.host == out_deg.src, "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        ranks = (
+            nodes.join(incoming, nodes.host == incoming.dst, "left")
+            .select(
+                "host",
+                (
+                    F.lit((1 - d) / n)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("inc"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "host", F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), "host")
+
+
 def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=8)
     extracted = extract_stage(pages, repartition_to=8)
@@ -2457,6 +2651,7 @@ QUERIES = {
     "dedup_bow": q_dedup_bow,
     "dedup_ngram3": q_dedup_ngram3,
     "doc_quality_class": q_doc_quality_class,
+    "doc_gopher_rules": q_doc_gopher_rules,
     "corpus_curation": q_corpus_curation,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -2483,6 +2678,7 @@ QUERIES = {
     "media_neardup": q_media_neardup,
     "media_ann_topk": q_media_ann_topk,
     "pages_by_host_salted": q_pages_by_host_salted,
+    "pages_host_pagerank": q_pages_host_pagerank,
     "extract_cells_exploded": q_extract_cells_exploded,
     "extract_chart_series": q_extract_chart_series,
     "extract_rich_features": q_extract_rich_features,
@@ -2513,6 +2709,7 @@ ORACLES = {
     "dedup_bow": SQL_DEDUP_BOW,
     "dedup_ngram3": SQL_DEDUP_NGRAM3,
     "doc_quality_class": SQL_DOC_QUALITY_CLASS,
+    "doc_gopher_rules": SQL_DOC_GOPHER_RULES,
     "corpus_curation": SQL_CORPUS_CURATION,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS_TEMPLATE.format(

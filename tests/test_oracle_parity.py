@@ -379,3 +379,50 @@ def test_cc_star_equals_minlabel(spark):
     star = QUERIES["dedup_components"](spark, SF_DIR).toPandas()
     minlabel = QUERIES["dedup_components_minlabel"](spark, SF_DIR).toPandas()
     assert key(star) == key(minlabel)
+
+
+def test_host_pagerank_matches_pure_python(spark):
+    """The distributed power iteration equals a pure-Python PageRank on
+    the same extracted edge list (same damping/dangling/teleport math),
+    and ranks form a probability distribution."""
+    from exstruct_spark.queries import QUERIES, q_pages_host_pagerank
+
+    got = q_pages_host_pagerank(spark, "unused", iters=10).toPandas()
+    assert abs(got["rank"].sum() - 1.0) < 1e-4
+
+    # rebuild the edge list the same way, then iterate in pure Python
+    from exstruct_spark.pages import gen_pages_pdf
+    from exstruct_spark.golden import extract_pdf
+    import json as _json
+    import re as _re
+
+    pdf = extract_pdf(gen_pages_pdf(range(500)))
+    edges = set()
+    for url, xj in zip(pdf["url"], pdf["extraction_json"]):
+        src = _re.match(r"^https?://([^/]+)", url).group(1)
+        x = _json.loads(xj)
+        for href in x.get("links_map", {}):
+            m = _re.match(r"^https?://([^/]+)", href)
+            dst = m.group(1) if m else src
+            if src and dst:
+                edges.add((src, dst))
+    nodes = sorted({h for e in edges for h in e})
+    n = len(nodes)
+    out_deg = {}
+    for s, _t2 in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {h: 1.0 / n for h in nodes}
+    d = 0.85
+    for _ in range(10):
+        inc = {h: 0.0 for h in nodes}
+        for s, t in edges:
+            inc[t] += rank[s] / out_deg[s]
+        dangling = sum(rank[h] for h in nodes if h not in out_deg)
+        rank = {
+            h: (1 - d) / n + d * (inc[h] + dangling / n) for h in nodes
+        }
+    want = {h: round(r, 6) for h, r in rank.items()}
+    got_map = dict(zip(got["host"], got["rank"]))
+    assert set(got_map) == set(want)
+    for h in want:
+        assert abs(got_map[h] - want[h]) <= 1e-6, (h, got_map[h], want[h])
