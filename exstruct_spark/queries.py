@@ -974,6 +974,132 @@ FROM r GROUP BY lang
 """
 
 
+def q_doc_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's repetition filters — the other half of the filter set:
+    (a) duplicate-line character fraction <= 0.3 (chars in lines occurring
+    more than once / total line chars), (b) top word-2-gram character
+    fraction <= 0.2 (chars covered by the single most frequent bigram).
+
+    Scale shape: per-doc repetition is computed by EXPLODE + groupBy
+    (doc_id, line|bigram) — shuffle proportional to corpus tokens with
+    map-side combine — NOT by an O(lines^2) within-array expression,
+    which would go quadratic on a 10k-line document.  Full DuckDB oracle
+    (UNNEST + GROUP BY mirrors; integer-ratio doubles are IEEE-identical)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+
+    lines = docs.select(
+        "doc_id", "lang",
+        F.explode(F.expr("split(text, '\\n')")).alias("line"),
+    ).where(F.length(F.trim("line")) > 0)
+    line_stats = (
+        lines.groupBy("doc_id", "lang", "line")
+        .agg(F.count("*").alias("cnt"), F.length("line").alias("chars"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("cnt") * F.col("chars")).alias("total_chars"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.col("chars")).otherwise(0)
+            ).alias("dup_chars"),
+        )
+    )
+
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""element_at(transform(array({_TOK}), ws ->
+                  CASE WHEN size(ws) >= 2 THEN
+                    transform(sequence(1, size(ws) - 1),
+                              i -> concat_ws(' ', element_at(ws, i),
+                                                  element_at(ws, i + 1)))
+                  ELSE array() END), 1)"""
+            )
+        ).alias("bg"),
+    )
+    top_bigram = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cnt"), F.col("bg")  # count then bigram: det. ties
+                )
+            ).alias("top"),
+            F.sum(F.col("cnt") * F.length("bg")).alias("bg_chars"),
+        )
+        .select(
+            "doc_id",
+            (F.col("top.cnt") * F.length("top.bg")).alias("top_chars"),
+            "bg_chars",
+        )
+    )
+
+    rules = (
+        line_stats.join(top_bigram, "doc_id", "left")
+        .select(
+            "lang",
+            (
+                (F.col("dup_chars") / F.col("total_chars")) <= 0.3
+            ).alias("r_dup_lines"),
+            F.coalesce(
+                (F.col("top_chars") / F.col("bg_chars")) <= 0.2, F.lit(True)
+            ).alias("r_top_bigram"),
+        )
+    )
+    return rules.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum(
+            F.when(F.col("r_dup_lines") & F.col("r_top_bigram"), 1).otherwise(0)
+        ).cast("bigint").alias("pass_docs"),
+        F.sum(F.when(~F.col("r_dup_lines"), 1).otherwise(0)).cast("bigint").alias("fail_dup_lines"),
+        F.sum(F.when(~F.col("r_top_bigram"), 1).otherwise(0)).cast("bigint").alias("fail_top_bigram"),
+    )
+
+
+SQL_DOC_REPETITION_RULES = r"""
+WITH lines AS (
+  SELECT doc_id, lang, l AS line
+  FROM (SELECT doc_id, lang, UNNEST(regexp_split_to_array(text, '\n')) AS l
+        FROM documents WHERE n_chars > 0)
+  WHERE length(trim(l)) > 0),
+line_stats AS (
+  SELECT doc_id, lang,
+         CAST(SUM(cnt * chars) AS BIGINT) AS total_chars,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) AS BIGINT) AS dup_chars
+  FROM (SELECT doc_id, lang, line, COUNT(*) AS cnt, length(line) AS chars
+        FROM lines GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+bigrams AS (
+  SELECT doc_id, UNNEST(bgs) AS bg
+  FROM (SELECT doc_id,
+               CASE WHEN len(ws) >= 2 THEN
+                 list_transform(generate_series(1, len(ws) - 1),
+                                i -> array_to_string(ws[i:i+1], ' '))
+               ELSE [] END AS bgs
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents WHERE n_chars > 0))),
+top_bigram AS (
+  SELECT doc_id, cnt * length(bg) AS top_chars, bg_chars
+  FROM (SELECT doc_id, bg, cnt,
+               CAST(SUM(cnt * length(bg)) OVER (PARTITION BY doc_id) AS BIGINT) AS bg_chars,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, bg DESC) AS rn
+        FROM (SELECT doc_id, bg, COUNT(*) AS cnt FROM bigrams GROUP BY 1, 2))
+  WHERE rn = 1),
+rules AS (
+  SELECT ls.lang,
+         (CAST(dup_chars AS DOUBLE) / total_chars <= 0.3) AS r_dup_lines,
+         COALESCE(CAST(top_chars AS DOUBLE) / bg_chars <= 0.2, TRUE) AS r_top_bigram
+  FROM line_stats ls LEFT JOIN top_bigram tb USING (doc_id))
+SELECT lang, COUNT(*) AS docs,
+       CAST(SUM(CASE WHEN r_dup_lines AND r_top_bigram THEN 1 ELSE 0 END) AS BIGINT) AS pass_docs,
+       CAST(SUM(CASE WHEN NOT r_dup_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup_lines,
+       CAST(SUM(CASE WHEN NOT r_top_bigram THEN 1 ELSE 0 END) AS BIGINT) AS fail_top_bigram
+FROM rules GROUP BY lang
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding, 100% built-in expressions (zero Python).
 
@@ -2652,6 +2778,7 @@ QUERIES = {
     "dedup_ngram3": q_dedup_ngram3,
     "doc_quality_class": q_doc_quality_class,
     "doc_gopher_rules": q_doc_gopher_rules,
+    "doc_repetition_rules": q_doc_repetition_rules,
     "corpus_curation": q_corpus_curation,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -2710,6 +2837,7 @@ ORACLES = {
     "dedup_ngram3": SQL_DEDUP_NGRAM3,
     "doc_quality_class": SQL_DOC_QUALITY_CLASS,
     "doc_gopher_rules": SQL_DOC_GOPHER_RULES,
+    "doc_repetition_rules": SQL_DOC_REPETITION_RULES,
     "corpus_curation": SQL_CORPUS_CURATION,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS_TEMPLATE.format(
