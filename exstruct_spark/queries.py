@@ -1035,12 +1035,19 @@ def q_doc_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # base the accounting on DOCS, not on line_stats: a document whose
+    # lines are all blank has no repetition and must count as passing —
+    # otherwise per-lang denominators drift from doc_gopher_rules over
+    # the same corpus (review r3 third pass)
     rules = (
-        line_stats.join(top_bigram, "doc_id", "left")
+        docs.select("doc_id", "lang")
+        .join(line_stats.drop("lang"), "doc_id", "left")
+        .join(top_bigram, "doc_id", "left")
         .select(
             "lang",
-            (
-                (F.col("dup_chars") / F.col("total_chars")) <= 0.3
+            F.coalesce(
+                (F.col("dup_chars") / F.col("total_chars")) <= 0.3,
+                F.lit(True),
             ).alias("r_dup_lines"),
             F.coalesce(
                 (F.col("top_chars") / F.col("bg_chars")) <= 0.2, F.lit(True)
@@ -1088,10 +1095,12 @@ top_bigram AS (
         FROM (SELECT doc_id, bg, COUNT(*) AS cnt FROM bigrams GROUP BY 1, 2))
   WHERE rn = 1),
 rules AS (
-  SELECT ls.lang,
-         (CAST(dup_chars AS DOUBLE) / total_chars <= 0.3) AS r_dup_lines,
+  SELECT d.lang,
+         COALESCE(CAST(dup_chars AS DOUBLE) / total_chars <= 0.3, TRUE) AS r_dup_lines,
          COALESCE(CAST(top_chars AS DOUBLE) / bg_chars <= 0.2, TRUE) AS r_top_bigram
-  FROM line_stats ls LEFT JOIN top_bigram tb USING (doc_id))
+  FROM (SELECT doc_id, lang FROM documents WHERE n_chars > 0) d
+  LEFT JOIN line_stats ls USING (doc_id)
+  LEFT JOIN top_bigram tb USING (doc_id))
 SELECT lang, COUNT(*) AS docs,
        CAST(SUM(CASE WHEN r_dup_lines AND r_top_bigram THEN 1 ELSE 0 END) AS BIGINT) AS pass_docs,
        CAST(SUM(CASE WHEN NOT r_dup_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup_lines,
@@ -2294,6 +2303,15 @@ GROUP BY source
 
 _N_EXTRACT_DOCS = 500
 
+# ONE host-extraction rule for every host-keyed operator (pagerank,
+# salted host rollups, tests import it too) — three drifting copies of
+# this regex would silently break host-level joins across queries
+HOST_PATTERN = r"^https?://([^/]+)"
+
+
+def _host(col) -> "F.Column":
+    return F.regexp_extract(col, HOST_PATTERN, 1)
+
 
 def q_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=16)
@@ -2339,20 +2357,20 @@ def q_pages_host_pagerank(
     pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=8)
     extracted = extract_stage(pages, repartition_to=8)
     schema = "struct<links_map: map<string, array<int>>>"
-    host_of = lambda c: F.regexp_extract(c, r"^https?://([^/]+)", 1)
     links = extracted.select(
-        host_of("url").alias("src"),
+        _host("url").alias("src"),
         F.from_json("extraction_json", schema).alias("x"),
     ).where(F.col("x.links_map").isNotNull())
     pairs = links.select(
         "src", F.explode(F.map_keys("x.links_map")).alias("href")
     )
-    dst = F.when(
-        F.col("href").rlike("^https?://"), host_of("href")
-    ).otherwise(F.col("src"))
+    # an href whose extracted host is empty (relative, or a degenerate
+    # absolute like 'https://') resolves to the SOURCE host — the same
+    # rule the pytest reference applies, by construction
+    dst = F.when(_host("href") != "", _host("href")).otherwise(F.col("src"))
     edges = (
         pairs.select("src", dst.alias("dst"))
-        .where((F.col("dst") != "") & (F.col("src") != ""))
+        .where(F.col("src") != "")
         .distinct()
         .localCheckpoint()
     )
@@ -2363,6 +2381,8 @@ def q_pages_host_pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:  # no links extracted: empty result, never ZeroDivision
+        return spark.createDataFrame([], "host string, rank double")
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
@@ -2600,7 +2620,7 @@ def q_pages_by_host_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic table); salt-correctness itself is oracle-proven by
     docs_by_source_salted."""
     pages = spark_pages(spark, _N_EXTRACT_DOCS, partitions=16)
-    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    host = _host("url")
     salted = pages.select(
         host.alias("host"), F.length("html").alias("n_bytes"), "url"
     ).withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(16)))

@@ -385,7 +385,7 @@ def test_host_pagerank_matches_pure_python(spark):
     """The distributed power iteration equals a pure-Python PageRank on
     the same extracted edge list (same damping/dangling/teleport math),
     and ranks form a probability distribution."""
-    from exstruct_spark.queries import QUERIES, q_pages_host_pagerank
+    from exstruct_spark.queries import HOST_PATTERN, q_pages_host_pagerank
 
     got = q_pages_host_pagerank(spark, "unused", iters=10).toPandas()
     assert abs(got["rank"].sum() - 1.0) < 1e-4
@@ -399,10 +399,10 @@ def test_host_pagerank_matches_pure_python(spark):
     pdf = extract_pdf(gen_pages_pdf(range(500)))
     edges = set()
     for url, xj in zip(pdf["url"], pdf["extraction_json"]):
-        src = _re.match(r"^https?://([^/]+)", url).group(1)
+        src = _re.match(HOST_PATTERN, url).group(1)
         x = _json.loads(xj)
         for href in x.get("links_map", {}):
-            m = _re.match(r"^https?://([^/]+)", href)
+            m = _re.match(HOST_PATTERN, href)
             dst = m.group(1) if m else src
             if src and dst:
                 edges.add((src, dst))
@@ -426,3 +426,14 @@ def test_host_pagerank_matches_pure_python(spark):
     assert set(got_map) == set(want)
     for h in want:
         assert abs(got_map[h] - want[h]) <= 1e-6, (h, got_map[h], want[h])
+
+
+def test_quality_rule_denominators_agree(spark):
+    """Review r3 third pass: doc_gopher_rules and doc_repetition_rules
+    must partition the SAME per-lang corpus (a blank-line doc previously
+    vanished from the repetition accounting)."""
+    from exstruct_spark.queries import QUERIES
+
+    g = QUERIES["doc_gopher_rules"](spark, SF_DIR).toPandas()
+    r = QUERIES["doc_repetition_rules"](spark, SF_DIR).toPandas()
+    assert dict(zip(g["lang"], g["docs"])) == dict(zip(r["lang"], r["docs"]))
