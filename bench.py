@@ -24,7 +24,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from exstruct_spark.engine import default_session, extract_stage  # noqa: E402
 from exstruct_spark.pages import spark_pages  # noqa: E402
-from exstruct_spark.queries import QUERIES  # noqa: E402
+from exstruct_spark.queries import QUERIES, RETIRED_QUERIES  # noqa: E402
+
+# bench query set is IDENTICAL across rounds for regression compare;
+# two entries moved to RETIRED_QUERIES in round 4 (driver-window cap)
+_BENCH_LOOKUP = {**QUERIES, **RETIRED_QUERIES}
 
 BENCH_QUERIES = [
     "tpch_q1",
@@ -91,7 +95,7 @@ def main() -> None:
 
     # 2. relational / dedup / similarity headline queries
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
+        fn = _BENCH_LOOKUP[name]
         t0 = time.monotonic()
         _run(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)

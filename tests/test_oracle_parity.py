@@ -10,7 +10,17 @@ import duckdb
 import pandas as pd
 import pytest
 
-from exstruct_spark.queries import ORACLES, QUERIES
+from exstruct_spark.queries import (
+    ORACLES,
+    QUERIES,
+    RETIRED_ORACLES,
+    RETIRED_QUERIES,
+)
+
+# Retired twins keep their oracle parity HERE (the driver's window only
+# fits 50 queries; coverage moves to pytest, it does not shrink).
+ALL_QUERIES = {**QUERIES, **RETIRED_QUERIES}
+ALL_ORACLES = {**ORACLES, **RETIRED_ORACLES}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 TABLES = (
@@ -67,10 +77,10 @@ def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> list:
     return problems
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_oracle_parity(spark, duck, name):
-    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
-    duck_pdf = duck.execute(ORACLES[name]).df()
+    spark_pdf = ALL_QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(ALL_ORACLES[name]).df()
 
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
@@ -83,15 +93,27 @@ def test_oracle_parity(spark, duck, name):
     assert not problems, f"{name}: value mismatches {problems}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ALL_ORACLES)))
 def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
+    df = ALL_QUERIES[name](spark, SF_DIR)
     pdf = df.toPandas()
     assert len(pdf) >= 0
     assert len(pdf.columns) > 0
     # rows-only queries should still return SOMETHING meaningful here
     if name != "extract_fallback_audit":  # may legitimately be empty
         assert len(pdf) > 0, f"{name} returned no rows"
+
+
+def test_driver_window_cap():
+    """The driver's CORRECTNESS harness evaluates only the first 50
+    queries() entries (VERDICT r3 #1) — every operator must stay inside
+    that window, and no retired twin may shadow a live entry."""
+    assert len(QUERIES) <= 50, f"{len(QUERIES)} entries overflow the driver window"
+    assert not set(QUERIES) & set(RETIRED_QUERIES)
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(RETIRED_ORACLES) <= set(RETIRED_QUERIES)
+    # consolidation must not shrink total oracle coverage (41 at round 3)
+    assert len(ORACLES) + len(RETIRED_ORACLES) >= 41
 
 
 def test_entry_smoke(spark):
@@ -377,7 +399,7 @@ def test_cc_star_equals_minlabel(spark):
         map(tuple, pdf[["label", "component_size", "component_min_id"]].values)
     )
     star = QUERIES["dedup_components"](spark, SF_DIR).toPandas()
-    minlabel = QUERIES["dedup_components_minlabel"](spark, SF_DIR).toPandas()
+    minlabel = RETIRED_QUERIES["dedup_components_minlabel"](spark, SF_DIR).toPandas()
     assert key(star) == key(minlabel)
 
 
