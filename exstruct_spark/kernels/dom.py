@@ -52,47 +52,104 @@ _NO_ATTRS: dict = {}  # shared empty attrs (never mutated)
 
 
 class Node:
-    """One element. ``children`` holds ``Node`` and ``str`` (text) members."""
+    """One element. ``children`` holds ``Node`` and ``str`` (text) members.
 
-    __slots__ = ("tag", "attrs", "children")
+    Parse-time traversal index: nodes are created in document order, which
+    IS pre-order of the final tree (every new node attaches to the
+    rightmost path, so it is the pre-order maximum at creation).  Each
+    node therefore owns a CONTIGUOUS slice ``[i0:i1)`` of the shared
+    ``doc_nodes`` list, recorded for free while parsing: ``i0`` at
+    creation, ``i1`` when the element scope closes.  Subtree traversal of
+    a parsed document is then one C-level list slice — no per-node Python
+    walk.  The tree is never mutated after parse (all kernels are
+    read-only over it), so the index cannot go stale.  Manually built
+    trees (``doc_nodes is None``) fall back to an explicit-stack walk.
+    """
+
+    __slots__ = ("tag", "attrs", "children", "doc_nodes", "i0", "i1")
 
     def __init__(self, tag: str, attrs: Optional[dict] = None):
         self.tag = tag
         self.attrs = attrs if attrs is not None else _NO_ATTRS
         self.children: list = []
+        self.doc_nodes = None
+        self.i0 = 0
+        self.i1 = 0
 
     # -- traversal -------------------------------------------------------
-    def iter(self) -> Iterator["Node"]:
-        """Pre-order traversal including self (document order)."""
+    def _subtree(self) -> list:
+        """Pre-order node list including self (document order)."""
+        dl = self.doc_nodes
+        if dl is not None:
+            if self.i0 == 0 and self.i1 == len(dl):
+                return dl
+            return dl[self.i0 : self.i1]
+        out: list = []
+        add = out.append
         stack = [self]
         pop = stack.pop
         push = stack.append
         while stack:
             node = pop()
-            yield node
+            add(node)
             children = node.children
             for i in range(len(children) - 1, -1, -1):
                 c = children[i]
                 if type(c) is Node:
                     push(c)
+        return out
+
+    def iter(self) -> Iterator["Node"]:
+        """Pre-order traversal including self (document order)."""
+        return iter(self._subtree())
 
     def find_all(self, *tags: str) -> list:
+        if len(tags) == 1:
+            want_one = tags[0]
+            return [n for n in self._subtree() if n.tag == want_one]
         want = set(tags)
-        return [n for n in self.iter() if n.tag in want]
+        return [n for n in self._subtree() if n.tag in want]
 
     def find_first(self, *tags: str):
+        dl = self.doc_nodes
+        if dl is not None:
+            i1 = self.i1
+            if len(tags) == 1:
+                want_one = tags[0]
+                for i in range(self.i0, i1):
+                    n = dl[i]
+                    if n.tag == want_one:
+                        return n
+                return None
+            want = set(tags)
+            for i in range(self.i0, i1):
+                n = dl[i]
+                if n.tag in want:
+                    return n
+            return None
+        # unindexed tree: inline pre-order walk with early exit
         want = set(tags)
-        for n in self.iter():
-            if n.tag in want:
-                return n
+        stack = [self]
+        pop = stack.pop
+        push = stack.append
+        while stack:
+            node = pop()
+            if node.tag in want:
+                return node
+            children = node.children
+            for i in range(len(children) - 1, -1, -1):
+                c = children[i]
+                if type(c) is Node:
+                    push(c)
         return None
 
     def collect_tags(self, groups: dict) -> None:
         """Single-pass collection: ``groups`` maps tag -> list; every node
         whose tag is a key is appended to its list in document order.
         One traversal replaces one ``find_all`` per artifact family."""
-        for n in self.iter():
-            bucket = groups.get(n.tag)
+        get = groups.get
+        for n in self._subtree():
+            bucket = get(n.tag)
             if bucket is not None:
                 bucket.append(n)
 
@@ -141,11 +198,31 @@ class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Node("#document")
+        self.doc_nodes: list = [self.root]
+        self.root.doc_nodes = self.doc_nodes
         self.stack: list = [self.root]
 
     # helpers
     def _top(self) -> Node:
         return self.stack[-1]
+
+    def _close_from(self, i: int) -> None:
+        end = len(self.doc_nodes)
+        for closed in self.stack[i:]:
+            closed.i1 = end
+        del self.stack[i:]
+
+    def _new_node(self, tag: str, attrs) -> Node:
+        # attrs is usually empty: share one frozen-by-convention dict to
+        # cut per-element allocations (attrs are never mutated)
+        node = Node(tag, dict(attrs) if attrs else _NO_ATTRS)
+        node.doc_nodes = self.doc_nodes
+        i0 = len(self.doc_nodes)
+        node.i0 = i0
+        node.i1 = i0 + 1  # leaf until its scope closes
+        self.stack[-1].children.append(node)
+        self.doc_nodes.append(node)
+        return node
 
     def handle_starttag(self, tag: str, attrs) -> None:
         closers = _IMPLICIT_CLOSE.get(tag)
@@ -154,34 +231,34 @@ class _TreeBuilder(HTMLParser):
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag
                 if t in closers:
-                    del self.stack[i:]
+                    self._close_from(i)
                     break
                 if t in ("table", "ul", "ol", "div", "section", "body"):
                     break
-        # attrs is usually empty: share one frozen-by-convention dict to
-        # cut per-element allocations (attrs are never mutated)
-        node = Node(tag, dict(attrs) if attrs else _NO_ATTRS)
-        self.stack[-1].children.append(node)
+        node = self._new_node(tag, attrs)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        self.stack[-1].children.append(
-            Node(tag, dict(attrs) if attrs else _NO_ATTRS)
-        )
+        self._new_node(tag, attrs)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
             return
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
-                del self.stack[i:]
+                self._close_from(i)
                 return
         # stray end tag: ignore (tolerant parse)
 
     def handle_data(self, data: str) -> None:
         if data:
             self._top().children.append(data)
+
+    def finalize(self) -> None:
+        end = len(self.doc_nodes)
+        for open_node in self.stack:  # includes root: i0=0, i1=total
+            open_node.i1 = end
 
 
 def parse_html_stdlib(html: str) -> Node:
@@ -193,6 +270,7 @@ def parse_html_stdlib(html: str) -> Node:
     except Exception:
         # html.parser is already tolerant; belt-and-braces for exotic input
         pass
+    builder.finalize()
     return builder.root
 
 
@@ -205,13 +283,17 @@ def parse_html_stdlib(html: str) -> Node:
 # Any exception falls back to the stdlib builder (deterministic per input).
 
 _TOKEN_RE = re.compile(
-    r"<!--.*?(?:-->|$)"                # comments (unterminated -> EOF)
+    # alternation ordered by token frequency (text runs and start tags
+    # dominate); correctness is order-independent because the frequent
+    # alternatives cannot match at '<!'/'</' positions and vice versa,
+    # except comments/CDATA before doctype (prefix overlap, kept in order)
+    r"[^<]+"                                                  # text run
+    r"|<([a-zA-Z][a-zA-Z0-9:-]*)"                             # start tag name
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>"                 # attrs + self-close
+    r"|</([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>"                      # end tag
+    r"|<!--.*?(?:-->|$)"               # comments (unterminated -> EOF)
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"      # CDATA blocks
     r"|<![^>]*>?|<\?[^>]*>?"           # doctype / processing instructions
-    r"|</([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>"                     # end tag
-    r"|<([a-zA-Z][a-zA-Z0-9:-]*)"                            # start tag name
-    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>"                # attrs + self-close
-    r"|[^<]+"                          # text run
     r"|<",                             # stray '<'
     re.S,
 )
@@ -225,7 +307,17 @@ _RAW_TEXT_TAGS = ("script", "style")
 _RAW_CLOSE_RE = {t: re.compile(rf"</{t}\b", re.I) for t in _RAW_TEXT_TAGS}
 
 
+# attr strings repeat heavily within and across pages (class=/href=
+# boilerplate), and parsed attr dicts are never mutated (same convention
+# as the shared _NO_ATTRS) — so memoize raw attr string -> dict.  Bounded:
+# cleared wholesale at 16k entries (per-executor process, a few MB max).
+_ATTR_CACHE: dict = {}
+
+
 def _parse_attrs(raw: str) -> dict:
+    cached = _ATTR_CACHE.get(raw)
+    if cached is not None:
+        return cached
     attrs: dict = {}
     for m in _ATTR_RE.finditer(raw):
         name = m.group(1).lower()
@@ -238,11 +330,17 @@ def _parse_attrs(raw: str) -> dict:
         if "&" in val:
             val = _unescape(val)
         attrs[name] = val
+    if len(_ATTR_CACHE) >= 16384:
+        _ATTR_CACHE.clear()
+    _ATTR_CACHE[raw] = attrs
     return attrs
 
 
 def _parse_html_fast(html: str) -> Node:
     root = Node("#document")
+    doc_nodes = [root]
+    add_node = doc_nodes.append
+    root.doc_nodes = doc_nodes
     stack = [root]
     lower = str.lower
     pos = 0
@@ -253,14 +351,21 @@ def _parse_html_fast(html: str) -> Node:
         if m is None:  # pragma: no cover - alternation is total
             break
         pos = m.end()
-        end_tag, start_tag, attr_raw, self_close = m.group(1, 2, 3, 4)
-        if start_tag is not None:
+        # dispatch on lastindex: 3 = start tag (g3 '(/?)' always
+        # participates), 4 = end tag, None = text/comment/doctype token
+        # (avoids a 4-group tuple per token)
+        last = m.lastindex
+        if last == 3:
+            start_tag, attr_raw, self_close = m.group(1, 2, 3)
             tag = lower(start_tag)
             closers = _IMPLICIT_CLOSE.get(tag)
             if closers:
                 for i in range(len(stack) - 1, 0, -1):
                     t = stack[i].tag
                     if t in closers:
+                        end = len(doc_nodes)
+                        for closed in stack[i:]:
+                            closed.i1 = end
                         del stack[i:]
                         break
                     if t in ("table", "ul", "ol", "div", "section", "body"):
@@ -268,7 +373,12 @@ def _parse_html_fast(html: str) -> Node:
             node = Node(
                 tag, _parse_attrs(attr_raw) if attr_raw.strip() else _NO_ATTRS
             )
+            node.doc_nodes = doc_nodes
+            i0 = len(doc_nodes)
+            node.i0 = i0
+            node.i1 = i0 + 1  # leaf until proven otherwise (scope close)
             stack[-1].children.append(node)
+            add_node(node)
             if self_close or tag in VOID_ELEMENTS:
                 continue
             if tag in _RAW_TEXT_TAGS:
@@ -286,12 +396,15 @@ def _parse_html_fast(html: str) -> Node:
                     pos = n if gt == -1 else gt + 1
                 continue
             stack.append(node)
-        elif end_tag is not None:
-            tag = lower(end_tag)
+        elif last == 4:
+            tag = lower(m.group(4))
             if tag in VOID_ELEMENTS:
                 continue
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
+                    end = len(doc_nodes)
+                    for closed in stack[i:]:
+                        closed.i1 = end
                     del stack[i:]
                     break
             # else: stray end tag ignored
@@ -305,6 +418,9 @@ def _parse_html_fast(html: str) -> Node:
                     text = _unescape(text)
                 stack[-1].children.append(text)
             # comments / doctype / CDATA: dropped
+    end = len(doc_nodes)
+    for open_node in stack:  # includes root: i0=0, i1=total
+        open_node.i1 = end
     return root
 
 
