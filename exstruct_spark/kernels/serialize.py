@@ -27,47 +27,60 @@ def strip_empty(value: Any) -> Any:
     applies bottom-up so a dict that becomes empty is itself dropped by the
     caller one level up.  ``0``/``0.0``/``False`` are NOT empty.
     """
-    # one flat helper call per child (exact-type fast path inside) instead
-    # of recursion + a separate emptiness call — fewer Python calls on
-    # real documents, byte-identical output (unit + hypothesis fixpoint
-    # tests), with isinstance fallbacks preserving subclass semantics
+    # per-child logic INLINED into both loops (was a _strip_child helper:
+    # ~75 calls/doc measured) — exact-type fast path for the dominant
+    # builtin cases, isinstance fallback so dict/list/str SUBCLASSES keep
+    # the original semantics (recursed / dropped-when-empty) instead of
+    # silently passing through; byte-identical output (unit + hypothesis
+    # fixpoint tests)
     if isinstance(value, dict):
         out = {}
         for k, v in value.items():
-            v = _strip_child(v)
-            if v is not _DROP:
+            tv = type(v)
+            if tv is str:
+                if v:
+                    out[k] = v
+            elif tv is dict or tv is list or tv is tuple:
+                v = strip_empty(v)
+                if v:
+                    out[k] = v
+            elif v is None:
+                pass
+            elif isinstance(v, (dict, list, tuple)):
+                v = strip_empty(v)
+                if v:
+                    out[k] = v
+            elif isinstance(v, str):
+                if v:
+                    out[k] = v
+            else:
                 out[k] = v
         return out
     if isinstance(value, (list, tuple)):
         out_l = []
+        add = out_l.append
         for v in value:
-            v = _strip_child(v)
-            if v is not _DROP:
-                out_l.append(v)
+            tv = type(v)
+            if tv is str:
+                if v:
+                    add(v)
+            elif tv is dict or tv is list or tv is tuple:
+                v = strip_empty(v)
+                if v:
+                    add(v)
+            elif v is None:
+                pass
+            elif isinstance(v, (dict, list, tuple)):
+                v = strip_empty(v)
+                if v:
+                    add(v)
+            elif isinstance(v, str):
+                if v:
+                    add(v)
+            else:
+                add(v)
         return out_l
     return value
-
-
-_DROP = object()  # sentinel: child stripped away entirely
-
-
-def _strip_child(v: Any) -> Any:
-    """One child: exact-type fast path for the dominant builtin cases,
-    isinstance fallback so dict/list/str SUBCLASSES keep the original
-    semantics (recursed / dropped-when-empty) instead of silently passing
-    through."""
-    tv = type(v)
-    if tv is dict or tv is list or tv is tuple:
-        v = strip_empty(v)
-        return _DROP if len(v) == 0 else v
-    if v is None or (tv is str and not v):
-        return _DROP
-    if isinstance(v, (dict, list, tuple)):
-        v = strip_empty(v)
-        return _DROP if len(v) == 0 else v
-    if isinstance(v, str) and not v:
-        return _DROP
-    return v
 
 
 def canonical_json(value: Any) -> str:
