@@ -1,13 +1,17 @@
 """Multimodal (image/audio/video) column kernels — Spark plumbing is real,
-codec work is stubbed.
+PNG decode is REAL (stdlib zlib + numpy, kernels/png.py), other codecs
+are stubbed.
 
 Design (per the engine's training-data-pipeline charter): media travels
 as an opaque ``binary`` column + typed metadata struct.  Everything that
-does NOT need a codec is fully implemented and vectorized (numpy over the
-Arrow batch): container sniffing from magic bytes, size, byte entropy,
-deterministic content fingerprint.  The codec-dependent steps (pixel
-decode, resample, frame sampling) are STUBS — the image/audio libraries
-are not in this container — exposed behind an explicit ``fake`` mode
+does NOT need a third-party codec is fully implemented and vectorized
+(numpy over the Arrow batch): container sniffing from magic bytes, size,
+byte entropy, deterministic content fingerprint — and for PNG, actual
+pixel decode, box-average resize, and luminance-grid features (the
+reference's analogue: drawing bytes are really parsed, never synthesized
+— core/ooxml_drawing.py:186-257).  The remaining codec-dependent steps
+(JPEG/video decode, frame sampling) are STUBS — those libraries are not
+in this container — exposed behind an explicit ``fake`` mode
 (deterministic synthetic output, keyed by content hash, so the Spark-side
 schema/partitioning/batch plumbing is testable end-to-end) or
 ``NotImplementedError`` in ``strict`` mode.
@@ -19,6 +23,13 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+
+from exstruct_spark.kernels.png import (
+    PNG_MAGIC,
+    decode_png,
+    luma_grid_features,
+    resize_box,
+)
 
 _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", "image/png"),
@@ -70,7 +81,8 @@ def content_fingerprint(raw: bytes) -> str:
 
 
 def decode_image_stub(raw: bytes, mode: str = "fake") -> dict:
-    """STUB image decode.
+    """STUB image decode for formats WITHOUT a real decoder here (JPEG,
+    GIF, WebP — PNG has the real path in ``decode_image``).
 
     ``fake``: deterministic synthetic metadata keyed by content hash —
     exercises the full Spark pipeline (schema, batching, partitioning)
@@ -88,6 +100,40 @@ def decode_image_stub(raw: bytes, mode: str = "fake") -> dict:
         "height": 64 + ((h >> 16) % 1080),
         "channels": 3,
     }
+
+
+def decode_image(raw: bytes, mode: str = "fake") -> dict:
+    """Image decode: REAL for PNG (kernels/png.py — stdlib zlib inflate +
+    numpy unfilter; ``pixels`` key holds the (H, W, C) uint8 array and
+    ``decoded`` is True), stub for everything else.
+
+    A blob that *sniffs* as PNG but fails the real decode (corrupt,
+    interlaced, exotic bit depth) degrades to the stub in ``fake`` mode —
+    fallback-not-fail — and raises ``ValueError`` in ``strict`` mode
+    (strict means: no fabricated pixels, ever).
+    """
+    if raw[:8] == PNG_MAGIC:
+        try:
+            px = decode_png(raw)
+        except ValueError:
+            if mode == "strict":
+                raise
+            meta = decode_image_stub(raw, mode)
+            meta["decoded"] = False
+            meta["pixels"] = None
+            return meta
+        h, w, c = px.shape
+        return {
+            "width": w,
+            "height": h,
+            "channels": c,
+            "decoded": True,
+            "pixels": px,
+        }
+    meta = decode_image_stub(raw, mode)
+    meta["decoded"] = False
+    meta["pixels"] = None
+    return meta
 
 
 def frame_sample_stub(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list:
@@ -152,10 +198,12 @@ def media_meta_pdf(
 ) -> pd.DataFrame:
     """pandas batch kernel: opaque blobs -> typed metadata frame.
 
-    Output columns: media_type, n_bytes, entropy, fingerprint, width,
-    height, resized_w, resized_h, feature (unit-norm stub embedding),
-    frame_fps (list of frame fingerprints; video only).  This function
-    body runs inside ``mapInPandas``.
+    Output columns: media_type, n_bytes, entropy, fingerprint, decoded
+    (True = real pixels flowed), width, height, px_mean, px_std (real
+    pixel statistics; NULL when stubbed), resized_w, resized_h, feature
+    (unit-norm embedding: REAL luminance-grid for decoded PNGs, hash stub
+    otherwise), frame_fps (list of frame fingerprints; video only).  This
+    function body runs inside ``mapInPandas``.
     """
     out = []
     for raw in pdf[blob_col].tolist():
@@ -166,32 +214,54 @@ def media_meta_pdf(
             "n_bytes": len(raw),
             "entropy": byte_entropy(raw),
             "fingerprint": content_fingerprint(raw),
+            "decoded": False,
             "width": None,
             "height": None,
+            "px_mean": None,
+            "px_std": None,
             "resized_w": None,
             "resized_h": None,
+            "resized_fp": None,
             "feature": None,
             "frame_fps": None,
         }
         if mtype.startswith("image/"):
-            meta = decode_image_stub(raw, mode)
+            meta = decode_image(raw, mode)
             w, h = meta["width"], meta["height"]
             rec["width"], rec["height"] = w, h
             # resize target from the ALREADY-decoded dims (with real
             # codecs a second decode would dominate the hot path)
             scale = min(1.0, 256 / max(w, h))
-            rec["resized_w"] = max(1, int(w * scale))
-            rec["resized_h"] = max(1, int(h * scale))
-            rec["feature"] = image_features_stub(raw, dim=feature_dim, mode=mode)
+            rw = max(1, int(w * scale))
+            rh = max(1, int(h * scale))
+            rec["resized_w"], rec["resized_h"] = rw, rh
+            px = meta["pixels"]
+            if px is not None:
+                rec["decoded"] = True
+                rec["px_mean"] = float(round(px.mean(), 4))
+                rec["px_std"] = float(round(px.std(), 4))
+                rec["feature"] = luma_grid_features(px, dim=feature_dim)
+                # REAL box-average resample; fingerprint of resized pixels
+                small = px if (rw == w and rh == h) else resize_box(px, rh, rw)
+                rec["resized_fp"] = hashlib.sha256(
+                    small.tobytes()
+                ).hexdigest()[:12]
+            else:
+                rec["feature"] = image_features_stub(
+                    raw, dim=feature_dim, mode=mode
+                )
+                rec["resized_fp"] = resize_image_stub(raw, mode=mode)[
+                    "resized_fp"
+                ]
         elif mtype.startswith("video/"):
             rec["frame_fps"] = frame_sample_stub(raw, mode=mode)
         out.append(rec)
     res = pd.DataFrame(
         out,
         columns=[
-            "media_type", "n_bytes", "entropy", "fingerprint",
-            "width", "height", "resized_w", "resized_h", "feature",
-            "frame_fps",
+            "media_type", "n_bytes", "entropy", "fingerprint", "decoded",
+            "width", "height", "px_mean", "px_std", "resized_w",
+            "resized_h", "resized_fp", "feature", "frame_fps",
         ],
     )
     for key_col in pdf.columns:
@@ -202,6 +272,7 @@ def media_meta_pdf(
 
 MEDIA_META_SCHEMA_DDL = (
     "media_type string, n_bytes bigint, entropy double, fingerprint string, "
-    "width int, height int, resized_w int, resized_h int, "
+    "decoded boolean, width int, height int, px_mean double, px_std double, "
+    "resized_w int, resized_h int, resized_fp string, "
     "feature array<float>, frame_fps array<string>"
 )

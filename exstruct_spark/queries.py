@@ -2635,33 +2635,60 @@ def q_pages_by_host_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary column -> typed metadata via one
-    mapInPandas stage (codec steps stubbed deterministically; schema /
-    batching / partitioning are the real contract).  Uses page HTML bytes
-    as blobs plus synthetic magic-byte prefixes.  Rows-only check."""
+    mapInPandas stage.  A third of the corpus carries REAL PNG bytes
+    (seeded noise images of varying size, broadcast-joined build side) and
+    is REALLY decoded — stdlib zlib + numpy unfilter, kernels/png.py — so
+    the rollup reports genuine width/height/pixel statistics for PNG;
+    webm/html blobs exercise the sniff + stub paths.  Rows-only check
+    (pytest pins a byte-exact known-image decode)."""
+    import numpy as np
+
+    from exstruct_spark.kernels.png import encode_png
     from exstruct_spark.media import media_meta_stage
 
+    pngs = [
+        (
+            i,
+            bytearray(
+                encode_png(
+                    np.random.default_rng(i).integers(
+                        0, 256, (16 + 8 * i, 24 + 4 * i, 3), dtype=np.uint8
+                    )
+                )
+            ),
+        )
+        for i in range(8)
+    ]
+    png_map = F.broadcast(
+        spark.createDataFrame(pngs, "png_id bigint, png binary")
+    )
     pages = spark_pages(spark, 200, partitions=8)
-    blobs = pages.select(
-        "url",
-        F.when(
-            F.xxhash64("url") % 3 == 0,
-            F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), F.col("html")),
+    blobs = (
+        pages.withColumn("png_id", F.pmod(F.xxhash64("url"), F.lit(8)))
+        .join(png_map, "png_id")
+        .select(
+            "url",
+            F.when(F.xxhash64("url") % 3 == 0, F.col("png"))
+            .when(
+                F.xxhash64("url") % 3 == 1,
+                F.concat(F.lit(b"\x1a\x45\xdf\xa3"), F.col("html")),
+            )
+            .otherwise(F.col("html"))
+            .alias("blob"),
         )
-        .when(
-            F.xxhash64("url") % 3 == 1,
-            F.concat(F.lit(b"\x1a\x45\xdf\xa3"), F.col("html")),
-        )
-        .otherwise(F.col("html"))
-        .alias("blob"),
     )
     meta = media_meta_stage(blobs)
     return (
-        meta.groupBy("media_type")
+        meta.groupBy("media_type", "decoded")
         .agg(
             F.count("*").alias("n_blobs"),
             F.sum("n_bytes").alias("total_bytes"),
             F.round(F.avg("entropy"), 4).alias("avg_entropy"),
             F.countDistinct("fingerprint").alias("distinct_fp"),
+            F.round(F.avg("width"), 2).alias("avg_width"),
+            F.round(F.avg("height"), 2).alias("avg_height"),
+            F.round(F.avg("px_mean"), 2).alias("avg_px_mean"),
+            F.round(F.avg("px_std"), 2).alias("avg_px_std"),
         )
     )
 
@@ -2673,29 +2700,45 @@ def _media_feature_frame(
     spark: SparkSession, n_docs: int = 240, n_images: int = 60
 ) -> DataFrame:
     """Synthetic image corpus with PLANTED duplicates, pushed through the
-    REAL media stage: each of ``n_images`` distinct PNG payloads appears on
-    ~``n_docs/n_images`` pages (img_id = pmod(xxhash64(url), n_images) —
-    deterministic, partitioning-independent), blobs flow through
-    ``media_meta_stage`` (mapInPandas, Arrow batches), and the 64-wide stub
-    feature vector comes out matching the sign-LSH plane matrix — so the
-    multimodal path exercises the genuine ANN/near-dup machinery
-    end-to-end.  The codec stays a stub (no pixels exist in this
-    container); everything around it — binary column, batch plumbing,
-    feature schema, bucketed similarity — is the real scale shape.
+    REAL media stage: each of ``n_images`` distinct REAL PNG payloads
+    (32x32 RGB, seeded noise, written by kernels/png.py encode_png)
+    appears on ~``n_docs/n_images`` pages (img_id = pmod(xxhash64(url),
+    n_images) — deterministic, partitioning-independent).  Blobs flow
+    through ``media_meta_stage`` (mapInPandas, Arrow batches), which REALLY
+    zlib-inflates + unfilters every PNG and emits a 64-wide luminance-grid
+    feature from the actual pixels — identical payloads give cosine
+    1.000000, independent noise images stay near-orthogonal — so the
+    multimodal path exercises the genuine decode + ANN/near-dup machinery
+    end-to-end on real pixels (mode='strict': no fabricated values
+    anywhere).  The distinct payloads are broadcast-joined onto the page
+    frame (60-row build side), the scale shape a real crawl would use for
+    an image-id -> bytes lookup.
     Returns (vec_id=url, img_id, embedding array<float> 64-d unit-norm)."""
+    import numpy as np
+
+    from exstruct_spark.kernels.png import encode_png
     from exstruct_spark.media import media_meta_stage
 
+    pngs = [
+        (
+            i,
+            bytearray(
+                encode_png(
+                    np.random.default_rng(1000 + i).integers(
+                        0, 256, (32, 32, 3), dtype=np.uint8
+                    )
+                )
+            ),
+        )
+        for i in range(n_images)
+    ]
+    png_map = F.broadcast(
+        spark.createDataFrame(pngs, "img_id bigint, blob binary")
+    )
     pages = spark_pages(spark, n_docs, partitions=8)
     img_id = F.pmod(F.xxhash64("url"), F.lit(n_images))
-    blobs = pages.select(
-        "url",
-        img_id.alias("img_id"),
-        F.concat(
-            F.lit(_PNG_MAGIC),
-            F.encode(F.concat(F.lit("img-"), img_id.cast("string")), "UTF-8"),
-        ).alias("blob"),
-    )
-    meta = media_meta_stage(blobs, mode="fake", feature_dim=64)
+    blobs = pages.select("url", img_id.alias("img_id")).join(png_map, "img_id")
+    meta = media_meta_stage(blobs, mode="strict", feature_dim=64)
     # img_id is re-derivable from url; recompute instead of passing it
     # through the Python stage (keeps the stage's (key, blob) contract).
     # localCheckpoint: the consumers fan this frame into 3-4 join branches
