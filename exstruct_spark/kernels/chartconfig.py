@@ -213,14 +213,19 @@ def find_config_objects(script_text: str) -> list:
     return out
 
 
-def _skip_function_value(s: str, i: int) -> int:
+def _skip_function_value(s: str, i: int, prev=None) -> int:
     """Consume a callback value (function/arrow) as a balanced token run
     up to the next top-level ',' or closing '}' / ']'.  May return i
     unchanged when already AT a top-level terminator — callers needing
-    guaranteed progress must advance themselves."""
+    guaranteed progress must advance themselves.
+
+    ``prev`` seeds the previous-significant-char context for the leading
+    character: the stray-token fallback passes a value-like char so a '/'
+    that FOLLOWS a parsed value lexes as division, not a regex literal
+    (ADVICE r3: data: [10/2, 4] must lose only the unparseable element,
+    not swallow everything to the next '/'/newline)."""
     depth = 0
     n = len(s)
-    prev = None
     while i < n:
         ch = s[i]
         if ch in "\"'`":
@@ -332,9 +337,11 @@ def parse_js_value(s: str, i: int = 0):
         return {
             "true": True, "false": False, "null": None, "undefined": None,
         }.get(word, word), m.end()
-    # stray token (a ')' from a mis-nested script, etc.): ALWAYS advance —
-    # a same-index return here looped forever (confirmed in review)
-    return None, max(_skip_function_value(s, i), i + 1)
+    # stray token (a ')' from a mis-nested script, an arithmetic '/'
+    # after a value, etc.): ALWAYS advance — a same-index return here
+    # looped forever (confirmed in review).  prev='0' = value-like
+    # context, so a leading '/' is division, not a regex literal.
+    return None, max(_skip_function_value(s, i, prev="0"), i + 1)
 
 
 def _parse_object(s: str, i: int):
@@ -483,8 +490,14 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
         series.append((str(s.get("name") or f"s{k}"), _numeric(s.get("data"))))
     if not series:
         return None
+    # cfg['chart']['type'] is the HIGHCHARTS-only location — there 'bar'
+    # means HORIZONTAL bars (Chart.js/ECharts 'bar' is vertical), so the
+    # dialect is known and the orientation can be mapped correctly
+    # (ADVICE r3)
+    highcharts_type_block = False
     if stype is None and isinstance(cfg.get("chart"), dict):
         stype = cfg["chart"].get("type")
+        highcharts_type_block = stype is not None
     title = ""
     if isinstance(cfg.get("title"), dict):
         title = str(cfg["title"].get("text") or "")
@@ -502,7 +515,12 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
                 ]
                 break
     return {
-        "chart_type": _norm_type(stype),
+        "chart_type": _norm_type(
+            stype,
+            horizontal=(
+                highcharts_type_block and str(stype or "").lower() == "bar"
+            ),
+        ),
         "title": title,
         "labels": labels,
         "series": series,

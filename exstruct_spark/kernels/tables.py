@@ -109,7 +109,16 @@ def _grid_from_table(table: Node, cfg: DetectionConfig):
             if rowspan > 1 or colspan > 1:
                 r2 = min(r + rowspan - 1, cfg.max_rows - 1)
                 c2 = min(c + colspan - 1, cfg.max_cols - 1)
-                span_floor = max(span_floor, r2)
+                # W3 guard (ADVICE r3): cap the rowspan CREDITED to the
+                # empty-run counter — a single adversarial rowspan=1e6
+                # cell must not disable early termination for the whole
+                # table.  The merged extent r2 itself stays exact; only
+                # the "rows under an active span count as content" window
+                # is bounded (4x the empty-run budget, then the counter
+                # re-arms and the normal truncation log applies).
+                span_floor = max(
+                    span_floor, min(r2, r + 4 * cfg.max_empty_run)
+                )
                 # merged value = COERCED top-left master cell (same typed
                 # value domain as ``cells`` — reference core/cells.py:780-795
                 # has ONE value domain); empty -> " " sentinel

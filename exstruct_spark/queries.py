@@ -978,8 +978,10 @@ FROM r GROUP BY lang
 
 def q_doc_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher's repetition filters — the other half of the filter set:
-    (a) duplicate-line character fraction <= 0.3 (chars in lines occurring
-    more than once / total line chars), (b) top word-2-gram character
+    (a) duplicate-line character fraction <= 0.2 (chars in lines occurring
+    more than once / total line chars — Rae et al. 2021 Table A1's
+    char-fraction threshold; ADVICE r3 flagged the earlier 0.3, which is
+    the duplicate-line COUNT threshold), (b) top word-2-gram character
     fraction <= 0.2 (chars covered by the single most frequent bigram).
 
     Scale shape: per-doc repetition is computed by EXPLODE + groupBy
@@ -1048,7 +1050,7 @@ def q_doc_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             F.coalesce(
-                (F.col("dup_chars") / F.col("total_chars")) <= 0.3,
+                (F.col("dup_chars") / F.col("total_chars")) <= 0.2,
                 F.lit(True),
             ).alias("r_dup_lines"),
             F.coalesce(
@@ -1098,7 +1100,7 @@ top_bigram AS (
   WHERE rn = 1),
 rules AS (
   SELECT d.lang,
-         COALESCE(CAST(dup_chars AS DOUBLE) / total_chars <= 0.3, TRUE) AS r_dup_lines,
+         COALESCE(CAST(dup_chars AS DOUBLE) / total_chars <= 0.2, TRUE) AS r_dup_lines,
          COALESCE(CAST(top_chars AS DOUBLE) / bg_chars <= 0.2, TRUE) AS r_top_bigram
   FROM (SELECT doc_id, lang FROM documents WHERE n_chars > 0) d
   LEFT JOIN line_stats ls USING (doc_id)

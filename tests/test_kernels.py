@@ -1301,6 +1301,53 @@ def test_chartconfig_highcharts_dialect():
     assert c["series"] == [("north", [5.0, 3.0]), ("south", [2.0, 4.0])]
 
 
+def test_chartconfig_highcharts_bar_is_horizontal():
+    """ADVICE r3: chart.type is the Highcharts-only location, where
+    'bar' means HORIZONTAL — map it to 'Bar'; Chart.js/ECharts 'bar'
+    stays vertical ('Column'); Highcharts 'column' stays 'Column'."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    hc_bar = charts_from_script(
+        "Highcharts.chart('c', {chart: {type: 'bar'},"
+        " series: [{name: 'a', data: [1, 2]}]});"
+    )
+    assert hc_bar[0]["chart_type"] == "Bar"
+
+    chartjs_bar = charts_from_script(
+        "new Chart(ctx, {type: 'bar',"
+        " data: {labels: ['x'], datasets: [{label: 'a', data: [1]}]}});"
+    )
+    assert chartjs_bar[0]["chart_type"] == "Column"
+
+    echarts_bar = charts_from_script(
+        "chart.setOption({series: [{name: 'a', type: 'bar', data: [1]}]});"
+    )
+    assert echarts_bar[0]["chart_type"] == "Column"
+
+
+def test_chartconfig_division_after_value_degrades_per_element():
+    """ADVICE r3: '/' following a parsed value is division, not a regex
+    literal — data: [10/2, 4] loses ONLY the unparseable element, the
+    well-formed trailing elements survive."""
+    from exstruct_spark.kernels.chartconfig import (
+        charts_from_script,
+        parse_js_value,
+    )
+
+    v, _ = parse_js_value("[10/2, 4]")
+    assert [x for x in v if x is not None] == [10, 4]
+
+    charts = charts_from_script(
+        "new Chart(ctx, {type: 'line', data: {labels: ['a', 'b', 'c'],"
+        " datasets: [{label: 's', data: [10/2, 4, 7]}]}});"
+    )
+    assert len(charts) == 1
+    # 10 parses, '/2' is the unparseable remainder (no expression
+    # evaluator); 4 and 7 must NOT be swallowed by a bogus regex-literal
+    # scan — only the post-slash operand is lost
+    assert charts[0]["series"] == [("s", [10.0, 4.0, 7.0])]
+
+
 def test_chartconfig_unterminated_unicode_escape_terminates():
     """Review r3 second pass: an unterminated \\u{ escape must decode via
     the bare-char rule, not reset the scan index (a confirmed hang)."""
