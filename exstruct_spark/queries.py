@@ -656,14 +656,57 @@ def _langid_scores_sql(len_fn: str) -> str:
     return score_list, scores, f"CASE {argmax} ELSE 'unknown' END"
 
 
+# Margin threshold for the reject option (VERDICT r4 #8): the winner
+# must beat the runner-up by at least this many weighted marker hits or
+# the doc routes to 'unknown'.  2 means a single accidental stopword hit
+# (top=1, second=0) and any exact tie both reject; two agreeing hits
+# with no competition accept.  Calibrated on the labeled 21-language
+# corpus (accuracy stays >= 95%, mixed-language + near-empty docs go to
+# 'unknown' — test_langid_ngram_accuracy_21_languages).
+LANGID_MARGIN = 2
+
+
+def _langid_margin_sql() -> tuple:
+    """(second, margin, final-predicted) expressions over the s_<lang>
+    score columns plus a raw ``predicted`` column — engine-neutral SQL
+    (same text runs in Spark and DuckDB).  ``second`` is the best score
+    among the 20 languages OTHER than the argmax pick, so an exact tie
+    yields margin 0 (rejected); near-empty docs with one stray hit yield
+    margin 1 (rejected)."""
+    all_langs = list(_LANGID_MARKERS)
+    all_scores = ", ".join(f"s_{lang}" for lang in all_langs)
+    second_branches = " ".join(
+        "WHEN '{0}' THEN greatest({1})".format(
+            lang,
+            ", ".join(f"s_{o}" for o in all_langs if o != lang),
+        )
+        for lang in all_langs
+    )
+    second = f"CASE predicted {second_branches} ELSE 0 END"
+    margin = f"CAST(greatest({all_scores}) - ({second}) AS BIGINT)"
+    final = (
+        f"CASE WHEN predicted <> 'unknown' AND ({margin}) >= {LANGID_MARGIN} "
+        f"THEN predicted ELSE 'unknown' END"
+    )
+    return second, margin, final
+
+
 def langid_predict(docs: DataFrame) -> DataFrame:
-    """Append a ``predicted`` language column to any df with ``text`` —
-    the 21-language marker scorer + deterministic argmax, scan-local."""
+    """Append ``predicted`` + ``margin`` columns to any df with ``text``
+    — the 21-language marker scorer, deterministic argmax, and the
+    margin-based reject option (winner must beat the runner-up by >=
+    LANGID_MARGIN weighted hits or the doc is 'unknown').  Scan-local:
+    three stacked projections, zero shuffle."""
     score_list, _scores, argmax = _langid_scores_sql("size")
+    _second, margin, final = _langid_margin_sql()
     cols = list(docs.columns)
+    score_cols = [f"s_{lang}" for lang in _LANGID_MARKERS]
     return (
         docs.selectExpr(*cols, *score_list)
-        .selectExpr(*cols, f"{argmax} AS predicted")
+        .selectExpr(*cols, *score_cols, f"{argmax} AS predicted")
+        .selectExpr(
+            *cols, f"{margin} AS margin", f"{final} AS predicted"
+        )
     )
 
 
@@ -671,26 +714,38 @@ def q_doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-class language ID via marker profiles (the real-langid
     upgrade of ``doc_langid``'s latin/nonlatin binary): script-class hit
     counts for 9 non-latin scripts + stopword profiles for 12 latin
-    languages -> deterministic argmax -> confusion counts against the
-    labeled ``lang`` column.  Pure column regexp work (scan-local, zero
-    shuffle before the final small groupBy); the identical expressions
-    run in DuckDB for the oracle, and a 21-language labeled corpus pins
-    >= 95% accuracy in pytest."""
+    languages -> deterministic argmax -> margin-based reject (winner
+    must beat the runner-up by >= LANGID_MARGIN weighted hits, else
+    'unknown') -> confusion counts + per-group margin extrema against
+    the labeled ``lang`` column.  Pure column regexp work (scan-local,
+    zero shuffle before the final small groupBy); the identical
+    expressions run in DuckDB for the oracle, and a 21-language labeled
+    corpus pins >= 95% accuracy in pytest (with mixed-language and
+    near-empty docs pinned to 'unknown')."""
     docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
     return (
         langid_predict(docs.select("lang", "text"))
         .groupBy("predicted", "lang")
-        .agg(F.count("*").alias("docs"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.min("margin").alias("min_margin"),
+            F.max("margin").alias("max_margin"),
+        )
     )
 
 
 def _sql_doc_langid_ngram() -> str:
     _score_list, scores, argmax = _langid_scores_sql("len")
+    _second, margin, final = _langid_margin_sql()
+    score_cols = ", ".join(f"s_{lang}" for lang in _LANGID_MARKERS)
     return f"""
-SELECT predicted, lang, COUNT(*) AS docs
+SELECT predicted, lang, COUNT(*) AS docs,
+       MIN(margin) AS min_margin, MAX(margin) AS max_margin
 FROM (
-  SELECT lang, {argmax} AS predicted
-  FROM (SELECT lang, text, {scores} FROM documents WHERE length(text) > 0))
+  SELECT lang, {margin} AS margin, {final} AS predicted
+  FROM (
+    SELECT lang, {score_cols}, {argmax} AS predicted
+    FROM (SELECT lang, text, {scores} FROM documents WHERE length(text) > 0)))
 GROUP BY predicted, lang
 """
 

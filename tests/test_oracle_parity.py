@@ -367,8 +367,45 @@ def test_langid_ngram_accuracy_21_languages(spark):
     pdf = langid_predict(df).toPandas()
     acc = (pdf["predicted"] == pdf["lang"]).mean()
     assert acc >= 0.95, pdf[pdf["predicted"] != pdf["lang"]]
+    # every accepted prediction clears the margin bar; margins are
+    # integral weighted-hit counts
+    accepted = pdf[pdf["predicted"] != "unknown"]
+    assert (accepted["margin"] >= 2).all()
     # every marker language is exercised by the corpus
     assert set(_LANGID_SAMPLES) == set(_LANGID_MARKERS)
+
+
+def test_langid_margin_rejects_ambiguous_docs(spark):
+    """VERDICT r4 #8: the reject option.  Mixed-language and near-empty
+    docs must route to 'unknown' via the argmax margin (winner must beat
+    the runner-up by >= LANGID_MARGIN weighted hits), while clean
+    single-language docs keep their label."""
+    from exstruct_spark.queries import LANGID_MARGIN, langid_predict
+
+    rows = [
+        # mixed en/fr — balanced stopword mass, margin collapses
+        ("mixed", "the cat and the dog le chien et les chats dans une"),
+        # mixed de/nl
+        ("mixed", "der hund und die katze het huis een boom niet aan"),
+        # near-empty: zero or one stray marker hit
+        ("empty", "x"),
+        ("empty", "the"),
+        ("empty", "42 17 99"),
+        # clean controls — must NOT be rejected
+        ("en", "the cat and the dog ran to the park in the morning"),
+        ("ja", "これは日本語のテストです"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    pdf = langid_predict(df).toPandas()
+    by_text = {r["text"]: r for _, r in pdf.iterrows()}
+    for lang, text in rows:
+        got = by_text[text]
+        if lang in ("mixed", "empty"):
+            assert got["predicted"] == "unknown", (text, dict(got))
+            assert got["margin"] < LANGID_MARGIN, (text, dict(got))
+        else:
+            assert got["predicted"] == lang, (text, dict(got))
+            assert got["margin"] >= LANGID_MARGIN
 
 
 def test_ann_ivf_recall_at_3(spark):
