@@ -200,14 +200,52 @@ class TableIO:
         self.format = fmt
 
     def read(self, spark: SparkSession, path: str, schema: Optional[str] = None) -> DataFrame:
+        if self.format == "yaml":
+            # mirror the reference exactly: YAML is a one-way EXPORT
+            # surface (io/__init__.py:159-168 save_as_yaml writes, nothing
+            # reads YAML back) — a silent text-read here would hand the
+            # caller unparsed documents
+            raise NotImplementedError(
+                "YAML is an export-only dialect (reference parity: "
+                "save_as_yaml has no reader); keep pipeline tables on "
+                "parquet/json and export with TableIO('yaml').write"
+            )
         reader = spark.read
         if schema is not None and self.format in self._FILE_FORMATS:
             reader = reader.schema(schema)
         return reader.format(self.format).load(path)
 
+    @staticmethod
+    def _to_yaml_docs(df: DataFrame, partition_by: tuple) -> DataFrame:
+        """Rows -> one YAML document per row (multi-doc stream: each doc
+        opens with '---').  JVM-side ``to_json`` flattens the row (null
+        fields dropped, binary -> base64), then ONE Arrow-batched pandas
+        UDF re-emits the reference YAML dialect (kernels/serialize.py
+        ``canonical_yaml``) — no row-at-a-time Python at the boundary.
+        Partition columns stay as real columns for partitionBy."""
+        from exstruct_spark.kernels.serialize import canonical_yaml
+
+        @F.pandas_udf("string")
+        def _yaml_doc(js: pd.Series) -> pd.Series:
+            import json as _json
+
+            return js.map(
+                lambda s: "---\n" + canonical_yaml(_json.loads(s)).rstrip("\n")
+            )
+
+        data_cols = [c for c in df.columns if c not in partition_by]
+        keep = [F.col(c) for c in partition_by]
+        return df.select(
+            _yaml_doc(F.to_json(F.struct(*data_cols))).alias("value"), *keep
+        )
+
     def write(self, df: DataFrame, path: str, mode: str,
               partition_by: tuple = (), dynamic: bool = False) -> None:
-        writer = df.write.mode(mode).format(self.format)
+        fmt = self.format
+        if fmt == "yaml":
+            df = self._to_yaml_docs(df, tuple(partition_by))
+            fmt = "text"
+        writer = df.write.mode(mode).format(fmt)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         if not dynamic:

@@ -95,3 +95,22 @@ def canonical_json(value: Any) -> str:
 
 def sha256_hex(text: str) -> str:
     return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def canonical_yaml(value: Any) -> str:
+    """YAML document with the reference's dump settings — safe_dump,
+    allow_unicode, insertion key order, indent 2 (io/serialize.py:74-83).
+    Empty values are stripped first, same as the JSON emitter.  Gated on
+    pyyaml like the reference's ``_require_yaml`` (io/serialize.py:99)."""
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover — pyyaml present in env
+        raise RuntimeError(
+            "YAML export requires pyyaml (reference gates identically: "
+            "io/serialize.py:99)"
+        ) from exc
+    return str(
+        yaml.safe_dump(
+            strip_empty(value), allow_unicode=True, sort_keys=False, indent=2
+        )
+    )

