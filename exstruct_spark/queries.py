@@ -18,6 +18,7 @@ demo, LSH instead of O(n^2) similarity).
 from __future__ import annotations
 
 import re
+from typing import Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -1947,7 +1948,8 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_bpe_real(
-    spark: SparkSession, sf_dir: str, vocab_words: int = 256, n_merges: int = 64
+    spark: SparkSession, sf_dir: str, vocab_words: int = 256, n_merges: int = 64,
+    min_freq: int = 1, sample_fraction: Optional[float] = None,
 ) -> DataFrame:
     """TRUE BPE token counting (VERDICT r2 #3): train a small merge table
     from the corpus itself, broadcast it, apply merges in an Arrow-batched
@@ -1957,10 +1959,17 @@ def q_doc_bpe_real(
       1. pre-token frequencies — mapInPandas with a per-batch Counter (the
          map-side combine), then a groupBy sum: shuffle is vocabulary-
          sized, not corpus-sized;
-      2. top-``vocab_words`` collect — a BOUNDED driver collect (256
-         rows), the same small-side pattern as broadcasting a dimension;
-         at 100 TB you would add a frequency floor or sampled counts, the
-         collect stays vocab-sized either way;
+      2. top-``vocab_words`` collect — a BOUNDED driver collect, the same
+         small-side pattern as broadcasting a dimension.  The two 100 TB
+         levers are REAL parameters, not prose: ``min_freq`` drops the
+         hapax tail BEFORE the order-by (at web scale most distinct
+         pre-tokens are junk singletons — the floor shrinks the sort input
+         by orders of magnitude and changes nothing the top-V would keep,
+         provided floor < the V-th frequency), and ``sample_fraction``
+         trains on a uniform doc sample (pair statistics are frequency
+         ratios; a 1% sample of 10^12 docs estimates them to ~1e-4).
+         Measured at sf0.1 / vocab 4096 / 512 merges in
+         scripts/bpe_scale_bench.py -> BENCH/BASELINE.md round-4 table;
       3. BPE training — pure Python on the tiny (token, freq) map, fully
          deterministic (ties break lexicographically), broadcast to
          executors;
@@ -1978,6 +1987,11 @@ def q_doc_bpe_real(
     )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    train_docs = docs
+    if sample_fraction is not None:
+        # uniform doc sample for TRAINING only (encoding still sees every
+        # doc); seed fixed so the merge table is deterministic
+        train_docs = docs.sample(fraction=sample_fraction, seed=42)
 
     def count_batches(batches):
         for pdf in batches:
@@ -1985,11 +1999,13 @@ def q_doc_bpe_real(
             yield pd.DataFrame({"w": list(c.keys()), "cnt": list(c.values())})
 
     tok_freq = (
-        docs.select("text")
+        train_docs.select("text")
         .mapInPandas(count_batches, "w string, cnt bigint")
         .groupBy("w")
         .agg(F.sum("cnt").alias("cnt"))
     )
+    if min_freq > 1:
+        tok_freq = tok_freq.where(F.col("cnt") >= min_freq)
     top = tok_freq.orderBy(F.desc("cnt"), "w").limit(vocab_words).collect()
     merges = train_bpe({r["w"]: r["cnt"] for r in top}, n_merges)
     ranks = {p: i for i, p in enumerate(merges)}
