@@ -385,6 +385,18 @@ def test_doc_bpe_real_scale_vocab_with_floor(spark, tmp_path):
     assert len(floored) <= len(freqs) - 400
     assert len(top) > 256
 
+    # the sampled-training path is deterministic (fixed seed): two runs
+    # produce the identical merge table and therefore identical counts
+    a = (q_doc_bpe_real(spark, str(tmp_path), vocab_words=512, n_merges=64,
+                        min_freq=2, sample_fraction=0.5)
+         .toPandas().sort_values("lang").reset_index(drop=True))
+    b = (q_doc_bpe_real(spark, str(tmp_path), vocab_words=512, n_merges=64,
+                        min_freq=2, sample_fraction=0.5)
+         .toPandas().sort_values("lang").reset_index(drop=True))
+    assert a.equals(b)
+    # sampling trains on fewer docs but ENCODES all of them
+    assert list(a["docs"]) == list(got["docs"])
+
 
 _LANGID_SAMPLES = {
     "en": ["the cat and the dog ran to the park in the morning",
