@@ -1,17 +1,20 @@
 """Multimodal (image/audio/video) column kernels — Spark plumbing is real,
-PNG decode is REAL (stdlib zlib + numpy, kernels/png.py), other codecs
-are stubbed.
+PNG decode is REAL (stdlib zlib + numpy, kernels/png.py), GIF decode —
+including ANIMATED multi-frame compositing — is REAL (stdlib LZW,
+kernels/gif.py), remaining codecs (JPEG/WebP/video containers) are
+stubbed.
 
 Design (per the engine's training-data-pipeline charter): media travels
 as an opaque ``binary`` column + typed metadata struct.  Everything that
 does NOT need a third-party codec is fully implemented and vectorized
 (numpy over the Arrow batch): container sniffing from magic bytes, size,
-byte entropy, deterministic content fingerprint — and for PNG, actual
-pixel decode, box-average resize, and luminance-grid features (the
-reference's analogue: drawing bytes are really parsed, never synthesized
-— core/ooxml_drawing.py:186-257).  The remaining codec-dependent steps
-(JPEG/video decode, frame sampling) are STUBS — those libraries are not
-in this container — exposed behind an explicit ``fake`` mode
+byte entropy, deterministic content fingerprint — and for PNG/GIF,
+actual pixel decode, box-average resize, luminance-grid features, and
+(animated GIF) real-pixel frame sampling (the reference's analogue:
+drawing bytes are really parsed, never synthesized —
+core/ooxml_drawing.py:186-257).  The remaining codec-dependent steps
+(JPEG decode, mp4/webm frame sampling) are STUBS — those libraries are
+not in this container — exposed behind an explicit ``fake`` mode
 (deterministic synthetic output, keyed by content hash, so the Spark-side
 schema/partitioning/batch plumbing is testable end-to-end) or
 ``NotImplementedError`` in ``strict`` mode.
@@ -24,6 +27,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
+from exstruct_spark.kernels.gif import GIF_MAGICS, decode_gif
 from exstruct_spark.kernels.png import (
     PNG_MAGIC,
     decode_png,
@@ -82,7 +86,7 @@ def content_fingerprint(raw: bytes) -> str:
 
 def decode_image_stub(raw: bytes, mode: str = "fake") -> dict:
     """STUB image decode for formats WITHOUT a real decoder here (JPEG,
-    GIF, WebP — PNG has the real path in ``decode_image``).
+    WebP — PNG and GIF have the real path in ``decode_image``).
 
     ``fake``: deterministic synthetic metadata keyed by content hash —
     exercises the full Spark pipeline (schema, batching, partitioning)
@@ -104,35 +108,47 @@ def decode_image_stub(raw: bytes, mode: str = "fake") -> dict:
 
 def decode_image(raw: bytes, mode: str = "fake") -> dict:
     """Image decode: REAL for PNG (kernels/png.py — stdlib zlib inflate +
-    numpy unfilter; ``pixels`` key holds the (H, W, C) uint8 array and
-    ``decoded`` is True), stub for everything else.
+    numpy unfilter) and GIF (kernels/gif.py — stdlib LZW + compositing;
+    the FIRST composited frame is the image, ``n_frames`` counts the
+    rest), stub for everything else.  ``pixels`` holds the (H, W, C)
+    uint8 array and ``decoded`` is True on the real paths.
 
-    A blob that *sniffs* as PNG but fails the real decode (corrupt,
-    interlaced, exotic bit depth) degrades to the stub in ``fake`` mode —
+    A blob that *sniffs* as a decodable type but fails the real decode
+    (corrupt, exotic variant) degrades to the stub in ``fake`` mode —
     fallback-not-fail — and raises ``ValueError`` in ``strict`` mode
     (strict means: no fabricated pixels, ever).
     """
+    real_px = None
+    n_frames = None
     if raw[:8] == PNG_MAGIC:
         try:
-            px = decode_png(raw)
+            real_px = decode_png(raw)
+            n_frames = 1
         except ValueError:
             if mode == "strict":
                 raise
-            meta = decode_image_stub(raw, mode)
-            meta["decoded"] = False
-            meta["pixels"] = None
-            return meta
-        h, w, c = px.shape
+    elif raw[:6] in GIF_MAGICS:
+        try:
+            frames, _delays = decode_gif(raw)
+            real_px = frames[0]
+            n_frames = len(frames)
+        except ValueError:
+            if mode == "strict":
+                raise
+    if real_px is not None:
+        h, w, c = real_px.shape
         return {
             "width": w,
             "height": h,
             "channels": c,
             "decoded": True,
-            "pixels": px,
+            "pixels": real_px,
+            "n_frames": n_frames,
         }
     meta = decode_image_stub(raw, mode)
     meta["decoded"] = False
     meta["pixels"] = None
+    meta["n_frames"] = None
     return meta
 
 
@@ -147,6 +163,34 @@ def frame_sample_stub(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list
     return [
         hashlib.sha256(base + bytes([i])).hexdigest()[:12] for i in range(n_frames)
     ]
+
+
+def frame_sample(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list:
+    """Frame sampling: REAL for GIF — decode ALL composited frames
+    (kernels/gif.py), pick ``n_frames`` evenly spaced by frame index
+    (first and last always included), fingerprint the genuine pixel
+    buffers — stub for mp4/webm/avi (no container parser or codec here).
+
+    Evenly-spaced-by-index is the deterministic sampling rule a training
+    pipeline wants (no wall-clock, no RNG); duplicates collapse when the
+    animation is shorter than ``n_frames``."""
+    if raw[:6] in GIF_MAGICS:
+        try:
+            frames, _delays = decode_gif(raw)
+        except ValueError:
+            if mode == "strict":
+                raise
+            return frame_sample_stub(raw, n_frames, mode)
+        k = min(n_frames, len(frames))
+        picks = sorted({
+            int(round(i * (len(frames) - 1) / max(k - 1, 1)))
+            for i in range(k)
+        })
+        return [
+            hashlib.sha256(frames[p].tobytes()).hexdigest()[:12]
+            for p in picks
+        ]
+    return frame_sample_stub(raw, n_frames, mode)
 
 
 def resize_image_stub(
@@ -201,9 +245,10 @@ def media_meta_pdf(
     Output columns: media_type, n_bytes, entropy, fingerprint, decoded
     (True = real pixels flowed), width, height, px_mean, px_std (real
     pixel statistics; NULL when stubbed), resized_w, resized_h, feature
-    (unit-norm embedding: REAL luminance-grid for decoded PNGs, hash stub
-    otherwise), frame_fps (list of frame fingerprints; video only).  This
-    function body runs inside ``mapInPandas``.
+    (unit-norm embedding: REAL luminance-grid for decoded PNG/GIF, hash
+    stub otherwise), frame_fps (frame fingerprints: REAL composited-pixel
+    hashes for animated GIF, stub for mp4/webm).  This function body runs
+    inside ``mapInPandas``.
     """
     out = []
     for raw in pdf[blob_col].tolist():
@@ -246,6 +291,9 @@ def media_meta_pdf(
                 rec["resized_fp"] = hashlib.sha256(
                     small.tobytes()
                 ).hexdigest()[:12]
+                if mtype == "image/gif" and (meta.get("n_frames") or 1) > 1:
+                    # animated: REAL evenly-spaced frame fingerprints
+                    rec["frame_fps"] = frame_sample(raw, mode=mode)
             else:
                 rec["feature"] = image_features_stub(
                     raw, dim=feature_dim, mode=mode
@@ -254,7 +302,7 @@ def media_meta_pdf(
                     "resized_fp"
                 ]
         elif mtype.startswith("video/"):
-            rec["frame_fps"] = frame_sample_stub(raw, mode=mode)
+            rec["frame_fps"] = frame_sample(raw, mode=mode)
         out.append(rec)
     res = pd.DataFrame(
         out,

@@ -2783,18 +2783,30 @@ def q_pages_by_host_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary column -> typed metadata via one
-    mapInPandas stage.  A third of the corpus carries REAL PNG bytes
+    mapInPandas stage.  A quarter of the corpus carries REAL PNG bytes
     (seeded noise images of varying size, broadcast-joined build side) and
-    is REALLY decoded — stdlib zlib + numpy unfilter, kernels/png.py — so
-    the rollup reports genuine width/height/pixel statistics for PNG;
+    is REALLY decoded — stdlib zlib + numpy unfilter, kernels/png.py;
+    another quarter carries REAL ANIMATED GIF bytes (seeded 4-frame
+    noise animations) decoded + frame-sampled by the stdlib LZW decoder
+    (kernels/gif.py) — genuine width/height/pixel statistics for both;
     webm/html blobs exercise the sniff + stub paths.  Rows-only check
-    (pytest pins a byte-exact known-image decode)."""
+    (pytest pins byte-exact known-image decodes for both codecs)."""
     import numpy as np
 
+    from exstruct_spark.kernels.gif import encode_gif
     from exstruct_spark.kernels.png import encode_png
     from exstruct_spark.media import media_meta_stage
 
-    pngs = [
+    def _gif(i: int) -> bytearray:
+        rng = np.random.default_rng(1000 + i)
+        pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+        frames = [
+            rng.integers(0, 8, (12 + 4 * i, 18 + 2 * i)).astype(np.uint8)
+            for _ in range(4)
+        ]
+        return bytearray(encode_gif(frames, pal, delays_cs=[4] * 4))
+
+    imgs = [
         (
             i,
             bytearray(
@@ -2804,21 +2816,23 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
             ),
+            _gif(i),
         )
         for i in range(8)
     ]
-    png_map = F.broadcast(
-        spark.createDataFrame(pngs, "png_id bigint, png binary")
+    img_map = F.broadcast(
+        spark.createDataFrame(imgs, "img_id bigint, png binary, gif binary")
     )
     pages = spark_pages(spark, 200, partitions=8)
     blobs = (
-        pages.withColumn("png_id", F.pmod(F.xxhash64("url"), F.lit(8)))
-        .join(png_map, "png_id")
+        pages.withColumn("img_id", F.pmod(F.xxhash64("url"), F.lit(8)))
+        .join(img_map, "img_id")
         .select(
             "url",
-            F.when(F.xxhash64("url") % 3 == 0, F.col("png"))
+            F.when(F.xxhash64("url") % 4 == 0, F.col("png"))
+            .when(F.xxhash64("url") % 4 == 1, F.col("gif"))
             .when(
-                F.xxhash64("url") % 3 == 1,
+                F.xxhash64("url") % 4 == 2,
                 F.concat(F.lit(b"\x1a\x45\xdf\xa3"), F.col("html")),
             )
             .otherwise(F.col("html"))

@@ -1,0 +1,182 @@
+"""Real GIF decode (kernels/gif.py): LZW roundtrips (KwKwK, width
+growth, 12-bit table overflow), multi-frame compositing semantics
+(transparency + disposal 1/2/3), interlace, and the real-pixel frame
+sampling the media kernel now exposes for animated GIFs.  Companion to
+test_png.py — same honesty bar: no fabricated pixel flows on the GIF
+path."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from exstruct_spark.kernels.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+)
+from exstruct_spark.kernels.media import (
+    decode_image,
+    frame_sample,
+    media_meta_pdf,
+)
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("mcs", [2, 3, 5, 8])
+@pytest.mark.parametrize("style", ["random", "runs", "periodic"])
+def test_lzw_roundtrip(mcs, style):
+    rng = _rng(mcs * 17 + len(style))
+    maxsym = 1 << mcs
+    n = int(rng.integers(200, 4000))
+    if style == "random":
+        data = rng.integers(0, maxsym, n).astype(np.uint8).tobytes()
+    elif style == "runs":
+        # long single-symbol runs: every step is the KwKwK case
+        data = bytes([int(rng.integers(0, maxsym))]) * n
+    else:
+        base = rng.integers(0, maxsym, 7).astype(np.uint8).tobytes()
+        data = (base * (n // 7 + 1))[:n]
+    assert bytes(_lzw_decode(_lzw_encode(data, mcs), mcs, n)) == data
+
+
+def test_lzw_table_overflow_mid_stream():
+    """>4096 distinct phrases force a clear code inside the stream (and
+    code width to walk all the way to 12 bits)."""
+    rng = _rng(3)
+    data = rng.integers(0, 8, 200_000).astype(np.uint8).tobytes()
+    out = _lzw_decode(_lzw_encode(data, 3), 3, len(data))
+    assert bytes(out) == data
+
+
+def test_gif_multiframe_roundtrip():
+    rng = _rng(7)
+    pal = rng.integers(0, 256, (13, 3)).astype(np.uint8)
+    frames = [rng.integers(0, 13, (24, 33)).astype(np.uint8)
+              for _ in range(3)]
+    out, delays = decode_gif(encode_gif(frames, pal, delays_cs=[5, 10, 15]))
+    assert delays == [5, 10, 15]
+    for idx, rgb in zip(frames, out):
+        assert (rgb == pal[idx]).all()
+
+
+def test_gif_interlaced_roundtrip():
+    rng = _rng(9)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    f = rng.integers(0, 8, (17, 9)).astype(np.uint8)
+    out, _ = decode_gif(encode_gif([f], pal, interlace=True))
+    assert (out[0] == pal[f]).all()
+
+
+def test_gif_transparency_and_disposal():
+    """Compositing semantics: transparent pixels show the prior canvas
+    (disposal 1), the background (disposal 2), or the pre-frame canvas
+    (disposal 3)."""
+    pal = _rng(7).integers(0, 256, (8, 3)).astype(np.uint8)
+    f1 = np.full((4, 4), 1, np.uint8)
+    f2 = np.full((4, 4), 3, np.uint8)
+    f2[0, :] = 2  # index 2 declared transparent below
+
+    frames, _ = decode_gif(encode_gif([f1, f2], pal, transparent=2,
+                                      disposal=1))
+    assert (frames[1][0, :] == pal[1]).all()   # shows f1 through the hole
+    assert (frames[1][1:, :] == pal[3]).all()
+
+    frames, _ = decode_gif(encode_gif([f1, f2], pal, transparent=2,
+                                      disposal=2))
+    assert (frames[1][0, :] == pal[0]).all()   # f1 disposed to background
+
+    f3 = np.full((4, 4), 4, np.uint8)
+    f3[:, 0] = 2
+    frames, _ = decode_gif(encode_gif([f1, f2, f3], pal, transparent=2,
+                                      disposal=3))
+    assert (frames[1][0, :] == pal[0]).all()   # f1 restored away pre-f2
+    assert (frames[2][:, 0] == pal[0]).all()   # pre-f3 canvas = background
+    assert (frames[2][:, 1:] == pal[4]).all()
+
+
+def test_gif_malformed_raises():
+    rng = _rng(5)
+    pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    good = encode_gif([rng.integers(0, 4, (6, 6)).astype(np.uint8)], pal)
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 4)          # truncated header
+    with pytest.raises(ValueError):
+        decode_gif(good[:-10])                        # truncated stream
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + good[6:])              # bad magic
+
+
+def test_decode_image_gif_real_first_frame():
+    rng = _rng(11)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    frames = [rng.integers(0, 16, (10, 12)).astype(np.uint8)
+              for _ in range(4)]
+    raw = encode_gif(frames, pal)
+    meta = decode_image(raw, mode="strict")
+    assert meta["decoded"] is True
+    assert (meta["width"], meta["height"]) == (12, 10)
+    assert meta["n_frames"] == 4
+    assert (meta["pixels"] == pal[frames[0]]).all()
+
+
+def test_frame_sample_gif_real_pixels():
+    """Sampling picks evenly spaced REAL frames (first + last included)
+    and fingerprints their composited pixel buffers — verified against
+    the decoder directly."""
+    rng = _rng(13)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    frames = [rng.integers(0, 8, (6, 6)).astype(np.uint8)
+              for _ in range(10)]
+    raw = encode_gif(frames, pal)
+    fps = frame_sample(raw, n_frames=4, mode="strict")
+    decoded, _ = decode_gif(raw)
+    want = [hashlib.sha256(decoded[p].tobytes()).hexdigest()[:12]
+            for p in (0, 3, 6, 9)]
+    assert fps == want
+
+    # shorter-than-requested animation collapses duplicates
+    raw2 = encode_gif(frames[:2], pal)
+    fps2 = frame_sample(raw2, n_frames=4, mode="strict")
+    assert len(fps2) == 2
+
+    # corrupt GIF: strict raises, fake degrades to the stub
+    with pytest.raises(ValueError):
+        frame_sample(raw[:-8], mode="strict")
+    assert len(frame_sample(raw[:-8], mode="fake")) == 4
+
+
+def test_media_meta_pdf_gif_paths():
+    """The mapInPandas kernel body: animated GIF rows get real dims, real
+    pixel stats, and real frame fingerprints; a still GIF gets no
+    frame_fps; mp4 stays on the stub path."""
+    import pandas as pd
+
+    rng = _rng(17)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    frames = [rng.integers(0, 8, (9, 14)).astype(np.uint8)
+              for _ in range(5)]
+    anim = encode_gif(frames, pal, delays_cs=[4] * 5)
+    still = encode_gif(frames[:1], pal)
+    mp4 = b"\x00\x00\x00\x18ftypisom" + bytes(32)
+    pdf = pd.DataFrame({"url": ["a", "s"], "blob": [anim, still]})
+    out = media_meta_pdf(pdf, mode="strict")
+    a, s = out.iloc[0], out.iloc[1]
+    assert a["media_type"] == "image/gif" and a["decoded"]
+    assert (a["width"], a["height"]) == (14, 9)
+    decoded, _ = decode_gif(anim)
+    assert a["px_mean"] == float(round(decoded[0].mean(), 4))
+    assert list(a["frame_fps"]) == frame_sample(anim, mode="strict")
+    assert s["decoded"] and s["frame_fps"] is None
+
+    # video containers stay on the stub path (fake fabricates
+    # deterministically, strict refuses)
+    vdf = pd.DataFrame({"url": ["v"], "blob": [mp4]})
+    v = media_meta_pdf(vdf, mode="fake").iloc[0]
+    assert v["media_type"] == "video/mp4" and len(v["frame_fps"]) == 4
+    with pytest.raises(NotImplementedError):
+        media_meta_pdf(vdf, mode="strict")
