@@ -179,16 +179,28 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_gif(raw: bytes):
+MAX_PIXELS = 1 << 26  # 67M px (~192 MB RGB canvas) — adversarial-header cap
+
+
+def decode_gif(raw: bytes, max_pixels: int = MAX_PIXELS):
     """Full decode: (frames, delays_cs) where each frame is the COMPOSITED
     logical screen as (H, W, 3) uint8 and delays are GIF centiseconds
-    (0 for still images)."""
+    (0 for still images).
+
+    ``max_pixels`` bounds the logical-screen allocation BEFORE it happens
+    (same caps-not-crashes discipline as the table scanner's O3 limits):
+    a 7-byte header can otherwise claim a 65535x65535 screen and bill a
+    12 GB canvas to the executor before the first real block is read."""
     if raw[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF (bad magic)")
     if len(raw) < 13:
         raise ValueError("truncated GIF header")
     width, height, packed, bg_idx, _aspect = struct.unpack(
         "<HHBBB", raw[6:13])
+    if width * height > max_pixels:
+        raise ValueError(
+            f"logical screen {width}x{height} exceeds max_pixels cap"
+        )
     pos = 13
     gct = None
     if packed & 0x80:
@@ -224,6 +236,8 @@ def decode_gif(raw: bytes):
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         # image descriptor
+        if pos + 9 > len(raw):
+            raise ValueError("truncated image descriptor")
         left, top, fw, fh, ipacked = struct.unpack("<HHHHB", raw[pos:pos + 9])
         pos += 9
         ct = gct
@@ -233,6 +247,8 @@ def decode_gif(raw: bytes):
             raise ValueError("image block without any color table")
         if left + fw > width or top + fh > height:
             raise ValueError("frame rectangle outside logical screen")
+        if pos >= len(raw):
+            raise ValueError("truncated image data")
         mcs = raw[pos]
         pos += 1
         data, pos = _read_subblocks(raw, pos)
@@ -243,6 +259,11 @@ def decode_gif(raw: bytes):
             idx = _deinterlace(idx)
         if int(idx.max(initial=0)) >= len(ct):
             raise ValueError("pixel index outside color table")
+        if (len(frames) + 1) * width * height > 4 * max_pixels:
+            raise ValueError(
+                f"animation exceeds cumulative pixel cap at frame "
+                f"{len(frames) + 1}"
+            )
         before = canvas.copy() if disposal == 3 else None
         region = canvas[top:top + fh, left:left + fw]
         rgb = ct[idx]

@@ -180,3 +180,24 @@ def test_media_meta_pdf_gif_paths():
     assert v["media_type"] == "video/mp4" and len(v["frame_fps"]) == 4
     with pytest.raises(NotImplementedError):
         media_meta_pdf(vdf, mode="strict")
+
+
+def test_gif_adversarial_header_caps():
+    """A 7-byte header claiming a huge logical screen must be refused
+    BEFORE the canvas allocation (property-test-found: 14592x36352 cost
+    1.6 GB + 4 s before the no-image-blocks error), and a frame bomb
+    trips the cumulative pixel cap."""
+    import struct
+
+    huge = b"GIF89a" + struct.pack("<HHBBB", 60000, 60000, 0, 0, 0) + b"\x3b"
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_gif(huge)
+
+    rng = _rng(21)
+    pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    f = rng.integers(0, 4, (64, 64)).astype(np.uint8)
+    bomb = encode_gif([f] * 40, pal)
+    with pytest.raises(ValueError, match="cumulative"):
+        decode_gif(bomb, max_pixels=(64 * 64 * 8) // 4)
+    frames, _ = decode_gif(bomb)  # default cap: fine
+    assert len(frames) == 40

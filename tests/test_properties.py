@@ -207,3 +207,34 @@ def test_charts_from_script_is_total(s):
     assert isinstance(charts_from_script(s), list)
     assert isinstance(charts_from_script("new Chart(ctx, " + s + ")"), list)
     assert isinstance(charts_from_script("x.setOption(" + s + ");"), list)
+
+
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.binary(min_size=1, max_size=3000),
+)
+@settings(max_examples=150, deadline=4000)
+def test_gif_lzw_roundtrip_property(mcs, raw):
+    """GIF LZW is a lossless pair on ANY symbol stream (symbols clamped
+    to the code space): encode -> decode is the identity.  Random bytes
+    exercise width growth; hypothesis shrinking hunts the KwKwK and
+    table-overflow boundaries."""
+    from exstruct_spark.kernels.gif import _lzw_decode, _lzw_encode
+
+    data = bytes(b % (1 << mcs) for b in raw)
+    assert bytes(_lzw_decode(_lzw_encode(data, mcs), mcs, len(data))) == data
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=200, deadline=4000)
+def test_gif_decode_never_hangs_on_garbage(raw):
+    """decode_gif on arbitrary bytes either raises ValueError or returns
+    frames — never loops, never raises anything else (fallback-not-fail
+    at the media boundary depends on this)."""
+    from exstruct_spark.kernels.gif import decode_gif
+
+    try:
+        frames, delays = decode_gif(b"GIF89a" + raw)
+        assert frames and len(frames) == len(delays)
+    except ValueError:
+        pass
