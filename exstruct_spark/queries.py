@@ -880,6 +880,95 @@ GROUP BY sig3
 """
 
 
+# GPT-3's published decontamination n (Brown et al. 2020, appendix C):
+# a training doc is contaminated if it shares any 13-gram with the
+# benchmark suite.
+DECONTAM_N = 13
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test DECONTAMINATION — the overlap screen every LLM corpus
+    runs before training (GPT-3 appendix C: drop training docs sharing
+    any lowercased 13-gram with an eval benchmark).  The 'benchmark
+    suite' here is the deterministic 5% slice ``doc_id % 20 == 0`` of the
+    corpus itself, so the oracle can verify exact hit counts.
+
+    Scale shape (the 100 TB contract): the benchmark side is SMALL by
+    construction (eval suites are thousands of docs, not billions) — its
+    distinct 13-grams are BROADCAST, so the corpus side explodes its
+    grams map-side into a broadcast-hash join with NO corpus-sized
+    shuffle; only the (rare) matches shuffle into the per-doc distinct
+    count and the final per-lang rollup.  Grams are bound as lambda
+    variables (the CollapseProject re-tokenization trap, same as
+    dedup_ngram3)."""
+    n = DECONTAM_N
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    grams_expr = f"""
+    element_at(transform(array(split(lower(trim(text)), '\\\\s+')), ws ->
+      CASE WHEN size(ws) >= {n} THEN
+        transform(sequence(1, size(ws) - {n - 1}),
+                  i -> concat_ws(' ', slice(ws, i, {n})))
+      ELSE slice(ws, 1, 0) END), 1)
+    """
+    is_bench = F.col("doc_id") % 20 == 0
+    bench_grams = (
+        docs.where(is_bench)
+        .select(F.explode(F.expr(grams_expr)).alias("gram"))
+        .distinct()
+    )
+    base = docs.where(~is_bench)
+    hits = (
+        base.select("doc_id", "lang", F.explode(F.expr(grams_expr)).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.countDistinct("gram").alias("doc_hits"))
+    )
+    per_lang = hits.groupBy("lang").agg(
+        F.count("*").alias("contaminated_docs"),
+        F.sum("doc_hits").cast("bigint").alias("hit_grams"),
+    )
+    totals = base.groupBy("lang").agg(F.count("*").alias("docs_screened"))
+    return totals.join(per_lang, "lang", "left").select(
+        "lang",
+        "docs_screened",
+        F.coalesce("contaminated_docs", F.lit(0)).cast("bigint")
+        .alias("contaminated_docs"),
+        F.coalesce("hit_grams", F.lit(0)).cast("bigint").alias("hit_grams"),
+    )
+
+
+SQL_DOC_DECONTAMINATE = rf"""
+WITH w AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents WHERE n_chars > 0),
+g AS (
+  SELECT doc_id, lang,
+         UNNEST(CASE WHEN len(words) >= {DECONTAM_N} THEN
+           list_transform(range(1, len(words) - {DECONTAM_N - 2}),
+                          i -> array_to_string(words[i:i+{DECONTAM_N - 1}], ' '))
+         ELSE [] END) AS gram
+  FROM w),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT g.doc_id, g.lang, COUNT(DISTINCT g.gram) AS doc_hits
+  FROM g JOIN bench USING (gram)
+  WHERE g.doc_id % 20 <> 0
+  GROUP BY g.doc_id, g.lang),
+totals AS (
+  SELECT lang, COUNT(*) AS docs_screened FROM documents
+  WHERE n_chars > 0 AND doc_id % 20 <> 0 GROUP BY lang),
+per_lang AS (
+  SELECT lang, COUNT(*) AS contaminated_docs,
+         CAST(SUM(doc_hits) AS BIGINT) AS hit_grams
+  FROM hits GROUP BY lang)
+SELECT t.lang, t.docs_screened,
+       COALESCE(p.contaminated_docs, 0) AS contaminated_docs,
+       COALESCE(p.hit_grams, 0) AS hit_grams
+FROM totals t LEFT JOIN per_lang p USING (lang)
+"""
+
+
 def q_doc_quality_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality gate (the analogue of exstruct's multi-signal
     candidate gates, core/cells.py:1350-1381): length + alpha-ratio +
@@ -2993,7 +3082,6 @@ QUERIES = {
     "range_join_ship_window": q_range_join_ship_window,
     "interval_overlap_pairs": q_interval_overlap_pairs,
     "anti_interval_join": q_anti_interval_join,
-    "docs_except_kept": q_docs_except_kept,
     "events_rollup_sets": q_events_rollup_sets,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -3014,6 +3102,7 @@ QUERIES = {
     "doc_gopher_rules": q_doc_gopher_rules,
     "doc_repetition_rules": q_doc_repetition_rules,
     "corpus_curation": q_corpus_curation,
+    "doc_decontaminate": q_doc_decontaminate,
     # dedup (oracle-backed; xxhash64 twins retired — md5 carries the oracle)
     "dedup_exact": q_dedup_exact,
     "dedup_bow": q_dedup_bow,
@@ -3063,7 +3152,11 @@ QUERIES = {
 #                               dedup_components (star) in pytest
 #   extract_fallback_audit    — folded into the extraction pytest suite
 #                               (X3 fallback-not-fail adversarial probes)
+#   docs_except_kept          — 0-row exceptAll consistency audit; slot
+#                               yielded to doc_decontaminate (r4); oracle
+#                               parity still runs here every session
 RETIRED_QUERIES = {
+    "docs_except_kept": q_docs_except_kept,
     "doc_langid": q_doc_langid,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -3073,10 +3166,10 @@ RETIRED_QUERIES = {
 }
 
 ORACLES = {
+    "doc_decontaminate": SQL_DOC_DECONTAMINATE,
     "range_join_ship_window": SQL_RANGE_JOIN_SHIP_WINDOW,
     "interval_overlap_pairs": SQL_INTERVAL_OVERLAP_PAIRS,
     "anti_interval_join": SQL_ANTI_INTERVAL_JOIN,
-    "docs_except_kept": SQL_DOCS_EXCEPT_KEPT,
     "events_rollup_sets": SQL_EVENTS_ROLLUP_SETS,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
@@ -3124,6 +3217,7 @@ ORACLES = {
 # pytest-only oracles for the retired twins (tests/test_oracle_parity.py
 # runs these with the exact same compare as the driver rows)
 RETIRED_ORACLES = {
+    "docs_except_kept": SQL_DOCS_EXCEPT_KEPT,
     "doc_langid": SQL_DOC_LANGID,
     "dedup_minhash_md5": SQL_DEDUP_MINHASH_MD5,
     "dedup_components_minlabel": SQL_DEDUP_COMPONENTS,
