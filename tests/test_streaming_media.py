@@ -359,3 +359,59 @@ def test_stream_media_meta_matches_batch(spark, tmp_path):
     # second drain: no new files -> no new rows
     stream_media_meta_available_now(spark, in_d, out_d, ck_d)
     assert spark.read.parquet(out_d).count() == 40
+
+
+def test_stream_watermark_drops_expired_late_data(spark, tmp_path):
+    """The watermark's actual CONTRACT, pinned across restarts: a late
+    event within the watermark still counts into its (not yet finalized)
+    window; an event older than the CHECKPOINT-RECOVERED cutoff is
+    dropped.  Three availableNow runs share one checkpoint + an
+    append-mode parquet sink, so only FINALIZED windows land — the
+    expired event can only be observed as a wrong count if the drop
+    failed."""
+    import datetime as dt
+
+    from exstruct_spark.streaming import stream_windowed_counts
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def ev(i, hour):
+        return (i, dt.datetime(2024, 1, 1, hour, 30), 1, "click", 1.0, "{}")
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(in_dir)
+        base = spark.read.parquet(in_dir)
+        win = stream_windowed_counts(spark, in_dir, base.schema)
+        q = (win.writeStream.format("parquet")
+             .outputMode("append")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = spark.read.parquet(out_dir).toPandas()
+        return {int(t.hour): int(n)
+                for t, n in zip(got["window_start"], got["n_events"])}
+
+    # run 1: hours 3 and 10 -> cutoff 08:30; window 3 finalizes with n=1
+    emitted = run([ev(1, 3), ev(2, 10)])
+    assert emitted == {3: 1}
+
+    # run 2: hour 9 is late-but-live (counts into its open window);
+    # hour 3 is EXPIRED (below the recovered cutoff -> dropped; its
+    # window is already finalized and must not re-emit or grow)
+    emitted = run([ev(3, 9), ev(4, 3)])
+    assert emitted == {3: 1}
+
+    # run 3: hour 13 advances the cutoff to 11:30 -> windows 9 and 10
+    # finalize.  n=1 for hour 9 proves the late-but-live event counted;
+    # hour 3 still n=1 proves the expired one never did.
+    emitted = run([ev(5, 13)])
+    assert emitted == {3: 1, 9: 1, 10: 1}
