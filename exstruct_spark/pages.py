@@ -338,6 +338,35 @@ def _script_chart(rng: random.Random, lang: str) -> str:
     )
 
 
+def _highcharts_chart(rng: random.Random, lang: str) -> str:
+    """Inline Highcharts config (the third chart dialect, VERDICT r4 #7):
+    `Highcharts.chart(id, cfg)` with the dialect's distinguishing marks —
+    `chart.type` (where 'bar' means HORIZONTAL), `xAxis.categories`, a
+    trailing render callback — plus the companion table the grid binder
+    joins against."""
+    a = [rng.randint(1, 99) for _ in range(4)]
+    b = [rng.randint(1, 99) for _ in range(4)]
+    cats = ["Jan", "Feb", "Mar", "Apr"]
+    rows = "".join(
+        f"<tr><td>{cats[i]}</td><td>{a[i]}</td><td>{b[i]}</td></tr>"
+        for i in range(4)
+    )
+    return (
+        "<figure><figcaption>Monthly output</figcaption>"
+        "<div id='hc1'></div>"
+        "<script>Highcharts.chart('hc1', {"
+        "chart: {type: 'bar'},"
+        "title: {text: 'Monthly output'},"
+        f"xAxis: {{categories: {cats}}},"
+        f"series: [{{name: 'east', data: {a}}},"
+        f'{{name: "west", data: {b}}}],'
+        "}, function(chart) { console.log('rendered}'); });"
+        "</script>"
+        "<table><tr><th>m</th><th>east</th><th>west</th></tr>"
+        + rows + "</table></figure>"
+    )
+
+
 def _bordered_grid(rng: random.Random, lang: str) -> str:
     """Bordered div layout with NON-uniform rows (widths 3/5/3/1): only
     the CSS-border signal (G1) detects it — the structural child-
@@ -357,7 +386,7 @@ def _bordered_grid(rng: random.Random, lang: str) -> str:
 
 RICH_ARCHETYPES = [
     "colored_table", "wired_flowchart", "split_grid", "unit_chart",
-    "script_chart", "bordered_grid",
+    "script_chart", "bordered_grid", "highcharts_chart",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -366,6 +395,7 @@ _RICH_BUILDERS = {
     "unit_chart": _unit_chart,
     "script_chart": _script_chart,
     "bordered_grid": _bordered_grid,
+    "highcharts_chart": _highcharts_chart,
 }
 
 

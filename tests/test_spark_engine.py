@@ -286,6 +286,12 @@ def test_rich_feature_sweep_counts(spark):
     # G1 border signal: every bordered_grid doc's ragged layout is caught
     # by the CSS-border mask (structural uniformity alone rejects it)
     assert pdf.loc["bordered_grid", "grid_candidates"] == pdf.loc["bordered_grid", "docs"]
+    # third chart dialect (VERDICT r4 #7): every highcharts_chart doc
+    # parses its Highcharts.chart config (render callback skipped) and
+    # BOTH series bind to the companion grid; orientation normalizes
+    # (chart.type 'bar' -> horizontal) inside the kernel tests
+    assert pdf.loc["highcharts_chart", "script_charts"] == pdf.loc["highcharts_chart", "docs"]
+    assert pdf.loc["highcharts_chart", "grid_bound_series"] == 2 * pdf.loc["highcharts_chart", "docs"]
 
 
 def test_table_io_format_seam(spark, tmp_path):
