@@ -2,7 +2,8 @@
 PNG decode is REAL (stdlib zlib + numpy, kernels/png.py), GIF decode —
 including ANIMATED multi-frame compositing — is REAL (stdlib LZW,
 kernels/gif.py), remaining codecs (JPEG/WebP/video containers) are
-stubbed.
+stubbed — and WAV/PCM audio decode is REAL (RIFF byte-walk + numpy
+signal stats; compressed audio stays sniff-only).
 
 Design (per the engine's training-data-pipeline charter): media travels
 as an opaque ``binary`` column + typed metadata struct.  Everything that
@@ -152,6 +153,79 @@ def decode_image(raw: bytes, mode: str = "fake") -> dict:
     return meta
 
 
+def decode_wav(raw: bytes) -> dict:
+    """REAL WAV/PCM decode — RIFF is a stdlib byte-walk like GIF/PNG.
+    Returns sample_rate, n_channels, n_samples, duration_s and genuine
+    signal statistics (rms, peak in [0, 1]) for PCM 8/16-bit; raises
+    ValueError on anything else (compressed WAV needs a codec)."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        body = raw[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, _align, bits = fmt
+    if (audio_format != 1 or bits not in (8, 16) or channels < 1
+            or sample_rate < 1):
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits}, "
+            f"rate={sample_rate}) — only uncompressed PCM 8/16-bit "
+            "decodes without a codec"
+        )
+    if bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.float64) / 32768.0
+    else:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                   - 128.0) / 128.0
+    n_samples = len(samples) // channels
+    if n_samples == 0:
+        raise ValueError("empty PCM data")
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(channels),
+        "n_samples": int(n_samples),
+        "duration_s": float(round(n_samples / sample_rate, 6)),
+        "rms": float(round(np.sqrt((samples ** 2).mean()), 6)),
+        "peak": float(round(np.abs(samples).max(), 6)),
+    }
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Deterministic PCM16 mono/stereo WAV encoder for tests/corpora
+    (samples float in [-1, 1], shape (n,) or (n, channels))."""
+    import struct
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    pcm = np.clip(arr * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    align = channels * 2
+    hdr = b"WAVE" + b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, sample_rate * align,
+        align, 16,
+    ) + b"data" + struct.pack("<I", len(pcm))
+    return b"RIFF" + struct.pack("<I", len(hdr) + len(pcm)) + hdr + pcm
+
+
 def frame_sample_stub(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list:
     """STUB video frame sampling: deterministic per-frame fingerprints."""
     if mode == "strict":
@@ -269,6 +343,9 @@ def media_meta_pdf(
             "resized_fp": None,
             "feature": None,
             "frame_fps": None,
+            "sample_rate": None,
+            "duration_s": None,
+            "rms": None,
         }
         if mtype.startswith("image/"):
             meta = decode_image(raw, mode)
@@ -303,6 +380,19 @@ def media_meta_pdf(
                 ]
         elif mtype.startswith("video/"):
             rec["frame_fps"] = frame_sample(raw, mode=mode)
+        elif mtype == "audio/wav":
+            # REAL PCM decode (stdlib RIFF walk): genuine sample rate,
+            # duration and signal stats; compressed audio (ogg/flac/mp3)
+            # stays sniff-only — no codec, no fabrication
+            try:
+                wav = decode_wav(raw)
+                rec["decoded"] = True
+                rec["sample_rate"] = wav["sample_rate"]
+                rec["duration_s"] = wav["duration_s"]
+                rec["rms"] = wav["rms"]
+            except ValueError:
+                if mode == "strict":
+                    raise
         out.append(rec)
     res = pd.DataFrame(
         out,
@@ -310,6 +400,7 @@ def media_meta_pdf(
             "media_type", "n_bytes", "entropy", "fingerprint", "decoded",
             "width", "height", "px_mean", "px_std", "resized_w",
             "resized_h", "resized_fp", "feature", "frame_fps",
+            "sample_rate", "duration_s", "rms",
         ],
     )
     for key_col in pdf.columns:
@@ -322,5 +413,6 @@ MEDIA_META_SCHEMA_DDL = (
     "media_type string, n_bytes bigint, entropy double, fingerprint string, "
     "decoded boolean, width int, height int, px_mean double, px_std double, "
     "resized_w int, resized_h int, resized_fp string, "
-    "feature array<float>, frame_fps array<string>"
+    "feature array<float>, frame_fps array<string>, "
+    "sample_rate int, duration_s double, rms double"
 )

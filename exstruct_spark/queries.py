@@ -2878,11 +2878,14 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     another quarter carries REAL ANIMATED GIF bytes (seeded 4-frame
     noise animations) decoded + frame-sampled by the stdlib LZW decoder
     (kernels/gif.py) — genuine width/height/pixel statistics for both;
+    a fifth slice carries REAL PCM WAV audio (seeded sine sweeps —
+    genuine sample-rate/duration/rms decode, RIFF byte-walk);
     webm/html blobs exercise the sniff + stub paths.  Rows-only check
-    (pytest pins byte-exact known-image decodes for both codecs)."""
+    (pytest pins byte-exact known decodes for all three codecs)."""
     import numpy as np
 
     from exstruct_spark.kernels.gif import encode_gif
+    from exstruct_spark.kernels.media import encode_wav
     from exstruct_spark.kernels.png import encode_png
     from exstruct_spark.media import media_meta_stage
 
@@ -2895,6 +2898,12 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return bytearray(encode_gif(frames, pal, delays_cs=[4] * 4))
 
+    def _wav(i: int) -> bytearray:
+        t = np.arange(2000 + 500 * i) / 8000.0
+        return bytearray(
+            encode_wav(0.4 * np.sin(2 * np.pi * (220 + 55 * i) * t), 8000)
+        )
+
     imgs = [
         (
             i,
@@ -2906,11 +2915,14 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
             _gif(i),
+            _wav(i),
         )
         for i in range(8)
     ]
     img_map = F.broadcast(
-        spark.createDataFrame(imgs, "img_id bigint, png binary, gif binary")
+        spark.createDataFrame(
+            imgs, "img_id bigint, png binary, gif binary, wav binary"
+        )
     )
     pages = spark_pages(spark, 200, partitions=8)
     blobs = (
@@ -2918,10 +2930,11 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(img_map, "img_id")
         .select(
             "url",
-            F.when(F.xxhash64("url") % 4 == 0, F.col("png"))
-            .when(F.xxhash64("url") % 4 == 1, F.col("gif"))
+            F.when(F.xxhash64("url") % 5 == 0, F.col("png"))
+            .when(F.xxhash64("url") % 5 == 1, F.col("gif"))
+            .when(F.xxhash64("url") % 5 == 2, F.col("wav"))
             .when(
-                F.xxhash64("url") % 4 == 2,
+                F.xxhash64("url") % 5 == 3,
                 F.concat(F.lit(b"\x1a\x45\xdf\xa3"), F.col("html")),
             )
             .otherwise(F.col("html"))
@@ -2940,6 +2953,8 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("height"), 2).alias("avg_height"),
             F.round(F.avg("px_mean"), 2).alias("avg_px_mean"),
             F.round(F.avg("px_std"), 2).alias("avg_px_std"),
+            F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
         )
     )
 

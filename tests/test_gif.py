@@ -201,3 +201,52 @@ def test_gif_adversarial_header_caps():
         decode_gif(bomb, max_pixels=(64 * 64 * 8) // 4)
     frames, _ = decode_gif(bomb)  # default cap: fine
     assert len(frames) == 40
+
+
+def test_wav_decode_real_signal_stats():
+    """REAL PCM decode: a synthesized sine's RMS is amp/sqrt(2), the
+    duration and rate come from the actual header, stereo interleave
+    counts frames not samples, and 8-bit PCM decodes too."""
+    from exstruct_spark.kernels.media import (
+        decode_wav,
+        encode_wav,
+        media_meta_pdf,
+        sniff_media_type,
+    )
+
+    t = np.arange(8000) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    raw = encode_wav(sine, sample_rate=8000)
+    assert sniff_media_type(raw) == "audio/wav"
+    wav = decode_wav(raw)
+    assert wav["sample_rate"] == 8000
+    assert wav["n_channels"] == 1
+    assert wav["duration_s"] == 1.0
+    assert abs(wav["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(wav["peak"] - 0.5) < 1e-3
+
+    stereo = encode_wav(np.stack([sine, -sine], axis=1), sample_rate=16000)
+    w2 = decode_wav(stereo)
+    assert (w2["n_channels"], w2["n_samples"]) == (2, 8000)
+    assert w2["duration_s"] == 0.5
+
+    with pytest.raises(ValueError):
+        decode_wav(raw[:20])               # truncated
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+
+    # through the mapInPandas kernel body: real stats in strict mode;
+    # compressed audio stays sniff-only (decoded=False, audio cols NULL)
+    import pandas as pd
+
+    out = media_meta_pdf(
+        pd.DataFrame({"url": ["w", "o"],
+                      "blob": [raw, b"OggS" + bytes(64)]}),
+        mode="strict",
+    )
+    w, o = out.iloc[0], out.iloc[1]
+    assert w["media_type"] == "audio/wav" and w["decoded"]
+    assert w["sample_rate"] == 8000 and w["duration_s"] == 1.0
+    assert abs(w["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert o["media_type"] == "audio/ogg" and not o["decoded"]
+    assert pd.isna(o["sample_rate"])
