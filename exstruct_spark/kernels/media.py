@@ -1,22 +1,25 @@
 """Multimodal (image/audio/video) column kernels — Spark plumbing is real,
-PNG decode is REAL (stdlib zlib + numpy, kernels/png.py), GIF decode —
-including ANIMATED multi-frame compositing — is REAL (stdlib LZW,
-kernels/gif.py), remaining codecs (JPEG/WebP/video containers) are
-stubbed — and WAV/PCM audio decode is REAL (RIFF byte-walk + numpy
-signal stats; compressed audio stays sniff-only).
+four codecs decode for REAL with stdlib + numpy only: PNG (zlib
+inflate + unfilter, kernels/png.py), GIF incl. animated multi-frame
+compositing (LZW, kernels/gif.py), baseline JPEG (Huffman + IDCT,
+kernels/jpeg.py — spec-pinned against a real third-party vector), and
+WAV/PCM audio (RIFF byte-walk + signal stats).  Remaining formats
+(WebP, progressive JPEG, compressed audio, video containers) are
+stubbed or sniff-only.
 
 Design (per the engine's training-data-pipeline charter): media travels
 as an opaque ``binary`` column + typed metadata struct.  Everything that
 does NOT need a third-party codec is fully implemented and vectorized
 (numpy over the Arrow batch): container sniffing from magic bytes, size,
-byte entropy, deterministic content fingerprint — and for PNG/GIF,
+byte entropy, deterministic content fingerprint — and for PNG/GIF/JPEG,
 actual pixel decode, box-average resize, luminance-grid features, and
 (animated GIF) real-pixel frame sampling (the reference's analogue:
 drawing bytes are really parsed, never synthesized —
 core/ooxml_drawing.py:186-257).  The remaining codec-dependent steps
-(JPEG decode, mp4/webm frame sampling) are STUBS — those libraries are
-not in this container — exposed behind an explicit ``fake`` mode
-(deterministic synthetic output, keyed by content hash, so the Spark-side
+(WebP/progressive-JPEG decode, mp4/webm frame sampling, compressed
+audio) are STUBS or sniff-only — those libraries are not in this
+container — exposed behind an explicit ``fake`` mode (deterministic
+synthetic output, keyed by content hash, so the Spark-side
 schema/partitioning/batch plumbing is testable end-to-end) or
 ``NotImplementedError`` in ``strict`` mode.
 """
@@ -29,6 +32,7 @@ import numpy as np
 import pandas as pd
 
 from exstruct_spark.kernels.gif import GIF_MAGICS, decode_gif
+from exstruct_spark.kernels.jpeg import JPEG_MAGIC, decode_jpeg
 from exstruct_spark.kernels.png import (
     PNG_MAGIC,
     decode_png,
@@ -86,8 +90,9 @@ def content_fingerprint(raw: bytes) -> str:
 
 
 def decode_image_stub(raw: bytes, mode: str = "fake") -> dict:
-    """STUB image decode for formats WITHOUT a real decoder here (JPEG,
-    WebP — PNG and GIF have the real path in ``decode_image``).
+    """STUB image decode for formats WITHOUT a real decoder here (WebP,
+    progressive JPEG — PNG/GIF/baseline-JPEG decode for real in
+    ``decode_image``).
 
     ``fake``: deterministic synthetic metadata keyed by content hash —
     exercises the full Spark pipeline (schema, batching, partitioning)
@@ -109,9 +114,10 @@ def decode_image_stub(raw: bytes, mode: str = "fake") -> dict:
 
 def decode_image(raw: bytes, mode: str = "fake") -> dict:
     """Image decode: REAL for PNG (kernels/png.py — stdlib zlib inflate +
-    numpy unfilter) and GIF (kernels/gif.py — stdlib LZW + compositing;
+    numpy unfilter), GIF (kernels/gif.py — stdlib LZW + compositing;
     the FIRST composited frame is the image, ``n_frames`` counts the
-    rest), stub for everything else.  ``pixels`` holds the (H, W, C)
+    rest) and baseline JPEG (kernels/jpeg.py — Huffman + IDCT +
+    chroma upsampling), stub for everything else.  ``pixels`` holds the (H, W, C)
     uint8 array and ``decoded`` is True on the real paths.
 
     A blob that *sniffs* as a decodable type but fails the real decode
@@ -133,6 +139,13 @@ def decode_image(raw: bytes, mode: str = "fake") -> dict:
             frames, _delays = decode_gif(raw)
             real_px = frames[0]
             n_frames = len(frames)
+        except ValueError:
+            if mode == "strict":
+                raise
+    elif raw[:3] == JPEG_MAGIC:
+        try:
+            real_px = decode_jpeg(raw)
+            n_frames = 1
         except ValueError:
             if mode == "strict":
                 raise

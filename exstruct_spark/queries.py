@@ -2878,13 +2878,16 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     another quarter carries REAL ANIMATED GIF bytes (seeded 4-frame
     noise animations) decoded + frame-sampled by the stdlib LZW decoder
     (kernels/gif.py) — genuine width/height/pixel statistics for both;
-    a fifth slice carries REAL PCM WAV audio (seeded sine sweeps —
-    genuine sample-rate/duration/rms decode, RIFF byte-walk);
-    webm/html blobs exercise the sniff + stub paths.  Rows-only check
-    (pytest pins byte-exact known decodes for all three codecs)."""
+    further slices carry REAL baseline JPEG (Huffman + IDCT decode,
+    kernels/jpeg.py — spec-pinned against a third-party vector in
+    pytest) and REAL PCM WAV audio (seeded sine sweeps — genuine
+    sample-rate/duration/rms decode, RIFF byte-walk); webm/html blobs
+    exercise the sniff + stub paths.  Rows-only check (pytest pins
+    known decodes for all four codecs)."""
     import numpy as np
 
     from exstruct_spark.kernels.gif import encode_gif
+    from exstruct_spark.kernels.jpeg import encode_jpeg
     from exstruct_spark.kernels.media import encode_wav
     from exstruct_spark.kernels.png import encode_png
     from exstruct_spark.media import media_meta_stage
@@ -2904,6 +2907,17 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_wav(0.4 * np.sin(2 * np.pi * (220 + 55 * i) * t), 8000)
         )
 
+    def _jpg(i: int) -> bytearray:
+        xx, yy = np.meshgrid(
+            np.linspace(0, 1, 24 + 4 * i), np.linspace(0, 1, 16 + 8 * i)
+        )
+        base = 128 + 80 * np.sin(4 * xx + i) * np.cos(3 * yy)
+        img = np.stack([base, base * 0.9, base * 0.8], axis=2)
+        return bytearray(
+            encode_jpeg(img.clip(0, 255).astype(np.uint8),
+                        quality=85, subsample=bool(i % 2))
+        )
+
     imgs = [
         (
             i,
@@ -2916,12 +2930,14 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             _gif(i),
             _wav(i),
+            _jpg(i),
         )
         for i in range(8)
     ]
     img_map = F.broadcast(
         spark.createDataFrame(
-            imgs, "img_id bigint, png binary, gif binary, wav binary"
+            imgs,
+            "img_id bigint, png binary, gif binary, wav binary, jpg binary",
         )
     )
     pages = spark_pages(spark, 200, partitions=8)
@@ -2930,11 +2946,12 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(img_map, "img_id")
         .select(
             "url",
-            F.when(F.xxhash64("url") % 5 == 0, F.col("png"))
-            .when(F.xxhash64("url") % 5 == 1, F.col("gif"))
-            .when(F.xxhash64("url") % 5 == 2, F.col("wav"))
+            F.when(F.xxhash64("url") % 6 == 0, F.col("png"))
+            .when(F.xxhash64("url") % 6 == 1, F.col("gif"))
+            .when(F.xxhash64("url") % 6 == 2, F.col("wav"))
+            .when(F.xxhash64("url") % 6 == 3, F.col("jpg"))
             .when(
-                F.xxhash64("url") % 5 == 3,
+                F.xxhash64("url") % 6 == 4,
                 F.concat(F.lit(b"\x1a\x45\xdf\xa3"), F.col("html")),
             )
             .otherwise(F.col("html"))
