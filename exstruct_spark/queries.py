@@ -3050,48 +3050,100 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+def _media_smooth_px(i: int):
+    """Deterministic smooth 32x32 RGB (JPEG-friendly; seed-dependent
+    frequencies AND phases so distinct smooth images decorrelate)."""
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 32))
+    base = 128 + 80 * np.sin((2 + i % 5) * xx + i) * np.cos(
+        (1 + i % 4) * yy + 2 * i
+    )
+    tint = 12 * np.sin(2 * xx + i)
+    return np.stack([base + tint, base, base - tint], axis=2).clip(
+        0, 255
+    ).astype(np.uint8)
+
+
+def _media_gif_px(i: int):
+    """Palette-rendered GIF pixels (exact RGB the decoder composites)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3000 + i)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    idx = rng.integers(0, 8, (32, 32)).astype(np.uint8)
+    return idx, pal
+
+
+def _media_blob(i: int) -> bytes:
+    """Deterministic MIXED-CODEC blob for image-id ``i`` — all three real
+    image decoders feed the similarity machinery: i%3==0 PNG noise,
+    i%3==1 single-frame GIF palette noise, i%3==2 baseline JPEG smooth
+    gradient.  Ids 47-50 plant CROSS-CODEC duplicates: 47 is a PNG of
+    the exact pixels 49's GIF composites (feature-identical across
+    codecs, cos 1.000000) and 48 is a PNG of the same smooth pixels 50's
+    lossy JPEG encodes (near-dup, cos just under 1) — so the near-dup
+    operator is exercised on genuinely NEAR pairs, not only byte-copies.
+    """
+    import numpy as np
+
+    from exstruct_spark.kernels.gif import encode_gif
+    from exstruct_spark.kernels.jpeg import encode_jpeg
+    from exstruct_spark.kernels.png import encode_png
+
+    if i == 47:
+        idx, pal = _media_gif_px(49)
+        return encode_png(pal[idx])
+    if i == 48:
+        return encode_png(_media_smooth_px(50))
+    if i == 49:
+        idx, pal = _media_gif_px(49)
+        return encode_gif([idx], pal)
+    if i == 50:
+        return encode_jpeg(_media_smooth_px(50), quality=92)
+    if i % 3 == 0:
+        return encode_png(
+            np.random.default_rng(1000 + i).integers(
+                0, 256, (32, 32, 3), dtype=np.uint8
+            )
+        )
+    if i % 3 == 1:
+        idx, pal = _media_gif_px(i)
+        return encode_gif([idx], pal)
+    return encode_jpeg(_media_smooth_px(i), quality=92)
+
+
 def _media_feature_frame(
     spark: SparkSession, n_docs: int = 240, n_images: int = 60
 ) -> DataFrame:
     """Synthetic image corpus with PLANTED duplicates, pushed through the
-    REAL media stage: each of ``n_images`` distinct REAL PNG payloads
-    (32x32 RGB, seeded noise, written by kernels/png.py encode_png)
-    appears on ~``n_docs/n_images`` pages (img_id = pmod(xxhash64(url),
+    REAL media stage: each of ``n_images`` distinct REAL payloads —
+    MIXED CODECS: PNG noise, single-frame GIF, baseline JPEG, plus two
+    planted cross-codec duplicate pairs (see ``_media_blob``) — appears
+    on ~``n_docs/n_images`` pages (img_id = pmod(xxhash64(url),
     n_images) — deterministic, partitioning-independent).  Blobs flow
-    through ``media_meta_stage`` (mapInPandas, Arrow batches), which REALLY
-    zlib-inflates + unfilters every PNG and emits a 64-wide luminance-grid
-    feature from the actual pixels — identical payloads give cosine
-    1.000000, independent noise images stay near-orthogonal — so the
-    multimodal path exercises the genuine decode + ANN/near-dup machinery
-    end-to-end on real pixels (mode='strict': no fabricated values
-    anywhere).  The distinct payloads are broadcast-joined onto the page
-    frame (60-row build side), the scale shape a real crawl would use for
-    an image-id -> bytes lookup.
+    through ``media_meta_stage`` (mapInPandas, Arrow batches), which
+    REALLY decodes every blob (zlib+unfilter / LZW+composite /
+    Huffman+IDCT) and emits a 64-wide luminance-grid feature from the
+    actual pixels — identical payloads give cosine 1.000000, the
+    cross-codec JPEG pair lands just under, independent images stay
+    decorrelated — so the multimodal path exercises the genuine decode +
+    ANN/near-dup machinery end-to-end on real pixels (mode='strict': no
+    fabricated values anywhere).  The distinct payloads are
+    broadcast-joined onto the page frame (60-row build side), the scale
+    shape a real crawl would use for an image-id -> bytes lookup.
     Returns (vec_id=url, img_id, embedding array<float> 64-d unit-norm)."""
     import numpy as np
 
-    from exstruct_spark.kernels.png import encode_png
     from exstruct_spark.media import media_meta_stage
 
-    pngs = [
-        (
-            i,
-            bytearray(
-                encode_png(
-                    np.random.default_rng(1000 + i).integers(
-                        0, 256, (32, 32, 3), dtype=np.uint8
-                    )
-                )
-            ),
-        )
-        for i in range(n_images)
-    ]
-    png_map = F.broadcast(
-        spark.createDataFrame(pngs, "img_id bigint, blob binary")
+    imgs = [(i, bytearray(_media_blob(i))) for i in range(n_images)]
+    img_map = F.broadcast(
+        spark.createDataFrame(imgs, "img_id bigint, blob binary")
     )
     pages = spark_pages(spark, n_docs, partitions=8)
     img_id = F.pmod(F.xxhash64("url"), F.lit(n_images))
-    blobs = pages.select("url", img_id.alias("img_id")).join(png_map, "img_id")
+    blobs = pages.select("url", img_id.alias("img_id")).join(img_map, "img_id")
     meta = media_meta_stage(blobs, mode="strict", feature_dim=64)
     # img_id is re-derivable from url; recompute instead of passing it
     # through the Python stage (keeps the stage's (key, blob) contract).
@@ -3100,7 +3152,9 @@ def _media_feature_frame(
     # is the same stage-once discipline as ExtractionJob, instead of
     # re-running mapInPandas per branch.
     return (
-        meta.where(F.col("media_type") == "image/png")
+        meta.where(
+            F.col("media_type").isin("image/png", "image/gif", "image/jpeg")
+        )
         .select(
             F.col("url").alias("vec_id"),
             F.pmod(F.xxhash64("url"), F.lit(n_images)).alias("img_id"),
@@ -3112,18 +3166,20 @@ def _media_feature_frame(
 
 def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup detection through the REAL dedup machinery:
-    stub image features -> sign-LSH bands -> capped within-bucket
-    candidate join -> exact-cosine verify (the same `_neardup_pairs_lsh`
-    the text-embedding path uses; no cross join anywhere in the plan).
-    Planted duplicate images (identical payload -> identical stub feature
-    -> sim 1.000000) separate cleanly from distinct images (random-ish
-    64-d unit vectors, |cos| ~ 0.12) at threshold 0.9.  Rows-only check
-    (the engine's own synthetic corpus); pytest verifies the pair set
-    against a numpy brute-force over the same stub features."""
+    real-pixel image features (PNG/GIF/JPEG decoded in-stage) ->
+    sign-LSH bands -> capped within-bucket candidate join -> exact-cosine
+    verify (the same `_neardup_pairs_lsh` the text-embedding path uses;
+    no cross join anywhere in the plan).  Byte-identical planted
+    duplicates and the cross-codec GIF/PNG pair land at sim 1.000000,
+    the lossy PNG/JPEG pair at ~0.9999, while the closest spurious
+    smooth-image correlation stays ~0.92 — threshold 0.95 separates
+    cleanly (image near-dup thresholds run higher than text).  Rows-only
+    check (the engine's own synthetic corpus); pytest verifies the pair
+    set against a numpy brute-force over the same real features."""
     feats = _media_feature_frame(spark)
     pairs = _neardup_pairs_lsh(
         feats.select("vec_id", "embedding"),
-        threshold=0.9, n_bands=8, band_bits=4,
+        threshold=0.95, n_bands=8, band_bits=4,
     )
     return pairs.orderBy("aid", "bid")
 
