@@ -68,6 +68,8 @@ def sniff_media_type(raw: bytes) -> str:
                     b"WEBP": "image/webp",
                 }.get(sub, "container/riff")
             return mtype
+    if len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0:
+        return "audio/mpeg"  # bare MPEG-audio frame sync (no ID3 tag)
     if raw[4:8] == b"ftyp":
         return "video/mp4"
     head = raw[:256].lstrip()
@@ -218,6 +220,59 @@ def decode_wav(raw: bytes) -> dict:
         "duration_s": float(round(n_samples / sample_rate, 6)),
         "rms": float(round(np.sqrt((samples ** 2).mean()), 6)),
         "peak": float(round(np.abs(samples).max(), 6)),
+    }
+
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                      224, 256, 320, 0]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                      144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+
+
+def parse_mp3_header(raw: bytes) -> dict:
+    """REAL MPEG-audio frame-header parse (metadata only — the PCM needs
+    a codec and none is fabricated): skip an ID3v2 tag (syncsafe size),
+    find the first frame sync, decode version/layer/bitrate/sample-rate/
+    channel-mode from the header bits, and estimate duration from the
+    audio byte count at that bitrate (exact for CBR, the honest estimate
+    for VBR).  Layer III only (the 'mp3' in mp3); ValueError otherwise."""
+    pos = 0
+    if raw[:3] == b"ID3" and len(raw) >= 10:
+        size = ((raw[6] & 0x7F) << 21) | ((raw[7] & 0x7F) << 14) \
+            | ((raw[8] & 0x7F) << 7) | (raw[9] & 0x7F)
+        pos = 10 + size
+    end = min(len(raw) - 3, pos + 4096)
+    while pos <= end:
+        if raw[pos] == 0xFF and (raw[pos + 1] & 0xE0) == 0xE0:
+            break
+        pos += 1
+    else:
+        raise ValueError("no MPEG frame sync found")
+    b1, b2, b3 = raw[pos + 1], raw[pos + 2], raw[pos + 3]
+    version = (b1 >> 3) & 0x03          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b1 >> 1) & 0x03            # 1=Layer III
+    if version == 1 or layer != 1:
+        raise ValueError("unsupported MPEG version/layer (Layer III only)")
+    br_idx = (b2 >> 4) & 0x0F
+    sr_idx = (b2 >> 2) & 0x03
+    if sr_idx == 3:
+        raise ValueError("reserved sample-rate index")
+    table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+    bitrate_kbps = table[br_idx]
+    if bitrate_kbps == 0:
+        raise ValueError("free/bad bitrate index")
+    sample_rate = _MP3_RATES[version][sr_idx]
+    channels = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+    audio_bytes = len(raw) - pos
+    return {
+        "sample_rate": int(sample_rate),
+        "bitrate_kbps": int(bitrate_kbps),
+        "n_channels": channels,
+        "duration_s": float(round(audio_bytes * 8 / (bitrate_kbps * 1000),
+                                  6)),
+        "mpeg_version": {3: "1", 2: "2", 0: "2.5"}[version],
     }
 
 
@@ -395,8 +450,7 @@ def media_meta_pdf(
             rec["frame_fps"] = frame_sample(raw, mode=mode)
         elif mtype == "audio/wav":
             # REAL PCM decode (stdlib RIFF walk): genuine sample rate,
-            # duration and signal stats; compressed audio (ogg/flac/mp3)
-            # stays sniff-only — no codec, no fabrication
+            # duration and signal stats; compressed audio stays below
             try:
                 wav = decode_wav(raw)
                 rec["decoded"] = True
@@ -406,6 +460,16 @@ def media_meta_pdf(
             except ValueError:
                 if mode == "strict":
                     raise
+        elif mtype == "audio/mpeg":
+            # REAL frame-header metadata (sample rate + CBR duration
+            # estimate); decoded stays False — no PCM flowed, and rms
+            # stays NULL rather than fabricated
+            try:
+                mp3 = parse_mp3_header(raw)
+                rec["sample_rate"] = mp3["sample_rate"]
+                rec["duration_s"] = mp3["duration_s"]
+            except ValueError:
+                pass  # sniff-only row; header parse is best-effort
         out.append(rec)
     res = pd.DataFrame(
         out,

@@ -250,3 +250,54 @@ def test_wav_decode_real_signal_stats():
     assert abs(w["rms"] - 0.5 / np.sqrt(2)) < 1e-3
     assert o["media_type"] == "audio/ogg" and not o["decoded"]
     assert pd.isna(o["sample_rate"])
+
+
+def test_mp3_header_metadata_real_parse():
+    """REAL MPEG frame-header parse (metadata only, no fabricated PCM):
+    a deterministic CBR Layer-III stream built frame-by-frame yields the
+    header's sample rate / bitrate / channel mode and the exact CBR
+    duration; the media kernel fills sample_rate/duration_s but keeps
+    decoded=False and rms NULL."""
+    import pandas as pd
+
+    from exstruct_spark.kernels.media import (
+        media_meta_pdf,
+        parse_mp3_header,
+        sniff_media_type,
+    )
+
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo: frame = 417 bytes
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # sync|v1|L3, br=1001, sr=00
+    frame = hdr + bytes(413)
+    n_frames = 38
+    tag = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 20]) + bytes(20)  # 20-byte tag
+    raw = tag + frame * n_frames
+    assert sniff_media_type(raw) == "audio/mpeg"
+    meta = parse_mp3_header(raw)
+    assert meta["sample_rate"] == 44100
+    assert meta["bitrate_kbps"] == 128
+    assert meta["n_channels"] == 2
+    assert meta["mpeg_version"] == "1"
+    assert meta["duration_s"] == pytest.approx(
+        len(frame) * n_frames * 8 / 128000, abs=1e-6
+    )
+
+    # bare sync (no ID3) sniffs as mpeg too; MPEG2 table differs
+    hdr2 = bytes([0xFF, 0xF3, 0x90, 0xC0])  # v2, L3, br idx 9 -> 80, mono
+    meta2 = parse_mp3_header(hdr2 + bytes(200))
+    assert (meta2["sample_rate"], meta2["bitrate_kbps"],
+            meta2["n_channels"], meta2["mpeg_version"]) == (22050, 80, 1, "2")
+
+    with pytest.raises(ValueError):
+        parse_mp3_header(b"ID3" + bytes(200))          # no sync after tag
+    with pytest.raises(ValueError):
+        parse_mp3_header(bytes([0xFF, 0xF7, 0x90, 0]) + bytes(20))  # L II
+
+    out = media_meta_pdf(
+        pd.DataFrame({"url": ["m"], "blob": [raw]}), mode="strict"
+    ).iloc[0]
+    assert out["media_type"] == "audio/mpeg"
+    assert not out["decoded"]
+    assert out["sample_rate"] == 44100
+    assert out["duration_s"] == meta["duration_s"]
+    assert pd.isna(out["rms"])
