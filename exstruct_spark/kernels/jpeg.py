@@ -194,7 +194,17 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(raw: bytes):
-    """Baseline JPEG -> (H, W, 3) uint8 RGB (grayscale replicated)."""
+    """Baseline JPEG -> (H, W, 3) uint8 RGB (grayscale replicated).
+    Malformed structure of ANY shape raises ValueError (struct/index
+    errors from truncated segments are normalized so the media stage's
+    fallback-not-fail contract holds)."""
+    try:
+        return _decode_jpeg(raw)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed JPEG structure: {exc}") from exc
+
+
+def _decode_jpeg(raw: bytes):
     if raw[:3] != JPEG_MAGIC[:3] or raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict = {}
@@ -205,7 +215,7 @@ def decode_jpeg(raw: bytes):
     i = 2
     n = len(raw)
     while i < n:
-        if raw[i] != 0xFF:
+        if raw[i] != 0xFF or i + 1 >= n:
             raise ValueError(f"marker expected at {i}")
         marker = raw[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:

@@ -238,3 +238,18 @@ def test_gif_decode_never_hangs_on_garbage(raw):
         assert frames and len(frames) == len(delays)
     except ValueError:
         pass
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=150, deadline=4000)
+def test_jpeg_decode_never_hangs_on_garbage(raw):
+    """decode_jpeg on arbitrary bytes after a valid SOI either raises
+    ValueError or returns an image — never loops, never raises anything
+    else (the media stage's fallback-not-fail depends on this)."""
+    from exstruct_spark.kernels.jpeg import decode_jpeg
+
+    try:
+        img = decode_jpeg(b"\xff\xd8" + raw)
+        assert img.ndim == 3 and img.shape[2] == 3
+    except ValueError:
+        pass
