@@ -63,6 +63,11 @@ def main() -> None:
                          "re-scan)")
     ap.add_argument("--master", default=None,
                     help="override master (default: whatever spark-submit set)")
+    ap.add_argument("--export-yaml", default=None, metavar="DIR",
+                    help="after the run, export the output table's core "
+                         "columns as a multi-document YAML stream (the "
+                         "reference's save_as_yaml analogue; export-only "
+                         "dialect behind TableIO('yaml'))")
     args = ap.parse_args()
     if not args.input and not args.synthetic:
         ap.error("one of --input / --synthetic is required")
@@ -104,6 +109,19 @@ def main() -> None:
         wave_size=args.wave_size,
         stage_input=not args.no_stage_input,
     )
+    if args.export_yaml:
+        from pyspark.sql import functions as F
+
+        from exstruct_spark.engine import TableIO
+
+        out_df = spark.read.parquet(args.output).select(
+            "url", "status", "main_text", "extraction_json", "url_bucket"
+        )
+        TableIO("yaml").write(
+            out_df, args.export_yaml, "overwrite",
+            partition_by=("url_bucket",),
+        )
+        summary["yaml_export_dir"] = args.export_yaml
     print(json.dumps(summary))
     spark.stop()
 

@@ -104,6 +104,7 @@ def test_job_cli_smoke(tmp_path):
             "--metrics", str(tmp_path / "met"),
             "--buckets", "8",
             "--master", "local[4]",
+            "--export-yaml", str(tmp_path / "yaml"),
         ],
         capture_output=True, text=True, timeout=300,
     )
@@ -111,6 +112,18 @@ def test_job_cli_smoke(tmp_path):
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     summary = json.loads(line)
     assert summary["rows_in_output"] == 120
+    assert summary["yaml_export_dir"] == str(tmp_path / "yaml")
+    # the export really is a YAML multi-doc stream of the job's rows
+    import glob
+
+    import yaml as _yaml
+
+    docs = []
+    for f in glob.glob(str(tmp_path / "yaml" / "**" / "part-*"),
+                       recursive=True):
+        with open(f, encoding="utf-8") as fh:
+            docs.extend(d for d in _yaml.safe_load_all(fh.read()) if d)
+    assert len(docs) == 120 and all("url" in d for d in docs)
 
 
 def test_stream_sessionize_matches_batch(spark, tmp_path):
