@@ -35,3 +35,54 @@ def media_meta_stage(
             )
 
     return blobs.select(key_col, blob_col).mapInPandas(run, schema=schema)
+
+
+def render_tables_stage(
+    extracted: DataFrame, url_col: str = "url",
+    json_col: str = "extraction_json",
+) -> DataFrame:
+    """S7 render sink, Spark side: extracted documents -> one PNG per
+    extracted table (kernels/render.py — real bytes via the repo's own
+    encoder, reference-parity sanitized ordered filenames).  One
+    mapInPandas stage, rows explode doc -> tables inside the batch; at
+    100 TB this is embarrassingly parallel and the output is a binary
+    COLUMN (write it as parquet/partitioned files downstream — the
+    reference's one-file-per-page layout is `export_rendered_pngs`,
+    the small-corpus export path)."""
+    from exstruct_spark.kernels.render import render_doc_tables
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, ejson in zip(pdf[url_col], pdf[json_col]):
+                for name, png, w, h in render_doc_tables(url, ejson):
+                    rows.append((url, name, bytearray(png), w, h))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "file_name", "png", "width", "height"],
+            )
+
+    return extracted.select(url_col, json_col).mapInPandas(
+        run,
+        schema="url string, file_name string, png binary, "
+               "width int, height int",
+    )
+
+
+def export_rendered_pngs(rendered: DataFrame, out_dir: str) -> int:
+    """Write one ``.png`` FILE per rendered table (the reference's
+    per-page file layout, render/__init__.py:602-658).  Executor-side
+    ``foreachPartition`` — no driver collect; suitable for bounded
+    exports (a crawl sample, a debug corpus), while the parquet binary
+    column remains the at-scale representation."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows):
+        for row in rows:
+            with open(os.path.join(out_dir, row.file_name), "wb") as fh:
+                fh.write(bytes(row.png))
+
+    rendered.foreachPartition(write_part)
+    return len(os.listdir(out_dir))
