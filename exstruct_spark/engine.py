@@ -509,3 +509,70 @@ class ExtractionJob:
             "waves": len(waves),
             "rows_in_output": n_out,
         }
+
+    def apply_patch(
+        self, patch: DataFrame, input_snapshot: str = "static"
+    ) -> dict:
+        """Incremental PATCH of a completed snapshot (X8 twin — the
+        reference's edit surface mutates a workbook and re-extracts;
+        the lakehouse analogue is upsert-then-refresh): ``patch`` rows
+        (same pages schema) REPLACE same-url rows / ADD new urls, and
+        only the AFFECTED url-hash buckets are re-extracted.
+
+        Mechanics: patched urls hash to their buckets (the same pmod
+        key as staging), the staged table's affected partitions are
+        rewritten as (old rows anti-join patched urls) UNION patch —
+        materialized via localCheckpoint BEFORE the write so the
+        dynamic partition overwrite never reads the files it replaces —
+        then `_run_wave` re-extracts exactly those buckets into the
+        same output partitions (dynamic overwrite keeps every other
+        bucket byte-untouched).  Cost at 100 TB: proportional to the
+        patch's bucket count, never a full-corpus rescan; the affected
+        bucket list is a bounded driver collect (<= n_buckets).
+        Lineage gains a new run's 'done' rows for the refreshed
+        buckets; `_done_buckets` reads distinct, so resume semantics
+        are unchanged."""
+        staged_path = self._staged_path(input_snapshot)
+        fs, hpath = self._fs(staged_path + "/_SUCCESS")
+        if not fs.exists(hpath):
+            raise ValueError(
+                f"no completed staging for snapshot {input_snapshot!r} — "
+                "patch requires a prior run(stage_input=True)"
+            )
+        run_id = uuid.uuid4().hex[:12]
+        bucketed = patch.withColumn(
+            "url_bucket",
+            F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int"),
+        )
+        affected = sorted(
+            r["url_bucket"]
+            for r in bucketed.select("url_bucket").distinct().collect()
+        )
+        n_patch = bucketed.count()
+        staged = self.spark.read.parquet(staged_path)
+        base = staged.where(F.col("url_bucket").isin(affected))
+        merged = (
+            base.join(bucketed.select("url"), "url", "left_anti")
+            .unionByName(bucketed)
+            .localCheckpoint()
+        )
+        conf = self.spark.conf
+        key = "spark.sql.sources.partitionOverwriteMode"
+        old = conf.get(key, None)
+        conf.set(key, "dynamic")
+        try:
+            (merged.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("url_bucket").parquet(staged_path))
+        finally:
+            if old is None:
+                conf.unset(key)
+            else:
+                conf.set(key, old)
+        fresh = self.spark.read.parquet(staged_path)
+        self._run_wave(fresh, affected, run_id, input_snapshot)
+        return {
+            "run_id": run_id,
+            "patched_urls": n_patch,
+            "buckets_refreshed": affected,
+        }

@@ -399,3 +399,79 @@ def test_job_runs_end_to_end_on_json_sink(spark, tmp_path):
     with open(files[0]) as fh:
         rec = _json.loads(fh.readline())
     assert "url" in rec
+
+
+def test_apply_patch_incremental_refresh(spark, tmp_path):
+    """X8 twin (round 4): patch rows replace/add documents and ONLY the
+    affected url-hash buckets re-extract — untouched buckets' output
+    files are byte-identical afterwards, patched urls carry the new
+    content, a brand-new url lands, and resume still sees everything
+    done."""
+    import glob
+    import os
+
+    from exstruct_spark.engine import ExtractionJob
+
+    job = ExtractionJob(
+        spark,
+        output_dir=str(tmp_path / "out"),
+        lineage_dir=str(tmp_path / "lin"),
+        metrics_dir=str(tmp_path / "met"),
+        n_buckets=8,
+    )
+    pages = spark_pages(spark, 40, partitions=4)
+    r1 = job.run(pages)
+    assert r1["rows_in_output"] == 40
+
+    victims = [r["url"] for r in pages.select("url").limit(2).collect()]
+    marker = "PATCHED-CONTENT-MARKER"
+    patched_html = (
+        f"<html><body><main><h1>Patched</h1><p>{marker} content body "
+        "paragraph with enough words to count as main text here.</p>"
+        "</main></body></html>"
+    ).encode()
+    patch_rows = (
+        pages.where(F.col("url").isin(victims))
+        .withColumn("html", F.lit(patched_html))
+    )
+    new_row = pages.limit(1).select(
+        F.lit("https://patch.example/new-doc").alias("url"),
+        "warc_ts",
+        F.lit(f"<html><body><p>{marker} fresh</p></body></html>".encode())
+        .alias("html"),
+        "text", "lang", "archetype",
+    )
+    patch = patch_rows.unionByName(new_row)
+
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(str(tmp_path / "out" / "**" / "*.parquet"),
+                           recursive=True)
+    }
+    summary = job.apply_patch(patch, input_snapshot="static")
+    assert summary["patched_urls"] == 3
+    assert 1 <= len(summary["buckets_refreshed"]) <= 3
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 41  # 40 originals (2 replaced in place) + 1 new
+    assert out.select("url").distinct().count() == 41
+    patched = out.where(F.col("url").isin(victims + [
+        "https://patch.example/new-doc"])).toPandas()
+    assert len(patched) == 3
+    assert all(marker in t for t in patched["main_text"])
+
+    # untouched buckets' files were not rewritten
+    refreshed = set(summary["buckets_refreshed"])
+    for f, mtime in before.items():
+        bucket = int(f.split("url_bucket=")[1].split("/")[0])
+        if bucket not in refreshed and os.path.exists(f):
+            assert os.path.getmtime(f) == mtime, f
+
+    # resume: nothing to do, row count stable
+    r2 = job.run(pages)
+    assert r2["buckets_done_before"] == 8
+    assert r2["rows_in_output"] == 41
+
+    # patch without a staged snapshot is an explicit error
+    with pytest.raises(ValueError, match="no completed staging"):
+        job.apply_patch(patch, input_snapshot="never-ran")
