@@ -226,6 +226,10 @@ def extract_document(
             groups["ul"] = groups["ol"] = []
             groups["section"] = groups["article"] = []
             class_positions: dict = {}
+            # document-order table-LIKE elements: <table> plus ARIA
+            # role="table"/"grid" declarations (the G7 declared-table
+            # twin — extract_table dispatches on the node)
+            table_like: list = []
             get_bucket = groups.get
             for doc_idx, n in enumerate(root.iter()):
                 bucket = get_bucket(n.tag)
@@ -233,12 +237,22 @@ def extract_document(
                     # anchors keep their document-order index: it is the
                     # position key of the links_map inverted index (A2)
                     bucket.append((doc_idx, n) if n.tag == "a" else n)
-                cls = n.attrs.get("class")
-                if cls:
-                    for name in cls.split():
-                        # class -> positions (A1 colors_map shape: value ->
-                        # coordinate list, reference core/cells.py:277-310)
-                        class_positions.setdefault(name, []).append(doc_idx)
+                    if n.tag == "table":
+                        table_like.append(n)
+                attrs = n.attrs
+                if attrs:
+                    role = attrs.get("role")
+                    if role in ("table", "grid") and n.tag != "table":
+                        table_like.append(n)
+                    cls = attrs.get("class")
+                    if cls:
+                        for name in cls.split():
+                            # class -> positions (A1 colors_map shape:
+                            # value -> coordinate list, reference
+                            # core/cells.py:277-310)
+                            class_positions.setdefault(name, []).append(
+                                doc_idx
+                            )
             body = groups["body"][0] if groups["body"] else root
             title = (
                 groups["title"][0].text_content() if groups["title"] else ""
@@ -255,7 +269,7 @@ def extract_document(
                 for fig in groups["figure"]:
                     for t in fig.find_all("table"):
                         fig_of_table[id(t)] = id(fig)
-                for t_node in groups["table"]:
+                for t_node in table_like:
                     art = extract_table(
                         t_node, len(tables), opts.detection, opts.alpha_keys
                     )

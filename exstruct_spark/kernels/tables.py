@@ -228,14 +228,105 @@ def score_candidate(
     return score, density, coverage
 
 
+_ARIA_CELL_ROLES = ("cell", "gridcell", "columnheader", "rowheader")
+
+
+def _grid_from_aria(table: Node, cfg: DetectionConfig):
+    """G7-twin grid pass: ARIA-DECLARED structure — ``role="table"`` (or
+    ``grid``) containers with ``role="row"`` rows and
+    cell/gridcell/columnheader/rowheader cells, spans via
+    ``aria-rowspan``/``aria-colspan`` — expanded with the same
+    occupancy-grid, caps and empty-run rules as ``_grid_from_table``.
+    The reference's ListObjects path (backends/com_backend.py G7) reads
+    DECLARED native tables without detection heuristics; on the web the
+    ARIA table role is exactly that declaration.  Returns the same
+    8-tuple as ``_grid_from_table`` (``columnheader`` cells fill the
+    th_cells set)."""
+    cells: dict = {}
+    merged_items: list = []
+    links: dict = {}
+    th_cells: set = set()
+    colors: dict = {}
+    occupied: set = set()
+    truncated = False
+    role_of = lambda n: (n.attrs.get("role") or "").strip().lower()
+    rows_nodes = [n for n in table.iter() if role_of(n) == "row"]
+    if len(rows_nodes) > cfg.max_rows:
+        rows_nodes = rows_nodes[: cfg.max_rows]
+        truncated = True
+    has_links = table.find_first("a") is not None
+    n_cols = 0
+    empty_run = 0
+    n_rows_scanned = 0
+    for r, rn in enumerate(rows_nodes):
+        n_rows_scanned = r + 1
+        row_had_content = False
+        c = 0
+        for cell in rn.iter():
+            if role_of(cell) not in _ARIA_CELL_ROLES:
+                continue
+            while (r, c) in occupied:
+                c += 1
+            if c >= cfg.max_cols:
+                truncated = True
+                break
+            rowspan = _int_attr(cell, "aria-rowspan")
+            colspan = _int_attr(cell, "aria-colspan")
+            text = cell.text_content()
+            if text:
+                cells[(r, c)] = coerce_scalar(text)
+                row_had_content = True
+            if role_of(cell) == "columnheader":
+                th_cells.add((r, c))
+            if cell.attrs:
+                color = cell_background(cell.attrs)
+                if color:
+                    colors[(r, c)] = color
+                    row_had_content = True
+            if has_links:
+                a = cell.find_first("a")
+                if a is not None and a.get("href"):
+                    links[(r, c)] = a.get("href")
+                    row_had_content = True
+            if rowspan > 1 or colspan > 1:
+                r2 = min(r + rowspan - 1, cfg.max_rows - 1)
+                c2 = min(c + colspan - 1, cfg.max_cols - 1)
+                master = cells.get((r, c), " ")
+                merged_items.append([r + 1, c, r2 + 1, c2, master])
+                for rr in range(r, r2 + 1):
+                    for cc in range(c, c2 + 1):
+                        if (rr, cc) != (r, c):
+                            occupied.add((rr, cc))
+            c += colspan
+            n_cols = max(n_cols, c)
+        if row_had_content:
+            empty_run = 0
+        else:
+            empty_run += 1
+            if empty_run > cfg.max_empty_run:
+                truncated = True
+                break
+    return (
+        cells, merged_items, links, th_cells, colors,
+        n_rows_scanned, min(n_cols, cfg.max_cols), truncated,
+    )
+
+
 def extract_table(
     table: Node, index: int, cfg: DetectionConfig, alpha_keys: bool = False
 ) -> Optional[dict]:
-    """One <table> element -> table artifact dict (or None if empty)."""
+    """One <table> element — or one ARIA ``role="table"``/``grid``
+    container (G7 declared-table twin) — -> table artifact dict (or None
+    if empty).  Dispatch is on the node itself, so callers feed both
+    kinds through one loop in document order."""
+    is_aria = (table.attrs.get("role") or "").strip().lower() in (
+        "table", "grid",
+    )
+    grid_fn = _grid_from_aria if is_aria else _grid_from_table
     (
         cells, merged_items, links, th_cells, colors,
         n_rows, n_cols, truncated,
-    ) = _grid_from_table(table, cfg)
+    ) = grid_fn(table, cfg)
     if not cells:
         return None
     # the direct <th> signal counts only when row 0 consists ENTIRELY of
@@ -252,11 +343,17 @@ def extract_table(
     cs = [c for _, c in cells]
     rng = make_range(min(rs), min(cs), max(rs), max(cs))
     caption = table.find_first("caption")
+    if caption is not None:
+        name = caption.text_content()
+    else:
+        # ARIA tables declare their name via aria-label (the same
+        # ListObject-name analogue as <caption>)
+        name = (table.attrs.get("aria-label") or "").strip()
     out: dict = {
         "id": index,
         # <caption> is the declared table name (the ListObject-name
         # analogue, reference core/cells.py:1780-1815)
-        "name": caption.text_content() if caption is not None else "",
+        "name": name,
         "range": rng,
         "score": round(score, 4),
         "rows": _sparse_rows(cells, links, alpha_keys),
@@ -481,6 +578,15 @@ def detect_grid_candidates(
         if node.tag not in ("div", "section"):
             continue
         if id(node) in claimed:
+            continue
+        if (node.attrs.get("role") or "").strip().lower() in (
+            "table", "grid",
+        ):
+            # ARIA-declared tables belong to the DECLARED path
+            # (extract_table via _grid_from_aria) — detection must not
+            # re-claim their subtree as a heuristic grid
+            for inner in node.iter():
+                claimed.add(id(inner))
             continue
         found = _structural_candidates(node, cfg, alpha_keys, len(out))
         if not found:

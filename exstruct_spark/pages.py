@@ -384,9 +384,35 @@ def _bordered_grid(rng: random.Random, lang: str) -> str:
     return "<div class='bordered-layout'>" + "".join(rows) + "</div>"
 
 
+def _aria_grid(rng: random.Random, lang: str) -> str:
+    """ARIA-declared table (role=table/row/cell + columnheader,
+    aria-label, one aria-colspan merge) — the G7 declared-table twin's
+    corpus carrier: no <table> markup, no CSS borders, structure comes
+    ONLY from the ARIA declaration."""
+    rows = []
+    rows.append(
+        "<div role='row'>"
+        + "".join(f"<span role='columnheader'>h{c}</span>" for c in range(3))
+        + "</div>"
+    )
+    for r in range(3):
+        cells = "".join(
+            f"<span role='cell'>{rng.randint(1, 99)}</span>" for _ in range(3)
+        )
+        rows.append(f"<div role='row'>{cells}</div>")
+    rows.append(
+        "<div role='row'><span role='cell' aria-colspan='3'>total "
+        f"{rng.randint(100, 999)}</span></div>"
+    )
+    return (
+        "<div role='table' aria-label='metrics grid'>"
+        + "".join(rows) + "</div>"
+    )
+
+
 RICH_ARCHETYPES = [
     "colored_table", "wired_flowchart", "split_grid", "unit_chart",
-    "script_chart", "bordered_grid", "highcharts_chart",
+    "script_chart", "bordered_grid", "highcharts_chart", "aria_grid",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -396,6 +422,7 @@ _RICH_BUILDERS = {
     "script_chart": _script_chart,
     "bordered_grid": _bordered_grid,
     "highcharts_chart": _highcharts_chart,
+    "aria_grid": _aria_grid,
 }
 
 

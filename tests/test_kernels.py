@@ -1395,3 +1395,67 @@ def test_auto_areas_color_only_rows_not_gaps():
         ]
     )
     assert x["auto_areas"] == ["A1:B4"]
+
+
+def test_aria_declared_table_extraction():
+    """G7 twin: role=table/row/cell structures are DECLARED tables —
+    extracted through the same artifact builder as <table> (coercion,
+    aria-colspan merges, colors_map, links, columnheader header signal,
+    aria-label as the ListObject-style name) with no detection gates."""
+    import json
+
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.kernels.dom import parse_html
+    from exstruct_spark.kernels.tables import (
+        detect_grid_candidates,
+        extract_table,
+    )
+
+    html = """
+    <div role="table" aria-label="Sales Q1">
+      <div role="row"><span role="columnheader">region</span>
+           <span role="columnheader">rev</span></div>
+      <div role="row"><span role="cell">north</span>
+           <span role="cell">1.50</span></div>
+      <div role="row"><span role="cell" aria-colspan="2"
+           style="background:#ff0000">wide</span></div>
+      <div role="row"><span role="cell"><a href="/x">link</a></span>
+           <span role="cell">7</span></div>
+    </div>"""
+    root = parse_html(html)
+    opts = ExtractOptions()
+    node = next(n for n in root.iter() if n.attrs.get("role") == "table")
+    art = extract_table(node, 0, opts.detection)
+    assert art["name"] == "Sales Q1"
+    assert art["range"] == "A1:B4"
+    assert art["rows"][1]["c"]["1"] == 1.5          # coerced
+    assert art["merged_ranges"] == ["A3:B3"]        # aria-colspan
+    assert art["colors_map"] == {"FF0000": [[3, 0]]}
+    assert art["rows"][3]["links"] == {"0": "/x"}
+    assert art["_metrics"]["header"] is True        # columnheader row
+
+    # the declared path OWNS the subtree: heuristic detection must not
+    # re-claim it as a div grid
+    assert detect_grid_candidates(root, opts.detection) == []
+
+
+def test_aria_grid_archetype_end_to_end():
+    """The aria_grid rich archetype flows through the full engine: one
+    declared table, aria-label name, the colspan'd total row merged."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    i = RICH_ARCHETYPES.index("aria_grid")
+    page = build_rich_page(i)
+    assert page["archetype"] == "aria_grid"
+    rec = extract_document(page["url"], page["html"], ExtractOptions())
+    ex = json.loads(rec["extraction_json"])
+    tables = ex["tables"]
+    assert len(tables) == 1
+    t = tables[0]
+    assert t["name"] == "metrics grid"
+    assert t["range"] == "A1:C5"
+    assert t["merged_ranges"] == ["A5:C5"]
+    assert [t["rows"][0]["c"][str(c)] for c in range(3)] == ["h0", "h1", "h2"]
