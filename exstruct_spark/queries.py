@@ -969,6 +969,103 @@ FROM totals t LEFT JOIN per_lang p USING (lang)
 """
 
 
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better") remove any substring of >= 50 BPE tokens appearing more than
+# once in the corpus; this engine's window unit is whitespace tokens and
+# the synthetic docs run 10-99 tokens, so the window is 20.
+SUBSTR_DEDUP_K = 20
+
+
+def q_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup accounting (the Lee et al. family — the
+    dedup literature's other half next to document-level MinHash): every
+    overlapping ``SUBSTR_DEDUP_K``-token window is hashed; a window
+    whose hash occurs >= 2 times anywhere in the corpus is a duplicated
+    span.  Per-lang rollup: docs, docs carrying >= 1 duplicated span,
+    window totals, and the corpus-exact duplicated-window fraction
+    (integer sums -> ONE division, so the value is order- and
+    engine-independent).
+
+    Scale shape: the explode is corpus-token-sized but flat — the hash
+    groupBy and the left-semi mark-back are the canonical
+    substring-dedup shuffles, both map-side combinable, no quadratic
+    path anywhere.  At 100 TB the literature's suffix-array-per-shard
+    construction replaces the window explode; the window-hash form here
+    is the distributed approximation with identical accounting.
+    Windows are bound as lambda variables (the CollapseProject
+    re-tokenization trap, same as dedup_ngram3)."""
+    k = SUBSTR_DEDUP_K
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    windows_expr = f"""
+    element_at(transform(array(split(lower(trim(text)), '\\\\s+')), ws ->
+      CASE WHEN size(ws) >= {k} THEN
+        transform(sequence(1, size(ws) - {k - 1}),
+                  i -> md5(cast(concat_ws(' ', slice(ws, i, {k}))
+                                as binary)))
+      ELSE slice(ws, 1, 0) END), 1)
+    """
+    w = docs.select(
+        "doc_id", "lang", F.explode(F.expr(windows_expr)).alias("h")
+    )
+    dup_hashes = (
+        w.groupBy("h").agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("h")
+    )
+    dup_w = (
+        w.join(dup_hashes, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_windows"))
+    )
+    per_doc = (
+        w.groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("total_windows"))
+        .join(dup_w, "doc_id", "left")
+        .withColumn("dup_windows", F.coalesce("dup_windows", F.lit(0)))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum((F.col("dup_windows") > 0).cast("int"))
+        .cast("bigint").alias("docs_with_dup_span"),
+        F.sum("total_windows").cast("bigint").alias("total_windows"),
+        F.sum("dup_windows").cast("bigint").alias("dup_windows"),
+        F.round(
+            F.sum("dup_windows") / F.greatest(F.sum("total_windows"), F.lit(1)),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+SQL_DOC_SUBSTRING_DEDUP = rf"""
+WITH w AS (
+  SELECT doc_id, lang,
+         UNNEST(CASE WHEN len(ws) >= {SUBSTR_DEDUP_K} THEN
+           list_transform(range(1, len(ws) - {SUBSTR_DEDUP_K - 2}),
+                          i -> md5(array_to_string(ws[i:i+{SUBSTR_DEDUP_K - 1}], ' ')))
+         ELSE [] END) AS h
+  FROM (SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        FROM documents WHERE n_chars > 0)),
+dup_hashes AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+dup_w AS (
+  SELECT doc_id, COUNT(*) AS dup_windows
+  FROM w WHERE h IN (SELECT h FROM dup_hashes) GROUP BY doc_id),
+per_doc AS (
+  SELECT w.doc_id, w.lang, COUNT(*) AS total_windows,
+         COALESCE(ANY_VALUE(d.dup_windows), 0) AS dup_windows
+  FROM w LEFT JOIN dup_w d USING (doc_id)
+  GROUP BY w.doc_id, w.lang)
+SELECT lang, COUNT(*) AS docs,
+       CAST(SUM(CASE WHEN dup_windows > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_dup_span,
+       CAST(SUM(total_windows) AS BIGINT) AS total_windows,
+       CAST(SUM(dup_windows) AS BIGINT) AS dup_windows,
+       ROUND(CAST(SUM(dup_windows) AS DOUBLE)
+             / GREATEST(SUM(total_windows), 1), 6) AS dup_fraction
+FROM per_doc GROUP BY lang
+"""
+
+
 def q_doc_quality_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality gate (the analogue of exstruct's multi-signal
     candidate gates, core/cells.py:1350-1381): length + alpha-ratio +
@@ -3264,6 +3361,7 @@ QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     # dedup (oracle-backed; xxhash64 twins retired — md5 carries the oracle)
     "dedup_exact": q_dedup_exact,
+    "doc_substring_dedup": q_doc_substring_dedup,
     "dedup_bow": q_dedup_bow,
     "dedup_ngram3": q_dedup_ngram3,
     "dedup_simhash_md5": q_dedup_simhash_md5,
@@ -3273,7 +3371,6 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     # ANN (oracle-backed)
     "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     # tokenization / sessions / skew (oracle-backed except doc_bpe_real)
@@ -3314,8 +3411,12 @@ QUERIES = {
 #   docs_except_kept          — 0-row exceptAll consistency audit; slot
 #                               yielded to doc_decontaminate (r4); oracle
 #                               parity still runs here every session
+#   ann_lsh_buckets           — bucket-stats view subsumed by
+#                               ann_lsh_topk's end-to-end oracle; slot
+#                               yielded to doc_substring_dedup (r4)
 RETIRED_QUERIES = {
     "docs_except_kept": q_docs_except_kept,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
     "doc_langid": q_doc_langid,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -3345,6 +3446,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_length_percentiles": SQL_DOC_LENGTH_PERCENTILES,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "doc_substring_dedup": SQL_DOC_SUBSTRING_DEDUP,
     "dedup_bow": SQL_DEDUP_BOW,
     "dedup_ngram3": SQL_DEDUP_NGRAM3,
     "doc_quality_class": SQL_DOC_QUALITY_CLASS,
@@ -3352,9 +3454,6 @@ ORACLES = {
     "doc_repetition_rules": SQL_DOC_REPETITION_RULES,
     "corpus_curation": SQL_CORPUS_CURATION,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
-    "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS_TEMPLATE.format(
-        bucket=_ann_bucket_sql("duckdb")
-    ),
     "ann_lsh_topk": SQL_ANN_LSH_TOPK_TEMPLATE.format(
         bucket=_ann_bucket_sql("duckdb")
     ),
@@ -3377,6 +3476,7 @@ ORACLES = {
 # runs these with the exact same compare as the driver rows)
 RETIRED_ORACLES = {
     "docs_except_kept": SQL_DOCS_EXCEPT_KEPT,
+    "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS_TEMPLATE.format(bucket=_ann_bucket_sql("duckdb")),
     "doc_langid": SQL_DOC_LANGID,
     "dedup_minhash_md5": SQL_DEDUP_MINHASH_MD5,
     "dedup_components_minlabel": SQL_DEDUP_COMPONENTS,
