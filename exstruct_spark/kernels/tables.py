@@ -250,7 +250,20 @@ def _grid_from_aria(table: Node, cfg: DetectionConfig):
     occupied: set = set()
     truncated = False
     role_of = lambda n: (n.attrs.get("role") or "").strip().lower()
-    rows_nodes = [n for n in table.iter() if role_of(n) == "row"]
+
+    def pruned_walk(node):
+        """DFS that does NOT descend into nested role=table/grid
+        subtrees: an inner declared table owns its own rows/cells and
+        extracts as its own artifact (extract.py collects it too)."""
+        stack = list(reversed(node.element_children()))
+        while stack:
+            n = stack.pop()
+            if role_of(n) in ("table", "grid"):
+                continue
+            yield n
+            stack.extend(reversed(n.element_children()))
+
+    rows_nodes = [n for n in pruned_walk(table) if role_of(n) == "row"]
     if len(rows_nodes) > cfg.max_rows:
         rows_nodes = rows_nodes[: cfg.max_rows]
         truncated = True
@@ -262,7 +275,7 @@ def _grid_from_aria(table: Node, cfg: DetectionConfig):
         n_rows_scanned = r + 1
         row_had_content = False
         c = 0
-        for cell in rn.iter():
+        for cell in pruned_walk(rn):
             if role_of(cell) not in _ARIA_CELL_ROLES:
                 continue
             while (r, c) in occupied:

@@ -1459,3 +1459,50 @@ def test_aria_grid_archetype_end_to_end():
     assert t["range"] == "A1:C5"
     assert t["merged_ranges"] == ["A5:C5"]
     assert [t["rows"][0]["c"][str(c)] for c in range(3)] == ["h0", "h1", "h2"]
+
+
+def test_nested_aria_tables_extract_separately():
+    """A role=table nested inside an outer table's cell: the OUTER grid
+    must not absorb the inner rows (pruned walk), and the inner table
+    extracts as its own artifact through the engine."""
+    import json
+
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+    from exstruct_spark.kernels.dom import parse_html
+    from exstruct_spark.kernels.tables import extract_table
+
+    inner = (
+        "<div role='table' aria-label='inner'>"
+        "<div role='row'><span role='cell'>i1</span>"
+        "<span role='cell'>i2</span></div>"
+        "</div>"
+    )
+    html = (
+        "<div role='table' aria-label='outer'>"
+        "<div role='row'><span role='cell'>a</span>"
+        f"<span role='cell'>{inner}</span></div>"
+        "<div role='row'><span role='cell'>b</span>"
+        "<span role='cell'>c</span></div>"
+        "</div>"
+    )
+    root = parse_html(html)
+    opts = ExtractOptions()
+    outer_node = next(
+        n for n in root.iter() if n.attrs.get("aria-label") == "outer"
+    )
+    art = extract_table(outer_node, 0, opts.detection)
+    assert art["range"] == "A1:B2"  # inner's row did NOT become row 2/3
+    # the inner cell's text still contributes to the OUTER cell value
+    # (text_content is subtree text, same as a <table> inside a <td>)
+    assert art["rows"][0]["c"]["1"] == "i1i2"  # inline spans collapse
+
+    rec = extract_document(
+        "https://x/nested", f"<html><body><main>{html}</main></body></html>".encode(),
+        ExtractOptions(),
+    )
+    tables = json.loads(rec["extraction_json"])["tables"]
+    names = [t["name"] for t in tables]
+    assert "outer" in names and "inner" in names
+    inner_art = next(t for t in tables if t["name"] == "inner")
+    assert inner_art["range"] == "A1:B1"
