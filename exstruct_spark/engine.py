@@ -531,7 +531,11 @@ class ExtractionJob:
         bucket list is a bounded driver collect (<= n_buckets).
         Lineage gains a new run's 'done' rows for the refreshed
         buckets; `_done_buckets` reads distinct, so resume semantics
-        are unchanged."""
+        are unchanged.  GRAIN: the refresh unit is the bucket — a patch
+        scattered across all buckets degenerates to a full refresh, so
+        size ``n_buckets`` for the patch regime (4096+ at corpus scale
+        keeps a few-thousand-url patch under a percent of the data;
+        measured 4.6x at 96k docs / 64 buckets, BENCH round-4)."""
         staged_path = self._staged_path(input_snapshot)
         fs, hpath = self._fs(staged_path + "/_SUCCESS")
         if not fs.exists(hpath):
