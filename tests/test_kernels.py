@@ -1506,3 +1506,34 @@ def test_nested_aria_tables_extract_separately():
     assert "outer" in names and "inner" in names
     inner_art = next(t for t in tables if t["name"] == "inner")
     assert inner_art["range"] == "A1:B1"
+
+
+def test_aria_adversarial_probes_degrade_not_fail():
+    """X3 fallback-not-fail on the declared-table path: nesting bombs,
+    row bombs, absurd spans and garbage roles all degrade row-locally
+    (caps + truncation flags), never raise, never hang."""
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+
+    opts = ExtractOptions()
+    bomb = ("<div role='table'>" * 3000).encode()
+    rec = extract_document("https://x/a", bomb, opts)
+    assert rec["status"] == "ok" and rec["n_tables"] == 0
+
+    rows = ("<div role='table'>"
+            + "<div role='row'><span role='cell'>x</span></div>" * 20000
+            + "</div>").encode()
+    rec = extract_document("https://x/b", rows, opts)
+    assert rec["status"] == "ok" and rec["n_tables"] == 1
+    assert rec["truncated"]  # max_rows cap fired, logged not silent
+
+    span = (b"<div role='table'><div role='row'>"
+            b"<span role='cell' aria-colspan='99999'>x</span></div></div>")
+    rec = extract_document("https://x/c", span, opts)
+    assert rec["status"] == "ok" and rec["n_tables"] == 1
+
+    for html in (b"<div role='table'></div>",
+                 b"<div role='table'><div role='row'>"
+                 b"<div role='banana'>x</div></div></div>"):
+        rec = extract_document("https://x/d", html, opts)
+        assert rec["status"] == "ok" and rec["n_tables"] == 0
