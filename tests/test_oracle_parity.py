@@ -655,3 +655,40 @@ def test_quality_rule_denominators_agree(spark):
     g = QUERIES["doc_gopher_rules"](spark, SF_DIR).toPandas()
     r = QUERIES["doc_repetition_rules"](spark, SF_DIR).toPandas()
     assert dict(zip(g["lang"], g["docs"])) == dict(zip(r["lang"], r["docs"]))
+
+
+def test_substring_dedup_planted_spans(spark, tmp_path):
+    """Semantics pin for doc_substring_dedup beyond the oracle: a doc
+    sharing EXACTLY one 20-token span with another is flagged with
+    exactly one duplicated window each; disjoint docs stay clean; a doc
+    under 20 tokens contributes no windows at all."""
+    from exstruct_spark.queries import SUBSTR_DEDUP_K, q_doc_substring_dedup
+
+    k = SUBSTR_DEDUP_K
+    span = " ".join(f"shared{i}" for i in range(k))
+    docs = [
+        (0, f"alpha one {span} beta two three four five six seven", "en"),
+        (1, f"gamma nine {span} delta ten eleven twelve thirteen x", "en"),
+        (2, "totally unrelated words " + " ".join(f"u{i}" for i in range(30)),
+         "de"),
+        (3, "short doc", "de"),
+    ]
+    spark.createDataFrame(
+        [(d, t, lang, len(t)) for d, t, lang in docs],
+        "doc_id bigint, text string, lang string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = (
+        q_doc_substring_dedup(spark, str(tmp_path))
+        .toPandas().set_index("lang")
+    )
+    # en: both docs carry the shared span -> exactly 1 dup window each
+    # (the span is flanked by differing tokens, so only the pure-span
+    # window collides)
+    assert got.loc["en", "docs"] == 2
+    assert got.loc["en", "docs_with_dup_span"] == 2
+    assert got.loc["en", "dup_windows"] == 2
+    # de: the long unrelated doc is clean; the short doc has no windows
+    assert got.loc["de", "docs"] == 1
+    assert got.loc["de", "docs_with_dup_span"] == 0
+    assert got.loc["de", "dup_windows"] == 0
