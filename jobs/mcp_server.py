@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""X9 twin: a minimal MCP (Model Context Protocol) server over stdio.
+
+The reference serves its extraction surface to LLM clients as MCP tools
+(mcp/server.py + mcp/tools.py: extract / capture_sheet_images /
+read_range ...).  MCP is JSON-RPC 2.0 over stdio — implementable with
+the standard library alone, so the twin is a REAL protocol server, not
+a stub: ``initialize`` / ``tools/list`` / ``tools/call`` with the
+2024-11-05 message shapes, line-delimited JSON on stdin/stdout.
+
+Tool family mirrors the reference's (same WHAT, web-document HOW):
+  * ``extract_html``       — url + html -> the engine's extraction JSON
+                             (the reference's `extract` tool).
+  * ``render_table_images``— url + html -> per-table PNG renders,
+                             base64 (the `capture_sheet_images` twin,
+                             kernels/render.py structural raster).
+  * ``read_table_range``   — extraction JSON + table id + A1 range ->
+                             the sparse rows inside the range (the
+                             `read_range` twin, kernels/areas slicing).
+
+Scope honestly stated: this is the INTERACTIVE surface over the same
+kernels the Spark job runs; batch corpora go through
+jobs/run_extraction.py.  Single-process by design — an MCP client calls
+one document at a time.
+
+Usage: python jobs/mcp_server.py   (speaks MCP on stdio)
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROTOCOL_VERSION = "2024-11-05"
+
+TOOLS = [
+    {
+        "name": "extract_html",
+        "description": "Extract structured content (main text, tables, "
+                       "shapes, charts, links) from one HTML document.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "url": {"type": "string"},
+                "html": {"type": "string"},
+                "mode": {"type": "string",
+                         "enum": ["light", "standard", "verbose"]},
+            },
+            "required": ["html"],
+        },
+    },
+    {
+        "name": "render_table_images",
+        "description": "Render every extracted table of one HTML document "
+                       "to a structural PNG (gridlines, fills, ink bars); "
+                       "returns base64 PNGs with sanitized filenames.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "url": {"type": "string"},
+                "html": {"type": "string"},
+            },
+            "required": ["html"],
+        },
+    },
+    {
+        "name": "read_table_range",
+        "description": "Slice one extracted table to an A1 range "
+                       "(rows re-based when normalize=true).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "extraction_json": {"type": "string"},
+                "table_id": {"type": "integer"},
+                "range": {"type": "string"},
+                "normalize": {"type": "boolean"},
+            },
+            "required": ["extraction_json", "range"],
+        },
+    },
+]
+
+
+def _call_extract_html(args: dict) -> dict:
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+
+    opts = (ExtractOptions.from_mode(args["mode"])
+            if args.get("mode") else ExtractOptions())
+    rec = extract_document(
+        args.get("url") or "mcp://document",
+        (args.get("html") or "").encode("utf-8"),
+        opts,
+    )
+    return {
+        "status": rec["status"],
+        "main_text": rec["main_text"],
+        "extraction": json.loads(rec["extraction_json"] or "{}"),
+        "truncated": bool(rec["truncated"]),
+    }
+
+
+def _call_render_table_images(args: dict) -> dict:
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+    from exstruct_spark.kernels.render import render_doc_tables
+
+    url = args.get("url") or "mcp://document"
+    rec = extract_document(url, (args.get("html") or "").encode("utf-8"),
+                           ExtractOptions())
+    images = [
+        {"file_name": name, "width": w, "height": h,
+         "png_base64": base64.b64encode(png).decode("ascii")}
+        for name, png, w, h in render_doc_tables(url, rec["extraction_json"])
+    ]
+    return {"n_images": len(images), "images": images}
+
+
+def _call_read_table_range(args: dict) -> dict:
+    from exstruct_spark.kernels.a1 import parse_range_zero_based
+    from exstruct_spark.kernels.areas import filter_row_to_area
+
+    ex = json.loads(args["extraction_json"])
+    tables = ex.get("tables") or []
+    tid = int(args.get("table_id") or 0)
+    table = next((t for t in tables if t.get("id") == tid), None)
+    if table is None:
+        raise ValueError(f"no table with id {tid}")
+    area = parse_range_zero_based(args["range"])  # 0-based bounds;
+    # filter_row_to_area handles the sparse rows' 1-based r internally
+    rows = []
+    for row in table.get("rows") or []:
+        kept = filter_row_to_area(
+            row, area, normalize=bool(args.get("normalize"))
+        )
+        if kept is not None:
+            rows.append(kept)
+    return {"table_id": tid, "range": args["range"], "rows": rows}
+
+
+_TOOL_FNS = {
+    "extract_html": _call_extract_html,
+    "render_table_images": _call_render_table_images,
+    "read_table_range": _call_read_table_range,
+}
+
+
+def handle(msg: dict):
+    """One JSON-RPC request -> response dict (None for notifications)."""
+    method = msg.get("method")
+    msg_id = msg.get("id")
+    if method == "initialize":
+        return {
+            "jsonrpc": "2.0", "id": msg_id,
+            "result": {
+                "protocolVersion": PROTOCOL_VERSION,
+                "capabilities": {"tools": {}},
+                "serverInfo": {"name": "exstruct-spark",
+                               "version": "0.1.0"},
+            },
+        }
+    if method in ("notifications/initialized", "initialized"):
+        return None
+    if method == "tools/list":
+        return {"jsonrpc": "2.0", "id": msg_id,
+                "result": {"tools": TOOLS}}
+    if method == "tools/call":
+        params = msg.get("params") or {}
+        name = params.get("name")
+        fn = _TOOL_FNS.get(name)
+        if fn is None:
+            return {"jsonrpc": "2.0", "id": msg_id,
+                    "error": {"code": -32602,
+                              "message": f"unknown tool {name!r}"}}
+        try:
+            result = fn(params.get("arguments") or {})
+            return {
+                "jsonrpc": "2.0", "id": msg_id,
+                "result": {
+                    "content": [{"type": "text",
+                                 "text": json.dumps(result,
+                                                    ensure_ascii=False)}],
+                    "isError": False,
+                },
+            }
+        except Exception as exc:  # tool errors are IN-BAND per MCP
+            return {
+                "jsonrpc": "2.0", "id": msg_id,
+                "result": {
+                    "content": [{"type": "text",
+                                 "text": f"{type(exc).__name__}: {exc}"}],
+                    "isError": True,
+                },
+            }
+    if msg_id is None:
+        return None  # unknown notification: ignore per JSON-RPC
+    return {"jsonrpc": "2.0", "id": msg_id,
+            "error": {"code": -32601, "message": f"unknown method {method!r}"}}
+
+
+def main() -> None:
+    out = sys.stdout
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            msg = json.loads(line)
+        except ValueError:
+            out.write(json.dumps({
+                "jsonrpc": "2.0", "id": None,
+                "error": {"code": -32700, "message": "parse error"},
+            }) + "\n")
+            out.flush()
+            continue
+        resp = handle(msg)
+        if resp is not None:
+            out.write(json.dumps(resp, ensure_ascii=False) + "\n")
+            out.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""X9 twin: the minimal MCP stdio server (jobs/mcp_server.py) speaks
+real JSON-RPC 2.0 with the MCP 2024-11-05 shapes — driven here exactly
+as an MCP client would, over a subprocess pipe."""
+
+import base64
+import json
+import subprocess
+import sys
+
+
+def _rpc_session(requests):
+    """Feed newline-delimited JSON-RPC requests, return parsed replies."""
+    proc = subprocess.run(
+        [sys.executable, "jobs/mcp_server.py"],
+        input="\n".join(json.dumps(r) for r in requests) + "\n",
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return [json.loads(line) for line in proc.stdout.strip().splitlines()]
+
+
+def test_mcp_handshake_and_tools():
+    out = _rpc_session([
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+         "params": {"protocolVersion": "2024-11-05", "capabilities": {}}},
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+        {"jsonrpc": "2.0", "id": 3, "method": "no/such"},
+    ])
+    init, tools, err = out
+    assert init["result"]["protocolVersion"] == "2024-11-05"
+    assert init["result"]["serverInfo"]["name"] == "exstruct-spark"
+    names = [t["name"] for t in tools["result"]["tools"]]
+    assert names == ["extract_html", "render_table_images",
+                     "read_table_range"]
+    assert err["error"]["code"] == -32601
+
+
+def test_mcp_extract_render_and_range_roundtrip():
+    html = (
+        "<html><body><main><h1>T</h1>"
+        "<table><caption>sales</caption>"
+        "<tr><th>region</th><th>rev</th></tr>"
+        "<tr><td>north</td><td>1.50</td></tr>"
+        "<tr><td>south</td><td>7</td></tr></table>"
+        "<p>Main body text with several words in it.</p></main>"
+        "</body></html>"
+    )
+    out = _rpc_session([
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+         "params": {"name": "extract_html",
+                    "arguments": {"url": "https://x/a", "html": html}}},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+         "params": {"name": "render_table_images",
+                    "arguments": {"url": "https://x/a", "html": html}}},
+    ])
+    ex = json.loads(out[0]["result"]["content"][0]["text"])
+    assert out[0]["result"]["isError"] is False
+    assert ex["status"] == "ok"
+    table = ex["extraction"]["tables"][0]
+    assert table["name"] == "sales"
+    assert table["rows"][1]["c"]["1"] == 1.5
+
+    ri = json.loads(out[1]["result"]["content"][0]["text"])
+    assert ri["n_images"] == 1
+    png = base64.b64decode(ri["images"][0]["png_base64"])
+    from exstruct_spark.kernels.png import decode_png
+
+    assert decode_png(png).shape == (
+        ri["images"][0]["height"], ri["images"][0]["width"], 3
+    )
+
+    # range slice over the extraction we just got (B1:B3, normalized)
+    out2 = _rpc_session([
+        {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+         "params": {"name": "read_table_range",
+                    "arguments": {
+                        "extraction_json": json.dumps(ex["extraction"]),
+                        "table_id": 0, "range": "B1:B3",
+                        "normalize": True}}},
+    ])
+    sl = json.loads(out2[0]["result"]["content"][0]["text"])
+    assert [r["c"]["0"] for r in sl["rows"]] == ["rev", 1.5, 7]
+    assert [r["r"] for r in sl["rows"]] == [0, 1, 2]
+
+    # in-band tool error (MCP isError), not a protocol failure
+    out3 = _rpc_session([
+        {"jsonrpc": "2.0", "id": 4, "method": "tools/call",
+         "params": {"name": "read_table_range",
+                    "arguments": {"extraction_json": "{}",
+                                  "range": "A1:B2"}}},
+    ])
+    assert out3[0]["result"]["isError"] is True
+    assert "no table" in out3[0]["result"]["content"][0]["text"]
