@@ -68,6 +68,18 @@ TOOLS = [
         },
     },
     {
+        "name": "media_probe",
+        "description": "Probe a base64 media blob: container sniff, "
+                       "entropy, fingerprint, and REAL decode metadata "
+                       "for PNG/GIF/JPEG/WAV (dimensions, frames, pixel "
+                       "or signal statistics).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"blob_base64": {"type": "string"}},
+            "required": ["blob_base64"],
+        },
+    },
+    {
         "name": "read_table_range",
         "description": "Slice one extracted table to an A1 range "
                        "(rows re-based when normalize=true).",
@@ -142,8 +154,33 @@ def _call_read_table_range(args: dict) -> dict:
     return {"table_id": tid, "range": args["range"], "rows": rows}
 
 
+def _call_media_probe(args: dict) -> dict:
+    import pandas as pd
+
+    from exstruct_spark.kernels.media import media_meta_pdf
+
+    raw = base64.b64decode(args["blob_base64"])
+    row = media_meta_pdf(
+        pd.DataFrame({"k": [0], "blob": [raw]}), blob_col="blob",
+        mode="fake",
+    ).iloc[0]
+    out = {}
+    for key, val in row.items():
+        if key == "k":
+            continue
+        if isinstance(val, float) and val != val:  # NaN -> null
+            val = None
+        elif hasattr(val, "item"):
+            val = val.item()
+        elif hasattr(val, "tolist"):
+            val = val.tolist()
+        out[key] = val
+    return out
+
+
 _TOOL_FNS = {
     "extract_html": _call_extract_html,
+    "media_probe": _call_media_probe,
     "render_table_images": _call_render_table_images,
     "read_table_range": _call_read_table_range,
 }

@@ -31,7 +31,7 @@ def test_mcp_handshake_and_tools():
     assert init["result"]["protocolVersion"] == "2024-11-05"
     assert init["result"]["serverInfo"]["name"] == "exstruct-spark"
     names = [t["name"] for t in tools["result"]["tools"]]
-    assert names == ["extract_html", "render_table_images",
+    assert names == ["extract_html", "render_table_images", "media_probe",
                      "read_table_range"]
     assert err["error"]["code"] == -32601
 
@@ -92,3 +92,24 @@ def test_mcp_extract_render_and_range_roundtrip():
     ])
     assert out3[0]["result"]["isError"] is True
     assert "no table" in out3[0]["result"]["content"][0]["text"]
+
+
+def test_mcp_media_probe_real_decode():
+    """media_probe decodes a real PNG through the server: genuine
+    dimensions and pixel statistics come back over the protocol."""
+    import numpy as np
+
+    from exstruct_spark.kernels.png import encode_png
+
+    img = np.random.default_rng(3).integers(0, 256, (9, 13, 3),
+                                            dtype=np.uint8)
+    blob = base64.b64encode(encode_png(img)).decode("ascii")
+    out = _rpc_session([
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+         "params": {"name": "media_probe",
+                    "arguments": {"blob_base64": blob}}},
+    ])
+    meta = json.loads(out[0]["result"]["content"][0]["text"])
+    assert meta["media_type"] == "image/png" and meta["decoded"]
+    assert (meta["width"], meta["height"]) == (13, 9)
+    assert abs(meta["px_mean"] - float(round(img.mean(), 4))) < 1e-9
