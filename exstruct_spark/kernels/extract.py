@@ -241,7 +241,11 @@ def extract_document(
                         table_like.append(n)
                 attrs = n.attrs
                 if attrs:
-                    role = attrs.get("role")
+                    # normalized exactly like detect_grid_candidates /
+                    # extract_table so all three role sites agree (an
+                    # element with role="Table" / " table " must be
+                    # collected by whoever claims it)
+                    role = (attrs.get("role") or "").strip().lower()
                     if role in ("table", "grid") and n.tag != "table":
                         table_like.append(n)
                     cls = attrs.get("class")

@@ -197,6 +197,12 @@ def decode_gif(raw: bytes, max_pixels: int = MAX_PIXELS):
         raise ValueError("truncated GIF header")
     width, height, packed, bg_idx, _aspect = struct.unpack(
         "<HHBBB", raw[6:13])
+    if width == 0 or height == 0:
+        # mirror decode_png's degenerate-dimension ValueError so the
+        # media stage's fallback-not-fail guard catches 0x0 screens
+        # (otherwise a (0,0,3) canvas escapes into downstream resize
+        # math and divides by zero)
+        raise ValueError("degenerate 0-dimension logical screen")
     if width * height > max_pixels:
         raise ValueError(
             f"logical screen {width}x{height} exceeds max_pixels cap"

@@ -10,13 +10,23 @@ installation at test time — never copied into this repo), not just
 against this module's own encoder.
 
 Decoder scope (honest limits, ValueError beyond them):
-  * baseline sequential DCT (SOF0), 8-bit, 1 or 3 components;
+  * baseline sequential DCT (SOF0/1), 8-bit, 1 or 3 components;
+  * progressive DCT (SOF2, T.81 Annex G): spectral selection AND
+    successive approximation — DC first/refine, AC first/refine with
+    EOB runs, ZRL and correction bits (the dominant web JPEG mode);
   * subsampling factors 1 or 2 per axis (covers 4:4:4, 4:2:2, 4:2:0);
-  * restart intervals (DRI / RSTn);
-  * NOT progressive (SOF2), arithmetic coding, 12-bit, or CMYK.
-The encoder (baseline, 4:4:4 or 4:2:0, quality-scaled Annex-K tables)
-exists for deterministic corpora and PSNR round-trips; JPEG is lossy,
-so round-trips assert reconstruction quality, not byte identity.
+  * restart intervals (DRI / RSTn), sequential and progressive scans;
+  * NOT arithmetic coding, 12-bit, lossless, hierarchical, or CMYK.
+The encoders (baseline 4:4:4/4:2:0 with quality-scaled Annex-K tables;
+progressive with a 10-scan successive-approximation script and custom
+fixed-length Huffman tables) exist for deterministic corpora and
+round-trips; JPEG is lossy, so baseline round-trips assert
+reconstruction quality, not byte identity.  The progressive pair has a
+stronger invariant the tests pin: a progressive stream re-coding the
+SAME quantized coefficients must decode to pixels BYTE-IDENTICAL to
+the baseline decode (two independent entropy paths, one coefficient
+array), which checks the Annex-G scan logic against the baseline path
+that is itself spec-pinned on a third-party vector.
 """
 
 from __future__ import annotations
@@ -211,6 +221,7 @@ def _decode_jpeg(raw: bytes):
     huff_dc: dict = {}
     huff_ac: dict = {}
     frame = None
+    prog_state = None
     restart_interval = 0
     i = 2
     n = len(raw)
@@ -222,6 +233,8 @@ def _decode_jpeg(raw: bytes):
             i += 2
             continue
         if marker == 0xD9:  # EOI
+            if prog_state is not None and prog_state["nscans"]:
+                return _reconstruct_progressive(frame, prog_state, qt)
             break
         if i + 4 > n:
             raise ValueError("truncated marker segment")
@@ -255,12 +268,17 @@ def _decode_jpeg(raw: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huff_decode(
                     bits, vals)
                 p += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
+            if h == 0 or w == 0:
+                # degenerate-dimension guard (parity with decode_png /
+                # decode_gif): a 0x0 SOF must be a ValueError so the
+                # media stage degrades instead of dividing by zero
+                raise ValueError("degenerate 0-dimension SOF")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -268,12 +286,13 @@ def _decode_jpeg(raw: bytes):
                 if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(f"unsupported sampling {hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode (SOF{marker - 0xC0}) — baseline "
-                "sequential only"
+                "sequential and progressive only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]

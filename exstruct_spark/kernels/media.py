@@ -421,7 +421,11 @@ def media_meta_pdf(
             rec["width"], rec["height"] = w, h
             # resize target from the ALREADY-decoded dims (with real
             # codecs a second decode would dominate the hot path)
-            scale = min(1.0, 256 / max(w, h))
+            # max(..., 1): decoders reject 0x0 with ValueError, but a
+            # zero here must never become a ZeroDivisionError (which
+            # would escape the fallback-not-fail ValueError guard and
+            # fail the whole mapInPandas task)
+            scale = min(1.0, 256 / max(w, h, 1))
             rw = max(1, int(w * scale))
             rh = max(1, int(h * scale))
             rec["resized_w"], rec["resized_h"] = rw, rh

@@ -332,8 +332,12 @@ def extract_table(
     container (G7 declared-table twin) — -> table artifact dict (or None
     if empty).  Dispatch is on the node itself, so callers feed both
     kinds through one loop in document order."""
-    is_aria = (table.attrs.get("role") or "").strip().lower() in (
-        "table", "grid",
+    # a native <table> keeps the tr/td walk even when it redundantly
+    # declares role="table"/"grid" (very common ARIA pattern on real
+    # pages) — the ARIA row/cell walk only applies to non-table
+    # containers, which is also how extract.py collects them
+    is_aria = table.tag != "table" and (
+        (table.attrs.get("role") or "").strip().lower() in ("table", "grid")
     )
     grid_fn = _grid_from_aria if is_aria else _grid_from_table
     (

@@ -80,9 +80,16 @@ def export_rendered_pngs(rendered: DataFrame, out_dir: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     def write_part(rows):
+        # yields the per-partition written-file count so the returned
+        # total counts exactly what THIS export wrote, executor-side —
+        # a driver-side listdir would be wrong on any non-local cluster
+        # (files land on executor disks) and would also count
+        # pre-existing files in out_dir
+        n = 0
         for row in rows:
             with open(os.path.join(out_dir, row.file_name), "wb") as fh:
                 fh.write(bytes(row.png))
+            n += 1
+        yield n
 
-    rendered.foreachPartition(write_part)
-    return len(os.listdir(out_dir))
+    return sum(rendered.rdd.mapPartitions(write_part).collect())

@@ -301,3 +301,25 @@ def test_mp3_header_metadata_real_parse():
     assert out["sample_rate"] == 44100
     assert out["duration_s"] == meta["duration_s"]
     assert pd.isna(out["rms"])
+
+
+def test_zero_dimension_gif_rejected_and_degrades():
+    """ADVICE r4 (medium): a 0x0 logical screen must be a ValueError
+    (like decode_png's degenerate guard) so the media stage's
+    fallback-not-fail ValueError net catches it — previously it decoded
+    to a (0,0,3) canvas and the downstream 256/max(w,h) resize raised
+    ZeroDivisionError, failing the whole mapInPandas task."""
+    import struct
+
+    import pytest
+
+    from exstruct_spark.kernels.gif import decode_gif
+    from exstruct_spark.kernels.media import decode_image
+
+    gif0 = b"GIF89a" + struct.pack("<HHBBB", 0, 0, 0, 0, 0) + b"\x3b"
+    with pytest.raises(ValueError):
+        decode_gif(gif0)
+    meta = decode_image(gif0, "fake")        # degrades, never crashes
+    assert meta["decoded"] is False
+    with pytest.raises(ValueError):
+        decode_image(gif0, "strict")

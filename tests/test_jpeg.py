@@ -106,3 +106,23 @@ def test_media_kernel_jpeg_real_pixels():
     with pytest.raises(ValueError):
         decode_image(raw[:60], mode="strict")
     assert decode_image(raw[:60], mode="fake")["decoded"] is False
+
+
+def test_zero_dimension_sof_rejected_and_degrades():
+    """ADVICE r4 (medium), JPEG side: SOF width/height 0 must raise
+    ValueError inside the decoder so fake mode degrades instead of
+    dividing by zero in the resize math."""
+    import struct
+
+    from exstruct_spark.kernels.media import decode_image
+
+    jp0 = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 0, 0) + bytes([1, 1, 0x11, 0]) + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(jp0)
+    meta = decode_image(jp0, "fake")
+    assert meta["decoded"] is False
+    with pytest.raises(ValueError):
+        decode_image(jp0, "strict")

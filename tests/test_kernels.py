@@ -1439,6 +1439,53 @@ def test_aria_declared_table_extraction():
     assert detect_grid_candidates(root, opts.detection) == []
 
 
+def test_native_table_with_redundant_aria_role():
+    """ADVICE r4 (high): a native <table role="table"> — the very common
+    redundant-ARIA pattern — must keep the tr/td walk, not route to the
+    ARIA row/cell collector (which would find nothing and drop the
+    table silently)."""
+    out = extract_document(
+        "u",
+        b"<html><body><table role='table'>"
+        b"<tr><td>alpha</td><td>1</td></tr>"
+        b"<tr><td>beta</td><td>2</td></tr>"
+        b"<tr><td>gamma</td><td>3</td></tr>"
+        b"</table></body></html>",
+    )
+    assert out["n_tables"] == 1
+    tab = json.loads(out["extraction_json"])["tables"][0]
+    assert tab["range"] == "A1:B3"
+    assert tab["rows"][0]["c"] == {"0": "alpha", "1": 1}
+    # role="grid" on a native table likewise keeps tr/td
+    out2 = extract_document(
+        "u",
+        b"<table role='grid'><tr><td>a</td><td>1</td></tr>"
+        b"<tr><td>b</td><td>2</td></tr><tr><td>c</td><td>3</td></tr>"
+        b"</table>",
+    )
+    assert out2["n_tables"] == 1
+
+
+def test_aria_role_case_and_whitespace_normalized():
+    """ADVICE r4 (low): role=" Table " must be normalized identically at
+    the collection site (extract.py) and the claim/extract sites — a
+    capitalized role used to be claimed away from detection but never
+    collected, silently losing the content."""
+    out = extract_document(
+        "u",
+        b"<html><body><div role=' Table ' aria-label='X'>"
+        b"<div role='row'><span role='cell'>a</span>"
+        b"<span role='cell'>1</span></div>"
+        b"<div role='row'><span role='cell'>b</span>"
+        b"<span role='cell'>2</span></div>"
+        b"<div role='row'><span role='cell'>c</span>"
+        b"<span role='cell'>3</span></div>"
+        b"</div></body></html>",
+    )
+    assert out["n_tables"] == 1
+    assert json.loads(out["extraction_json"])["tables"][0]["name"] == "X"
+
+
 def test_aria_grid_archetype_end_to_end():
     """The aria_grid rich archetype flows through the full engine: one
     declared table, aria-label name, the colspan'd total row merged."""
