@@ -300,16 +300,45 @@ def _decode_jpeg(raw: bytes):
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            sel = {}
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("short SOS header")
+            if not frame["progressive"]:
+                sel = {}
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    sel[cs] = (tt >> 4, tt & 0x0F)
+                return _decode_scan(
+                    raw, i + 2 + seg_len, frame, sel, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            # progressive: decode this scan into the persistent
+            # coefficient store, then keep walking markers — the image
+            # only exists once every scan has refined it
+            if prog_state is None:
+                prog_state = _new_prog_state(frame)
+            scomps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                sel[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                raw, i + 2 + seg_len, frame, sel, qt, huff_dc, huff_ac,
+                ci = next(
+                    (j for j, cc in enumerate(frame["comps"])
+                     if cc["id"] == cs), None)
+                if ci is None:
+                    raise ValueError("scan component not in frame")
+                scomps.append((ci, tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            i = _decode_prog_scan(
+                raw, i + 2 + seg_len, frame, prog_state, scomps,
+                ss, se, ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
                 restart_interval,
             )
+            prog_state["nscans"] += 1
+            continue
         # APPn / COM / others: skipped
         i += 2 + seg_len
+    if prog_state is not None and prog_state["nscans"]:
+        # EOI missing but complete scans decoded: reconstruct anyway
+        return _reconstruct_progressive(frame, prog_state, qt)
     raise ValueError("no SOS marker found")
 
 
@@ -377,7 +406,14 @@ def _decode_scan(raw, pos, frame, sel, qt, huff_dc, huff_ac, dri):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
             mcu_index += 1
-    # upsample to full resolution and crop
+    return _finish_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _finish_rgb(planes, comps, h, w, hmax, vmax):
+    """Upsample component planes to full resolution, crop, and color
+    convert — shared tail of the sequential and progressive decoders
+    (identical arithmetic, so the two entropy paths can be pinned
+    byte-identical on the same coefficients)."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -394,6 +430,220 @@ def _decode_scan(raw, pos, frame, sel, qt, huff_dc, huff_ac, dri):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive decoding (SOF2, T.81 Annex G)
+# --------------------------------------------------------------------------
+
+def _comp_block_dims(frame, c):
+    """(block rows, block cols) of one component for NON-interleaved
+    scans — ceil(comp samples / 8) on the component's own sampling
+    grid, NOT padded to whole MCUs (T.81 A.2.2)."""
+    hmax = max(cc["h"] for cc in frame["comps"])
+    vmax = max(cc["v"] for cc in frame["comps"])
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _new_prog_state(frame):
+    """Per-component coefficient store covering the MCU-padded grid,
+    in ZIGZAG-scan index order (spectral bands Ss..Se are scan
+    positions), accumulated across scans."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    coef = []
+    for c in comps:
+        bv, bh = mcuy * c["v"], mcux * c["h"]
+        coef.append([[[0] * 64 for _ in range(bh)] for _ in range(bv)])
+    return {"coef": coef, "mcux": mcux, "mcuy": mcuy, "nscans": 0}
+
+
+def _ac_first_block(reader, act, cof, ss, se, al, eobrun):
+    """One block of an AC first scan (Ah=0): EOBn run-lengths, ZRL,
+    and point-transformed coefficients (value << Al)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_huff(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun - 1  # current block is the run's first
+        k += r
+        if k > se:
+            raise ValueError("AC index out of band")
+        cof[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, act, cof, ss, se, p1, m1, eobrun):
+    """One block of an AC refinement scan (Ah>0): newly-significant
+    coefficients arrive as ±(1<<Al); every already-nonzero coefficient
+    passed over contributes one correction bit — including inside EOB
+    runs (T.81 G.2.2)."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # rest of band handled by the EOB tail below
+                # ZRL: r==15 skips 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad magnitude in AC refinement")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                c = cof[k]
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        cof[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("refinement ran past band")
+                cof[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits inside the EOB run
+            c = cof[k]
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    cof[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(raw, pos, frame, state, scomps, ss, se, ah, al,
+                      huff_dc, huff_ac, dri):
+    """Decode one progressive scan into the coefficient store; returns
+    the byte offset of the next marker."""
+    comps = frame["comps"]
+    coef = state["coef"]
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("DC scan with nonzero Se")
+    if not is_dc and len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    # units: outer restart-counted entries (MCUs when interleaved,
+    # single blocks of the one component otherwise)
+    units = []
+    if len(scomps) > 1:
+        for my in range(state["mcuy"]):
+            for mx in range(state["mcux"]):
+                unit = []
+                for (ci, tdc, tac) in scomps:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append((ci, tdc, tac, my * c["v"] + by,
+                                         mx * c["h"] + bx))
+                units.append(unit)
+    else:
+        ci, tdc, tac = scomps[0]
+        bv, bh = _comp_block_dims(frame, comps[ci])
+        for by in range(bv):
+            for bx in range(bh):
+                units.append([(ci, tdc, tac, by, bx)])
+    reader = _BitReader(raw, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    for ui, unit in enumerate(units):
+        if dri and ui and ui % dri == 0:
+            reader.align()
+            p = reader.pos
+            if (p + 1 >= len(raw) or raw[p] != 0xFF
+                    or not 0xD0 <= raw[p + 1] <= 0xD7):
+                raise ValueError("missing restart marker")
+            reader.pos = p + 2
+            pred = [0] * len(comps)
+            eobrun = 0
+        for (ci, tdc, tac, by, bx) in unit:
+            cof = coef[ci][by][bx]
+            if is_dc:
+                if ah == 0:
+                    dct = huff_dc.get(tdc)
+                    if dct is None:
+                        raise ValueError("missing Huffman table")
+                    t = reader.read_huff(dct)
+                    pred[ci] += _extend(reader.read_bits(t), t)
+                    cof[0] = pred[ci] << al
+                else:  # DC refinement: one raw bit per block
+                    if reader.read_bit():
+                        cof[0] |= p1
+            else:
+                act = huff_ac.get(tac)
+                if act is None:
+                    raise ValueError("missing Huffman table")
+                if ah == 0:
+                    eobrun = _ac_first_block(
+                        reader, act, cof, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(
+                        reader, act, cof, ss, se, p1, m1, eobrun)
+    # locate the next marker (skip fill bytes, stuffing, stray RSTs)
+    p = reader.pos
+    n = len(raw)
+    while p < n - 1:
+        if raw[p] != 0xFF:
+            p += 1
+        elif raw[p + 1] == 0x00 or 0xD0 <= raw[p + 1] <= 0xD7:
+            p += 2
+        elif raw[p + 1] == 0xFF:
+            p += 1
+        else:
+            return p
+    raise ValueError("no marker after progressive scan")
+
+
+def _reconstruct_progressive(frame, state, qt):
+    """Dequantize + IDCT the accumulated coefficient store.  Per-block
+    arithmetic EXACTLY mirrors the sequential path so the progressive
+    and baseline decoders are byte-identical on equal coefficients."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    ct = _C.T
+    planes = []
+    for ci, c in enumerate(comps):
+        dq = qt.get(c["tq"])
+        if dq is None:
+            raise ValueError("missing quant table")
+        grid = state["coef"][ci]
+        bv, bh = len(grid), len(grid[0])
+        plane = np.empty((bv * 8, bh * 8), dtype=np.float64)
+        for by in range(bv):
+            for bx in range(bh):
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZIGZAG] = np.asarray(grid[by][bx],
+                                            dtype=np.int64) * dq
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    ct @ block.reshape(8, 8) @ _C + 128.0)
+        planes.append(plane)
+    return _finish_rgb(planes, comps, h, w, hmax, vmax)
 
 
 # --------------------------------------------------------------------------
@@ -468,14 +718,13 @@ def _fdct_quant(plane, y0, x0, q):
     return zz.astype(np.int32)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
-    """Deterministic baseline JPEG encoder ((H, W, 3) uint8 RGB; 4:4:4,
-    or 4:2:0 with ``subsample=True``)."""
+def _prep_planes(arr: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: RGB -> padded Y/Cb/Cr planes + scaled
+    quant tables (identical for the baseline and progressive encoders,
+    so both code the same quantized coefficients)."""
     arr = np.asarray(arr)
     if arr.ndim != 3 or arr.shape[2] != 3:
-        raise ValueError("encode_jpeg wants (H, W, 3) RGB")
-    h, w = arr.shape[:2]
+        raise ValueError("JPEG encoders want (H, W, 3) RGB")
     rgb = arr.astype(np.float64)
     y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2])
     cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] \
@@ -507,6 +756,19 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     else:
         cbp = pad(cb, 8, 8)
         crp = pad(cr, 8, 8)
+    return ypl, cbp, crp, ql, qc, hs, vs
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsample: bool = False) -> bytes:
+    """Deterministic baseline JPEG encoder ((H, W, 3) uint8 RGB; 4:4:4,
+    or 4:2:0 with ``subsample=True``)."""
+    arr = np.asarray(arr)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg wants (H, W, 3) RGB")
+    h, w = arr.shape[:2]
+    ypl, cbp, crp, ql, qc, hs, vs = _prep_planes(arr, quality, subsample)
+    mcuw, mcuh = 8 * hs, 8 * vs
 
     out = bytearray(b"\xff\xd8")
 
@@ -545,5 +807,300 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
             pred[2] = _encode_block(bw, zz, pred[2], dc_c, ac_c)
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (SOF2) — 10-scan successive-approximation script
+# --------------------------------------------------------------------------
+#
+# Exists to give the progressive DECODER a rigorous oracle without any
+# codec library in the environment: the stream re-codes the exact same
+# quantized coefficients as encode_jpeg, so decode(progressive) must be
+# byte-identical to decode(baseline) — two independent entropy paths
+# over one coefficient array, with the baseline path itself spec-pinned
+# on a third-party vector.
+
+def _plane_coeffs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(bv, bh, 64) zigzag-order quantized coefficients — per-block via
+    _fdct_quant, the SAME call the baseline encoder makes, so both
+    encoders quantize bit-identically."""
+    bv, bh = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.empty((bv, bh, 64), dtype=np.int32)
+    for by in range(bv):
+        for bx in range(bh):
+            out[by, bx] = _fdct_quant(plane, by * 8, bx * 8, q)
+    return out
+
+
+def _fixed_len_huff(symbols, length: int = 9):
+    """A canonical Huffman table giving every symbol the same code
+    length.  Needed because the Annex-K AC tables lack the EOBn symbols
+    (0x10..0xE0) progressive scans emit; fixed 9-bit codes are legal
+    for up to 510 symbols and decodable by any conforming decoder."""
+    syms = sorted(symbols) or [0]
+    if len(syms) >= (1 << length) - 1:
+        raise ValueError("too many symbols for fixed-length table")
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    return bits, syms
+
+
+class _ProgEmitter:
+    """Two-pass scan emitter: with no tables it collects the DC/AC
+    symbol alphabets (pass 1, to build the DHTs); with tables it writes
+    real entropy bits (pass 2).  Both passes run the identical scan
+    code, so the alphabets are exact."""
+
+    def __init__(self, dc_enc=None, ac_enc=None):
+        self.dc_syms: set = set()
+        self.ac_syms: set = set()
+        self.dc_enc = dc_enc
+        self.ac_enc = ac_enc
+        self.bw = None
+
+    def start_scan(self):
+        if self.dc_enc is not None:
+            self.bw = _BitWriter()
+
+    def end_scan(self) -> bytes:
+        if self.bw is None:
+            return b""
+        self.bw.flush()
+        data = bytes(self.bw.out)
+        self.bw = None
+        return data
+
+    def dc_sym(self, s):
+        if self.dc_enc is None:
+            self.dc_syms.add(s)
+        else:
+            code, ln = self.dc_enc[s]
+            self.bw.write(code, ln)
+
+    def ac_sym(self, s):
+        if self.ac_enc is None:
+            self.ac_syms.add(s)
+        else:
+            code, ln = self.ac_enc[s]
+            self.bw.write(code, ln)
+
+    def bits(self, v, n):
+        if n and self.dc_enc is not None:
+            self.bw.write(v & ((1 << n) - 1), n)
+
+
+def _emit_dc_scan(em, grids, comps, mcuy, mcux, ah, al):
+    """Interleaved DC scan: first pass codes (coef >> Al) diffs with the
+    baseline DIFF coding; refinement sends bit Al of each coefficient
+    as one raw bit (floor shifts on negatives match the decoder's
+    two's-complement OR exactly)."""
+    pred = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        v = int(grids[ci][my * c["v"] + by,
+                                          mx * c["h"] + bx, 0])
+                        if ah == 0:
+                            d = (v >> al) - pred[ci]
+                            pred[ci] = v >> al
+                            t = abs(d).bit_length()
+                            em.dc_sym(t)
+                            if t:
+                                em.bits(d if d > 0 else d + (1 << t) - 1, t)
+                        else:
+                            em.bits((v >> al) & 1, 1)
+
+
+def _emit_ac_first_scan(em, grid, order, ss, se, al):
+    """AC first scan over one component's band: EOBn run accumulation
+    across blocks, ZRL, magnitudes truncated toward zero by Al."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        while eobrun > 0:
+            run = min(eobrun, 0x7FFF)
+            r = run.bit_length() - 1
+            em.ac_sym(r << 4)
+            if r:
+                em.bits(run - (1 << r), r)
+            eobrun -= run
+
+    for (by, bx) in order:
+        cof = grid[by, bx]
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(cof[k])
+            vals.append((v >> al) if v >= 0 else -((-v) >> al))
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                em.ac_sym(0xF0)
+                run -= 16
+            s = abs(v).bit_length()
+            em.ac_sym((run << 4) | s)
+            em.bits(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1  # trailing zeros: this block joins the EOB run
+    flush_eob()
+
+
+def _emit_ac_refine_scan(em, grid, order, ss, se, al):
+    """AC refinement scan: newly-significant coefficients as (run,1)
+    symbols + sign bit; correction bits for already-nonzero ones are
+    buffered and flushed after the next symbol (the BE-buffer protocol
+    of T.81 G.1.2.3 that the decoder's EOB-run tail expects)."""
+    eobrun = 0
+    pending: list = []
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            em.ac_sym(r << 4)
+            if r:
+                em.bits(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            em.bits(b, 1)
+        pending = []
+
+    for (by, bx) in order:
+        cof = grid[by, bx]
+        absv = [abs(int(cof[k])) >> al for k in range(ss, se + 1)]
+        signs = [1 if int(cof[k]) >= 0 else 0 for k in range(ss, se + 1)]
+        eobpos = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobpos = i  # last newly-significant position
+        run = 0
+        br: list = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eobpos:
+                flush_eob()
+                em.ac_sym(0xF0)
+                run -= 16
+                for b in br:
+                    em.bits(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)  # correction bit, rides the next symbol
+                continue
+            flush_eob()
+            em.ac_sym((run << 4) | 1)
+            em.bits(signs[i], 1)
+            for b in br:
+                em.bits(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
+                            subsample: bool = False) -> bytes:
+    """Deterministic progressive JPEG encoder: same quantized
+    coefficients as ``encode_jpeg``, coded as a 10-scan spectral
+    selection + successive approximation script (DC first Al=1, split
+    luma AC bands, DC refine, AC refines) with fixed-length custom
+    Huffman tables."""
+    arr = np.asarray(arr)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg_progressive wants (H, W, 3) RGB")
+    h, w = arr.shape[:2]
+    ypl, cbp, crp, ql, qc, hs, vs = _prep_planes(arr, quality, subsample)
+    grids = [_plane_coeffs(ypl, ql), _plane_coeffs(cbp, qc),
+             _plane_coeffs(crp, qc)]
+    comps = [{"id": 1, "h": hs, "v": vs, "tq": 0},
+             {"id": 2, "h": 1, "v": 1, "tq": 1},
+             {"id": 3, "h": 1, "v": 1, "tq": 1}]
+    frame = {"h": h, "w": w, "comps": comps, "progressive": True}
+    mcuy = ypl.shape[0] // (8 * vs)
+    mcux = ypl.shape[1] // (8 * hs)
+    orders = []
+    for c in comps:
+        bv, bh = _comp_block_dims(frame, c)
+        orders.append([(by, bx) for by in range(bv) for bx in range(bh)])
+    # (kind, comp, Ss, Se, Ah, Al) — exercises every decoder branch:
+    # interleaved DC + point transform, split spectral bands, EOB runs,
+    # DC/AC refinement with correction bits
+    script = [
+        ("dc", None, 0, 0, 0, 1),
+        ("ac_first", 0, 1, 5, 0, 1),
+        ("ac_first", 1, 1, 63, 0, 1),
+        ("ac_first", 2, 1, 63, 0, 1),
+        ("ac_first", 0, 6, 63, 0, 1),
+        ("dc", None, 0, 0, 1, 0),
+        ("ac_refine", 0, 1, 63, 1, 0),
+        ("ac_refine", 1, 1, 63, 1, 0),
+        ("ac_refine", 2, 1, 63, 1, 0),
+    ]
+
+    def run_script(em):
+        chunks = []
+        for (kind, ci, ss, se, ah, al_) in script:
+            em.start_scan()
+            if kind == "dc":
+                _emit_dc_scan(em, grids, comps, mcuy, mcux, ah, al_)
+                scomps = [(c["id"], 0x00) for c in comps]
+            elif kind == "ac_first":
+                _emit_ac_first_scan(em, grids[ci], orders[ci], ss, se, al_)
+                scomps = [(comps[ci]["id"], 0x00)]
+            else:
+                _emit_ac_refine_scan(em, grids[ci], orders[ci], ss, se, al_)
+                scomps = [(comps[ci]["id"], 0x00)]
+            chunks.append((scomps, ss, se, ah, al_, em.end_scan()))
+        return chunks
+
+    collector = _ProgEmitter()
+    run_script(collector)
+    dc_bits, dc_vals = _fixed_len_huff(collector.dc_syms)
+    ac_bits, ac_vals = _fixed_len_huff(collector.ac_syms)
+    writer = _ProgEmitter(_build_huff_encode(dc_bits, dc_vals),
+                          _build_huff_encode(ac_bits, ac_vals))
+    chunks = run_script(writer)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2)
+                   + body)
+
+    seg(0xDB, bytes([0x00]) + bytes(ql.reshape(64)[_ZIGZAG].tolist()))
+    seg(0xDB, bytes([0x01]) + bytes(qc.reshape(64)[_ZIGZAG].tolist()))
+    seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    for (scomps, ss, se, ah, al_, data) in chunks:
+        body = bytes([len(scomps)])
+        for (cid, tt) in scomps:
+            body += bytes([cid, tt])
+        body += bytes([ss, se, (ah << 4) | al_])
+        seg(0xDA, body)
+        out.extend(data)
     out.extend(b"\xff\xd9")
     return bytes(out)

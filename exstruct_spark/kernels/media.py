@@ -1,10 +1,11 @@
 """Multimodal (image/audio/video) column kernels — Spark plumbing is real,
 four codecs decode for REAL with stdlib + numpy only: PNG (zlib
 inflate + unfilter, kernels/png.py), GIF incl. animated multi-frame
-compositing (LZW, kernels/gif.py), baseline JPEG (Huffman + IDCT,
-kernels/jpeg.py — spec-pinned against a real third-party vector), and
-WAV/PCM audio (RIFF byte-walk + signal stats).  Remaining formats
-(WebP, progressive JPEG, compressed audio, video containers) are
+compositing (LZW, kernels/gif.py), JPEG — baseline AND progressive
+SOF2 with successive approximation (Huffman + IDCT, kernels/jpeg.py —
+spec-pinned against real third-party baseline and progressive
+vectors), and WAV/PCM audio (RIFF byte-walk + signal stats).
+Remaining formats (WebP, compressed audio, video containers) are
 stubbed or sniff-only.
 
 Design (per the engine's training-data-pipeline charter): media travels
@@ -16,8 +17,8 @@ actual pixel decode, box-average resize, luminance-grid features, and
 (animated GIF) real-pixel frame sampling (the reference's analogue:
 drawing bytes are really parsed, never synthesized —
 core/ooxml_drawing.py:186-257).  The remaining codec-dependent steps
-(WebP/progressive-JPEG decode, mp4/webm frame sampling, compressed
-audio) are STUBS or sniff-only — those libraries are not in this
+(WebP decode, mp4/webm frame sampling, compressed audio) are STUBS or
+sniff-only — those libraries are not in this
 container — exposed behind an explicit ``fake`` mode (deterministic
 synthetic output, keyed by content hash, so the Spark-side
 schema/partitioning/batch plumbing is testable end-to-end) or
@@ -92,9 +93,8 @@ def content_fingerprint(raw: bytes) -> str:
 
 
 def decode_image_stub(raw: bytes, mode: str = "fake") -> dict:
-    """STUB image decode for formats WITHOUT a real decoder here (WebP,
-    progressive JPEG — PNG/GIF/baseline-JPEG decode for real in
-    ``decode_image``).
+    """STUB image decode for formats WITHOUT a real decoder here (WebP —
+    PNG/GIF/JPEG incl. progressive decode for real in ``decode_image``).
 
     ``fake``: deterministic synthetic metadata keyed by content hash —
     exercises the full Spark pipeline (schema, batching, partitioning)
@@ -118,8 +118,9 @@ def decode_image(raw: bytes, mode: str = "fake") -> dict:
     """Image decode: REAL for PNG (kernels/png.py — stdlib zlib inflate +
     numpy unfilter), GIF (kernels/gif.py — stdlib LZW + compositing;
     the FIRST composited frame is the image, ``n_frames`` counts the
-    rest) and baseline JPEG (kernels/jpeg.py — Huffman + IDCT +
-    chroma upsampling), stub for everything else.  ``pixels`` holds the (H, W, C)
+    rest) and JPEG, baseline and progressive SOF2 (kernels/jpeg.py —
+    Huffman / Annex-G successive approximation + IDCT + chroma
+    upsampling), stub for everything else.  ``pixels`` holds the (H, W, C)
     uint8 array and ``decoded`` is True on the real paths.
 
     A blob that *sniffs* as a decodable type but fails the real decode

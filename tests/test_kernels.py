@@ -1584,3 +1584,28 @@ def test_aria_adversarial_probes_degrade_not_fail():
                  b"<div role='banana'>x</div></div></div>"):
         rec = extract_document("https://x/d", html, opts)
         assert rec["status"] == "ok" and rec["n_tables"] == 0
+
+
+def test_bpe_oracle_encode_pass_cap_never_binds():
+    """The generated doc_bpe_real DuckDB oracle unrolls greedy encoding
+    into a FIXED number of passes (10).  A pass with no applicable merge
+    is an exact no-op, so the unroll is exact as long as no pretoken
+    needs more passes than that — each pass strictly reduces symbol
+    count, so needed passes <= max pretoken length - 1.  Pin that bound
+    on both sf corpora (max length 8 today; if the corpus generator
+    ever produces 11+-char pretokens this fails loudly instead of the
+    oracle silently diverging)."""
+    import pandas as pd
+
+    from exstruct_spark.kernels.bpe import pretokenize
+
+    for sf in ("0.001", "0.01"):
+        df = pd.read_parquet(f"/root/testdata/sf{sf}/documents.parquet")
+        max_len = max(
+            (len(w) for t in df["text"].fillna("") for w in pretokenize(t)),
+            default=0,
+        )
+        assert max_len <= 11, (
+            f"sf{sf} max pretoken length {max_len} exceeds the oracle's "
+            "10-pass encode unroll; raise n_enc_passes in _sql_doc_bpe_real"
+        )
