@@ -58,11 +58,45 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_control_ms(units: int = 40) -> float:
+    """Self-calibrating drift control (VERDICT r4): one FROZEN
+    single-thread workload — stdlib-only, independent of the repo's
+    code, identical bytes every round — timed best-of-3 alongside every
+    bench run.  This host's single-core speed drifts ±35% across hours
+    (BENCH/BASELINE.md round-4 distribution table); this number moves
+    with the HOST, never with HEAD, so a reader can divide it out:
+    interpretation rule in BENCH/BASELINE.md ('bench window
+    calibration').  One unit = sha256 + zlib.compress over a fixed
+    64 KiB block + a 20k-iteration pure-Python accumulate — roughly the
+    byte-hash / inflate / interpreter mix of one document's kernel
+    work."""
+    import hashlib
+    import zlib
+
+    block = bytes(range(256)) * 256  # 64 KiB, constant forever
+    best = None
+    for _ in range(3):
+        t0 = time.monotonic()
+        acc = 0
+        for i in range(units):
+            h = hashlib.sha256(block).digest()
+            z = zlib.compress(block, 6)
+            acc += h[0] + len(z)
+            for j in range(20_000):
+                acc += j & 7
+        dt = (time.monotonic() - t0) * 1000.0 / units
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(2000, int(200000 * sf)))))
+
+    # drift control BEFORE Spark spins up (quiet machine, single thread)
+    control_ms = _host_control_ms()
 
     spark = default_session(
         app="exstruct-bench",
@@ -113,6 +147,7 @@ def main() -> None:
                 "extract_docs": n_ok,
                 "extract_docs_per_sec": docs_per_sec,
                 "cpus": cpus,
+                "control_ms_per_doc": control_ms,
             }
         )
     )

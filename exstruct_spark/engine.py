@@ -580,3 +580,82 @@ class ExtractionJob:
             "patched_urls": n_patch,
             "buckets_refreshed": affected,
         }
+
+    def apply_cell_edits(
+        self, edits: dict, input_snapshot: str = "static"
+    ) -> dict:
+        """Cell-level edit surface (X8 residual, VERDICT r4 #4): the
+        reference's typed op family (edit/types.py:7-29 — set_value,
+        set_fill_color, ... with applied/skipped statuses) compiled
+        onto ``apply_patch``'s bucket-scoped refresh.
+
+        ``edits`` maps url -> op list (``kernels/edits.py`` dicts, e.g.
+        ``{"op": "set_value", "table": 0, "row": 1, "col": 2,
+        "value": 9.5}``).  The staged documents are patched by pure
+        HTML-splicing functions inside one Arrow batch stage, then the
+        standard patch path re-extracts ONLY the affected buckets —
+        untouched buckets stay byte-identical, and the edited documents
+        flow through the exact extraction every other document gets.
+
+        An editing-session surface, not a bulk path: the edit set is
+        driver-bounded (url list broadcast; per-op statuses collected
+        back — the reference's PatchResult analogue).  Documents are
+        UTF-8 re-encoded on edit (the reference's editor likewise
+        rewrites its container).  Returns apply_patch's summary plus
+        ``op_status`` per url and ``missing_urls`` (edits addressed at
+        urls the snapshot does not contain — the whole-url analogue of
+        a skipped op)."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from exstruct_spark.kernels.dom import decode_html_bytes
+        from exstruct_spark.kernels.edits import apply_ops
+
+        staged_path = self._staged_path(input_snapshot)
+        fs, hpath = self._fs(staged_path + "/_SUCCESS")
+        if not fs.exists(hpath):
+            raise ValueError(
+                f"no completed staging for snapshot {input_snapshot!r} — "
+                "cell edits require a prior run(stage_input=True)"
+            )
+        urls = sorted(edits)
+        ops_json = {u: _json.dumps(list(ops)) for u, ops in edits.items()}
+        bc = self.spark.sparkContext.broadcast(ops_json)
+        base = (
+            self.spark.read.parquet(staged_path)
+            .where(F.col("url").isin(urls))
+            .drop("url_bucket")
+        )
+        out_schema = T.StructType(
+            list(base.schema.fields)
+            + [T.StructField("op_status", T.StringType())]
+        )
+
+        def patch_batches(batches: Iterator[pd.DataFrame]):
+            ops_map = bc.value
+            for pdf in batches:
+                htmls = []
+                statuses = []
+                for url, hb in zip(pdf["url"], pdf["html"]):
+                    text = decode_html_bytes(
+                        bytes(hb) if hb is not None else b"")
+                    new, st = apply_ops(text, _json.loads(ops_map[url]))
+                    htmls.append(bytearray(new.encode("utf-8")))
+                    statuses.append(_json.dumps(st))
+                out = pdf.copy()
+                out["html"] = htmls
+                out["op_status"] = statuses
+                yield out
+
+        patched = base.mapInPandas(
+            patch_batches, schema=out_schema).localCheckpoint()
+        status_rows = patched.select("url", "op_status").collect()
+        summary = self.apply_patch(
+            patched.drop("op_status"), input_snapshot)
+        summary["op_status"] = {
+            r["url"]: _json.loads(r["op_status"]) for r in status_rows
+        }
+        summary["missing_urls"] = sorted(
+            set(urls) - {r["url"] for r in status_rows})
+        return summary

@@ -7,10 +7,15 @@ typographic rasterizer exists here, so the Spark-first twin renders the
 STRUCTURAL content this engine actually extracts — the cell grid,
 background fills (colors_map), merged ranges and per-cell ink density —
 onto a numpy canvas and emits real PNG bytes through the repo's own
-encoder (kernels/png.py).  Deliberate delta from the reference, stated
-plainly: this is a structural visualization (gridlines / fills / ink
-bars), not a font renderer; text glyphs are represented by an ink bar
-proportional to the cell's text length.
+encoder (kernels/png.py).  Since round 5 cell TEXT renders too, via a
+stdlib 5x7 bitmap font (classic HD44780-style public patterns — digits,
+A-Z with lowercase folded up, common punctuation; anything else draws a
+hollow box), so the PNGs are legible, not just structural.  Remaining
+delta from the reference, stated plainly: fixed-cell bitmap glyphs, not
+typographic COM/pdfium rendering.  The ink bar under the glyph row is
+kept (text-length at a glance, and it survives cells too short for
+glyphs).  Per-image glyph budget is a cap-not-crash bound surfaced in
+the render metrics.
 
 Filename rule is reference-exact (io/__init__.py:181-184): the same
 unsafe-character class replaced by '_', with the same non-empty
@@ -36,6 +41,109 @@ _UNSAFE_RE = re.compile(r"[\\/:*?\"<>|]")
 GRID_RGB = (96, 96, 96)
 INK_RGB = (32, 32, 32)
 MERGE_RGB = (0, 64, 192)
+TEXT_RGB = (16, 16, 16)
+
+# 5x7 bitmap font, one int per row, bit 4 = leftmost column.  The
+# patterns are the classic public-domain 5x7 character-LCD shapes.
+_GLYPHS = {
+    " ": (0, 0, 0, 0, 0, 0, 0),
+    "0": (0b01110, 0b10001, 0b10011, 0b10101, 0b11001, 0b10001, 0b01110),
+    "1": (0b00100, 0b01100, 0b00100, 0b00100, 0b00100, 0b00100, 0b01110),
+    "2": (0b01110, 0b10001, 0b00001, 0b00010, 0b00100, 0b01000, 0b11111),
+    "3": (0b11111, 0b00010, 0b00100, 0b00010, 0b00001, 0b10001, 0b01110),
+    "4": (0b00010, 0b00110, 0b01010, 0b10010, 0b11111, 0b00010, 0b00010),
+    "5": (0b11111, 0b10000, 0b11110, 0b00001, 0b00001, 0b10001, 0b01110),
+    "6": (0b00110, 0b01000, 0b10000, 0b11110, 0b10001, 0b10001, 0b01110),
+    "7": (0b11111, 0b00001, 0b00010, 0b00100, 0b01000, 0b01000, 0b01000),
+    "8": (0b01110, 0b10001, 0b10001, 0b01110, 0b10001, 0b10001, 0b01110),
+    "9": (0b01110, 0b10001, 0b10001, 0b01111, 0b00001, 0b00010, 0b01100),
+    "A": (0b01110, 0b10001, 0b10001, 0b11111, 0b10001, 0b10001, 0b10001),
+    "B": (0b11110, 0b10001, 0b10001, 0b11110, 0b10001, 0b10001, 0b11110),
+    "C": (0b01110, 0b10001, 0b10000, 0b10000, 0b10000, 0b10001, 0b01110),
+    "D": (0b11100, 0b10010, 0b10001, 0b10001, 0b10001, 0b10010, 0b11100),
+    "E": (0b11111, 0b10000, 0b10000, 0b11110, 0b10000, 0b10000, 0b11111),
+    "F": (0b11111, 0b10000, 0b10000, 0b11110, 0b10000, 0b10000, 0b10000),
+    "G": (0b01110, 0b10001, 0b10000, 0b10111, 0b10001, 0b10001, 0b01111),
+    "H": (0b10001, 0b10001, 0b10001, 0b11111, 0b10001, 0b10001, 0b10001),
+    "I": (0b01110, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0b01110),
+    "J": (0b00111, 0b00010, 0b00010, 0b00010, 0b00010, 0b10010, 0b01100),
+    "K": (0b10001, 0b10010, 0b10100, 0b11000, 0b10100, 0b10010, 0b10001),
+    "L": (0b10000, 0b10000, 0b10000, 0b10000, 0b10000, 0b10000, 0b11111),
+    "M": (0b10001, 0b11011, 0b10101, 0b10101, 0b10001, 0b10001, 0b10001),
+    "N": (0b10001, 0b10001, 0b11001, 0b10101, 0b10011, 0b10001, 0b10001),
+    "O": (0b01110, 0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b01110),
+    "P": (0b11110, 0b10001, 0b10001, 0b11110, 0b10000, 0b10000, 0b10000),
+    "Q": (0b01110, 0b10001, 0b10001, 0b10001, 0b10101, 0b10010, 0b01101),
+    "R": (0b11110, 0b10001, 0b10001, 0b11110, 0b10100, 0b10010, 0b10001),
+    "S": (0b01111, 0b10000, 0b10000, 0b01110, 0b00001, 0b00001, 0b11110),
+    "T": (0b11111, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100),
+    "U": (0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b01110),
+    "V": (0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b01010, 0b00100),
+    "W": (0b10001, 0b10001, 0b10001, 0b10101, 0b10101, 0b10101, 0b01010),
+    "X": (0b10001, 0b10001, 0b01010, 0b00100, 0b01010, 0b10001, 0b10001),
+    "Y": (0b10001, 0b10001, 0b10001, 0b01010, 0b00100, 0b00100, 0b00100),
+    "Z": (0b11111, 0b00001, 0b00010, 0b00100, 0b01000, 0b10000, 0b11111),
+    ".": (0, 0, 0, 0, 0, 0b01100, 0b01100),
+    ",": (0, 0, 0, 0, 0b01100, 0b00100, 0b01000),
+    ":": (0, 0b01100, 0b01100, 0, 0b01100, 0b01100, 0),
+    ";": (0, 0b01100, 0b01100, 0, 0b01100, 0b00100, 0b01000),
+    "!": (0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0, 0b00100),
+    "?": (0b01110, 0b10001, 0b00001, 0b00010, 0b00100, 0, 0b00100),
+    "-": (0, 0, 0, 0b11111, 0, 0, 0),
+    "+": (0, 0b00100, 0b00100, 0b11111, 0b00100, 0b00100, 0),
+    "*": (0, 0b10101, 0b01110, 0b11111, 0b01110, 0b10101, 0),
+    "/": (0b00001, 0b00001, 0b00010, 0b00100, 0b01000, 0b10000, 0b10000),
+    "=": (0, 0, 0b11111, 0, 0b11111, 0, 0),
+    "<": (0b00010, 0b00100, 0b01000, 0b10000, 0b01000, 0b00100, 0b00010),
+    ">": (0b01000, 0b00100, 0b00010, 0b00001, 0b00010, 0b00100, 0b01000),
+    "(": (0b00010, 0b00100, 0b01000, 0b01000, 0b01000, 0b00100, 0b00010),
+    ")": (0b01000, 0b00100, 0b00010, 0b00010, 0b00010, 0b00100, 0b01000),
+    "%": (0b11000, 0b11001, 0b00010, 0b00100, 0b01000, 0b10011, 0b00011),
+    "#": (0b01010, 0b01010, 0b11111, 0b01010, 0b11111, 0b01010, 0b01010),
+    "$": (0b00100, 0b01111, 0b10100, 0b01110, 0b00101, 0b11110, 0b00100),
+    "'": (0b00100, 0b00100, 0b01000, 0, 0, 0, 0),
+    '"': (0b01010, 0b01010, 0, 0, 0, 0, 0),
+    "_": (0, 0, 0, 0, 0, 0, 0b11111),
+    "&": (0b01100, 0b10010, 0b10100, 0b01000, 0b10101, 0b10010, 0b01101),
+    "@": (0b01110, 0b10001, 0b00001, 0b01101, 0b10101, 0b10101, 0b01110),
+    "[": (0b01110, 0b01000, 0b01000, 0b01000, 0b01000, 0b01000, 0b01110),
+    "]": (0b01110, 0b00010, 0b00010, 0b00010, 0b00010, 0b00010, 0b01110),
+}
+# any character outside the table renders as a hollow box
+_BOX_GLYPH = (0b11111, 0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b11111)
+GLYPH_W, GLYPH_H, GLYPH_ADVANCE = 5, 7, 6
+
+
+def _glyph_bits(ch: str):
+    g = _GLYPHS.get(ch)
+    if g is None:
+        g = _GLYPHS.get(ch.upper(), _BOX_GLYPH)
+    return g
+
+
+def draw_text(img: np.ndarray, y: int, x: int, text: str, rgb,
+              x_limit: int, budget: int):
+    """Draw ``text`` in the 5x7 font at (y, x), advancing 6 px per
+    glyph, stopping at ``x_limit`` (right clip) or when the glyph
+    ``budget`` runs out.  Returns (glyphs drawn, budget hit?) — a width
+    clip is normal layout, a budget stop is a logged cap."""
+    drawn = 0
+    for ch in text:
+        if x + GLYPH_W > x_limit:
+            break
+        if budget - drawn <= 0:
+            return drawn, True
+        if ch != " ":  # spaces advance but cost nothing
+            rows = _glyph_bits(ch)
+            for ry, bits in enumerate(rows):
+                if not bits:
+                    continue
+                for cx in range(GLYPH_W):
+                    if bits & (1 << (GLYPH_W - 1 - cx)):
+                        img[y + ry, x + cx] = rgb
+        x += GLYPH_ADVANCE
+        drawn += 1
+    return drawn, False
 
 
 def sanitize_filename(name: str) -> str:
@@ -56,15 +164,31 @@ def _hex_rgb(h: str):
 
 
 def render_table_png(
-    table: dict, cell_w: int = 24, cell_h: int = 12, max_px: int = 1 << 22
+    table: dict, cell_w: int = 24, cell_h: int = 12, max_px: int = 1 << 22,
+    max_glyphs: int = 4096,
 ) -> np.ndarray:
-    """One extracted table dict -> (H, W, 3) uint8 raster.
+    """One extracted table dict -> (H, W, 3) uint8 raster (see
+    ``render_table_png_stats`` for the glyph accounting)."""
+    return render_table_png_stats(table, cell_w, cell_h, max_px,
+                                  max_glyphs)[0]
+
+
+def render_table_png_stats(
+    table: dict, cell_w: int = 24, cell_h: int = 12, max_px: int = 1 << 22,
+    max_glyphs: int = 4096,
+):
+    """One extracted table dict -> ((H, W, 3) uint8 raster, glyphs
+    drawn, glyph budget truncated?).
 
     Layout: white canvas, 1-px gridlines on every cell boundary, cell
-    backgrounds from ``colors_map``, a bottom-aligned ink bar whose
-    width tracks the cell text length (capped at the cell), and a
-    merged-range overlay outline.  ``max_px`` is the same
-    caps-not-crashes bound the decoders use."""
+    backgrounds from ``colors_map``, the cell text in the 5x7 bitmap
+    font (clipped to the cell; skipped entirely when the cell is too
+    short for a glyph row), a bottom-aligned ink bar whose width tracks
+    the cell text length, and a merged-range overlay outline.
+    ``max_px`` and ``max_glyphs`` are the same caps-not-crashes bounds
+    the decoders use — when the glyph budget runs out remaining cells
+    render bars only, and the truncation flag surfaces in the render
+    metrics instead of failing the task."""
     r1, c1, r2, c2 = parse_range_zero_based(table.get("range") or "")
     n_rows, n_cols = r2 - r1 + 1, c2 - c1 + 1
     h, w = n_rows * cell_h + 1, n_cols * cell_w + 1
@@ -83,7 +207,10 @@ def render_table_png(
                 img[rr * cell_h + 1:(rr + 1) * cell_h,
                     cc * cell_w + 1:(cc + 1) * cell_w] = rgb
 
-    # ink bars: text length -> bar width along the cell bottom
+    # cell text (5x7 glyphs) + ink bars along the cell bottom
+    glyphs_drawn = 0
+    glyphs_truncated = False
+    glyph_room = cell_h >= GLYPH_H + 4  # glyph row + padding + bar
     for row in table.get("rows") or []:
         rr = int(row.get("r", 0)) - 1 - r1
         if not 0 <= rr < n_rows:
@@ -95,7 +222,19 @@ def render_table_png(
                 continue  # alpha_keys mode: letters; render numeric only
             if not 0 <= cc < n_cols or val is None:
                 continue
-            frac = min(len(str(val)), 10) / 10.0
+            text = str(val)
+            if glyph_room:
+                budget = max_glyphs - glyphs_drawn
+                if budget <= 0:
+                    glyphs_truncated = True
+                else:
+                    n, hit = draw_text(
+                        img, rr * cell_h + 2, cc * cell_w + 2, text,
+                        TEXT_RGB, (cc + 1) * cell_w - 1, budget,
+                    )
+                    glyphs_drawn += n
+                    glyphs_truncated = glyphs_truncated or hit
+            frac = min(len(text), 10) / 10.0
             bar = max(1, int((cell_w - 4) * frac))
             y = rr * cell_h + cell_h - 3
             x = cc * cell_w + 2
@@ -123,14 +262,17 @@ def render_table_png(
         img[y1, x0:x1 + 1] = MERGE_RGB
         img[y0:y1 + 1, x0] = MERGE_RGB
         img[y0:y1 + 1, x1] = MERGE_RGB
-    return img
+    return img, glyphs_drawn, glyphs_truncated
 
 
 def render_doc_tables(url: str, extraction_json: str) -> list:
-    """All tables of one document -> [(file_name, png_bytes, w, h)],
-    ordered by table id with the reference's ordered-numbered naming
-    shape (``{safe}_{index}_t{id}.png`` — render/__init__.py:640-658
-    keeps outputs ordered and collision-free the same way)."""
+    """All tables of one document -> [(file_name, png_bytes, w, h,
+    n_glyphs, glyphs_truncated)], ordered by table id with the
+    reference's ordered-numbered naming shape
+    (``{safe}_{index}_t{id}.png`` — render/__init__.py:640-658 keeps
+    outputs ordered and collision-free the same way).  The glyph count
+    and cap flag are the render metrics (O3 discipline: caps are
+    logged, never silent)."""
     import json
 
     try:
@@ -146,9 +288,10 @@ def render_doc_tables(url: str, extraction_json: str) -> list:
     out = []
     for i, table in enumerate(ex.get("tables") or []):
         try:
-            img = render_table_png(table)
+            img, n_glyphs, truncated = render_table_png_stats(table)
         except ValueError:
             continue  # fallback-not-fail: unrenderable table is skipped
         name = f"{base}_{i:03d}_t{table.get('id', i)}.png"
-        out.append((name, encode_png(img), img.shape[1], img.shape[0]))
+        out.append((name, encode_png(img), img.shape[1], img.shape[0],
+                    n_glyphs, truncated))
     return out

@@ -55,17 +55,22 @@ def render_tables_stage(
         for pdf in batches:
             rows = []
             for url, ejson in zip(pdf[url_col], pdf[json_col]):
-                for name, png, w, h in render_doc_tables(url, ejson):
-                    rows.append((url, name, bytearray(png), w, h))
+                for (name, png, w, h, n_glyphs,
+                     truncated) in render_doc_tables(url, ejson):
+                    rows.append(
+                        (url, name, bytearray(png), w, h, n_glyphs,
+                         truncated))
             yield pd.DataFrame(
                 rows,
-                columns=["url", "file_name", "png", "width", "height"],
+                columns=["url", "file_name", "png", "width", "height",
+                         "n_glyphs", "glyphs_truncated"],
             )
 
     return extracted.select(url_col, json_col).mapInPandas(
         run,
         schema="url string, file_name string, png binary, "
-               "width int, height int",
+               "width int, height int, n_glyphs int, "
+               "glyphs_truncated boolean",
     )
 
 

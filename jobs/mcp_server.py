@@ -126,8 +126,10 @@ def _call_render_table_images(args: dict) -> dict:
                            ExtractOptions())
     images = [
         {"file_name": name, "width": w, "height": h,
+         "n_glyphs": n_glyphs, "glyphs_truncated": truncated,
          "png_base64": base64.b64encode(png).decode("ascii")}
-        for name, png, w, h in render_doc_tables(url, rec["extraction_json"])
+        for name, png, w, h, n_glyphs, truncated
+        in render_doc_tables(url, rec["extraction_json"])
     ]
     return {"n_images": len(images), "images": images}
 

@@ -1609,3 +1609,60 @@ def test_bpe_oracle_encode_pass_cap_never_binds():
             f"sf{sf} max pretoken length {max_len} exceeds the oracle's "
             "10-pass encode unroll; raise n_enc_passes in _sql_doc_bpe_real"
         )
+
+
+def test_cell_edit_ops_kernel():
+    """kernels/edits.py: the op family splices the right byte spans —
+    nested tables don't confuse row/cell addressing, omitted </tr> is
+    tolerated, unknown ops and bad addresses skip without aborting
+    (reference edit/types.py PatchStatus parity)."""
+    from exstruct_spark.kernels.edits import apply_ops
+
+    inner = "<table><tr><td>i1</td></tr></table>"
+    html = (
+        "<table>"
+        f"<tr><th>h1</th><th>h2</th></tr>"
+        f"<tr><td>a{inner}</td><td>b</td></tr>"
+        "<tr><td>c</td><td>d</td>"          # omitted </tr>
+        "</table>"
+    )
+    out, st = apply_ops(html, [
+        # row 2 col 1 of the OUTER table is 'd' (inner table's cells and
+        # rows must not shift the addressing)
+        {"op": "set_value", "table": 0, "row": 2, "col": 1, "value": "<D&>"},
+        # the nested table is table index 1 in document order
+        {"op": "set_value", "table": 1, "row": 0, "col": 0, "value": "I"},
+        {"op": "delete_row", "table": 0, "row": 0},
+        {"op": "add_row", "table": 0, "row": 0, "values": ["x", "y"],
+         "header": True},
+        {"op": "set_link", "table": 0, "row": 0, "col": 1, "href": "/y"},
+        {"op": "set_value", "table": 0, "row": 9, "col": 0, "value": "no"},
+        {"op": "set_fill_color", "table": 0, "row": 0, "col": 0,
+         "color": "#123456"},
+    ])
+    assert st == ["applied"] * 5 + ["skipped", "applied"]
+    assert "&lt;D&amp;&gt;" in out
+    assert "<tr><td>I</td></tr>" in out.replace("</tr></table>", "</tr></table>")
+    assert "h1" not in out                       # deleted header row
+    assert '<th style="background:#123456">x</th>' in out
+    assert '<th><a href="/y">y</a></th>' in out
+    # extraction agrees with the edited structure
+    ex = extract_document("u", out.encode())
+    tabs = json.loads(ex["extraction_json"])["tables"]
+    assert tabs[0]["rows"][0]["c"]["0"] == "x"
+    assert tabs[0]["rows"][0]["links"] == {"1": "/y"}
+    assert tabs[0]["colors_map"] == {"123456": [[1, 0]]}
+
+
+def test_cell_edit_fill_color_preserves_other_styles():
+    from exstruct_spark.kernels.edits import apply_ops
+
+    html = ('<table><tr><td style="color:red;background:#000">v</td>'
+            "</tr></table>")
+    out, st = apply_ops(html, [
+        {"op": "set_fill_color", "table": 0, "row": 0, "col": 0,
+         "color": "#ffffff"},
+    ])
+    assert st == ["applied"]
+    assert "color:red" in out and "background:#ffffff" in out
+    assert "#000" not in out

@@ -74,9 +74,10 @@ def test_render_caps_and_fallbacks():
     })
     outs = render_doc_tables("https://ex.com/a", ejson)
     assert len(outs) == 1
-    name, png, w, h = outs[0]
+    name, png, w, h, n_glyphs, truncated = outs[0]
     assert name == "ex.com_a_001_t1.png"
     assert decode_png(png).shape == (h, w, 3)
+    assert n_glyphs == 1 and truncated is False   # the single "1" cell
 
 
 def test_render_stage_and_file_export(spark, tmp_path):
@@ -109,3 +110,61 @@ def test_render_stage_and_file_export(spark, tmp_path):
     with open(sample, "rb") as fh:
         img = decode_png(fh.read())
     assert img.ndim == 3
+
+
+def test_render_text_glyphs_known_pixels():
+    """The 5x7 bitmap font renders cell text deterministically: '7' has
+    a full 5-px top bar then a right-leaning stroke; '1' is a centered
+    stem.  Glyphs start at (+2, +2) inside the cell, advance 6 px, and
+    coexist with the ink bar (glyph rows end above it)."""
+    from exstruct_spark.kernels.render import TEXT_RGB
+
+    img = render_table_png({
+        "id": 0, "range": "A1:A1",
+        "rows": [{"r": 1, "c": {"0": 71}}],
+    }, cell_w=24, cell_h=12)
+    # '7' top row: bits 11111 -> x 2..6 at y=2
+    assert (img[2, 2:7] == TEXT_RGB).all()
+    # '7' second row: 00001 -> only x=6
+    assert (img[3, 6] == TEXT_RGB).all()
+    assert (img[3, 2] == (255, 255, 255)).all()
+    # '1' second glyph at x=8: top row 00100 -> x=10 only
+    assert (img[2, 10] == TEXT_RGB).all()
+    assert (img[2, 8] == (255, 255, 255)).all()
+    # ink bar still present below the glyph rows
+    assert (img[12 - 3, 2] == INK_RGB).all()
+
+
+def test_render_glyph_budget_clipping_and_short_cells():
+    from exstruct_spark.kernels.render import (
+        TEXT_RGB,
+        render_table_png_stats,
+    )
+
+    # width clip: 24-px cell fits 3 glyphs of a long value
+    img, n, trunc = render_table_png_stats({
+        "id": 0, "range": "A1:A1",
+        "rows": [{"r": 1, "c": {"0": "ABCDEFGH"}}],
+    }, cell_w=24, cell_h=12)
+    assert (n, trunc) == (3, False)
+    # glyph budget: cap at 1 glyph across the image -> truncated flag
+    img, n, trunc = render_table_png_stats({
+        "id": 0, "range": "A1:B1",
+        "rows": [{"r": 1, "c": {"0": "AB", "1": "CD"}}],
+    }, max_glyphs=1)
+    assert n == 1 and trunc is True
+    # unknown character renders the hollow-box glyph (corners inked)
+    img, n, _ = render_table_png_stats({
+        "id": 0, "range": "A1:A1",
+        "rows": [{"r": 1, "c": {"0": "é"}}],
+    })
+    assert n == 1
+    assert (img[2, 2] == TEXT_RGB).all() and (img[2, 6] == TEXT_RGB).all()
+    assert (img[8, 2] == TEXT_RGB).all()
+    # cells too short for a glyph row render bars only, never crash
+    img, n, trunc = render_table_png_stats({
+        "id": 0, "range": "A1:A1",
+        "rows": [{"r": 1, "c": {"0": "AB"}}],
+    }, cell_h=8)
+    assert (n, trunc) == (0, False)
+    assert (img[8 - 3, 2] == INK_RGB).all()

@@ -475,3 +475,81 @@ def test_apply_patch_incremental_refresh(spark, tmp_path):
     # patch without a staged snapshot is an explicit error
     with pytest.raises(ValueError, match="no completed staging"):
         job.apply_patch(patch, input_snapshot="never-ran")
+
+
+def test_apply_cell_edits_end_to_end(spark, tmp_path):
+    """X8 residual (round 5): the reference's cell-op family compiled
+    onto the bucket-scoped patch refresh.  An op list against one url
+    (a) reports per-op applied/skipped statuses, (b) refreshes ONLY
+    that url's bucket (other buckets' output files byte-untouched), and
+    (c) the refreshed extraction is BYTE-IDENTICAL to a single-process
+    application of the same ops + extraction over the same document."""
+    import glob
+    import json
+    import os
+
+    from exstruct_spark.engine import ExtractionJob
+    from exstruct_spark.kernels.dom import decode_html_bytes
+    from exstruct_spark.kernels.edits import apply_ops
+    from exstruct_spark.kernels.extract import extract_document
+    from exstruct_spark.pages import spark_rich_pages
+
+    job = ExtractionJob(
+        spark,
+        output_dir=str(tmp_path / "out"),
+        lineage_dir=str(tmp_path / "lin"),
+        metrics_dir=str(tmp_path / "met"),
+        n_buckets=8,
+    )
+    pages = spark_rich_pages(spark, 24, partitions=4)
+    job.run(pages)
+
+    # victim: a doc with a NATIVE <table> (the edit ops address table
+    # elements; aria_grid/div-grid archetypes extract tables but have
+    # no <table> markup to splice)
+    victim = (
+        pages.where(F.col("archetype") == "colored_table")
+        .select("url").orderBy("url").limit(1).collect()[0]["url"]
+    )
+    ops = [
+        {"op": "set_value", "table": 0, "row": 1, "col": 0,
+         "value": "EDITED-CELL"},
+        {"op": "add_row", "table": 0, "row": 1, "values": ["new", 42]},
+        {"op": "set_link", "table": 0, "row": 0, "col": 0,
+         "href": "/edited?x=1"},
+        {"op": "set_fill_color", "table": 0, "row": 0, "col": 0,
+         "color": "#ff8800"},
+        {"op": "set_value", "table": 99, "row": 0, "col": 0, "value": "x"},
+    ]
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(str(tmp_path / "out" / "**" / "*.parquet"),
+                           recursive=True)
+    }
+    summary = job.apply_cell_edits(
+        {victim: ops, "https://nowhere.example/missing": ops[:1]})
+    assert summary["op_status"][victim] == [
+        "applied", "applied", "applied", "applied", "skipped"]
+    assert summary["missing_urls"] == ["https://nowhere.example/missing"]
+    assert len(summary["buckets_refreshed"]) == 1
+    refreshed = set(summary["buckets_refreshed"])
+    for f, mtime in before.items():
+        bucket = int(f.split("url_bucket=")[1].split("/")[0])
+        if bucket not in refreshed and os.path.exists(f):
+            assert os.path.getmtime(f) == mtime, f
+
+    # byte-identity vs single-process application of the same ops
+    raw = bytes(
+        pages.where(F.col("url") == victim).collect()[0]["html"])
+    local_html, local_status = apply_ops(decode_html_bytes(raw), ops)
+    assert local_status == summary["op_status"][victim]
+    ref = extract_document(victim, local_html.encode("utf-8"), job.opts)
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .where(F.col("url") == victim).collect()[0]
+    )
+    assert got["extraction_json"] == ref["extraction_json"]
+    assert got["main_text"] == ref["main_text"]
+    assert got["text_sha256"] == ref["text_sha256"]
+    assert "EDITED-CELL" in got["extraction_json"]
+    assert json.loads(got["extraction_json"])["tables"][0]["colors_map"]
