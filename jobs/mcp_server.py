@@ -18,6 +18,17 @@ Tool family mirrors the reference's (same WHAT, web-document HOW):
                              the sparse rows inside the range (the
                              `read_range` twin, kernels/areas slicing).
 
+Round-5 additions (VERDICT r4 #8, reference parity):
+  * ``read_table_range`` PAGES large outputs (the reference's
+    mcp/chunk_reader.py analogue): ``page_size`` rows per response and
+    an opaque ``next_cursor`` to continue — a huge table never lands in
+    one response;
+  * ``extract_file`` reads a document from disk, CONFINED to the served
+    root (the reference's extract_runner root-path checks): the
+    resolved real path must live under ``$EXSTRUCT_MCP_ROOT`` (default:
+    the server's working directory) or the call is refused in-band —
+    symlink escapes resolve and are refused too.
+
 Scope honestly stated: this is the INTERACTIVE surface over the same
 kernels the Spark job runs; batch corpora go through
 jobs/run_extraction.py.  Single-process by design — an MCP client calls
@@ -82,7 +93,9 @@ TOOLS = [
     {
         "name": "read_table_range",
         "description": "Slice one extracted table to an A1 range "
-                       "(rows re-based when normalize=true).",
+                       "(rows re-based when normalize=true).  Large "
+                       "outputs page: at most page_size rows per "
+                       "response, continue with next_cursor.",
         "inputSchema": {
             "type": "object",
             "properties": {
@@ -90,11 +103,50 @@ TOOLS = [
                 "table_id": {"type": "integer"},
                 "range": {"type": "string"},
                 "normalize": {"type": "boolean"},
+                "page_size": {"type": "integer"},
+                "cursor": {"type": "string"},
             },
             "required": ["extraction_json", "range"],
         },
     },
+    {
+        "name": "extract_file",
+        "description": "Extract structured content from an HTML file on "
+                       "disk.  Paths are confined to the served root "
+                       "(EXSTRUCT_MCP_ROOT): anything resolving outside "
+                       "it is refused.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "path": {"type": "string"},
+                "mode": {"type": "string",
+                         "enum": ["light", "standard", "verbose"]},
+            },
+            "required": ["path"],
+        },
+    },
 ]
+
+# served root for file tools — resolved ONCE at startup so a later
+# cwd change can't move the fence
+SERVED_ROOT = os.path.realpath(os.environ.get("EXSTRUCT_MCP_ROOT", "."))
+
+
+def _confine(path: str) -> str:
+    """Resolve ``path`` (relative paths are relative to the served
+    root) and refuse anything escaping it — including ``..`` hops and
+    symlinks, because the check runs on the REAL path (the reference's
+    extract_runner confinement)."""
+    resolved = os.path.realpath(
+        path if os.path.isabs(path) else os.path.join(SERVED_ROOT, path)
+    )
+    if resolved != SERVED_ROOT and not resolved.startswith(
+        SERVED_ROOT.rstrip(os.sep) + os.sep
+    ):
+        raise ValueError(
+            f"path outside served root: {path!r} (root: {SERVED_ROOT})"
+        )
+    return resolved
 
 
 def _call_extract_html(args: dict) -> dict:
@@ -153,7 +205,47 @@ def _call_read_table_range(args: dict) -> dict:
         )
         if kept is not None:
             rows.append(kept)
-    return {"table_id": tid, "range": args["range"], "rows": rows}
+    # chunked reading (reference mcp/chunk_reader.py analogue): page the
+    # row list; the cursor is an opaque offset token, stateless on the
+    # server, so any page can be re-fetched
+    page_size = max(1, int(args.get("page_size") or 500))
+    offset = 0
+    if args.get("cursor"):
+        try:
+            offset = int(
+                base64.b64decode(args["cursor"].encode("ascii")).decode())
+        except (ValueError, UnicodeDecodeError) as exc:
+            raise ValueError(f"bad cursor: {exc}") from exc
+        if not 0 <= offset <= len(rows):
+            raise ValueError("cursor out of range")
+    page = rows[offset:offset + page_size]
+    out = {
+        "table_id": tid, "range": args["range"], "rows": page,
+        "total_rows": len(rows), "offset": offset,
+    }
+    if offset + page_size < len(rows):
+        out["next_cursor"] = base64.b64encode(
+            str(offset + page_size).encode()).decode("ascii")
+    return out
+
+
+def _call_extract_file(args: dict) -> dict:
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+
+    resolved = _confine(args["path"])
+    with open(resolved, "rb") as fh:
+        raw = fh.read()
+    opts = (ExtractOptions.from_mode(args["mode"])
+            if args.get("mode") else ExtractOptions())
+    rec = extract_document("file://" + resolved, raw, opts)
+    return {
+        "path": resolved,
+        "status": rec["status"],
+        "main_text": rec["main_text"],
+        "extraction": json.loads(rec["extraction_json"] or "{}"),
+        "truncated": bool(rec["truncated"]),
+    }
 
 
 def _call_media_probe(args: dict) -> dict:
@@ -182,6 +274,7 @@ def _call_media_probe(args: dict) -> dict:
 
 _TOOL_FNS = {
     "extract_html": _call_extract_html,
+    "extract_file": _call_extract_file,
     "media_probe": _call_media_probe,
     "render_table_images": _call_render_table_images,
     "read_table_range": _call_read_table_range,

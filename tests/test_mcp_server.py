@@ -8,12 +8,17 @@ import subprocess
 import sys
 
 
-def _rpc_session(requests):
+def _rpc_session(requests, env=None):
     """Feed newline-delimited JSON-RPC requests, return parsed replies."""
+    import os
+
+    run_env = dict(os.environ)
+    if env:
+        run_env.update(env)
     proc = subprocess.run(
         [sys.executable, "jobs/mcp_server.py"],
         input="\n".join(json.dumps(r) for r in requests) + "\n",
-        capture_output=True, text=True, timeout=120,
+        capture_output=True, text=True, timeout=120, env=run_env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     return [json.loads(line) for line in proc.stdout.strip().splitlines()]
@@ -32,7 +37,7 @@ def test_mcp_handshake_and_tools():
     assert init["result"]["serverInfo"]["name"] == "exstruct-spark"
     names = [t["name"] for t in tools["result"]["tools"]]
     assert names == ["extract_html", "render_table_images", "media_probe",
-                     "read_table_range"]
+                     "read_table_range", "extract_file"]
     assert err["error"]["code"] == -32601
 
 
@@ -113,3 +118,78 @@ def test_mcp_media_probe_real_decode():
     assert meta["media_type"] == "image/png" and meta["decoded"]
     assert (meta["width"], meta["height"]) == (13, 9)
     assert abs(meta["px_mean"] - float(round(img.mean(), 4))) < 1e-9
+
+
+def test_mcp_chunked_read_table_range(tmp_path):
+    """VERDICT r4 #8a: read_table_range pages outputs larger than one
+    response (reference mcp/chunk_reader.py analogue) — page_size rows
+    per reply, an opaque next_cursor to continue, pages concatenate to
+    the full result, and a corrupt cursor errors in-band."""
+    rows = [{"r": i + 1, "c": {"0": f"v{i}", "1": i}} for i in range(23)]
+    ejson = json.dumps({"tables": [{"id": 0, "range": "A1:B23",
+                                    "rows": rows}]})
+
+    def call(msg_id, extra):
+        args = {"extraction_json": ejson, "range": "A1:B23",
+                "page_size": 10}
+        args.update(extra)
+        return {"jsonrpc": "2.0", "id": msg_id, "method": "tools/call",
+                "params": {"name": "read_table_range", "arguments": args}}
+
+    out = _rpc_session([call(1, {})])
+    page1 = json.loads(out[0]["result"]["content"][0]["text"])
+    assert len(page1["rows"]) == 10 and page1["total_rows"] == 23
+    cur = page1["next_cursor"]
+    out = _rpc_session([call(1, {"cursor": cur})])
+    page2 = json.loads(out[0]["result"]["content"][0]["text"])
+    assert len(page2["rows"]) == 10 and page2["offset"] == 10
+    out = _rpc_session([call(1, {"cursor": page2["next_cursor"]})])
+    page3 = json.loads(out[0]["result"]["content"][0]["text"])
+    assert len(page3["rows"]) == 3 and "next_cursor" not in page3
+    assert (page1["rows"] + page2["rows"] + page3["rows"]) == rows
+    # corrupt cursor: in-band tool error, server stays up
+    out = _rpc_session([call(1, {"cursor": "!!notb64!!"}),
+                        call(2, {})])
+    assert out[0]["result"]["isError"] is True
+    assert json.loads(out[1]["result"]["content"][0]["text"])["offset"] == 0
+
+
+def test_mcp_extract_file_root_confinement(tmp_path):
+    """VERDICT r4 #8b: extract_file serves only the confined root —
+    an in-root file extracts; ../ escapes and symlinks pointing outside
+    resolve to their real path and are refused in-band."""
+    import os
+
+    root = tmp_path / "root"
+    root.mkdir()
+    (root / "doc.html").write_text(
+        "<html><body><table><tr><td>a</td><td>1</td></tr>"
+        "<tr><td>b</td><td>2</td></tr><tr><td>c</td><td>3</td></tr>"
+        "</table></body></html>")
+    secret = tmp_path / "secret.html"
+    secret.write_text("<html><body><p>outside</p></body></html>")
+    os.symlink(secret, root / "leak.html")
+    env = {"EXSTRUCT_MCP_ROOT": str(root)}
+
+    def call(msg_id, path):
+        return {"jsonrpc": "2.0", "id": msg_id, "method": "tools/call",
+                "params": {"name": "extract_file",
+                           "arguments": {"path": path}}}
+
+    out = _rpc_session([
+        call(1, "doc.html"),                       # relative, in root
+        call(2, str(root / "doc.html")),           # absolute, in root
+        call(3, "../secret.html"),                 # .. escape
+        call(4, str(secret)),                      # absolute outside
+        call(5, "leak.html"),                      # symlink escape
+        call(6, "missing.html"),                   # absent but in-root
+    ], env=env)
+    ok1 = json.loads(out[0]["result"]["content"][0]["text"])
+    ok2 = json.loads(out[1]["result"]["content"][0]["text"])
+    assert ok1["extraction"]["tables"][0]["range"] == "A1:B3"
+    assert ok2["extraction"]["tables"][0]["range"] == "A1:B3"
+    for i in (2, 3, 4):
+        assert out[i]["result"]["isError"] is True
+        assert "outside served root" in out[i]["result"]["content"][0]["text"]
+    assert out[5]["result"]["isError"] is True   # FileNotFoundError in-band
+    assert "outside" not in out[5]["result"]["content"][0]["text"]
