@@ -5,8 +5,11 @@ compositing (LZW, kernels/gif.py), JPEG — baseline AND progressive
 SOF2 with successive approximation (Huffman + IDCT, kernels/jpeg.py —
 spec-pinned against real third-party baseline and progressive
 vectors), and WAV/PCM audio (RIFF byte-walk + signal stats).
-Remaining formats (WebP, compressed audio, video containers) are
-stubbed or sniff-only.
+WebP and MP3 get REAL header metadata (genuine dimensions / variant /
+flags, sample rate / duration — ``parse_webp_meta`` /
+``parse_mp3_header``) with ``decoded`` honestly False; remaining
+formats (video containers, other compressed audio) are stubbed or
+sniff-only.
 
 Design (per the engine's training-data-pipeline charter): media travels
 as an opaque ``binary`` column + typed metadata struct.  Everything that
@@ -17,8 +20,8 @@ actual pixel decode, box-average resize, luminance-grid features, and
 (animated GIF) real-pixel frame sampling (the reference's analogue:
 drawing bytes are really parsed, never synthesized —
 core/ooxml_drawing.py:186-257).  The remaining codec-dependent steps
-(WebP decode, mp4/webm frame sampling, compressed audio) are STUBS or
-sniff-only — those libraries are not in this
+(WebP pixel decode, mp4/webm frame sampling, compressed audio) are
+STUBS or sniff-only — those libraries are not in this
 container — exposed behind an explicit ``fake`` mode (deterministic
 synthetic output, keyed by content hash, so the Spark-side
 schema/partitioning/batch plumbing is testable end-to-end) or
@@ -295,6 +298,78 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(hdr) + len(pcm)) + hdr + pcm
 
 
+def parse_webp_meta(raw: bytes) -> dict:
+    """REAL WebP container/bitstream-header metadata — the same honest
+    tier as ``parse_mp3_header``: genuine dimensions, variant and
+    feature flags from the actual bytes (RIFF chunk walk + the VP8
+    keyframe header / VP8L bitstream header / VP8X canvas), while
+    ``decoded`` stays False because no pixel decoder exists here (VP8
+    needs a boolean-coder DCT decoder; fabricating pixels is exactly
+    what strict mode forbids).  Raises ValueError on anything
+    malformed."""
+    import struct
+    if len(raw) < 16 or raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+    width = height = None
+    variant = None
+    has_alpha = False
+    has_animation = False
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        body = raw[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WebP chunk")
+        if cid == b"VP8X":
+            if size < 10:
+                raise ValueError("short VP8X chunk")
+            flags = body[0]
+            has_alpha = has_alpha or bool(flags & 0x10)
+            has_animation = bool(flags & 0x02)
+            width = 1 + int.from_bytes(body[4:7], "little")
+            height = 1 + int.from_bytes(body[7:10], "little")
+            variant = variant or "extended"
+        elif cid == b"VP8 ":
+            if size < 10:
+                raise ValueError("short VP8 chunk")
+            tag = int.from_bytes(body[0:3], "little")
+            keyframe = (tag & 1) == 0
+            if keyframe:
+                if body[3:6] != b"\x9d\x01\x2a":
+                    raise ValueError("bad VP8 keyframe start code")
+                w = int.from_bytes(body[6:8], "little") & 0x3FFF
+                h = int.from_bytes(body[8:10], "little") & 0x3FFF
+                # VP8X canvas (when present) is authoritative for the
+                # composed image; frame dims fill in for simple files
+                if width is None:
+                    width, height = w, h
+            variant = "lossy" if variant is None else variant + "+lossy"
+        elif cid == b"VP8L":
+            if size < 5 or body[0] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            bits = int.from_bytes(body[1:5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            has_alpha = has_alpha or bool((bits >> 28) & 1)
+            if width is None:
+                width, height = w, h
+            variant = ("lossless" if variant is None
+                       else variant + "+lossless")
+        elif cid == b"ALPH":
+            has_alpha = True
+        elif cid == b"ANIM":
+            has_animation = True
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if width is None or variant is None:
+        raise ValueError("no VP8/VP8L/VP8X image chunk found")
+    return {
+        "width": int(width), "height": int(height),
+        "variant": variant, "has_alpha": has_alpha,
+        "has_animation": has_animation,
+    }
+
+
 def frame_sample_stub(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list:
     """STUB video frame sampling: deterministic per-frame fingerprints."""
     if mode == "strict":
@@ -416,6 +491,36 @@ def media_meta_pdf(
             "duration_s": None,
             "rms": None,
         }
+        if mtype == "image/webp":
+            # REAL container/bitstream-header metadata (the mp3-tier
+            # treatment): genuine dimensions + variant from the actual
+            # VP8/VP8L/VP8X headers; decoded stays False — no pixel
+            # decoder here, and strict mode forbids fabricating one.
+            # A parseable header satisfies strict with a metadata-only
+            # row (nothing is faked); a broken header degrades in fake
+            # mode, raises in strict.  Fake mode keeps the stub
+            # feature/resize plumbing so the downstream schema is
+            # exercised end-to-end.
+            try:
+                wm = parse_webp_meta(raw)
+                rec["width"], rec["height"] = wm["width"], wm["height"]
+            except ValueError:
+                if mode == "strict":
+                    raise
+                stub = decode_image_stub(raw, mode)
+                rec["width"] = stub["width"]
+                rec["height"] = stub["height"]
+            if mode != "strict":
+                w, h = rec["width"], rec["height"]
+                scale = min(1.0, 256 / max(w, h, 1))
+                rec["resized_w"] = max(1, int(w * scale))
+                rec["resized_h"] = max(1, int(h * scale))
+                rec["feature"] = image_features_stub(
+                    raw, dim=feature_dim, mode=mode)
+                rec["resized_fp"] = resize_image_stub(raw, mode=mode)[
+                    "resized_fp"]
+            out.append(rec)
+            continue
         if mtype.startswith("image/"):
             meta = decode_image(raw, mode)
             w, h = meta["width"], meta["height"]
