@@ -37,6 +37,7 @@ import pandas as pd
 
 from exstruct_spark.kernels.gif import GIF_MAGICS, decode_gif
 from exstruct_spark.kernels.jpeg import JPEG_MAGIC, decode_jpeg
+from exstruct_spark.kernels.vp8l import decode_vp8l
 from exstruct_spark.kernels.png import (
     PNG_MAGIC,
     decode_png,
@@ -65,7 +66,9 @@ def sniff_media_type(raw: bytes) -> str:
     for magic, mtype in _MAGIC:
         if raw.startswith(magic):
             if mtype == "container/riff" and len(raw) >= 12:
-                sub = raw[8:12]
+                # bytes() so bytearray inputs (Arrow binary columns
+                # surface as either) hash in the lookup
+                sub = bytes(raw[8:12])
                 return {
                     b"WAVE": "audio/wav",
                     b"AVI ": "video/avi",
@@ -151,6 +154,17 @@ def decode_image(raw: bytes, mode: str = "fake") -> dict:
     elif raw[:3] == JPEG_MAGIC:
         try:
             real_px = decode_jpeg(raw)
+            n_frames = 1
+        except ValueError:
+            if mode == "strict":
+                raise
+    elif raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        # lossless (VP8L) decodes for real; lossy VP8 raises ValueError
+        # inside decode_vp8l, so strict refuses and fake degrades —
+        # alpha is dropped here for parity with the other codecs' RGB
+        # pixel-stat path (decode_vp8l itself returns RGBA)
+        try:
+            real_px = np.ascontiguousarray(decode_vp8l(raw)[:, :, :3])
             n_frames = 1
         except ValueError:
             if mode == "strict":
@@ -492,15 +506,40 @@ def media_meta_pdf(
             "rms": None,
         }
         if mtype == "image/webp":
-            # REAL container/bitstream-header metadata (the mp3-tier
-            # treatment): genuine dimensions + variant from the actual
-            # VP8/VP8L/VP8X headers; decoded stays False — no pixel
-            # decoder here, and strict mode forbids fabricating one.
-            # A parseable header satisfies strict with a metadata-only
-            # row (nothing is faked); a broken header degrades in fake
-            # mode, raises in strict.  Fake mode keeps the stub
-            # feature/resize plumbing so the downstream schema is
-            # exercised end-to-end.
+            # LOSSLESS (VP8L) decodes for REAL (kernels/vp8l.py — LZ77 +
+            # prefix codes + all four transforms, pinned byte-identical
+            # to libwebp in pytest): genuine pixels, stats, features.
+            # Lossy VP8 / animations get the mp3-tier honest treatment:
+            # REAL header metadata (dims, variant, flags) with decoded
+            # False — a boolean-coder DCT decoder doesn't exist here
+            # and strict mode forbids fabricating pixels.
+            rgb = None
+            try:
+                rgb = np.ascontiguousarray(decode_vp8l(raw)[:, :, :3])
+            except ValueError:
+                rgb = None
+            if rgb is not None:
+                h2, w2 = rgb.shape[:2]
+                rec["width"], rec["height"] = w2, h2
+                scale = min(1.0, 256 / max(w2, h2, 1))
+                rw = max(1, int(w2 * scale))
+                rh = max(1, int(h2 * scale))
+                rec["resized_w"], rec["resized_h"] = rw, rh
+                rec["decoded"] = True
+                rec["px_mean"] = float(round(rgb.mean(), 4))
+                rec["px_std"] = float(round(rgb.std(), 4))
+                rec["feature"] = luma_grid_features(rgb, dim=feature_dim)
+                small = (rgb if (rw == w2 and rh == h2)
+                         else resize_box(rgb, rh, rw))
+                rec["resized_fp"] = hashlib.sha256(
+                    small.tobytes()).hexdigest()[:12]
+                out.append(rec)
+                continue
+            # header-metadata tier: a parseable header satisfies strict
+            # with a metadata-only row (nothing is faked); a broken
+            # header degrades in fake mode, raises in strict.  Fake mode
+            # keeps the stub feature/resize plumbing so the downstream
+            # schema is exercised end-to-end.
             try:
                 wm = parse_webp_meta(raw)
                 rec["width"], rec["height"] = wm["width"], wm["height"]

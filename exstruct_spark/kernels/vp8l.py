@@ -1,0 +1,531 @@
+"""Real WebP-lossless (VP8L) decode — stdlib + numpy only, no codec libs.
+
+Fifth real image codec (after PNG, GIF, baseline+progressive JPEG):
+WebP's lossless bitstream is LZ77 + canonical prefix codes + a color
+cache over ARGB pixels, with four invertible transforms (spatial
+predictors, color decorrelation, subtract-green, palette indexing with
+pixel bundling) and an optional meta-prefix entropy image.  Everything
+here is implemented from the public bitstream format; nothing is
+copied from any decoder.
+
+Verification standard (same as the JPEG spec-pin): the system's
+libwebp — a REAL third-party codec, loaded via ctypes at TEST time,
+never linked here — both generates encoder-grade vectors
+(``WebPEncodeLosslessRGB[A]``) and serves as the pixel oracle
+(``WebPDecodeRGBA``); pytest pins this decoder byte-identical to it
+across photos, gradients, palettes at every bundling width, and alpha.
+The 120-entry distance-to-neighbor table below is the spec's table,
+derived BEHAVIORALLY: 120 hand-crafted single-backward-reference
+streams were decoded with libwebp and the copied pixel observed
+(scripts cannot guess it wrong — the pytest re-derivation would fail).
+
+Scope (honest limits, ValueError beyond them):
+  * VP8L version 0 (the only deployed version), all four transforms,
+    meta prefix codes, color cache, LZ77 over the full window;
+  * NOT lossy VP8 (boolean-coder DCT — a different codec entirely),
+    NOT animations (ANMF frames carry their own VP8/VP8L payloads).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAX_PIXELS = 64_000_000
+
+# distance code 1..120 -> (dx, dy) close-neighborhood offsets
+# (T.81-style public constant from the WebP lossless specification)
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+# code-length-code symbol transmission order (shared with DEFLATE-style
+# schemes; public spec constant)
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15]
+
+
+class _Bits:
+    """LSB-first bit reader over the VP8L payload.  Fixed-width fields
+    read low-bit-first; prefix codes read bit by bit, each new bit
+    extending the code at the low end of the traversal (MSB-first code
+    accumulation, the DEFLATE convention)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0  # bit position
+        self.nbits = len(data) * 8
+
+    def u(self, n: int) -> int:
+        p = self.pos
+        if p + n > self.nbits:
+            raise ValueError("VP8L bitstream truncated")
+        v = 0
+        for i in range(n):
+            v |= ((self.d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        self.pos = p + n
+        return v
+
+    def bit(self) -> int:
+        p = self.pos
+        if p >= self.nbits:
+            raise ValueError("VP8L bitstream truncated")
+        self.pos = p + 1
+        return (self.d[p >> 3] >> (p & 7)) & 1
+
+    def read_code(self, tree):
+        kind, payload = tree
+        if kind == "single":
+            return payload
+        code = 0
+        for length in range(1, 16):
+            code = (code << 1) | self.bit()
+            sym = payload.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid prefix code")
+
+
+def _canon_table(lengths: dict):
+    """{symbol: length>0} -> decode tree.  Canonical assignment: codes
+    in (length, symbol) order — the construction libwebp accepted for
+    every probe stream, i.e. the spec's."""
+    nonzero = {s: l for s, l in lengths.items() if l > 0}
+    if not nonzero:
+        raise ValueError("empty prefix code")
+    if len(nonzero) == 1:
+        return ("single", next(iter(nonzero)))
+    maxlen = max(nonzero.values())
+    if maxlen > 15:
+        raise ValueError("prefix code length > 15")
+    bl_count = [0] * (maxlen + 1)
+    for l in nonzero.values():
+        bl_count[l] += 1
+    # completeness check (kraft sum == 1): an over-subscribed or
+    # incomplete code is a malformed stream
+    kraft = 0
+    for l, c in enumerate(bl_count[1:], start=1):
+        kraft += c << (maxlen - l)
+    if kraft != (1 << maxlen):
+        raise ValueError("invalid prefix code (kraft)")
+    next_code = [0] * (maxlen + 1)
+    code = 0
+    for l in range(1, maxlen + 1):
+        code = (code + bl_count[l - 1]) << 1
+        next_code[l] = code
+    table = {}
+    for sym in sorted(nonzero):
+        l = nonzero[sym]
+        table[(l, next_code[l])] = sym
+        next_code[l] += 1
+    return ("table", table)
+
+
+def _read_prefix_code(br: _Bits, alphabet_size: int):
+    if br.bit():  # simple code: 1 or 2 symbols, lengths {0} or {1,1}
+        n = br.bit() + 1
+        s0 = br.u(8) if br.bit() else br.u(1)
+        if n == 1:
+            return ("single", s0)
+        s1 = br.u(8)
+        if s0 == s1:
+            raise ValueError("duplicate simple-code symbol")
+        return _canon_table({s0: 1, s1: 1})
+    ncl = 4 + br.u(4)
+    cl_lengths = {}
+    for s in _CL_ORDER[:ncl]:
+        l = br.u(3)
+        if l:
+            cl_lengths[s] = l
+    cl_tree = _canon_table(cl_lengths)
+    if br.bit():
+        length_nbits = 2 + 2 * br.u(3)
+        max_symbol = 2 + br.u(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = {}
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = br.read_code(cl_tree)
+        if cl < 16:
+            if cl:
+                lengths[symbol] = cl
+                prev_len = cl
+            symbol += 1
+        else:
+            if cl == 16:
+                repeat = 3 + br.u(2)
+                fill = prev_len
+            elif cl == 17:
+                repeat = 3 + br.u(3)
+                fill = 0
+            else:
+                repeat = 11 + br.u(7)
+                fill = 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("prefix lengths overrun alphabet")
+            if fill:
+                for _ in range(repeat):
+                    lengths[symbol] = fill
+                    symbol += 1
+            else:
+                symbol += repeat
+    return _canon_table(lengths)
+
+
+def _prefix_val(slot: int, br: _Bits) -> int:
+    """LZ77 length/distance prefix decoding: 40-slot log scheme."""
+    if slot < 4:
+        return slot + 1
+    ebits = (slot - 2) >> 1
+    offset = (2 + (slot & 1)) << ebits
+    return offset + br.u(ebits) + 1
+
+
+def _subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _decode_image_stream(br: _Bits, w: int, h: int, is_root: bool):
+    """One entropy-coded ARGB image (the main image when ``is_root``,
+    else an entropy/transform/palette sub-image) -> list of w*h uint32
+    ARGB pixels in scan order."""
+    cache_bits = 0
+    if br.bit():
+        cache_bits = br.u(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color-cache size")
+    meta = None
+    meta_bits = 0
+    meta_w = 0
+    ngroups = 1
+    if is_root and br.bit():
+        meta_bits = br.u(3) + 2
+        meta_w = _subsample(w, meta_bits)
+        meta_px = _decode_image_stream(
+            br, meta_w, _subsample(h, meta_bits), False)
+        meta = [(p >> 8) & 0xFFFF for p in meta_px]
+        ngroups = max(meta) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(ngroups):
+        green = _read_prefix_code(br, 256 + 24 + cache_size)
+        red = _read_prefix_code(br, 256)
+        blue = _read_prefix_code(br, 256)
+        alpha = _read_prefix_code(br, 256)
+        dist = _read_prefix_code(br, 40)
+        groups.append((green, red, blue, alpha, dist))
+    cache = [0] * cache_size
+    shift = 32 - cache_bits if cache_bits else 0
+    n = w * h
+    px = [0] * n
+    pos = 0
+    g_green, g_red, g_blue, g_alpha, g_dist = groups[0]
+    cur_meta = -1
+    while pos < n:
+        if meta is not None:
+            x = pos % w
+            mi = ((pos // w) >> meta_bits) * meta_w + (x >> meta_bits)
+            if mi != cur_meta:
+                gi = meta[mi]
+                if gi >= ngroups:
+                    raise ValueError("meta group out of range")
+                g_green, g_red, g_blue, g_alpha, g_dist = groups[gi]
+                cur_meta = mi
+        sym = br.read_code(g_green)
+        if sym < 256:
+            # channel order in the stream is red, blue, alpha — read
+            # them in statements (an inline | expression would consume
+            # bits in evaluation order, a silent desync)
+            red = br.read_code(g_red)
+            blue = br.read_code(g_blue)
+            alpha = br.read_code(g_alpha)
+            argb = (alpha << 24) | (red << 16) | (sym << 8) | blue
+            px[pos] = argb
+            pos += 1
+            if cache_size:
+                cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> shift] = argb
+        elif sym < 280:
+            length = _prefix_val(sym - 256, br)
+            dcode = _prefix_val(br.read_code(g_dist), br)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > n:
+                raise ValueError("backward reference out of range")
+            if cache_size:
+                for _ in range(length):
+                    argb = px[pos - dist]
+                    px[pos] = argb
+                    pos += 1
+                    cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> shift] = argb
+            else:
+                for _ in range(length):
+                    px[pos] = px[pos - dist]
+                    pos += 1
+            # pixel AFTER a reference re-evaluates the meta group
+            cur_meta = -1
+        else:
+            idx = sym - 280
+            if idx >= cache_size:
+                raise ValueError("color-cache index out of range")
+            px[pos] = cache[idx]
+            pos += 1
+    return px
+
+
+def _avg2(a: int, b: int) -> int:
+    return ((((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)) & 0xFFFFFFFF
+
+
+def _clamp_add_sub_full(l, t, tl):
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _clamp_add_sub_half(ave, tl):
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 0xFF
+        d = a - ((tl >> sh) & 0xFF)
+        # C truncation toward zero for the /2
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        v = a + half
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _select(t, l, tl):
+    s = 0
+    for sh in (24, 16, 8, 0):
+        cl = (l >> sh) & 0xFF
+        ct = (t >> sh) & 0xFF
+        c = (tl >> sh) & 0xFF
+        s += abs(cl - c) - abs(ct - c)
+    return t if s <= 0 else l
+
+
+def _add_px(a: int, b: int) -> int:
+    return (((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00) | (
+        ((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF)
+
+
+def _inv_predictor(px, w, h, bits, sub, sub_w):
+    for pos in range(w * h):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = px[pos - 1]
+        elif x == 0:
+            pred = px[pos - w]
+        else:
+            mode = (sub[(y >> bits) * sub_w + (x >> bits)] >> 8) & 0xFF
+            left = px[pos - 1]
+            top = px[pos - w]
+            if mode == 0:
+                pred = 0xFF000000
+            elif mode == 1:
+                pred = left
+            elif mode == 2:
+                pred = top
+            elif mode == 3:
+                pred = px[pos - w + 1]
+            elif mode == 4:
+                pred = px[pos - w - 1]
+            elif mode == 5:
+                pred = _avg2(_avg2(left, px[pos - w + 1]), top)
+            elif mode == 6:
+                pred = _avg2(left, px[pos - w - 1])
+            elif mode == 7:
+                pred = _avg2(left, top)
+            elif mode == 8:
+                pred = _avg2(px[pos - w - 1], top)
+            elif mode == 9:
+                pred = _avg2(top, px[pos - w + 1])
+            elif mode == 10:
+                pred = _avg2(_avg2(left, px[pos - w - 1]),
+                             _avg2(top, px[pos - w + 1]))
+            elif mode == 11:
+                pred = _select(top, left, px[pos - w - 1])
+            elif mode == 12:
+                pred = _clamp_add_sub_full(left, top, px[pos - w - 1])
+            elif mode == 13:
+                pred = _clamp_add_sub_half(_avg2(left, top),
+                                           px[pos - w - 1])
+            else:
+                raise ValueError(f"bad predictor mode {mode}")
+        px[pos] = _add_px(px[pos], pred)
+    return px
+
+
+def _delta(t: int, c: int) -> int:
+    # both operands as signed int8; arithmetic shift (Python >> floors,
+    # matching the reference semantics)
+    ts = t - 256 if t > 127 else t
+    cs = c - 256 if c > 127 else c
+    return (ts * cs) >> 5
+
+
+def _inv_color_transform(px, w, h, bits, sub, sub_w):
+    for pos in range(w * h):
+        y, x = divmod(pos, w)
+        cte = sub[(y >> bits) * sub_w + (x >> bits)]
+        g2r = cte & 0xFF
+        g2b = (cte >> 8) & 0xFF
+        r2b = (cte >> 16) & 0xFF
+        argb = px[pos]
+        green = (argb >> 8) & 0xFF
+        red = ((argb >> 16) & 0xFF) + _delta(g2r, green) & 0xFF
+        blue = (((argb & 0xFF) + _delta(g2b, green)) + _delta(r2b, red)
+                ) & 0xFF
+        px[pos] = (argb & 0xFF00FF00) | (red << 16) | blue
+    return px
+
+
+def _inv_subtract_green(px):
+    for i, argb in enumerate(px):
+        g = (argb >> 8) & 0xFF
+        r = ((argb >> 16) & 0xFF) + g & 0xFF
+        b = (argb + g) & 0xFF
+        px[i] = (argb & 0xFF00FF00) | (r << 16) | b
+    return px
+
+
+def _inv_color_index(px, packed_w, w, h, palette, xbits):
+    if xbits == 0:
+        out = []
+        np_pal = len(palette)
+        for argb in px:
+            idx = (argb >> 8) & 0xFF
+            out.append(palette[idx] if idx < np_pal else 0)
+        return out
+    per = 1 << xbits
+    depth = 8 >> xbits
+    mask = (1 << depth) - 1
+    np_pal = len(palette)
+    out = [0] * (w * h)
+    for y in range(h):
+        row = y * packed_w
+        orow = y * w
+        for px_x in range(packed_w):
+            g = (px[row + px_x] >> 8) & 0xFF
+            base = px_x << xbits
+            for i in range(per):
+                x = base + i
+                if x >= w:
+                    break
+                idx = (g >> (i * depth)) & mask
+                out[orow + x] = palette[idx] if idx < np_pal else 0
+    return out
+
+
+def decode_vp8l(raw: bytes) -> np.ndarray:
+    """Full WebP container (or bare VP8L chunk payload) -> (H, W, 4)
+    uint8 RGBA.  ValueError on malformed/lossy/animated input."""
+    payload = None
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        pos = 12
+        while pos + 8 <= len(raw):
+            cid = raw[pos:pos + 4]
+            (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+            body = raw[pos + 8:pos + 8 + size]
+            if len(body) != size:
+                raise ValueError("truncated WebP chunk")
+            if cid == b"VP8L":
+                payload = body
+                break
+            if cid == b"VP8 ":
+                raise ValueError("lossy VP8 — no pixel decoder here")
+            pos += 8 + size + (size & 1)
+        if payload is None:
+            raise ValueError("no VP8L chunk")
+    elif raw[:1] == b"\x2f":
+        payload = raw
+    else:
+        raise ValueError("not a WebP/VP8L stream")
+    if len(payload) < 5 or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _Bits(payload)
+    br.u(8)
+    w = br.u(14) + 1
+    h = br.u(14) + 1
+    br.u(1)  # alpha hint
+    if br.u(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    if w * h > MAX_PIXELS:
+        raise ValueError("VP8L dimensions exceed max_pixels cap")
+    transforms = []
+    seen = set()
+    xsize = w
+    while br.bit():
+        t = br.u(2)
+        if t in seen:
+            raise ValueError("duplicate transform")
+        seen.add(t)
+        if t == 0 or t == 1:  # predictor / color transform
+            bits = br.u(3) + 2
+            sub_w = _subsample(xsize, bits)
+            sub = _decode_image_stream(br, sub_w, _subsample(h, bits),
+                                       False)
+            transforms.append(("pred" if t == 0 else "color",
+                               bits, sub, sub_w, xsize))
+        elif t == 2:
+            transforms.append(("subgreen",))
+        else:  # color indexing
+            n_colors = br.u(8) + 1
+            pal_raw = _decode_image_stream(br, n_colors, 1, False)
+            palette = [pal_raw[0] & 0xFFFFFFFF]
+            for i in range(1, n_colors):
+                palette.append(_add_px(palette[-1], pal_raw[i]))
+            xbits = (3 if n_colors <= 2 else 2 if n_colors <= 4
+                     else 1 if n_colors <= 16 else 0)
+            transforms.append(("index", xsize, palette, xbits))
+            xsize = _subsample(xsize, xbits)
+    px = _decode_image_stream(br, xsize, h, True)
+    for tf in reversed(transforms):
+        if tf[0] == "index":
+            _, orig_w, palette, xbits = tf
+            px = _inv_color_index(px, xsize, orig_w, h, palette, xbits)
+            xsize = orig_w
+        elif tf[0] == "subgreen":
+            px = _inv_subtract_green(px)
+        elif tf[0] == "pred":
+            _, bits, sub, sub_w, tw = tf
+            px = _inv_predictor(px, tw, h, bits, sub, sub_w)
+        else:
+            _, bits, sub, sub_w, tw = tf
+            px = _inv_color_transform(px, tw, h, bits, sub, sub_w)
+    arr = np.asarray(px, dtype=np.uint32).reshape(h, w)
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[:, :, 0] = (arr >> 16) & 0xFF   # R
+    out[:, :, 1] = (arr >> 8) & 0xFF    # G
+    out[:, :, 2] = arr & 0xFF           # B
+    out[:, :, 3] = (arr >> 24) & 0xFF   # A
+    return out

@@ -1,0 +1,383 @@
+"""Real WebP-lossless (VP8L) decode (kernels/vp8l.py), pinned against
+the system's libwebp — a REAL third-party codec loaded via ctypes at
+test time, never linked by the kernel — exactly the verification
+standard of the JPEG spec-pin: libwebp both encodes the vectors and
+serves as the pixel oracle, and every decode must be BYTE-identical.
+
+The distance-neighborhood table is additionally re-derived behaviorally
+in-test: 120 hand-crafted single-backward-reference streams are decoded
+by BOTH decoders, which must agree on which pixel each code copies."""
+
+import ctypes
+import struct
+
+import numpy as np
+import pytest
+
+from exstruct_spark.kernels.vp8l import _DIST_MAP, decode_vp8l
+
+
+def _load_libwebp():
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p)]
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGBA.argtypes = lib.WebPEncodeLosslessRGB.argtypes
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    return lib
+
+
+_LIB = _load_libwebp()
+needs_libwebp = pytest.mark.skipif(
+    _LIB is None, reason="libwebp not present on this host")
+
+
+def _enc(img, alpha=False):
+    h, w = img.shape[:2]
+    out = ctypes.c_void_p()
+    fn = _LIB.WebPEncodeLosslessRGBA if alpha else _LIB.WebPEncodeLosslessRGB
+    n = fn(img.tobytes(), w, h, w * img.shape[2], ctypes.byref(out))
+    assert n > 0
+    return ctypes.string_at(out, n)
+
+
+def _ref_dec(buf):
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = _LIB.WebPDecodeRGBA(buf, len(buf), ctypes.byref(w), ctypes.byref(h))
+    assert p
+    return np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+
+
+@needs_libwebp
+def test_vp8l_byte_identity_vs_libwebp():
+    """Every libwebp-lossless encoding across content families — noise
+    (literal-heavy), gradients/photos (predictors + color transform +
+    subtract-green), palettes at EVERY bundling width (8/4/2/1 px per
+    byte), repeated tiles (LZ77-heavy), degenerate 1-px strips — must
+    decode byte-identical to WebPDecodeRGBA."""
+    rng = np.random.default_rng(5)
+    gy, gx = np.mgrid[0:64, 0:80]
+    base = np.cumsum(np.cumsum(rng.normal(0, 4, (48, 60, 3)), 0), 1)
+    cases = {
+        "noise": rng.integers(0, 256, (23, 31, 3), dtype=np.uint8),
+        "gradient": np.stack([(gy * 2) % 256, (gx * 3) % 256,
+                              (gy + gx) % 256], 2).astype(np.uint8),
+        "photo": ((base - base.min()) / (base.max() - base.min())
+                  * 255).astype(np.uint8),
+        "1x1": rng.integers(0, 256, (1, 1, 3), dtype=np.uint8),
+        "1x300": rng.integers(0, 256, (1, 300, 3), dtype=np.uint8),
+        "300x1": rng.integers(0, 256, (300, 1, 3), dtype=np.uint8),
+    }
+    tile = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    cases["tiled"] = np.tile(tile, (6, 7, 1))
+    for nc in (2, 4, 13, 40, 200):  # every pixel-bundling width + none
+        pal = rng.integers(0, 256, (nc, 3), dtype=np.uint8)
+        cases[f"pal{nc}"] = pal[rng.integers(0, nc, (37, 53))]
+    for name, img in cases.items():
+        buf = _enc(img)
+        assert np.array_equal(decode_vp8l(buf), _ref_dec(buf)), name
+
+
+@needs_libwebp
+def test_vp8l_alpha_byte_identity():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (20, 24, 4), dtype=np.uint8)
+    buf = _enc(img, alpha=True)
+    assert np.array_equal(decode_vp8l(buf), _ref_dec(buf))
+    gy, gx = np.mgrid[0:40, 0:56]
+    img2 = np.stack([(gy * 2) % 256, (gx * 3) % 256, (gy + gx) % 256,
+                     (gy * gx) % 256], 2).astype(np.uint8)
+    buf = _enc(img2, alpha=True)
+    assert np.array_equal(decode_vp8l(buf), _ref_dec(buf))
+
+
+# ---------------------------------------------------------------------
+# hand-crafted streams: distance-table re-derivation + crafted coverage
+# ---------------------------------------------------------------------
+
+class _W:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, v, n):
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def code(self, c, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((c >> i) & 1)
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i:i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _canon(lengths):
+    maxlen = max(lengths.values())
+    bl = [0] * (maxlen + 1)
+    for l in lengths.values():
+        bl[l] += 1
+    code = 0
+    nxt = [0] * (maxlen + 1)
+    for l in range(1, maxlen + 1):
+        code = (code + bl[l - 1]) << 1
+        nxt[l] = code
+    out = {}
+    for s in sorted(lengths):
+        l = lengths[s]
+        out[s] = (nxt[l], l)
+        nxt[l] += 1
+    return out
+
+_CLO = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+def _emit_zero_run(seq, gap):
+    while gap > 0:
+        run = min(gap, 138)
+        if run < 11:
+            seq.extend([(0, 0, 0)] * run)
+        else:
+            seq.append((18, run - 11, 7))
+        gap -= run
+
+
+def _write_normal(w, sym_lengths, alphabet_size):
+    seq = []
+    pos = 0
+    for s in sorted(sym_lengths):
+        _emit_zero_run(seq, s - pos)
+        seq.append((sym_lengths[s], 0, 0))
+        pos = s + 1
+    _emit_zero_run(seq, alphabet_size - pos)
+    used = sorted({t[0] for t in seq})
+    n = len(used)
+    L = max(1, (n - 1).bit_length())
+    lens = {s: L for s in used}
+    # make the code complete (kraft == 1) by shortening greedily
+    def kraft(d):
+        m = max(d.values())
+        return sum(1 << (m - l) for l in d.values()), 1 << m
+    i = 0
+    while True:
+        num, den = kraft(lens)
+        if num == den:
+            break
+        s = used[i % n]
+        if lens[s] > 1:
+            trial = dict(lens)
+            trial[s] -= 1
+            tn, td = kraft(trial)
+            if tn <= td:
+                lens = trial
+        i += 1
+    if n == 1:
+        lens = {used[0]: 1, (used[0] + 1) % 19: 1}
+    clc = _canon(lens)
+    w.put(0, 1)
+    need = max(_CLO.index(s) for s in lens) + 1
+    ncl = max(4, need)
+    w.put(ncl - 4, 4)
+    for s in _CLO[:ncl]:
+        w.put(lens.get(s, 0), 3)
+    w.put(0, 1)
+    for (clsym, extra, ebits) in seq:
+        c, l = clc[clsym]
+        w.code(c, l)
+        if ebits:
+            w.put(extra, ebits)
+    return _canon(sym_lengths)
+
+
+def _write_simple_one(w, sym):
+    w.put(1, 1)
+    w.put(0, 1)
+    if sym < 2:
+        w.put(0, 1)
+        w.put(sym, 1)
+    else:
+        w.put(1, 1)
+        w.put(sym, 8)
+
+
+def _dist_slot(D):
+    if D <= 4:
+        return D - 1, 0, 0
+    for sym in range(4, 40):
+        ebits = (sym - 2) >> 1
+        off = (2 + (sym & 1)) << ebits
+        if off + 1 <= D <= off + (1 << ebits):
+            return sym, D - off - 1, ebits
+    raise ValueError(D)
+
+
+_PW, _PH = 17, 9
+
+
+def _probe_stream(dist_code):
+    """NPIX-1 unique-colored literals + ONE length-1 backward reference
+    with the given distance code."""
+    w = _W()
+    w.put(0x2F, 8)
+    w.put(_PW - 1, 14)
+    w.put(_PH - 1, 14)
+    w.put(0, 1)
+    w.put(0, 3)
+    w.put(0, 1)  # no transform
+    w.put(0, 1)  # no cache
+    w.put(0, 1)  # no meta
+    glen = {g: 5 for g in range(16)}
+    glen[256] = 1
+    gc = _write_normal(w, glen, 280)
+    rc = _write_normal(w, {r: 4 for r in range(16)}, 256)
+    _write_simple_one(w, 7)    # blue
+    _write_simple_one(w, 255)  # alpha
+    sym, extra, ebits = _dist_slot(dist_code)
+    _write_simple_one(w, sym)
+    npix = _PW * _PH
+    for s in range(npix - 1):
+        c, l = gc[s % 16]
+        w.code(c, l)
+        c, l = rc[s // 16]
+        w.code(c, l)
+    c, l = gc[256]
+    w.code(c, l)
+    if ebits:
+        w.put(extra, ebits)
+    payload = w.bytes()
+    chunk = (b"VP8L" + struct.pack("<I", len(payload)) + payload
+             + (b"\x00" if len(payload) & 1 else b""))
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _copied_dxdy(arr):
+    flat = arr.reshape(-1, 4)
+    src = int(flat[-1][0]) * 16 + int(flat[-1][1])  # (R, G) -> index
+    dist = (_PW * _PH - 1) - src
+    dy, dx = divmod(dist, _PW)
+    if dx > 8:
+        dx -= _PW
+        dy += 1
+    return dx, dy
+
+
+def test_vp8l_distance_table_rederived():
+    """The 120-entry neighborhood table is BEHAVIORAL fact, not faith:
+    for every code, a hand-crafted stream with one length-1 reference
+    must copy the pixel the table says — decoded by THIS decoder, and
+    (when libwebp is present) identically by the reference codec."""
+    for code in range(1, 121):
+        buf = _probe_stream(code)
+        mine = decode_vp8l(buf)
+        assert _copied_dxdy(mine) == _DIST_MAP[code - 1], code
+        if _LIB is not None:
+            assert np.array_equal(mine, _ref_dec(buf)), code
+    # plain distances: code 121 -> 1 (left neighbor), 130 -> 10
+    for code, dist in ((121, 1), (130, 10)):
+        arr = decode_vp8l(_probe_stream(code))
+        flat = arr.reshape(-1, 4)
+        src = int(flat[-1][0]) * 16 + int(flat[-1][1])
+        assert (_PW * _PH - 1) - src == dist
+
+
+@needs_libwebp
+def test_vp8l_media_integration():
+    """media_meta_pdf: LOSSLESS webp rows decode for real (strict mode,
+    genuine pixel stats); the real-web lossy vector stays at the
+    header-metadata tier with decoded False."""
+    import glob
+
+    import pandas as pd
+
+    from exstruct_spark.kernels.media import decode_image, media_meta_pdf
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (19, 27, 3), dtype=np.uint8)
+    buf = _enc(img)
+    row = media_meta_pdf(pd.DataFrame({"k": [0], "blob": [bytearray(buf)]}),
+                         blob_col="blob", mode="strict").iloc[0]
+    assert row["media_type"] == "image/webp"
+    assert bool(row["decoded"]) is True
+    assert (row["width"], row["height"]) == (27, 19)
+    assert abs(row["px_mean"] - float(round(img.mean(), 4))) < 1e-9
+    assert row["feature"] is not None and row["resized_fp"] is not None
+    meta = decode_image(bytes(buf), "strict")
+    assert meta["decoded"] is True and meta["pixels"].shape == (19, 27, 3)
+
+    hits = sorted(glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/**/python.webp",
+        recursive=True))
+    if hits:
+        lossy = open(hits[-1], "rb").read()
+        row = media_meta_pdf(
+            pd.DataFrame({"k": [0], "blob": [bytearray(lossy)]}),
+            blob_col="blob", mode="strict").iloc[0]
+        assert bool(row["decoded"]) is False
+        assert (row["width"], row["height"]) == (16, 16)
+
+
+def test_vp8l_malformed_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_vp8l(b"RIFF\x04\x00\x00\x00WEBP")       # no image chunk
+    buf = _probe_stream(1)
+    with pytest.raises(ValueError):
+        decode_vp8l(buf[:40])                           # truncated
+    # version != 0 refused
+    bad = bytearray(_probe_stream(1))
+    # version bits are payload bits 29..31 -> byte 4 (payload starts at 20)
+    bad[20 + 4] |= 0xE0
+    with pytest.raises(ValueError):
+        decode_vp8l(bytes(bad))
+    # dimension cap honored before allocation
+    w = _W()
+    w.put(0x2F, 8)
+    w.put(16382, 14)
+    w.put(16382, 14)
+    w.put(0, 1)
+    w.put(0, 3)
+    payload = w.bytes()
+    raw = (b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+           + b"VP8L" + struct.pack("<I", len(payload)) + payload)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_vp8l(raw)
+
+
+def test_vp8l_adversarial_bytes_never_crash():
+    """Garbage, bit-flipped and truncated streams must raise ValueError
+    (the media stage's fallback net) — never hang, IndexError, or
+    allocate unbounded."""
+    rng = np.random.default_rng(77)
+    base = _probe_stream(7)
+    from exstruct_spark.kernels.media import decode_image
+
+    for i in range(60):
+        buf = bytearray(base)
+        for _ in range(1 + i % 5):
+            buf[rng.integers(20, len(buf))] ^= 1 << rng.integers(0, 8)
+        try:
+            decode_vp8l(bytes(buf))
+        except ValueError:
+            pass
+        # the media path degrades in fake mode regardless
+        meta = decode_image(bytes(buf), "fake")
+        assert "width" in meta
+    for cut in (5, 21, 25, 30, len(base) - 2):
+        try:
+            decode_vp8l(base[:cut])
+        except ValueError:
+            pass
