@@ -328,6 +328,9 @@ def parse_webp_meta(raw: bytes) -> dict:
     variant = None
     has_alpha = False
     has_animation = False
+    n_frames = 0
+    duration_ms = 0
+    loop_count = 0
     pos = 12
     while pos + 8 <= len(raw):
         cid = raw[pos:pos + 4]
@@ -374,14 +377,31 @@ def parse_webp_meta(raw: bytes) -> dict:
             has_alpha = True
         elif cid == b"ANIM":
             has_animation = True
+            if size >= 6:
+                loop_count = struct.unpack("<H", body[4:6])[0]
+        elif cid == b"ANMF":
+            # animation frame header: 16-bit frame count + genuine
+            # per-frame durations (24-bit ms each) — the GIF-animation
+            # metadata parity for webp
+            n_frames += 1
+            if size >= 15:
+                duration_ms += int.from_bytes(body[12:15], "little")
+            if width is None and size >= 12:
+                width = 1 + int.from_bytes(body[6:9], "little")
+                height = 1 + int.from_bytes(body[9:12], "little")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if width is None or variant is None:
+    if width is None or (variant is None and not n_frames):
         raise ValueError("no VP8/VP8L/VP8X image chunk found")
-    return {
+    out = {
         "width": int(width), "height": int(height),
-        "variant": variant, "has_alpha": has_alpha,
+        "variant": variant or "animated", "has_alpha": has_alpha,
         "has_animation": has_animation,
     }
+    if n_frames:
+        out["n_frames"] = n_frames
+        out["duration_s"] = round(duration_ms / 1000.0, 4)
+        out["loop_count"] = loop_count
+    return out
 
 
 def frame_sample_stub(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list:
@@ -543,6 +563,9 @@ def media_meta_pdf(
             try:
                 wm = parse_webp_meta(raw)
                 rec["width"], rec["height"] = wm["width"], wm["height"]
+                if wm.get("n_frames"):
+                    # animated: genuine frame count -> total duration
+                    rec["duration_s"] = wm["duration_s"]
             except ValueError:
                 if mode == "strict":
                     raise
