@@ -481,6 +481,21 @@ def decode_vp8l(raw: bytes) -> np.ndarray:
         raise ValueError("unsupported VP8L version")
     if w * h > MAX_PIXELS:
         raise ValueError("VP8L dimensions exceed max_pixels cap")
+    px = _decode_argb(br, w, h)
+    arr = np.asarray(px, dtype=np.uint32).reshape(h, w)
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[:, :, 0] = (arr >> 16) & 0xFF   # R
+    out[:, :, 1] = (arr >> 8) & 0xFF    # G
+    out[:, :, 2] = arr & 0xFF           # B
+    out[:, :, 3] = (arr >> 24) & 0xFF   # A
+    return out
+
+
+def _decode_argb(br: _Bits, w: int, h: int) -> list:
+    """Level-0 image stream: optional transforms + entropy-coded image
+    + inverse transform application -> list of w*h ARGB ints.  Shared
+    by the main VP8L image and the ALPH alpha stream (which is exactly
+    a headerless level-0 stream)."""
     transforms = []
     seen = set()
     xsize = w
@@ -522,10 +537,94 @@ def decode_vp8l(raw: bytes) -> np.ndarray:
         else:
             _, bits, sub, sub_w, tw = tf
             px = _inv_color_transform(px, tw, h, bits, sub, sub_w)
-    arr = np.asarray(px, dtype=np.uint32).reshape(h, w)
-    out = np.empty((h, w, 4), dtype=np.uint8)
-    out[:, :, 0] = (arr >> 16) & 0xFF   # R
-    out[:, :, 1] = (arr >> 8) & 0xFF    # G
-    out[:, :, 2] = arr & 0xFF           # B
-    out[:, :, 3] = (arr >> 24) & 0xFF   # A
+    return px
+
+
+# ---------------------------------------------------------------------
+# ALPH chunk: the alpha plane of LOSSY WebP files.  Compression 1 is a
+# headerless VP8L image stream (alpha rides the green channel), so the
+# machinery above decodes it; compression 0 is raw bytes.  Filtering is
+# the PNG-style horizontal/vertical/gradient prediction.
+# ---------------------------------------------------------------------
+
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    h, w = plane.shape
+    if method == 0:
+        return plane
+    out = np.empty_like(plane)
+    for y in range(h):
+        prev = out[y - 1] if y else None
+        row = plane[y]
+        if method == 1 or prev is None:  # horizontal (row 0 of v/g too)
+            pred = 0 if prev is None else int(prev[0])
+            for x in range(w):
+                pred = (pred + int(row[x])) & 0xFF
+                out[y, x] = pred
+        elif method == 2:  # vertical
+            out[y] = prev + row  # uint8 wraps mod 256
+        else:  # gradient
+            left = int(prev[0])
+            top_left = left
+            for x in range(w):
+                top = int(prev[x])
+                g = left + top - top_left
+                g = 0 if g < 0 else 255 if g > 255 else g
+                left = (int(row[x]) + g) & 0xFF
+                top_left = top
+                out[y, x] = left
     return out
+
+
+def decode_alph(raw: bytes) -> np.ndarray:
+    """Full WebP container with an ALPH chunk -> (H, W) uint8 alpha
+    plane (the REAL alpha of a lossy file, whose RGB this module
+    honestly cannot decode).  ValueError when absent/malformed."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+    alph = None
+    w = h = None
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = bytes(raw[pos:pos + 4])
+        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        body = raw[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WebP chunk")
+        if cid == b"ALPH":
+            alph = body
+        elif cid == b"VP8X" and size >= 10:
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+        elif cid == b"VP8 " and size >= 10 and (body[0] & 1) == 0:
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 keyframe start code")
+            if w is None:
+                w = int.from_bytes(body[6:8], "little") & 0x3FFF
+                h = int.from_bytes(body[8:10], "little") & 0x3FFF
+        pos += 8 + size + (size & 1)
+    if alph is None:
+        raise ValueError("no ALPH chunk")
+    if not w or not h:
+        raise ValueError("no dimensions for alpha plane")
+    if w * h > MAX_PIXELS:
+        raise ValueError("alpha plane exceeds max_pixels cap")
+    head = alph[0]
+    compression = head & 3
+    filt = (head >> 2) & 3
+    # preprocessing bits (4-5) are encoder-side level reduction: no
+    # decoder action
+    if compression == 0:
+        if len(alph) - 1 < w * h:
+            raise ValueError("raw alpha plane truncated")
+        plane = np.frombuffer(alph, dtype=np.uint8,
+                              count=w * h, offset=1).reshape(h, w).copy()
+    elif compression == 1:
+        br = _Bits(bytes(alph[1:]))
+        px = _decode_argb(br, w, h)
+        plane = ((np.asarray(px, dtype=np.uint32).reshape(h, w) >> 8)
+                 & 0xFF).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown alpha compression {compression}")
+    if filt > 3:
+        raise ValueError(f"unknown alpha filter {filt}")
+    return _unfilter_alpha(plane, filt)
