@@ -628,3 +628,213 @@ def decode_alph(raw: bytes) -> np.ndarray:
     if filt > 3:
         raise ValueError(f"unknown alpha filter {filt}")
     return _unfilter_alpha(plane, filt)
+
+
+# ---------------------------------------------------------------------
+# minimal encoder: literal-only VP8L (no LZ77 / transforms / cache).
+# Exists for deterministic corpora — the reverse of the probe protocol:
+# pytest pins that libwebp decodes THESE streams to the exact pixels,
+# validating the writer against the third-party codec too.
+# ---------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list = []
+
+    def put(self, v: int, n: int) -> None:        # fixed width, LSB-first
+        bits = self.bits
+        for i in range(n):
+            bits.append((v >> i) & 1)
+
+    def code(self, c: int, n: int) -> None:        # prefix code, MSB-first
+        bits = self.bits
+        for i in range(n - 1, -1, -1):
+            bits.append((c >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        bits = self.bits
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j, bit in enumerate(bits[i:i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _canon_encode(lengths: dict) -> dict:
+    """{sym: len} -> {sym: (code, len)} (same canonical order the
+    decoder builds)."""
+    maxlen = max(lengths.values())
+    bl = [0] * (maxlen + 1)
+    for l in lengths.values():
+        bl[l] += 1
+    code = 0
+    nxt = [0] * (maxlen + 1)
+    for l in range(1, maxlen + 1):
+        code = (code + bl[l - 1]) << 1
+        nxt[l] = code
+    out = {}
+    for s in sorted(lengths):
+        l = lengths[s]
+        out[s] = (nxt[l], l)
+        nxt[l] += 1
+    return out
+
+
+def _flat_lengths(symbols: list) -> dict:
+    """Complete prefix code over the used symbols: start everyone at
+    ceil(log2(n)) bits and greedily shorten until kraft == 1.  Not
+    optimal, always valid.  Needs n >= 2 (a single symbol has no
+    complete code — callers use the simple-code form instead)."""
+    n = len(symbols)
+    if n < 2:
+        raise ValueError("_flat_lengths needs >= 2 symbols")
+    L = max(1, (n - 1).bit_length())
+    lens = {s: L for s in symbols}
+
+    def kraft(d):
+        m = max(d.values())
+        return sum(1 << (m - l) for l in d.values()), 1 << m
+
+    i = 0
+    while True:
+        num, den = kraft(lens)
+        if num == den:
+            break
+        s = symbols[i % n]
+        if lens[s] > 1:
+            trial = dict(lens)
+            trial[s] -= 1
+            tn, td = kraft(trial)
+            if tn <= td:
+                lens = trial
+        i += 1
+    return lens
+
+
+def _emit_code_lengths(w: _BitWriter, symbols: list,
+                       alphabet_size: int) -> dict:
+    """Write one prefix code over the used ``symbols`` (simple when 1-2
+    symbols, else code-length-coded flat lengths with 18-runs for the
+    zero gaps); returns the encode table."""
+    syms = sorted(symbols)
+    if len(syms) == 1:
+        w.put(1, 1)  # simple
+        w.put(0, 1)  # one symbol
+        s = syms[0]
+        if s < 2:
+            w.put(0, 1)
+            w.put(s, 1)
+        else:
+            w.put(1, 1)
+            w.put(s, 8)
+        return {s: (0, 0)}
+    if len(syms) == 2 and all(s < 256 for s in syms):
+        w.put(1, 1)
+        w.put(1, 1)  # two symbols
+        s0, s1 = syms
+        if s0 < 2:
+            w.put(0, 1)
+            w.put(s0, 1)
+        else:
+            w.put(1, 1)
+            w.put(s0, 8)
+        w.put(s1, 8)
+        return {s0: (0, 1), s1: (1, 1)}
+    sym_lengths = _flat_lengths(syms)
+    seq = []  # (cl_symbol, extra, extra_bits)
+    pos = 0
+    for s in syms:
+        gap = s - pos
+        while gap > 0:
+            run = min(gap, 138)
+            if run < 11:
+                seq.extend([(0, 0, 0)] * run)
+            else:
+                seq.append((18, run - 11, 7))
+            gap -= run
+        seq.append((sym_lengths[s], 0, 0))
+        pos = s + 1
+    gap = alphabet_size - pos
+    while gap > 0:
+        run = min(gap, 138)
+        if run < 11:
+            seq.extend([(0, 0, 0)] * run)
+        else:
+            seq.append((18, run - 11, 7))
+        gap -= run
+    used = sorted({t[0] for t in seq})
+    cl_lens = (_flat_lengths(used) if len(used) > 1
+               else {used[0]: 1, (used[0] + 1) % 19: 1})
+    clc = _canon_encode(cl_lens)
+    w.put(0, 1)  # not simple
+    need = max(_CL_ORDER.index(s) for s in cl_lens) + 1
+    ncl = max(4, need)
+    w.put(ncl - 4, 4)
+    for s in _CL_ORDER[:ncl]:
+        w.put(cl_lens.get(s, 0), 3)
+    w.put(0, 1)  # no max-symbol shortcut
+    for (clsym, extra, ebits) in seq:
+        c, l = clc[clsym]
+        w.code(c, l)
+        if ebits:
+            w.put(extra, ebits)
+    return _canon_encode(sym_lengths)
+
+
+def encode_vp8l_lossless(arr: np.ndarray) -> bytes:
+    """(H, W, 3|4) uint8 -> a valid lossless WebP file.  Literal-only
+    coding (per-channel prefix codes from the image's own histograms;
+    no LZ77/transforms/cache) — deterministic and spec-valid, tuned for
+    corpus generation rather than ratio.  Round-trips byte-exactly
+    through both this module's decoder and libwebp (pytest-pinned)."""
+    arr = np.asarray(arr)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("encode_vp8l_lossless wants (H, W, 3|4) uint8")
+    h, w_dim = arr.shape[:2]
+    if h > 16384 or w_dim > 16384:
+        raise ValueError("dimension exceeds VP8L's 14-bit limit")
+    if arr.shape[2] == 3:
+        alpha = np.full((h, w_dim), 255, np.uint8)
+    else:
+        alpha = arr[:, :, 3]
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    w = _BitWriter()
+    w.put(0x2F, 8)
+    w.put(w_dim - 1, 14)
+    w.put(h - 1, 14)
+    w.put(int((alpha != 255).any()), 1)
+    w.put(0, 3)   # version
+    w.put(0, 1)   # no transforms
+    w.put(0, 1)   # no color cache
+    w.put(0, 1)   # no meta prefix codes
+    enc_g = _emit_code_lengths(
+        w, sorted({int(v) for v in g.ravel()}), 280)
+    enc_r = _emit_code_lengths(
+        w, sorted({int(v) for v in r.ravel()}), 256)
+    enc_b = _emit_code_lengths(
+        w, sorted({int(v) for v in b.ravel()}), 256)
+    enc_a = _emit_code_lengths(
+        w, sorted({int(v) for v in alpha.ravel()}), 256)
+    _emit_code_lengths(w, [0], 40)  # distance tree: unused
+    code = w.code
+    for gv, rv, bv, av in zip(g.ravel(), r.ravel(), b.ravel(),
+                              alpha.ravel()):
+        c, l = enc_g[int(gv)]
+        if l:
+            code(c, l)
+        c, l = enc_r[int(rv)]
+        if l:
+            code(c, l)
+        c, l = enc_b[int(bv)]
+        if l:
+            code(c, l)
+        c, l = enc_a[int(av)]
+        if l:
+            code(c, l)
+    payload = w.tobytes()
+    chunk = (b"VP8L" + struct.pack("<I", len(payload)) + payload
+             + (b"\x00" if len(payload) & 1 else b""))
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

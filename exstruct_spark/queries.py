@@ -3213,6 +3213,7 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exstruct_spark.kernels.gif import encode_gif
     from exstruct_spark.kernels.jpeg import encode_jpeg, encode_jpeg_progressive
     from exstruct_spark.kernels.media import encode_wav
+    from exstruct_spark.kernels.vp8l import encode_vp8l_lossless
     from exstruct_spark.kernels.png import encode_png
     from exstruct_spark.media import media_meta_stage
 
@@ -3245,6 +3246,14 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 quality=85, subsample=bool(i % 2))
         )
 
+    def _webp(i: int) -> bytearray:
+        # REAL lossless WebP via the repo's own VP8L writer (decoded by
+        # the real VP8L decoder downstream; libwebp-validated in pytest)
+        rng = np.random.default_rng(3000 + i)
+        pal = rng.integers(0, 256, (4 + i, 3)).astype(np.uint8)
+        img = pal[rng.integers(0, len(pal), (14 + 4 * i, 20 + 2 * i))]
+        return bytearray(encode_vp8l_lossless(img))
+
     imgs = [
         (
             i,
@@ -3258,13 +3267,15 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             _gif(i),
             _wav(i),
             _jpg(i),
+            _webp(i),
         )
         for i in range(8)
     ]
     img_map = F.broadcast(
         spark.createDataFrame(
             imgs,
-            "img_id bigint, png binary, gif binary, wav binary, jpg binary",
+            "img_id bigint, png binary, gif binary, wav binary, "
+            "jpg binary, webp binary",
         )
     )
     pages = spark_pages(spark, 200, partitions=8)
@@ -3273,12 +3284,13 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(img_map, "img_id")
         .select(
             "url",
-            F.when(F.xxhash64("url") % 6 == 0, F.col("png"))
-            .when(F.xxhash64("url") % 6 == 1, F.col("gif"))
-            .when(F.xxhash64("url") % 6 == 2, F.col("wav"))
-            .when(F.xxhash64("url") % 6 == 3, F.col("jpg"))
+            F.when(F.xxhash64("url") % 7 == 0, F.col("png"))
+            .when(F.xxhash64("url") % 7 == 1, F.col("gif"))
+            .when(F.xxhash64("url") % 7 == 2, F.col("wav"))
+            .when(F.xxhash64("url") % 7 == 3, F.col("jpg"))
+            .when(F.xxhash64("url") % 7 == 4, F.col("webp"))
             .when(
-                F.xxhash64("url") % 6 == 4,
+                F.xxhash64("url") % 7 == 5,
                 F.concat(F.lit(b"\x1a\x45\xdf\xa3"), F.col("html")),
             )
             .otherwise(F.col("html"))

@@ -430,3 +430,28 @@ def test_alph_alpha_plane_byte_identity():
     # a lossless file has no ALPH chunk
     with pytest.raises(ValueError, match="no ALPH"):
         decode_alph(_enc(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
+
+
+def test_vp8l_encoder_roundtrip_and_libwebp_validation():
+    """The minimal in-repo VP8L encoder (literal-only, for deterministic
+    corpora): every stream round-trips byte-exactly through THIS
+    decoder, and — when libwebp is present — the third-party codec
+    decodes it to the same pixels, validating the writer side too."""
+    rng = np.random.default_rng(4)
+    from exstruct_spark.kernels.vp8l import encode_vp8l_lossless
+
+    cases = [
+        rng.integers(0, 256, (9, 13, 3), dtype=np.uint8),
+        rng.integers(0, 256, (32, 24, 4), dtype=np.uint8),   # real alpha
+        rng.integers(0, 256, (1, 1, 3), dtype=np.uint8),
+        np.full((10, 10, 3), 42, np.uint8),                  # 1-sym trees
+    ]
+    pal = rng.integers(0, 256, (3, 3), dtype=np.uint8)
+    cases.append(pal[rng.integers(0, 3, (20, 30))])          # few colors
+    for img in cases:
+        buf = encode_vp8l_lossless(img)
+        want = (img if img.shape[2] == 4 else
+                np.dstack([img, np.full(img.shape[:2], 255, np.uint8)]))
+        assert np.array_equal(decode_vp8l(buf), want)
+        if _LIB is not None:
+            assert np.array_equal(_ref_dec(buf), want)
