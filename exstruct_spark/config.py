@@ -53,6 +53,7 @@ class ExtractOptions:
     include_charts: bool = True
     include_lists: bool = True
     include_links: bool = True
+    include_images: bool = True
     # region-scoped views (PrintAreaView analogue, reference
     # models/__init__.py:178-185,437-455) and class_map (colors_map
     # analogue, core/cells.py:277-310)
@@ -108,6 +109,7 @@ class ExtractOptions:
             base = dict(
                 include_shapes=False, include_charts=False,
                 include_lists=False, include_links=False,
+                include_images=False,
                 include_sections=False, include_class_map=False,
             )
         elif mode == "standard":

@@ -219,7 +219,7 @@ def extract_document(
             groups: dict = {
                 t: []
                 for t in ("body", "title", "table", "figure", "svg", "a",
-                          "script")
+                          "script", "img")
             }
             # ul/ol (and section/article) share buckets so document order
             # across kinds is preserved (outer-before-inner claiming)
@@ -390,6 +390,43 @@ def extract_document(
                 if links:
                     extraction["links_map"] = links
                 n_links = len(links)
+
+            if opts.include_images and groups["img"]:
+                # image-text pair harvesting (the LAION-style multimodal
+                # curation input): every <img src> in document order with
+                # its alt text, the enclosing <figure>'s figcaption (the
+                # better caption when present), and declared dimensions.
+                # media.image_pairs_stage explodes these into (url, src,
+                # text) rows for caption-dataset mining.
+                fig_caption: dict = {}
+                for fig in groups["figure"]:
+                    cap = fig.find_first("figcaption")
+                    if cap is None:
+                        continue
+                    cap_text = cap.text_content().strip()
+                    if not cap_text:
+                        continue
+                    for im in fig.find_all("img"):
+                        fig_caption[id(im)] = cap_text
+                images = []
+                for im in groups["img"]:
+                    src = (im.attrs.get("src") or "").strip()
+                    if not src:
+                        continue
+                    entry: dict = {"src": src}
+                    alt = (im.attrs.get("alt") or "").strip()
+                    if alt:
+                        entry["alt"] = alt
+                    cap_text = fig_caption.get(id(im))
+                    if cap_text:
+                        entry["caption"] = cap_text
+                    for attr, key in (("width", "w"), ("height", "h")):
+                        v = (im.attrs.get(attr) or "").strip()
+                        if v.isdigit():
+                            entry[key] = int(v)
+                    images.append(entry)
+                if images:
+                    extraction["images"] = images
 
             if opts.include_sections:
                 sections = _section_views(groups["section"], table_node_ids)

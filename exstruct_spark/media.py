@@ -98,3 +98,36 @@ def export_rendered_pngs(rendered: DataFrame, out_dir: str) -> int:
         yield n
 
     return sum(rendered.rdd.mapPartitions(write_part).collect())
+
+
+def image_pairs_stage(extracted: DataFrame, min_text_chars: int = 3,
+                      url_col: str = "url",
+                      json_col: str = "extraction_json") -> DataFrame:
+    """LAION-style image-text pair mining over extracted documents:
+    explode the extraction's ``images`` family (every <img> with alt /
+    figcaption / declared dims, kernels/extract.py) into
+    ``(url, src, text, width, height)`` rows, keeping pairs whose text
+    clears ``min_text_chars`` — the input shape of caption-dataset
+    curation (pair harvesting feeds the dedup/quality/ANN machinery
+    this engine already ships for text and media).
+
+    Pure JVM-side plan: one JSON path + from_json + explode — no Python
+    at the Spark boundary, scan-local at any scale."""
+    from pyspark.sql import functions as F
+
+    schema = ("array<struct<src:string,alt:string,caption:string,"
+              "w:int,h:int>>")
+    imgs = F.from_json(
+        F.get_json_object(F.col(json_col), "$.images"), schema)
+    return (
+        extracted
+        .select(F.col(url_col).alias("url"), F.explode(imgs).alias("im"))
+        .select(
+            "url",
+            F.col("im.src").alias("src"),
+            F.coalesce(F.col("im.caption"), F.col("im.alt")).alias("text"),
+            F.col("im.w").alias("width"),
+            F.col("im.h").alias("height"),
+        )
+        .where(F.length(F.trim(F.col("text"))) >= min_text_chars)
+    )

@@ -1666,3 +1666,31 @@ def test_cell_edit_fill_color_preserves_other_styles():
     assert st == ["applied"]
     assert "color:red" in out and "background:#ffffff" in out
     assert "#000" not in out
+
+
+def test_image_pair_harvesting_kernel():
+    """Multimodal pairing input (LAION-style): every <img src> is
+    collected in document order with alt text, the enclosing figure's
+    figcaption (preferred caption), and declared integer dimensions;
+    srcless imgs drop, junk dims drop, light mode excludes the family."""
+    from exstruct_spark.config import ExtractOptions
+
+    html = (
+        "<html><body>"
+        "<img src='/a.png' alt='a cat' width='320' height='240'>"
+        "<figure><img src='/b.jpg' alt='fallback alt'>"
+        "<figcaption>  A dog on a beach </figcaption></figure>"
+        "<img alt='no src'>"
+        "<img src='/c.webp' width='junk'>"
+        "<p>text</p></body></html>"
+    ).encode()
+    out = extract_document("u", html)
+    imgs = json.loads(out["extraction_json"])["images"]
+    assert imgs == [
+        {"src": "/a.png", "alt": "a cat", "w": 320, "h": 240},
+        {"src": "/b.jpg", "alt": "fallback alt",
+         "caption": "A dog on a beach"},
+        {"src": "/c.webp"},
+    ]
+    light = extract_document("u", html, ExtractOptions.from_mode("light"))
+    assert "images" not in json.loads(light["extraction_json"])

@@ -553,3 +553,38 @@ def test_apply_cell_edits_end_to_end(spark, tmp_path):
     assert got["text_sha256"] == ref["text_sha256"]
     assert "EDITED-CELL" in got["extraction_json"]
     assert json.loads(got["extraction_json"])["tables"][0]["colors_map"]
+
+
+def test_image_pairs_stage_end_to_end(spark):
+    """LAION-style pair mining through the full engine: documents with
+    <img alt>/<figure><figcaption> markup -> extract_stage ->
+    image_pairs_stage -> (url, src, text, width, height) rows, captions
+    preferred over alt, short/missing text filtered, all JVM-side (no
+    Python stage beyond the extraction itself)."""
+    from exstruct_spark.media import image_pairs_stage
+
+    rows = [
+        ("https://x/a",
+         b"<html><body>"
+         b"<img src='/cat.png' alt='a tabby cat sleeping' width='320'"
+         b" height='240'>"
+         b"<figure><img src='/dog.jpg' alt='alt text'>"
+         b"<figcaption>A dog catching a frisbee</figcaption></figure>"
+         b"<img src='/noise.gif' alt='x'>"           # text too short
+         b"<img src='/plain.jpg'>"                    # no text at all
+         b"<p>body text</p></body></html>"),
+        ("https://x/b", b"<html><body><p>no images here</p></body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    pairs = image_pairs_stage(extract_stage(df)).orderBy("src").collect()
+    assert [(r["src"], r["text"]) for r in pairs] == [
+        ("/cat.png", "a tabby cat sleeping"),
+        ("/dog.jpg", "A dog catching a frisbee"),
+    ]
+    assert (pairs[0]["width"], pairs[0]["height"]) == (320, 240)
+    assert pairs[1]["width"] is None
+    # plan: no Python evaluation beyond the extraction stage itself
+    plan = image_pairs_stage(extract_stage(df))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") \
+        <= 1  # only extract_stage's mapInPandas feeds it
