@@ -1306,6 +1306,112 @@ def q_doc_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style character-LM quality scoring (round 5): train a
+    Laplace-smoothed char-trigram language model on the corpus itself
+    and score every document by average negative log-likelihood — the
+    perplexity-filter shape of Wenzek et al.'s CCNet pipeline, where
+    low-likelihood documents are gibberish/boilerplate candidates.
+
+    Engine-exact by construction: every per-trigram log-probability is
+    quantized to MICRO-NATS as a BIGINT (``floor(ln(p) * 1e6)``) before
+    any aggregation, so per-doc sums are integer additions — order- and
+    partitioning-independent, hash-identical across Spark and DuckDB
+    (the same discipline as the IVF mean step).  The ln itself is one
+    IEEE-double op on identical inputs in both engines.
+
+    Scale shape: the trigram stream is token-proportional (the
+    substring-dedup explode family); model building is two
+    vocabulary-sized aggregations; scoring joins the stream with the
+    model on the trigram key (ONE shuffle each side).  At 100 TB the
+    production form broadcasts a PRETRAINED model (CCNet trains on
+    clean Wikipedia, not the crawl) — the join here exists because the
+    query is self-contained; the docstring states the swap."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    tris = (
+        docs.where(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(1, length(text) - 2), "
+                "i -> substring(text, i, 3))")).alias("g"),
+        )
+    )
+    # ONE corpus explode: the (doc, trigram) count table feeds BOTH the
+    # model build and the scoring join.  localCheckpoint materializes
+    # it once (column pruning makes the two branches structurally
+    # different, so exchange reuse cannot kick in — same lesson as the
+    # media feature stage): without it the corpus tokenizes twice
+    dg = (
+        tris.groupBy("doc_id", "g").agg(F.count("*").alias("k"))
+        .localCheckpoint()
+    )
+    tc = dg.groupBy("g").agg(F.sum("k").alias("c"))
+    bc = tc.groupBy(F.expr("substring(g, 1, 2)").alias("b")).agg(
+        F.sum("c").alias("cb"))
+    v = tc.select(
+        F.countDistinct(F.expr("substring(g, 3, 1)")).alias("v"))
+    model = (
+        tc.join(bc, F.expr("substring(g, 1, 2)") == F.col("b"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "g",
+            F.expr(
+                "cast(floor(ln((c + 1.0) / (cb + v)) * 1000000) as bigint)"
+            ).alias("q"),
+        )
+    )
+    scored = (
+        dg.join(model, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("k") * F.col("q")).alias("s"),
+            F.sum("k").alias("n"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_trigrams"),
+            F.coalesce("s", F.lit(0)).cast("bigint").alias("nll_micro"),
+            F.when(
+                F.col("n").isNotNull(),
+                F.round(-F.col("s") / F.col("n") / F.lit(1000000.0), 4),
+            ).alias("avg_nll"),
+        )
+    )
+
+
+SQL_DOC_CHARLM_SCORE = r"""
+WITH docs AS (SELECT doc_id, lang, text FROM documents WHERE n_chars > 0),
+tris AS (
+  SELECT doc_id, substr(text, i, 3) AS g
+  FROM docs, UNNEST(range(1, length(text) - 1)) t(i)
+  WHERE length(text) >= 3
+),
+tc AS (SELECT g, COUNT(*) AS c FROM tris GROUP BY g),
+bc AS (SELECT substr(g, 1, 2) AS b, SUM(c) AS cb FROM tc GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT substr(g, 3, 1)) AS v FROM tc),
+model AS (
+  SELECT g, CAST(floor(ln((c + 1.0) / (cb + v)) * 1000000) AS BIGINT) AS q
+  FROM tc JOIN bc ON substr(tc.g, 1, 2) = bc.b CROSS JOIN v
+),
+scored AS (
+  SELECT doc_id, SUM(q) AS s, COUNT(*) AS n
+  FROM tris JOIN model USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(s, 0) AS BIGINT) AS nll_micro,
+       CASE WHEN n IS NOT NULL
+            THEN ROUND(-CAST(s AS DOUBLE) / n / 1000000.0, 4) END AS avg_nll
+FROM docs d LEFT JOIN scored USING (doc_id)
+"""
+
+
 SQL_DOC_REPETITION_RULES = r"""
 WITH lines AS (
   SELECT doc_id, lang, l AS line
@@ -3534,7 +3640,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "doc_substring_dedup": q_doc_substring_dedup,
     "dedup_bow": q_dedup_bow,
-    "dedup_ngram3": q_dedup_ngram3,
+    "doc_charlm_score": q_doc_charlm_score,
     "dedup_simhash_md5": q_dedup_simhash_md5,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_bucket_guard": q_dedup_bucket_guard,
@@ -3586,6 +3692,7 @@ QUERIES = {
 #                               ann_lsh_topk's end-to-end oracle; slot
 #                               yielded to doc_substring_dedup (r4)
 RETIRED_QUERIES = {
+    "dedup_ngram3": q_dedup_ngram3,
     "docs_except_kept": q_docs_except_kept,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "doc_langid": q_doc_langid,
@@ -3619,7 +3726,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "doc_substring_dedup": SQL_DOC_SUBSTRING_DEDUP,
     "dedup_bow": SQL_DEDUP_BOW,
-    "dedup_ngram3": SQL_DEDUP_NGRAM3,
+    "doc_charlm_score": SQL_DOC_CHARLM_SCORE,
     "doc_quality_class": SQL_DOC_QUALITY_CLASS,
     "doc_gopher_rules": SQL_DOC_GOPHER_RULES,
     "doc_repetition_rules": SQL_DOC_REPETITION_RULES,
@@ -3647,6 +3754,7 @@ ORACLES = {
 # pytest-only oracles for the retired twins (tests/test_oracle_parity.py
 # runs these with the exact same compare as the driver rows)
 RETIRED_ORACLES = {
+    "dedup_ngram3": SQL_DEDUP_NGRAM3,
     "docs_except_kept": SQL_DOCS_EXCEPT_KEPT,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS_TEMPLATE.format(bucket=_ann_bucket_sql("duckdb")),
     "doc_langid": SQL_DOC_LANGID,
