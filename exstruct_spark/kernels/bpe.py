@@ -113,7 +113,7 @@ def bpe_token_count(text: str, ranks: dict, cache: dict,
     hapax-heavy corpora: beyond it new words are encoded but not
     stored (a logged-cap analogue — correctness never depends on the
     cache)."""
-    words = PRETOKEN_RE.findall(text)
+    words = PRETOKEN_RE.findall(text or "")
     try:
         return sum(map(cache.__getitem__, words))
     except KeyError:
@@ -134,8 +134,10 @@ def bpe_token_count(text: str, ranks: dict, cache: dict,
 
 # executor-process-wide encode memos, keyed by a per-query token carried
 # inside the broadcast (object identity is not a safe key across GC).
-# Bounded: a new token past the cap clears the oldest generation — the
-# memo is an optimization, never a correctness dependency.
+# Bounded: a new token past the cap FLUSHES ALL memos (full-clear, not
+# LRU — simplest bound; a concurrent query re-warms from the corpus on
+# its next batch).  The memo is an optimization, never a correctness
+# dependency.
 _ENCODE_MEMOS: dict = {}
 
 

@@ -36,7 +36,10 @@ import re
 from typing import Optional
 
 _TOKEN_RE = re.compile(
-    r"<(/?)(table|tr|td|th)\b[^>]*>", re.IGNORECASE | re.DOTALL
+    # attribute-aware: a '>' inside a quoted attribute value must not
+    # terminate the tag (title="a>b", inline JSON in data-* attrs)
+    r"<(/?)(table|tr|td|th)\b(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>",
+    re.IGNORECASE | re.DOTALL,
 )
 
 
@@ -106,7 +109,15 @@ def _cell_spans(html: str, r0: int, r1: int) -> list:
         if kind == "table":
             depth += -1 if closing else 1
             continue
-        if depth > 0 or kind == "tr":
+        if depth > 0:
+            continue
+        if kind == "tr":
+            # the row's own </tr> (or a stray <tr) terminates an
+            # unclosed cell BEFORE the tag — splicing must never
+            # swallow the row-closing markup
+            if cur is not None:
+                cells.append((cur[0], cur[1], m.start(), m.start()))
+                cur = None
             continue
         if not closing:  # <td / <th
             if cur is not None:

@@ -322,6 +322,9 @@ def parse_webp_meta(raw: bytes) -> dict:
     what strict mode forbids).  Raises ValueError on anything
     malformed."""
     import struct
+
+    from exstruct_spark.kernels.vp8l import _iter_webp_chunks
+
     if len(raw) < 16 or raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP container")
     width = height = None
@@ -331,13 +334,8 @@ def parse_webp_meta(raw: bytes) -> dict:
     n_frames = 0
     duration_ms = 0
     loop_count = 0
-    pos = 12
-    while pos + 8 <= len(raw):
-        cid = raw[pos:pos + 4]
-        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
-        body = raw[pos + 8:pos + 8 + size]
-        if len(body) != size:
-            raise ValueError("truncated WebP chunk")
+    for cid, body in _iter_webp_chunks(raw):
+        size = len(body)
         if cid == b"VP8X":
             if size < 10:
                 raise ValueError("short VP8X chunk")
@@ -389,7 +387,6 @@ def parse_webp_meta(raw: bytes) -> dict:
             if width is None and size >= 12:
                 width = 1 + int.from_bytes(body[6:9], "little")
                 height = 1 + int.from_bytes(body[9:12], "little")
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
     if width is None or (variant is None and not n_frames):
         raise ValueError("no VP8/VP8L/VP8X image chunk found")
     out = {
@@ -502,6 +499,24 @@ def media_meta_pdf(
     hashes for animated GIF, stub for mp4/webm).  This function body runs
     inside ``mapInPandas``.
     """
+    def _resize_target(w, h):
+        # max(..., 1): decoders reject 0x0 with ValueError, but a zero
+        # here must never become a ZeroDivisionError (which would
+        # escape the fallback-not-fail ValueError guard)
+        scale = min(1.0, 256 / max(w, h, 1))
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def _fill_pixel_stats(rec, px, rw, rh, dim):
+        # shared REAL-pixel tail for every decoded codec: stats,
+        # luma-grid feature, box-average resize fingerprint
+        rec["px_mean"] = float(round(px.mean(), 4))
+        rec["px_std"] = float(round(px.std(), 4))
+        rec["feature"] = luma_grid_features(px, dim=dim)
+        h2, w2 = px.shape[:2]
+        small = px if (rw == w2 and rh == h2) else resize_box(px, rh, rw)
+        rec["resized_fp"] = hashlib.sha256(
+            small.tobytes()).hexdigest()[:12]
+
     out = []
     for raw in pdf[blob_col].tolist():
         raw = raw or b""
@@ -534,25 +549,18 @@ def media_meta_pdf(
             # False — a boolean-coder DCT decoder doesn't exist here
             # and strict mode forbids fabricating pixels.
             rgb = None
+            vp8l_err = None
             try:
                 rgb = np.ascontiguousarray(decode_vp8l(raw)[:, :, :3])
-            except ValueError:
-                rgb = None
+            except ValueError as exc:
+                vp8l_err = exc
             if rgb is not None:
                 h2, w2 = rgb.shape[:2]
                 rec["width"], rec["height"] = w2, h2
-                scale = min(1.0, 256 / max(w2, h2, 1))
-                rw = max(1, int(w2 * scale))
-                rh = max(1, int(h2 * scale))
+                rw, rh = _resize_target(w2, h2)
                 rec["resized_w"], rec["resized_h"] = rw, rh
                 rec["decoded"] = True
-                rec["px_mean"] = float(round(rgb.mean(), 4))
-                rec["px_std"] = float(round(rgb.std(), 4))
-                rec["feature"] = luma_grid_features(rgb, dim=feature_dim)
-                small = (rgb if (rw == w2 and rh == h2)
-                         else resize_box(rgb, rh, rw))
-                rec["resized_fp"] = hashlib.sha256(
-                    small.tobytes()).hexdigest()[:12]
+                _fill_pixel_stats(rec, rgb, rw, rh, feature_dim)
                 out.append(rec)
                 continue
             # header-metadata tier: a parseable header satisfies strict
@@ -562,6 +570,15 @@ def media_meta_pdf(
             # schema is exercised end-to-end.
             try:
                 wm = parse_webp_meta(raw)
+                if (mode == "strict" and wm["variant"] == "lossless"
+                        and vp8l_err is not None):
+                    # the container SAYS pure lossless but the bitstream
+                    # failed to decode: that is a corrupt file, and
+                    # strict surfaces decode failures (same contract as
+                    # every other codec) — only lossy/animated files,
+                    # which genuinely have no decoder here, stay at the
+                    # metadata tier
+                    raise vp8l_err
                 rec["width"], rec["height"] = wm["width"], wm["height"]
                 if wm.get("n_frames"):
                     # animated: genuine frame count -> total duration
@@ -589,25 +606,12 @@ def media_meta_pdf(
             rec["width"], rec["height"] = w, h
             # resize target from the ALREADY-decoded dims (with real
             # codecs a second decode would dominate the hot path)
-            # max(..., 1): decoders reject 0x0 with ValueError, but a
-            # zero here must never become a ZeroDivisionError (which
-            # would escape the fallback-not-fail ValueError guard and
-            # fail the whole mapInPandas task)
-            scale = min(1.0, 256 / max(w, h, 1))
-            rw = max(1, int(w * scale))
-            rh = max(1, int(h * scale))
+            rw, rh = _resize_target(w, h)
             rec["resized_w"], rec["resized_h"] = rw, rh
             px = meta["pixels"]
             if px is not None:
                 rec["decoded"] = True
-                rec["px_mean"] = float(round(px.mean(), 4))
-                rec["px_std"] = float(round(px.std(), 4))
-                rec["feature"] = luma_grid_features(px, dim=feature_dim)
-                # REAL box-average resample; fingerprint of resized pixels
-                small = px if (rw == w and rh == h) else resize_box(px, rh, rw)
-                rec["resized_fp"] = hashlib.sha256(
-                    small.tobytes()
-                ).hexdigest()[:12]
+                _fill_pixel_stats(rec, px, rw, rh, feature_dim)
                 if mtype == "image/gif" and (meta.get("n_frames") or 1) > 1:
                     # animated: REAL evenly-spaced frame fingerprints
                     rec["frame_fps"] = frame_sample(raw, mode=mode)

@@ -133,7 +133,7 @@ def draw_text(img: np.ndarray, y: int, x: int, text: str, rgb,
             break
         if budget - drawn <= 0:
             return drawn, True
-        if ch != " ":  # spaces advance but cost nothing
+        if ch != " ":  # spaces advance but cost no budget and no count
             rows = _glyph_bits(ch)
             for ry, bits in enumerate(rows):
                 if not bits:
@@ -141,8 +141,8 @@ def draw_text(img: np.ndarray, y: int, x: int, text: str, rgb,
                 for cx in range(GLYPH_W):
                     if bits & (1 << (GLYPH_W - 1 - cx)):
                         img[y + ry, x + cx] = rgb
+            drawn += 1
         x += GLYPH_ADVANCE
-        drawn += 1
     return drawn, False
 
 

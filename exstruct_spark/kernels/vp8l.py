@@ -33,6 +33,29 @@ import struct
 import numpy as np
 
 MAX_PIXELS = 64_000_000
+# separate, much lower cap for the ENTROPY-CODED pixel paths: unlike
+# PNG/GIF (zlib/numpy at C speed under the 64M cap) this decoder does
+# interpreter-speed per-pixel work across up to five passes, so one
+# huge blob could stall an executor task for minutes — beyond this,
+# ValueError degrades the blob to the real header-metadata tier
+VP8L_MAX_PIXELS = 4_000_000
+
+
+def _iter_webp_chunks(raw: bytes):
+    """Shared RIFF/WEBP chunk walk: yields (chunk_id: bytes, body) with
+    word-aligned advance; raises ValueError on a truncated chunk or a
+    non-WebP container."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = bytes(raw[pos:pos + 4])
+        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        body = raw[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WebP chunk")
+        yield cid, body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
 
 # distance code 1..120 -> (dx, dy) close-neighborhood offsets
 # (T.81-style public constant from the WebP lossless specification)
@@ -451,19 +474,12 @@ def decode_vp8l(raw: bytes) -> np.ndarray:
     uint8 RGBA.  ValueError on malformed/lossy/animated input."""
     payload = None
     if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
-        pos = 12
-        while pos + 8 <= len(raw):
-            cid = raw[pos:pos + 4]
-            (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
-            body = raw[pos + 8:pos + 8 + size]
-            if len(body) != size:
-                raise ValueError("truncated WebP chunk")
+        for cid, body in _iter_webp_chunks(raw):
             if cid == b"VP8L":
                 payload = body
                 break
             if cid == b"VP8 ":
                 raise ValueError("lossy VP8 — no pixel decoder here")
-            pos += 8 + size + (size & 1)
         if payload is None:
             raise ValueError("no VP8L chunk")
     elif raw[:1] == b"\x2f":
@@ -479,7 +495,7 @@ def decode_vp8l(raw: bytes) -> np.ndarray:
     br.u(1)  # alpha hint
     if br.u(3) != 0:
         raise ValueError("unsupported VP8L version")
-    if w * h > MAX_PIXELS:
+    if w * h > VP8L_MAX_PIXELS:
         raise ValueError("VP8L dimensions exceed max_pixels cap")
     px = _decode_argb(br, w, h)
     arr = np.asarray(px, dtype=np.uint32).reshape(h, w)
@@ -579,34 +595,25 @@ def decode_alph(raw: bytes) -> np.ndarray:
     """Full WebP container with an ALPH chunk -> (H, W) uint8 alpha
     plane (the REAL alpha of a lossy file, whose RGB this module
     honestly cannot decode).  ValueError when absent/malformed."""
-    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
-        raise ValueError("not a RIFF/WEBP container")
     alph = None
     w = h = None
-    pos = 12
-    while pos + 8 <= len(raw):
-        cid = bytes(raw[pos:pos + 4])
-        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
-        body = raw[pos + 8:pos + 8 + size]
-        if len(body) != size:
-            raise ValueError("truncated WebP chunk")
+    for cid, body in _iter_webp_chunks(raw):
         if cid == b"ALPH":
             alph = body
-        elif cid == b"VP8X" and size >= 10:
+        elif cid == b"VP8X" and len(body) >= 10:
             w = 1 + int.from_bytes(body[4:7], "little")
             h = 1 + int.from_bytes(body[7:10], "little")
-        elif cid == b"VP8 " and size >= 10 and (body[0] & 1) == 0:
+        elif cid == b"VP8 " and len(body) >= 10 and (body[0] & 1) == 0:
             if body[3:6] != b"\x9d\x01\x2a":
                 raise ValueError("bad VP8 keyframe start code")
             if w is None:
                 w = int.from_bytes(body[6:8], "little") & 0x3FFF
                 h = int.from_bytes(body[8:10], "little") & 0x3FFF
-        pos += 8 + size + (size & 1)
     if alph is None:
         raise ValueError("no ALPH chunk")
     if not w or not h:
         raise ValueError("no dimensions for alpha plane")
-    if w * h > MAX_PIXELS:
+    if w * h > VP8L_MAX_PIXELS:
         raise ValueError("alpha plane exceeds max_pixels cap")
     head = alph[0]
     compression = head & 3

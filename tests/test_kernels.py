@@ -1694,3 +1694,43 @@ def test_image_pair_harvesting_kernel():
     ]
     light = extract_document("u", html, ExtractOptions.from_mode("light"))
     assert "images" not in json.loads(light["extraction_json"])
+
+
+def test_cell_edit_unclosed_td_and_gt_in_attribute():
+    """Round-5 review findings: an unclosed <td> whose row DOES close
+    must not swallow the </tr> when spliced, and a '>' inside a quoted
+    attribute value must not truncate the tag token."""
+    from exstruct_spark.kernels.edits import apply_ops
+
+    # unclosed <td> followed by </tr>
+    html = "<table><tr><td>x</tr><tr><td>y</td></tr></table>"
+    out, st = apply_ops(html, [
+        {"op": "set_value", "table": 0, "row": 0, "col": 0, "value": "Z"},
+    ])
+    assert st == ["applied"]
+    assert out == "<table><tr><td>Z</tr><tr><td>y</td></tr></table>"
+    ex = extract_document("u", out.encode())
+    # wait-free structural check: two rows survive the edit
+    tabs = json.loads(ex["extraction_json"]).get("tables") or []
+    if tabs:
+        assert tabs[0]["rows"][0]["c"]["0"] == "Z"
+
+    # '>' inside a quoted attribute
+    html = '<table><tr><td title="a>b">x</td><td>y</td></tr></table>'
+    out, st = apply_ops(html, [
+        {"op": "set_value", "table": 0, "row": 0, "col": 0, "value": "Q"},
+        {"op": "set_fill_color", "table": 0, "row": 0, "col": 1,
+         "color": "#ff0000"},
+    ])
+    assert st == ["applied", "applied"]
+    assert '<td title="a>b">Q</td>' in out
+    assert '<td style="background:#ff0000">y</td>' in out
+
+
+def test_bpe_token_count_none_text():
+    """Review finding: the warm-path rewrite must keep the old contract
+    that None text counts as zero tokens (TypeError would escape the
+    ValueError fallback nets)."""
+    from exstruct_spark.kernels.bpe import bpe_token_count
+
+    assert bpe_token_count(None, {}, {}) == 0

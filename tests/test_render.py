@@ -168,3 +168,15 @@ def test_render_glyph_budget_clipping_and_short_cells():
     }, cell_h=8)
     assert (n, trunc) == (0, False)
     assert (img[8 - 3, 2] == INK_RGB).all()
+
+
+def test_glyph_budget_ignores_spaces():
+    """Review finding: spaces advance the pen but must not consume the
+    glyph budget or inflate the n_glyphs metric."""
+    from exstruct_spark.kernels.render import render_table_png_stats
+
+    img, n, trunc = render_table_png_stats({
+        "id": 0, "range": "A1:A1",
+        "rows": [{"r": 1, "c": {"0": "A B"}}],
+    }, cell_w=40, cell_h=12)
+    assert (n, trunc) == (2, False)

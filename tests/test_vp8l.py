@@ -455,3 +455,28 @@ def test_vp8l_encoder_roundtrip_and_libwebp_validation():
         assert np.array_equal(decode_vp8l(buf), want)
         if _LIB is not None:
             assert np.array_equal(_ref_dec(buf), want)
+
+
+@needs_libwebp
+def test_corrupt_lossless_webp_raises_in_strict():
+    """Review finding: a container that declares PURE lossless but whose
+    VP8L bitstream is corrupt must RAISE in strict mode (decode-failure
+    surfacing, same contract as every other codec) — only lossy and
+    animated files, which genuinely have no pixel decoder here, stay at
+    the header-metadata tier."""
+    import pandas as pd
+
+    from exstruct_spark.kernels.media import media_meta_pdf
+
+    rng = np.random.default_rng(11)
+    buf = bytearray(_enc(rng.integers(0, 256, (12, 14, 3), dtype=np.uint8)))
+    # deterministic corruption: flip the VP8L version bits (header still
+    # parses as lossless; the decoder must refuse)
+    sig = buf.index(b"VP8L")
+    buf[sig + 8 + 4] |= 0xE0  # payload byte 4 top bits = version field
+    with pytest.raises(ValueError):
+        media_meta_pdf(pd.DataFrame({"k": [0], "blob": [bytes(buf)]}),
+                       blob_col="blob", mode="strict")
+    row = media_meta_pdf(pd.DataFrame({"k": [0], "blob": [bytes(buf)]}),
+                         blob_col="blob", mode="fake").iloc[0]
+    assert row["media_type"] == "image/webp" and not row["decoded"]
