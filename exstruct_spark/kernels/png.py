@@ -7,9 +7,12 @@ the one codec that needs no third-party library: PNG is zlib (stdlib) +
 per-scanline filters 0-4 (numpy).  JPEG/video remain declared stubs in
 kernels/media.py (no codecs in this environment).
 
-Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), non-interlaced.  Anything else raises
-``ValueError`` and the caller degrades (fallback-not-fail).
+Supported: bit depths 8 and 16 (16-bit samples keep their HIGH byte,
+the PNG-recommended 8-bit reduction), color types 0 (gray), 2 (RGB),
+3 (palette, 8-bit), 4 (gray+alpha), 6 (RGBA), non-interlaced AND Adam7
+interlaced (each of the 7 passes is its own filtered sub-image
+scattered back onto the canvas).  Anything else raises ``ValueError``
+and the caller degrades (fallback-not-fail).
 """
 
 from __future__ import annotations
@@ -23,61 +26,29 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) — the PNG
+# spec's pass table; every pixel is covered exactly once (pinned by
+# pytest over the 8x8 tile)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-def decode_png(raw: bytes) -> np.ndarray:
-    """PNG bytes -> (H, W, C) uint8 pixel array (C in {1, 2, 3, 4};
-    palette images are expanded to RGB).  Raises ``ValueError`` on
-    malformed or unsupported input — never returns fabricated pixels."""
-    if raw[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG signature")
-    pos = 8
-    ihdr = None
-    plte = None
-    idat_parts = []
-    n = len(raw)
-    while pos + 8 <= n:
-        (length,) = struct.unpack(">I", raw[pos : pos + 4])
-        ctype = raw[pos + 4 : pos + 8]
-        data = raw[pos + 8 : pos + 8 + length]
-        if len(data) < length:
-            raise ValueError("truncated chunk")
-        pos += 12 + length  # len + type + data + crc (crc not verified)
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"PLTE":
-            plte = data
-        elif ctype == b"IDAT":
-            idat_parts.append(data)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or len(ihdr) < 13 or not idat_parts:
-        raise ValueError("missing IHDR/IDAT")
-    width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr[:13]
-    )
-    if bit_depth != 8:
-        raise ValueError(f"unsupported bit depth {bit_depth}")
-    if color_type not in _CHANNELS:
-        raise ValueError(f"unsupported color type {color_type}")
-    if comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("unsupported compression/filter/interlace method")
-    if width == 0 or height == 0 or width * height > 64_000_000:
-        raise ValueError("degenerate or oversized dimensions")
-    channels = _CHANNELS[color_type]
-    stride = width * channels
-    try:
-        plain = zlib.decompress(b"".join(idat_parts))
-    except zlib.error as exc:
-        raise ValueError(f"IDAT inflate failed: {exc}") from exc
+
+def _unfilter(plain: bytes, height: int, width: int, bpp: int) -> np.ndarray:
+    """One filtered sub-image (filter byte + scanline) x height ->
+    (height, width*bpp) uint8 reconstructed samples.  Filters 0-4 per
+    the PNG spec; ``bpp`` is BYTES per pixel (so 16-bit samples just
+    widen the lanes — the filters are bytewise by design)."""
+    stride = width * bpp
     if len(plain) < (stride + 1) * height:
         raise ValueError("IDAT too short for dimensions")
-
-    buf = np.frombuffer(plain, dtype=np.uint8)[: (stride + 1) * height]
+    buf = np.frombuffer(plain, dtype=np.uint8,
+                        count=(stride + 1) * height)
     lines = buf.reshape(height, stride + 1)
     filters = lines[:, 0]
     data = lines[:, 1:].astype(np.int32)
     out = np.zeros((height, stride), dtype=np.int32)
-    bpp = channels  # bit depth 8: bytes per pixel == channels
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(height):
         f = filters[y]
@@ -114,7 +85,81 @@ def decode_png(raw: bytes) -> np.ndarray:
             raise ValueError(f"unknown scanline filter {f}")
         out[y] = recon
         prev = out[y]
-    px = out.astype(np.uint8).reshape(height, width, channels)
+    return out.astype(np.uint8)
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8 pixel array (C in {1, 2, 3, 4};
+    palette images are expanded to RGB).  Raises ``ValueError`` on
+    malformed or unsupported input — never returns fabricated pixels."""
+    if raw[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG signature")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat_parts = []
+    n = len(raw)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated chunk")
+        pos += 12 + length  # len + type + data + crc (crc not verified)
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat_parts.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat_parts:
+        raise ValueError("missing IHDR/IDAT")
+    width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if bit_depth not in (8, 16):
+        raise ValueError(f"unsupported bit depth {bit_depth}")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unsupported color type {color_type}")
+    if bit_depth == 16 and color_type == 3:
+        raise ValueError("palette images cannot be 16-bit")
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("unsupported compression/filter method")
+    if width == 0 or height == 0 or width * height > 64_000_000:
+        raise ValueError("degenerate or oversized dimensions")
+    channels = _CHANNELS[color_type]
+    sample_bytes = bit_depth // 8
+    bpp = channels * sample_bytes
+    try:
+        plain = zlib.decompress(b"".join(idat_parts))
+    except zlib.error as exc:
+        raise ValueError(f"IDAT inflate failed: {exc}") from exc
+
+    if interlace == 0:
+        raw16 = _unfilter(plain, height, width, bpp).reshape(
+            height, width, bpp)
+    else:
+        # Adam7: seven sub-images, each independently filtered, each
+        # scattered onto the canvas at its pass offsets/strides
+        raw16 = np.zeros((height, width, bpp), dtype=np.uint8)
+        pos2 = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            need = (pw * bpp + 1) * ph
+            sub = _unfilter(plain[pos2:pos2 + need], ph, pw, bpp)
+            pos2 += need
+            raw16[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if sample_bytes == 2:
+        # high byte of each big-endian 16-bit sample (the spec's
+        # recommended 8-bit reduction)
+        px = raw16.reshape(height, width, channels, 2)[:, :, :, 0].copy()
+    else:
+        px = raw16.reshape(height, width, channels)
     if color_type == 3:
         if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
             raise ValueError("palette image without valid PLTE")

@@ -189,3 +189,104 @@ def test_media_fake_mode_degrades_undecodable_png():
     assert row["media_type"] == "image/png"
     assert not row["decoded"] and row["px_mean"] is None
     assert row["width"] is not None  # stub dims still flow the plumbing
+
+
+def _chunk(ct, data):
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ct + data
+            + struct.pack(">I", zlib.crc32(ct + data) & 0xFFFFFFFF))
+
+
+def test_png_16bit_high_byte_reduction():
+    """16-bit PNGs decode with the spec's recommended 8-bit reduction
+    (high byte of each big-endian sample): crafted values come back
+    exactly, and the REAL third-party 16-bit RGBA vector (CPython's
+    idlelib icon) decodes with genuine dimensions and a real alpha
+    channel."""
+    import glob
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from exstruct_spark.kernels.png import PNG_MAGIC, decode_png
+
+    h, w = 5, 7
+    vals16 = np.random.default_rng(2).integers(
+        0, 65536, (h, w, 3), np.uint32).astype(">u2")
+    rows = b"".join(b"\x00" + vals16[y].tobytes() for y in range(h))
+    raw = (PNG_MAGIC
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+           + _chunk(b"IDAT", zlib.compress(rows)) + _chunk(b"IEND", b""))
+    got = decode_png(raw)
+    assert np.array_equal(got, (vals16.astype(np.uint32) >> 8
+                                ).astype(np.uint8))
+
+    hits = sorted(glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/idlelib/Icons/idle_48.png"))
+    if hits:
+        px = decode_png(open(hits[-1], "rb").read())
+        assert px.shape == (48, 48, 4)
+        assert len(np.unique(px[:, :, 3])) > 8   # real soft alpha
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 interlaced PNGs decode: the pass table covers every pixel
+    exactly once (pinned), and crafted interlaced files — including
+    passes using Sub/Up filters — reconstruct the original image
+    byte-exactly across shapes that exercise empty and partial
+    passes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from exstruct_spark.kernels.png import _ADAM7, PNG_MAGIC, decode_png
+
+    cov = np.zeros((8, 8), int)
+    for (x0, y0, dx, dy) in _ADAM7:
+        cov[y0::dy, x0::dx] += 1
+    assert (cov == 1).all()
+
+    def encode_adam7(img, filt_cycle):
+        h, w, c = img.shape
+        parts = []
+        for (x0, y0, dx, dy) in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            if not filt_cycle:
+                parts.append(b"".join(
+                    b"\x00" + sub[y].tobytes() for y in range(ph)))
+                continue
+            buf = bytearray()
+            prev = np.zeros(pw * c, np.int32)
+            for y in range(ph):
+                line = sub[y].reshape(-1).astype(np.int32)
+                if y % 2 == 0:  # Sub
+                    lanes = line.reshape(pw, c)
+                    d = np.diff(np.vstack(
+                        [np.zeros((1, c), np.int32), lanes]), axis=0) % 256
+                    buf += b"\x01" + d.astype(np.uint8).tobytes()
+                else:           # Up
+                    buf += b"\x02" + ((line - prev) % 256
+                                      ).astype(np.uint8).tobytes()
+                prev = line
+            parts.append(bytes(buf))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c],
+                           0, 0, 1)
+        return (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+                + _chunk(b"IEND", b""))
+
+    import numpy as np
+    for shape in [(8, 8, 3), (5, 3, 3), (13, 7, 4), (1, 1, 3), (2, 9, 1),
+                  (31, 17, 3)]:
+        img = np.random.default_rng(sum(shape)).integers(
+            0, 256, shape, np.uint8)
+        for fc in (False, True):
+            assert np.array_equal(decode_png(encode_adam7(img, fc)), img), \
+                (shape, fc)
