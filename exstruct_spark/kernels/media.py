@@ -1,12 +1,15 @@
 """Multimodal (image/audio/video) column kernels — Spark plumbing is real,
-four codecs decode for REAL with stdlib + numpy only: PNG (zlib
-inflate + unfilter, kernels/png.py), GIF incl. animated multi-frame
-compositing (LZW, kernels/gif.py), JPEG — baseline AND progressive
-SOF2 with successive approximation (Huffman + IDCT, kernels/jpeg.py —
-spec-pinned against real third-party baseline and progressive
-vectors), and WAV/PCM audio (RIFF byte-walk + signal stats).
-WebP and MP3 get REAL header metadata (genuine dimensions / variant /
-flags, sample rate / duration — ``parse_webp_meta`` /
+FIVE codec families decode for REAL with stdlib + numpy only: PNG incl.
+16-bit samples and Adam7 interlace (zlib inflate + unfilter,
+kernels/png.py), GIF incl. animated multi-frame compositing (LZW,
+kernels/gif.py), JPEG — baseline AND progressive SOF2 with successive
+approximation (Huffman + IDCT, kernels/jpeg.py — spec-pinned against
+real third-party baseline and progressive vectors), WebP-lossless VP8L
+incl. the ALPH alpha planes of lossy files (kernels/vp8l.py — pinned
+byte-identical to libwebp at test time), and WAV/PCM audio (RIFF
+byte-walk + signal stats).  Lossy-VP8 WebP, animated WebP and MP3 get
+REAL header metadata (genuine dimensions / variant / flags / frame
+counts, sample rate / duration — ``parse_webp_meta`` /
 ``parse_mp3_header``) with ``decoded`` honestly False; remaining
 formats (video containers, other compressed audio) are stubbed or
 sniff-only.
