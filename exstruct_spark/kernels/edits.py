@@ -36,9 +36,13 @@ import re
 from typing import Optional
 
 _TOKEN_RE = re.compile(
-    # attribute-aware: a '>' inside a quoted attribute value must not
-    # terminate the tag (title="a>b", inline JSON in data-* attrs)
-    r"<(/?)(table|tr|td|th)\b(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>",
+    # attribute-aware: a '>' inside a BALANCED quoted attribute value
+    # must not terminate the tag (title="a>b", inline JSON in data-*
+    # attrs).  Quoted runs may not span '<' and a lone quote consumes
+    # as itself, so an UNBALANCED quote degrades to the old
+    # truncate-at-first-'>' behavior instead of dropping the tag (which
+    # would silently renumber cells) or spanning into later tags
+    r"<(/?)(table|tr|td|th)\b(?:\"[^\"<]*\"|'[^'<]*'|[^><\"']|[\"'])*>",
     re.IGNORECASE | re.DOTALL,
 )
 

@@ -40,7 +40,7 @@ import pandas as pd
 
 from exstruct_spark.kernels.gif import GIF_MAGICS, decode_gif
 from exstruct_spark.kernels.jpeg import JPEG_MAGIC, decode_jpeg
-from exstruct_spark.kernels.vp8l import decode_vp8l
+from exstruct_spark.kernels.vp8l import Vp8lCapExceeded, decode_vp8l
 from exstruct_spark.kernels.png import (
     PNG_MAGIC,
     decode_png,
@@ -573,8 +573,11 @@ def media_meta_pdf(
             # schema is exercised end-to-end.
             try:
                 wm = parse_webp_meta(raw)
-                if (mode == "strict" and wm["variant"] == "lossless"
-                        and vp8l_err is not None):
+                if (mode == "strict" and vp8l_err is not None
+                        and not isinstance(vp8l_err, Vp8lCapExceeded)
+                        and "lossless" in wm["variant"]
+                        and "lossy" not in wm["variant"]
+                        and not wm["has_animation"]):
                     # the container SAYS pure lossless but the bitstream
                     # failed to decode: that is a corrupt file, and
                     # strict surfaces decode failures (same contract as
@@ -593,10 +596,8 @@ def media_meta_pdf(
                 rec["width"] = stub["width"]
                 rec["height"] = stub["height"]
             if mode != "strict":
-                w, h = rec["width"], rec["height"]
-                scale = min(1.0, 256 / max(w, h, 1))
-                rec["resized_w"] = max(1, int(w * scale))
-                rec["resized_h"] = max(1, int(h * scale))
+                rec["resized_w"], rec["resized_h"] = _resize_target(
+                    rec["width"], rec["height"])
                 rec["feature"] = image_features_stub(
                     raw, dim=feature_dim, mode=mode)
                 rec["resized_fp"] = resize_image_stub(raw, mode=mode)[

@@ -37,8 +37,15 @@ MAX_PIXELS = 64_000_000
 # PNG/GIF (zlib/numpy at C speed under the 64M cap) this decoder does
 # interpreter-speed per-pixel work across up to five passes, so one
 # huge blob could stall an executor task for minutes — beyond this,
-# ValueError degrades the blob to the real header-metadata tier
+# Vp8lCapExceeded degrades the blob to the real header-metadata tier
+# (a capability limit, NOT a corrupt file — strict mode must be able
+# to tell them apart)
 VP8L_MAX_PIXELS = 4_000_000
+
+
+class Vp8lCapExceeded(ValueError):
+    """Image exceeds the interpreter-speed pixel budget — the file may
+    be perfectly valid; callers degrade instead of flagging corruption."""
 
 
 def _iter_webp_chunks(raw: bytes):
@@ -496,7 +503,7 @@ def decode_vp8l(raw: bytes) -> np.ndarray:
     if br.u(3) != 0:
         raise ValueError("unsupported VP8L version")
     if w * h > VP8L_MAX_PIXELS:
-        raise ValueError("VP8L dimensions exceed max_pixels cap")
+        raise Vp8lCapExceeded("VP8L dimensions exceed max_pixels cap")
     px = _decode_argb(br, w, h)
     arr = np.asarray(px, dtype=np.uint32).reshape(h, w)
     out = np.empty((h, w, 4), dtype=np.uint8)
@@ -613,11 +620,17 @@ def decode_alph(raw: bytes) -> np.ndarray:
         raise ValueError("no ALPH chunk")
     if not w or not h:
         raise ValueError("no dimensions for alpha plane")
-    if w * h > VP8L_MAX_PIXELS:
-        raise ValueError("alpha plane exceeds max_pixels cap")
     head = alph[0]
     compression = head & 3
     filt = (head >> 2) & 3
+    # the tight interpreter-speed cap applies where per-pixel Python
+    # runs: the entropy-coded path and the horizontal/gradient
+    # unfilters; the raw unfiltered/vertical path is numpy-speed and
+    # only needs the generic bound
+    cap = (VP8L_MAX_PIXELS if (compression == 1 or filt in (1, 3))
+           else MAX_PIXELS)
+    if w * h > cap:
+        raise Vp8lCapExceeded("alpha plane exceeds max_pixels cap")
     # preprocessing bits (4-5) are encoder-side level reduction: no
     # decoder action
     if compression == 0:

@@ -1710,10 +1710,9 @@ def test_cell_edit_unclosed_td_and_gt_in_attribute():
     assert st == ["applied"]
     assert out == "<table><tr><td>Z</tr><tr><td>y</td></tr></table>"
     ex = extract_document("u", out.encode())
-    # wait-free structural check: two rows survive the edit
     tabs = json.loads(ex["extraction_json"]).get("tables") or []
-    if tabs:
-        assert tabs[0]["rows"][0]["c"]["0"] == "Z"
+    assert tabs, "edited table must still extract"
+    assert tabs[0]["rows"][0]["c"]["0"] == "Z"
 
     # '>' inside a quoted attribute
     html = '<table><tr><td title="a>b">x</td><td>y</td></tr></table>'
@@ -1734,3 +1733,21 @@ def test_bpe_token_count_none_text():
     from exstruct_spark.kernels.bpe import bpe_token_count
 
     assert bpe_token_count(None, {}, {}) == 0
+
+
+def test_cell_edit_unbalanced_quote_keeps_cell_indexing():
+    """Second-review finding: an UNBALANCED quote in an attribute must
+    not drop the tag from tokenization (which silently renumbers cells
+    and edits the wrong one) — it degrades to truncate-at-first-'>',
+    keeping indices stable, while balanced quotes containing '>' still
+    tokenize whole."""
+    from exstruct_spark.kernels.edits import apply_ops
+
+    html = ('<table><tr><td title="oops>x</td>'
+            '<td class="c">y</td><td>z</td></tr></table>')
+    out, st = apply_ops(html, [
+        {"op": "set_value", "table": 0, "row": 0, "col": 1, "value": "Q"},
+    ])
+    assert st == ["applied"]
+    assert '<td class="c">Q</td>' in out      # the RIGHT cell changed
+    assert "<td>z</td>" in out                # col 2 untouched

@@ -480,3 +480,72 @@ def test_corrupt_lossless_webp_raises_in_strict():
     row = media_meta_pdf(pd.DataFrame({"k": [0], "blob": [bytes(buf)]}),
                          blob_col="blob", mode="fake").iloc[0]
     assert row["media_type"] == "image/webp" and not row["decoded"]
+
+
+@needs_libwebp
+def test_oversized_lossless_degrades_even_in_strict():
+    """Second-review finding: the interpreter-speed pixel cap is a
+    CAPABILITY limit, not corruption — a valid over-cap lossless WebP
+    must degrade to the genuine header-metadata tier in strict mode
+    (Vp8lCapExceeded), not fail the task; and a corrupt VP8X-wrapped
+    lossless ('extended+lossless') must still RAISE in strict."""
+    import pandas as pd
+
+    from exstruct_spark.kernels.media import media_meta_pdf
+    from exstruct_spark.kernels.vp8l import Vp8lCapExceeded, decode_vp8l
+
+    # hand-built header: valid VP8L declaring 3000x2000 (6M px > cap)
+    w = _W()
+    w.put(0x2F, 8)
+    w.put(2999, 14)
+    w.put(1999, 14)
+    w.put(0, 1)
+    w.put(0, 3)
+    payload = w.bytes() + b"\x00" * 8
+    raw = (b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+           + b"VP8L" + struct.pack("<I", len(payload)) + payload)
+    with pytest.raises(Vp8lCapExceeded):
+        decode_vp8l(raw)
+    row = media_meta_pdf(pd.DataFrame({"k": [0], "blob": [raw]}),
+                         blob_col="blob", mode="strict").iloc[0]
+    assert not row["decoded"]
+    assert (row["width"], row["height"]) == (3000, 2000)  # REAL header dims
+
+    # corrupt VP8X-wrapped lossless still raises in strict
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (10, 12, 4), dtype=np.uint8)
+    buf = bytearray(_enc(img, alpha=True))
+    if b"VP8X" in buf:  # libwebp wraps alpha'd lossless in VP8X
+        sig = buf.index(b"VP8L")
+        buf[sig + 8 + 4] |= 0xE0  # corrupt the version bits
+        with pytest.raises(ValueError):
+            media_meta_pdf(pd.DataFrame({"k": [0], "blob": [bytes(buf)]}),
+                           blob_col="blob", mode="strict")
+
+
+def test_alph_raw_path_uses_generic_cap():
+    """Second-review finding: the tight interpreter-speed cap applies
+    only where per-pixel Python runs — a raw, unfiltered (numpy-speed)
+    alpha plane between 4M and 64M pixels still decodes."""
+    import numpy as np
+
+    from exstruct_spark.kernels.vp8l import decode_alph
+
+    w_dim, h_dim = 2400, 2000  # 4.8M px: over the tight cap
+    plane = (np.arange(w_dim * h_dim, dtype=np.uint32) % 251).astype(
+        np.uint8)
+    alph = b"\x00" + plane.tobytes()   # compression 0, filter 0
+
+    def chunk(cid, body):
+        return (cid + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    vp8x = chunk(b"VP8X", bytes([0x10, 0, 0, 0])
+                 + (w_dim - 1).to_bytes(3, "little")
+                 + (h_dim - 1).to_bytes(3, "little"))
+    payload = vp8x + chunk(b"ALPH", alph)
+    raw = (b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP"
+           + payload)
+    out = decode_alph(raw)
+    assert out.shape == (h_dim, w_dim)
+    assert np.array_equal(out.reshape(-1), plane)
