@@ -424,56 +424,59 @@ def _delta(t: int, c: int) -> int:
 
 
 def _inv_color_transform(px, w, h, bits, sub, sub_w):
-    for pos in range(w * h):
-        y, x = divmod(pos, w)
-        cte = sub[(y >> bits) * sub_w + (x >> bits)]
-        g2r = cte & 0xFF
-        g2b = (cte >> 8) & 0xFF
-        r2b = (cte >> 16) & 0xFF
-        argb = px[pos]
-        green = (argb >> 8) & 0xFF
-        red = ((argb >> 16) & 0xFF) + _delta(g2r, green) & 0xFF
-        blue = (((argb & 0xFF) + _delta(g2b, green)) + _delta(r2b, red)
-                ) & 0xFF
-        px[pos] = (argb & 0xFF00FF00) | (red << 16) | blue
-    return px
+    # vectorized: map each pixel to its block's transform element, then
+    # apply the signed-int8 deltas as numpy int16 math (exact semantics
+    # of the scalar form — arithmetic >> 5 on int16 floors like Python)
+    a = np.asarray(px, dtype=np.uint32).reshape(h, w)
+    cte = np.asarray(sub, dtype=np.uint32).reshape(-1, sub_w)
+    ys = np.arange(h) >> bits
+    xs = np.arange(w) >> bits
+    blk = cte[np.ix_(ys, xs)]
+    g2r = (blk & 0xFF).astype(np.uint8).astype(np.int8).astype(np.int16)
+    g2b = ((blk >> 8) & 0xFF).astype(np.uint8).astype(np.int8).astype(
+        np.int16)
+    r2b = ((blk >> 16) & 0xFF).astype(np.uint8).astype(np.int8).astype(
+        np.int16)
+    green = ((a >> 8) & 0xFF).astype(np.uint8).astype(np.int8).astype(
+        np.int16)
+    red = (((a >> 16) & 0xFF).astype(np.int16)
+           + ((g2r * green) >> 5)) & 0xFF
+    red_s = red.astype(np.uint8).astype(np.int8).astype(np.int16)
+    blue = ((a & 0xFF).astype(np.int16) + ((g2b * green) >> 5)
+            + ((r2b * red_s) >> 5)) & 0xFF
+    out = ((a & np.uint32(0xFF00FF00))
+           | (red.astype(np.uint32) << 16) | blue.astype(np.uint32))
+    return out.reshape(-1).tolist()
 
 
 def _inv_subtract_green(px):
-    for i, argb in enumerate(px):
-        g = (argb >> 8) & 0xFF
-        r = ((argb >> 16) & 0xFF) + g & 0xFF
-        b = (argb + g) & 0xFF
-        px[i] = (argb & 0xFF00FF00) | (r << 16) | b
-    return px
+    # vectorized per-channel add mod 256
+    a = np.asarray(px, dtype=np.uint32)
+    g = (a >> 8) & 0xFF
+    r = (((a >> 16) & 0xFF) + g) & 0xFF
+    b = (a + g) & 0xFF
+    return ((a & np.uint32(0xFF00FF00)) | (r << 16) | b).tolist()
 
 
 def _inv_color_index(px, packed_w, w, h, palette, xbits):
+    # vectorized: palette lookup (out-of-range index -> 0, libwebp
+    # semantics) with bit-unbundling via broadcast shifts
+    pal = np.asarray(palette + [0], dtype=np.uint32)
+    oob = len(palette)
     if xbits == 0:
-        out = []
-        np_pal = len(palette)
-        for argb in px:
-            idx = (argb >> 8) & 0xFF
-            out.append(palette[idx] if idx < np_pal else 0)
-        return out
+        idx = (np.asarray(px, dtype=np.uint32) >> 8) & 0xFF
+        idx = np.where(idx < oob, idx, oob)
+        return pal[idx].tolist()
     per = 1 << xbits
     depth = 8 >> xbits
     mask = (1 << depth) - 1
-    np_pal = len(palette)
-    out = [0] * (w * h)
-    for y in range(h):
-        row = y * packed_w
-        orow = y * w
-        for px_x in range(packed_w):
-            g = (px[row + px_x] >> 8) & 0xFF
-            base = px_x << xbits
-            for i in range(per):
-                x = base + i
-                if x >= w:
-                    break
-                idx = (g >> (i * depth)) & mask
-                out[orow + x] = palette[idx] if idx < np_pal else 0
-    return out
+    g = ((np.asarray(px, dtype=np.uint32).reshape(h, packed_w) >> 8)
+         & 0xFF)
+    shifts = (np.arange(per, dtype=np.uint32) * depth)[None, None, :]
+    idx = ((g[:, :, None] >> shifts) & mask).reshape(h, packed_w * per)
+    idx = idx[:, :w]
+    idx = np.where(idx < oob, idx, oob)
+    return pal[idx].reshape(-1).tolist()
 
 
 def decode_vp8l(raw: bytes) -> np.ndarray:

@@ -110,6 +110,22 @@ TOOLS = [
         },
     },
     {
+        "name": "edit_document",
+        "description": "Apply cell-level edit ops (set_value, set_link, "
+                       "set_fill_color, add_row, delete_row) to an HTML "
+                       "document; returns the patched HTML and per-op "
+                       "applied/skipped statuses (the reference's "
+                       "workbook-edit tool family, web-document form).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "html": {"type": "string"},
+                "ops": {"type": "array", "items": {"type": "object"}},
+            },
+            "required": ["html", "ops"],
+        },
+    },
+    {
         "name": "extract_file",
         "description": "Extract structured content from an HTML file on "
                        "disk.  Paths are confined to the served root "
@@ -272,8 +288,22 @@ def _call_media_probe(args: dict) -> dict:
     return out
 
 
+def _call_edit_document(args: dict) -> dict:
+    from exstruct_spark.kernels.edits import apply_ops
+
+    html, statuses = apply_ops(args.get("html") or "",
+                               args.get("ops") or [])
+    return {
+        "html": html,
+        "op_status": statuses,
+        "applied": sum(1 for s in statuses if s == "applied"),
+        "skipped": sum(1 for s in statuses if s == "skipped"),
+    }
+
+
 _TOOL_FNS = {
     "extract_html": _call_extract_html,
+    "edit_document": _call_edit_document,
     "extract_file": _call_extract_file,
     "media_probe": _call_media_probe,
     "render_table_images": _call_render_table_images,

@@ -37,7 +37,7 @@ def test_mcp_handshake_and_tools():
     assert init["result"]["serverInfo"]["name"] == "exstruct-spark"
     names = [t["name"] for t in tools["result"]["tools"]]
     assert names == ["extract_html", "render_table_images", "media_probe",
-                     "read_table_range", "extract_file"]
+                     "read_table_range", "edit_document", "extract_file"]
     assert err["error"]["code"] == -32601
 
 
@@ -193,3 +193,35 @@ def test_mcp_extract_file_root_confinement(tmp_path):
         assert "outside served root" in out[i]["result"]["content"][0]["text"]
     assert out[5]["result"]["isError"] is True   # FileNotFoundError in-band
     assert "outside" not in out[5]["result"]["content"][0]["text"]
+
+
+def test_mcp_edit_document_roundtrip():
+    """edit_document applies the cell-op family over the pipe and the
+    patched HTML re-extracts with the edit visible; bad ops skip."""
+    html = ("<table><tr><td>a</td><td>1</td></tr>"
+            "<tr><td>b</td><td>2</td></tr></table>")
+    ops = [
+        {"op": "set_value", "table": 0, "row": 0, "col": 1, "value": 9.5},
+        {"op": "add_row", "table": 0, "row": 2, "values": ["c", 3]},
+        {"op": "set_value", "table": 7, "row": 0, "col": 0, "value": "x"},
+    ]
+    out = _rpc_session([
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+         "params": {"name": "edit_document",
+                    "arguments": {"html": html, "ops": ops}}},
+    ])
+    res = json.loads(out[0]["result"]["content"][0]["text"])
+    assert res["op_status"] == ["applied", "applied", "skipped"]
+    assert res["applied"] == 2 and res["skipped"] == 1
+    assert "<td>9.5</td>" in res["html"]
+    assert "<tr><td>c</td><td>3</td></tr>" in res["html"]
+    # patched html round-trips through extract_html
+    out2 = _rpc_session([
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+         "params": {"name": "extract_html",
+                    "arguments": {"html": res["html"]}}},
+    ])
+    ex = json.loads(out2[0]["result"]["content"][0]["text"])
+    rows = ex["extraction"]["tables"][0]["rows"]
+    assert rows[0]["c"]["1"] == 9.5
+    assert rows[2]["c"] == {"0": "c", "1": 3}

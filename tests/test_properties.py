@@ -253,3 +253,49 @@ def test_jpeg_decode_never_hangs_on_garbage(raw):
         assert img.ndim == 3 and img.shape[2] == 3
     except ValueError:
         pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    html=st.text(
+        alphabet='<>trd/ab"\'=x \n&;',
+        max_size=160,
+    ),
+    ops=st.lists(
+        st.fixed_dictionaries({
+            "op": st.sampled_from(
+                ["set_value", "set_link", "set_fill_color", "add_row",
+                 "delete_row", "bogus"]),
+            "table": st.integers(-1, 3),
+            "row": st.integers(-1, 4),
+            "col": st.integers(-1, 3),
+            "value": st.text(max_size=5),
+            "href": st.text(max_size=5),
+            "color": st.text(max_size=6),
+            "values": st.lists(st.text(max_size=3), max_size=3),
+        }),
+        max_size=4,
+    ),
+)
+def test_cell_edit_ops_total(html, ops):
+    """apply_ops is TOTAL over arbitrary tag soup and arbitrary op
+    lists: never raises, returns one status per op, statuses drawn from
+    the reference's PatchStatus alphabet.  (add_row/delete_row take no
+    col/value kwargs — apply_ops must skip, not explode, when handed
+    extra keys, matching its bad-op tolerance contract.)"""
+    from exstruct_spark.kernels.edits import apply_ops
+
+    cleaned = []
+    for op in ops:
+        kind = op["op"]
+        keep = {"set_value": ("table", "row", "col", "value"),
+                "set_link": ("table", "row", "col", "href"),
+                "set_fill_color": ("table", "row", "col", "color"),
+                "add_row": ("table", "row", "values"),
+                "delete_row": ("table", "row"),
+                "bogus": ()}[kind]
+        cleaned.append({"op": kind, **{k: op[k] for k in keep}})
+    out, statuses = apply_ops(html, cleaned)
+    assert isinstance(out, str)
+    assert len(statuses) == len(cleaned)
+    assert set(statuses) <= {"applied", "skipped"}
