@@ -256,7 +256,10 @@ def apply_ops(html: str, ops: list) -> tuple:
     parity; X3 fallback-not-fail)."""
     statuses = []
     for op in ops:
-        fn = _OPS.get((op or {}).get("op"))
+        # totality over arbitrary JSON shapes: a non-dict op entry or a
+        # non-string op name is a skipped op, never an exception
+        name = op.get("op") if isinstance(op, dict) else None
+        fn = _OPS.get(name) if isinstance(name, str) else None
         if fn is None:
             statuses.append("skipped")
             continue

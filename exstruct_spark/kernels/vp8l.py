@@ -446,7 +446,7 @@ def _inv_color_transform(px, w, h, bits, sub, sub_w):
             + ((r2b * red_s) >> 5)) & 0xFF
     out = ((a & np.uint32(0xFF00FF00))
            | (red.astype(np.uint32) << 16) | blue.astype(np.uint32))
-    return out.reshape(-1).tolist()
+    return out.reshape(-1)
 
 
 def _inv_subtract_green(px):
@@ -455,7 +455,7 @@ def _inv_subtract_green(px):
     g = (a >> 8) & 0xFF
     r = (((a >> 16) & 0xFF) + g) & 0xFF
     b = (a + g) & 0xFF
-    return ((a & np.uint32(0xFF00FF00)) | (r << 16) | b).tolist()
+    return (a & np.uint32(0xFF00FF00)) | (r << 16) | b
 
 
 def _inv_color_index(px, packed_w, w, h, palette, xbits):
@@ -466,7 +466,7 @@ def _inv_color_index(px, packed_w, w, h, palette, xbits):
     if xbits == 0:
         idx = (np.asarray(px, dtype=np.uint32) >> 8) & 0xFF
         idx = np.where(idx < oob, idx, oob)
-        return pal[idx].tolist()
+        return pal[idx]
     per = 1 << xbits
     depth = 8 >> xbits
     mask = (1 << depth) - 1
@@ -476,7 +476,7 @@ def _inv_color_index(px, packed_w, w, h, palette, xbits):
     idx = ((g[:, :, None] >> shifts) & mask).reshape(h, packed_w * per)
     idx = idx[:, :w]
     idx = np.where(idx < oob, idx, oob)
-    return pal[idx].reshape(-1).tolist()
+    return pal[idx].reshape(-1)
 
 
 def decode_vp8l(raw: bytes) -> np.ndarray:
@@ -559,6 +559,10 @@ def _decode_argb(br: _Bits, w: int, h: int) -> list:
             px = _inv_subtract_green(px)
         elif tf[0] == "pred":
             _, bits, sub, sub_w, tw = tf
+            if isinstance(px, np.ndarray):
+                # the predictor inverse is per-pixel Python int math —
+                # numpy scalars would silently wrap/warn differently
+                px = px.tolist()
             px = _inv_predictor(px, tw, h, bits, sub, sub_w)
         else:
             _, bits, sub, sub_w, tw = tf
@@ -577,27 +581,39 @@ def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
     h, w = plane.shape
     if method == 0:
         return plane
+    if method == 1:
+        # horizontal, FULLY vectorized (no per-row Python — a 1 x 16M
+        # plane must not loop 16M times): within a row the predictor
+        # chain is a prefix sum; each row's seed is the reconstructed
+        # first element of the row above, itself the prefix sum of
+        # column 0 — so one axis-0 cumsum for the seeds + one axis-1
+        # cumsum for the rows, all mod 256
+        seeds = np.zeros(h, dtype=np.int64)
+        if h > 1:
+            seeds[1:] = np.cumsum(plane[:, 0].astype(np.int64))[:-1]
+        return ((np.cumsum(plane, axis=1, dtype=np.int64)
+                 + seeds[:, None]) & 0xFF).astype(np.uint8)
+    if method == 2:
+        # vertical: row 0 unfilters horizontally, the rest is one
+        # axis-0 prefix sum
+        base = plane.astype(np.int64)
+        base[0] = np.cumsum(base[0]) & 0xFF
+        return (np.cumsum(base, axis=0) & 0xFF).astype(np.uint8)
+    # gradient (inherently sequential in both axes)
     out = np.empty_like(plane)
-    for y in range(h):
-        prev = out[y - 1] if y else None
+    out[0] = (np.cumsum(plane[0], dtype=np.int64) & 0xFF).astype(np.uint8)
+    for y in range(1, h):
+        prev = out[y - 1]
         row = plane[y]
-        if method == 1 or prev is None:  # horizontal (row 0 of v/g too)
-            pred = 0 if prev is None else int(prev[0])
-            for x in range(w):
-                pred = (pred + int(row[x])) & 0xFF
-                out[y, x] = pred
-        elif method == 2:  # vertical
-            out[y] = prev + row  # uint8 wraps mod 256
-        else:  # gradient
-            left = int(prev[0])
-            top_left = left
-            for x in range(w):
-                top = int(prev[x])
-                g = left + top - top_left
-                g = 0 if g < 0 else 255 if g > 255 else g
-                left = (int(row[x]) + g) & 0xFF
-                top_left = top
-                out[y, x] = left
+        left = int(prev[0])
+        top_left = left
+        for x in range(w):
+            top = int(prev[x])
+            g = left + top - top_left
+            g = 0 if g < 0 else 255 if g > 255 else g
+            left = (int(row[x]) + g) & 0xFF
+            top_left = top
+            out[y, x] = left
     return out
 
 
@@ -627,10 +643,10 @@ def decode_alph(raw: bytes) -> np.ndarray:
     compression = head & 3
     filt = (head >> 2) & 3
     # the tight interpreter-speed cap applies where per-pixel Python
-    # runs: the entropy-coded path and the horizontal/gradient
-    # unfilters; the raw unfiltered/vertical path is numpy-speed and
-    # only needs the generic bound
-    cap = (VP8L_MAX_PIXELS if (compression == 1 or filt in (1, 3))
+    # runs: the entropy-coded path and the gradient unfilter; the raw
+    # none/horizontal/vertical paths are numpy-speed (cumsum/add per
+    # row) and only need the generic bound
+    cap = (VP8L_MAX_PIXELS if (compression == 1 or filt == 3)
            else MAX_PIXELS)
     if w * h > cap:
         raise Vp8lCapExceeded("alpha plane exceeds max_pixels cap")

@@ -262,40 +262,40 @@ def test_jpeg_decode_never_hangs_on_garbage(raw):
         max_size=160,
     ),
     ops=st.lists(
-        st.fixed_dictionaries({
-            "op": st.sampled_from(
-                ["set_value", "set_link", "set_fill_color", "add_row",
-                 "delete_row", "bogus"]),
-            "table": st.integers(-1, 3),
-            "row": st.integers(-1, 4),
-            "col": st.integers(-1, 3),
-            "value": st.text(max_size=5),
-            "href": st.text(max_size=5),
-            "color": st.text(max_size=6),
-            "values": st.lists(st.text(max_size=3), max_size=3),
-        }),
+        st.one_of(
+            st.fixed_dictionaries({
+                "op": st.one_of(
+                    st.sampled_from(
+                        ["set_value", "set_link", "set_fill_color",
+                         "add_row", "delete_row", "bogus"]),
+                    st.integers(),                 # non-string op name
+                    st.dictionaries(st.text(max_size=2),
+                                    st.integers(), max_size=1),
+                ),
+                "table": st.integers(-1, 3),
+                "row": st.integers(-1, 4),
+                "col": st.integers(-1, 3),
+                "value": st.text(max_size=5),
+                "href": st.text(max_size=5),
+                "color": st.text(max_size=6),
+                "values": st.lists(st.text(max_size=3), max_size=3),
+                "junk_key": st.integers(),         # extra kwarg
+            }),
+            st.integers(),                         # non-dict op entry
+            st.none(),
+            st.text(max_size=4),
+        ),
         max_size=4,
     ),
 )
 def test_cell_edit_ops_total(html, ops):
-    """apply_ops is TOTAL over arbitrary tag soup and arbitrary op
-    lists: never raises, returns one status per op, statuses drawn from
-    the reference's PatchStatus alphabet.  (add_row/delete_row take no
-    col/value kwargs — apply_ops must skip, not explode, when handed
-    extra keys, matching its bad-op tolerance contract.)"""
+    """apply_ops is TOTAL over arbitrary tag soup and RAW arbitrary op
+    lists — non-dict entries, non-string/unhashable op names, extra
+    keys the op functions do not accept: never raises, one status per
+    op, statuses drawn from the reference's PatchStatus alphabet."""
     from exstruct_spark.kernels.edits import apply_ops
 
-    cleaned = []
-    for op in ops:
-        kind = op["op"]
-        keep = {"set_value": ("table", "row", "col", "value"),
-                "set_link": ("table", "row", "col", "href"),
-                "set_fill_color": ("table", "row", "col", "color"),
-                "add_row": ("table", "row", "values"),
-                "delete_row": ("table", "row"),
-                "bogus": ()}[kind]
-        cleaned.append({"op": kind, **{k: op[k] for k in keep}})
-    out, statuses = apply_ops(html, cleaned)
+    out, statuses = apply_ops(html, ops)
     assert isinstance(out, str)
-    assert len(statuses) == len(cleaned)
+    assert len(statuses) == len(ops)
     assert set(statuses) <= {"applied", "skipped"}
