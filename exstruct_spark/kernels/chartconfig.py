@@ -42,6 +42,10 @@ _MARKER_RE = re.compile(
     r"new\s+Chart\s*\(|\.setOption\s*\(|Highcharts\s*\.\s*chart\s*\("
 )
 
+# Plotly's config is an ARRAY of trace objects (not a single {...}), so
+# it gets its own finder: Plotly.newPlot(div, data[, layout])
+_PLOTLY_RE = re.compile(r"Plotly\s*\.\s*(?:newPlot|react|plot)\s*\(")
+
 _NUM_START = set("-+.0123456789")
 _IDENT_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*")
 _WS_AND_COMMENTS_RE = re.compile(r"(?:\s+|//[^\n]*|/\*.*?\*/)+", re.S)
@@ -527,6 +531,117 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
     }
 
 
+def _find_plotly_calls(script_text: str) -> list:
+    """Every ``Plotly.newPlot/react/plot`` call -> (traces, layout)
+    parsed values — the traces are the first top-level ``[...]``
+    argument, the layout the next top-level ``{...}`` (if any) before
+    the call's closing paren.  Same string/comment/function skipping
+    discipline as ``find_config_objects``."""
+    out = []
+    s = script_text or ""
+    n = len(s)
+    for m in _PLOTLY_RE.finditer(s):
+        i = m.end()
+        depth = 0
+        prev = None
+        traces = None
+        layout = None
+        while i < n:
+            ch = s[i]
+            if ch in "\"'`":
+                i = _scan_string(s, i)
+                prev = '"'
+                continue
+            if ch == "/":
+                i = _slash(s, i, prev)
+                prev = "/"
+                continue
+            if (
+                ch == "f"
+                and s.startswith("function", i)
+                and not (prev and (prev.isalnum() or prev in "_$"))
+                and _IDENT_RE.match(s, i).group(0) == "function"
+            ):
+                i = max(_skip_function_value(s, i), i + 1)
+                prev = ")"
+                continue
+            if ch == "=" and s[i + 1 : i + 2] == ">":
+                i = max(_skip_function_value(s, i), i + 2)
+                prev = ")"
+                continue
+            if depth == 0 and ch == "[" and traces is None:
+                traces, j = parse_js_value(s, i)
+                i = max(j, i + 1)
+                prev = "]"
+                continue
+            if depth == 0 and ch == "{" and traces is not None:
+                layout, j = parse_js_value(s, i)
+                i = max(j, i + 1)
+                prev = "}"
+                break
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            prev = ch if not ch.isspace() else prev
+            i += 1
+        if isinstance(traces, list) and traces:
+            out.append((traces, layout if isinstance(layout, dict) else {}))
+    return out
+
+
+def _from_plotly(traces: list, layout: dict) -> Optional[dict]:
+    """Plotly trace list -> the normalized chart record.  Values live in
+    ``y`` (scatter/bar; default trace type is 'scatter'), ``values``
+    (pie), or ``x`` for horizontal bars (``orientation: 'h'``); labels
+    come from the first trace's string-valued ``x`` (or pie
+    ``labels``); the title from ``layout.title`` (a plain string or the
+    newer ``{text}`` object)."""
+    series = []
+    stype = None
+    horizontal = False
+    labels: list = []
+    for k, tr in enumerate(traces):
+        if not isinstance(tr, dict):
+            continue
+        t = tr.get("type") or "scatter"
+        stype = stype or t
+        horiz = str(tr.get("orientation") or "").lower() == "h"
+        horizontal = horizontal or horiz
+        if str(t).lower() == "pie":
+            data = _numeric(tr.get("values"))
+            if not labels:
+                labels = [str(x) for x in tr.get("labels") or []
+                          if not isinstance(x, (dict, list))]
+        elif horiz:
+            data = _numeric(tr.get("x"))
+            if not labels:
+                labels = [str(x) for x in tr.get("y") or []
+                          if isinstance(x, str)]
+        else:
+            data = _numeric(tr.get("y"))
+            if not labels:
+                labels = [str(x) for x in tr.get("x") or []
+                          if isinstance(x, str)]
+        series.append((str(tr.get("name") or f"s{k}"), data))
+    if not series:
+        return None
+    title = ""
+    raw_title = layout.get("title")
+    if isinstance(raw_title, dict):
+        title = str(raw_title.get("text") or "")
+    elif isinstance(raw_title, str):
+        title = raw_title
+    return {
+        "chart_type": _norm_type(stype, horizontal=horizontal),
+        "title": title,
+        "labels": labels,
+        "series": series,
+    }
+
+
 def charts_from_script(script_text: str) -> list:
     """One <script>'s text -> normalized chart dicts (possibly several —
     a page can construct many charts in one script block)."""
@@ -536,6 +651,10 @@ def charts_from_script(script_text: str) -> list:
         if not isinstance(cfg, dict):
             continue
         chart = _from_chartjs(cfg) or _from_echarts(cfg)
+        if chart is not None:
+            out.append(chart)
+    for traces, layout in _find_plotly_calls(script_text):
+        chart = _from_plotly(traces, layout)
         if chart is not None:
             out.append(chart)
     return out

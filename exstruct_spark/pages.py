@@ -410,9 +410,35 @@ def _aria_grid(rng: random.Random, lang: str) -> str:
     )
 
 
+def _plotly_chart(rng: random.Random, lang: str) -> str:
+    """Inline Plotly config (the FOURTH chart dialect): the data is an
+    ARRAY of trace objects — not a single config dict — with the
+    title in a separate layout argument, plus the companion table the
+    grid binder joins against."""
+    a = [rng.randint(1, 99) for _ in range(4)]
+    b = [rng.randint(1, 99) for _ in range(4)]
+    cats = ["Q1", "Q2", "Q3", "Q4"]
+    rows = "".join(
+        f"<tr><td>{cats[i]}</td><td>{a[i]}</td><td>{b[i]}</td></tr>"
+        for i in range(4)
+    )
+    return (
+        "<figure><figcaption>Quarterly revenue</figcaption>"
+        "<div id='pl1'></div>"
+        "<script>Plotly.newPlot('pl1', ["
+        f"{{x: {cats}, y: {a}, type: 'bar', name: 'north'}},"
+        f"{{x: {cats}, y: {b}, type: 'bar', name: 'south'}}"
+        "], {title: {text: 'Quarterly revenue'}}, {responsive: true});"
+        "</script>"
+        "<table><tr><th>q</th><th>north</th><th>south</th></tr>"
+        + rows + "</table></figure>"
+    )
+
+
 RICH_ARCHETYPES = [
     "colored_table", "wired_flowchart", "split_grid", "unit_chart",
     "script_chart", "bordered_grid", "highcharts_chart", "aria_grid",
+    "plotly_chart",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -423,6 +449,7 @@ _RICH_BUILDERS = {
     "bordered_grid": _bordered_grid,
     "highcharts_chart": _highcharts_chart,
     "aria_grid": _aria_grid,
+    "plotly_chart": _plotly_chart,
 }
 
 

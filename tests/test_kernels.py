@@ -1751,3 +1751,54 @@ def test_cell_edit_unbalanced_quote_keeps_cell_indexing():
     assert st == ["applied"]
     assert '<td class="c">Q</td>' in out      # the RIGHT cell changed
     assert "<td>z</td>" in out                # col 2 untouched
+
+
+def test_chartconfig_plotly_dialect():
+    """Plotly (fourth dialect): the config is an ARRAY of traces, the
+    title a separate layout argument.  Covers default-scatter typing,
+    pie values/labels, horizontal bars (orientation 'h' -> Bar with
+    y-category labels), plain-string layout titles, and skipping calls
+    whose data argument is an identifier."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    charts = charts_from_script("""
+      Plotly.newPlot('d0', someVariable);
+      Plotly.newPlot('d1', [
+        {x: ['a','b','c'], y: [1, 2.5, 3], type: 'bar', name: 'east'},
+        {x: ['a','b','c'], y: [4, 5, 6], name: 'west'},
+      ], {title: {text: 'Quarterly'}}, {responsive: true});
+      Plotly.react('d2', [{values: [10, 20], labels: ['x','y'],
+                           type: 'pie'}], {title: 'Share'});
+      Plotly.newPlot('d3', [{x: [5, 7], y: ['r1','r2'], type: 'bar',
+                             orientation: 'h'}],
+                     {}, function cb() { return '}'; });
+    """)
+    assert [c["chart_type"] for c in charts] == ["Column", "Pie", "Bar"]
+    q = charts[0]
+    assert q["title"] == "Quarterly"
+    assert q["labels"] == ["a", "b", "c"]
+    assert q["series"] == [("east", [1.0, 2.5, 3.0]),
+                           ("west", [4.0, 5.0, 6.0])]
+    assert charts[1]["labels"] == ["x", "y"]
+    assert charts[2]["labels"] == ["r1", "r2"]
+
+
+def test_plotly_archetype_end_to_end():
+    """The plotly_chart rich archetype flows through the full engine:
+    the trace-array dialect yields a chart whose series bind to the
+    companion table."""
+    from exstruct_spark.kernels.extract import extract_document
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    i = RICH_ARCHETYPES.index("plotly_chart")
+    page = build_rich_page(i, 42)
+    assert page["archetype"] == "plotly_chart"
+    out = extract_document(page["url"], bytes(page["html"]))
+    ex = json.loads(out["extraction_json"])
+    charts = ex.get("charts") or []
+    assert charts, "plotly chart must extract"
+    ch = charts[0]
+    assert ch["chart_type"] == "Column"
+    assert ch["title"] == "Quarterly revenue"
+    assert [s["name"] for s in ch["series"]] == ["north", "south"]
+    assert out["n_tables"] >= 1   # companion table extracted too
