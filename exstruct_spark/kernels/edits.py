@@ -35,16 +35,91 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-_TOKEN_RE = re.compile(
-    # attribute-aware: a '>' inside a BALANCED quoted attribute value
-    # must not terminate the tag (title="a>b", inline JSON in data-*
-    # attrs).  Quoted runs may not span '<' and a lone quote consumes
-    # as itself, so an UNBALANCED quote degrades to the old
-    # truncate-at-first-'>' behavior instead of dropping the tag (which
-    # would silently renumber cells) or spanning into later tags
-    r"<(/?)(table|tr|td|th)\b(?:\"[^\"<]*\"|'[^'<]*'|[^><\"']|[\"'])*>",
-    re.IGNORECASE | re.DOTALL,
-)
+_TAG_START_RE = re.compile(r"<(/?)(table|tr|td|th)\b", re.IGNORECASE)
+
+
+def _scan_tag_end(html: str, pos: int, limit: int) -> int:
+    """Index just past the ``>`` terminating the tag whose attribute
+    region begins at ``pos``, or ``-1`` if none before ``limit``.
+
+    Attribute-aware: a ``>`` inside a BALANCED quoted attribute value
+    must not terminate the tag (title="a>b", inline JSON in data-*
+    attrs).  Quoted runs may not span ``<`` and a lone quote is a
+    literal, so an UNBALANCED quote degrades to truncate-at-first-'>'
+    instead of dropping the tag (which would silently renumber cells)
+    or spanning into later tags.  Hand-rolled linear scan — the regex
+    form of this rule had overlapping quote alternatives and went
+    exponential on unbalanced-quote input ('"a'*30 with no '>').
+
+    Two phases, both one left-to-right pass:
+      1. greedy: skip balanced runs, end at the first uncovered ``>``;
+      2. if phase 1 hits ``<``/limit, degrade to all-quotes-literal and
+         end at the first raw ``>`` (recorded during phase 1), even if
+         a balanced run covered it.
+    """
+    i = pos
+    first_raw_gt = -1
+    while i < limit:
+        c = html[i]
+        if c == ">":
+            return i + 1
+        if c == "<":
+            break
+        if c == '"' or c == "'":
+            close = html.find(c, i + 1, limit)
+            if close != -1 and html.find("<", i + 1, close) == -1:
+                if first_raw_gt == -1:
+                    g = html.find(">", i + 1, close)
+                    if g != -1:
+                        first_raw_gt = g
+                i = close + 1
+                continue
+        i += 1
+    return first_raw_gt + 1 if first_raw_gt != -1 else -1
+
+
+class _Tok:
+    """Minimal re.Match stand-in for the token scanner (the span/group
+    subset the walkers below use)."""
+
+    __slots__ = ("_start", "_end", "_g1", "_g2")
+
+    def __init__(self, start, end, g1, g2):
+        self._start, self._end, self._g1, self._g2 = start, end, g1, g2
+
+    def group(self, i):
+        return self._g1 if i == 1 else self._g2
+
+    def start(self):
+        return self._start
+
+    def end(self):
+        return self._end
+
+
+class _TokenScanner:
+    """Linear-time drop-in for the old ``_TOKEN_RE.finditer`` walk."""
+
+    @staticmethod
+    def finditer(html: str, pos: int = 0, endpos: Optional[int] = None):
+        limit = len(html) if endpos is None else endpos
+        search = _TAG_START_RE.search
+        while True:
+            m = search(html, pos, limit)
+            if m is None:
+                return
+            end = _scan_tag_end(html, m.end(), limit)
+            if end == -1:
+                # tag never terminates: not a token; resume just past
+                # its '<' so a tag-start inside the region is still
+                # seen (matches the regex engine's advance-by-one)
+                pos = m.start() + 1
+                continue
+            yield _Tok(m.start(), end, m.group(1), m.group(2))
+            pos = end
+
+
+_TOKEN_RE = _TokenScanner()
 
 
 def _escape(value) -> str:

@@ -169,6 +169,27 @@ def decode_image(raw: bytes, mode: str = "fake") -> dict:
         try:
             real_px = np.ascontiguousarray(decode_vp8l(raw)[:, :, :3])
             n_frames = 1
+        except Vp8lCapExceeded:
+            # capability cap, not corruption: the file may be perfectly
+            # valid but exceeds the interpreter-speed pixel budget —
+            # degrade to the REAL header-metadata tier even under
+            # strict (nothing fabricated), mirroring media_meta_pdf's
+            # cap-vs-corrupt split; a cap-exceeded file whose header
+            # ALSO fails to parse is corrupt after all
+            try:
+                wm = parse_webp_meta(raw)
+            except ValueError:
+                if mode == "strict":
+                    raise
+            else:
+                return {
+                    "width": wm["width"],
+                    "height": wm["height"],
+                    "channels": 3,
+                    "decoded": False,
+                    "pixels": None,
+                    "n_frames": wm.get("n_frames"),
+                }
         except ValueError:
             if mode == "strict":
                 raise
@@ -458,7 +479,11 @@ def resize_image_stub(
         )
     meta = decode_image_stub(raw, mode)
     w, h = meta["width"], meta["height"]
-    scale = min(1.0, max_side / max(w, h))
+    # max(..., 1): same zero-dim belt as _resize_target — the stub
+    # fabricates dims >= 64 today, but the two copies of this pattern
+    # must stay identical so a future real-dims caller can't divide
+    # by zero here either
+    scale = min(1.0, max_side / max(w, h, 1))
     rw, rh = max(1, int(w * scale)), max(1, int(h * scale))
     fp = hashlib.sha256(
         raw + rw.to_bytes(4, "big") + rh.to_bytes(4, "big")

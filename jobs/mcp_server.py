@@ -147,6 +147,13 @@ TOOLS = [
 # cwd change can't move the fence
 SERVED_ROOT = os.path.realpath(os.environ.get("EXSTRUCT_MCP_ROOT", "."))
 
+# caps-not-crashes: extract_file reads the target into memory, so a
+# multi-GB file under the served root could exhaust the server from one
+# tool call — refuse above this byte cap, same in-band refusal shape as
+# the root-confinement check (EXSTRUCT_MCP_MAX_FILE_BYTES overrides)
+MAX_FILE_BYTES = int(
+    os.environ.get("EXSTRUCT_MCP_MAX_FILE_BYTES", str(64 * 1024 * 1024)))
+
 
 def _confine(path: str) -> str:
     """Resolve ``path`` (relative paths are relative to the served
@@ -250,6 +257,12 @@ def _call_extract_file(args: dict) -> dict:
     from exstruct_spark.golden import extract_document
 
     resolved = _confine(args["path"])
+    n_bytes = os.stat(resolved).st_size
+    if n_bytes > MAX_FILE_BYTES:
+        raise ValueError(
+            f"file too large: {n_bytes} bytes > cap {MAX_FILE_BYTES} "
+            f"(raise EXSTRUCT_MCP_MAX_FILE_BYTES to serve it)"
+        )
     with open(resolved, "rb") as fh:
         raw = fh.read()
     opts = (ExtractOptions.from_mode(args["mode"])

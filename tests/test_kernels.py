@@ -1735,6 +1735,41 @@ def test_bpe_token_count_none_text():
     assert bpe_token_count(None, {}, {}) == 0
 
 
+def test_cell_edit_tokenizer_linear_on_unbalanced_quotes():
+    """ADVICE r5 high: the old regex tokenizer's quote alternation was
+    ambiguous and went exponential (~2.7x per 2 chars) on
+    unbalanced-quote input — a ~60-byte crafted tag hung an executor
+    forever via MCP edit_document or apply_cell_edits.  The linear
+    scanner must stay sub-millisecond on the crafted pattern and on
+    much larger hostile inputs, while still tokenizing balanced '>'
+    attrs whole and degrading (not dropping) on unbalanced garbage."""
+    import time
+    from exstruct_spark.kernels.edits import _TOKEN_RE, apply_ops
+
+    attack = "<td " + '"a' * 30 + "<"
+    t0 = time.monotonic()
+    assert list(_TOKEN_RE.finditer(attack)) == []
+    assert time.monotonic() - t0 < 0.5
+
+    # same shape, 100x larger, embedded in a real op application
+    big = "<table><tr><td>keep</td>" + "<td " + '"a' * 3000 + "<"
+    t0 = time.monotonic()
+    out, st = apply_ops(big, [
+        {"op": "set_value", "table": 0, "row": 0, "col": 0, "value": "Q"},
+    ])
+    assert time.monotonic() - t0 < 1.0
+    assert st == ["applied"] and "<td>Q</td>" in out
+
+    # balanced '>' in attrs still spans the tag whole
+    toks = list(_TOKEN_RE.finditer('<td title="a>b">v</td>'))
+    assert [(t.start(), t.end()) for t in toks] == [(0, 16), (17, 22)]
+
+    # degraded truncation keeps the tag (never drops it): a balanced
+    # run covering the only '>' is re-read as literals
+    toks = list(_TOKEN_RE.finditer('<td t" =>"b'))
+    assert len(toks) == 1 and toks[0].end() == 9
+
+
 def test_cell_edit_unbalanced_quote_keeps_cell_indexing():
     """Second-review finding: an UNBALANCED quote in an attribute must
     not drop the tag from tokenization (which silently renumbers cells

@@ -195,6 +195,33 @@ def test_mcp_extract_file_root_confinement(tmp_path):
     assert "outside" not in out[5]["result"]["content"][0]["text"]
 
 
+def test_mcp_extract_file_size_cap(tmp_path):
+    """ADVICE r5: extract_file must refuse files above the byte cap
+    in-band (caps-not-crashes) instead of reading multi-GB files into
+    memory; under-cap files still extract, and the cap is env-tunable."""
+    root = tmp_path / "root"
+    root.mkdir()
+    small = ("<html><body><table><tr><td>a</td><td>1</td></tr>"
+             "<tr><td>b</td><td>2</td></tr><tr><td>c</td><td>3</td></tr>"
+             "</table></body></html>")
+    (root / "small.html").write_text(small)
+    (root / "big.html").write_text(small + "<!--" + "x" * 4096 + "-->")
+    env = {"EXSTRUCT_MCP_ROOT": str(root),
+           "EXSTRUCT_MCP_MAX_FILE_BYTES": "1024"}
+
+    def call(msg_id, path):
+        return {"jsonrpc": "2.0", "id": msg_id, "method": "tools/call",
+                "params": {"name": "extract_file",
+                           "arguments": {"path": path}}}
+
+    out = _rpc_session([call(1, "big.html"), call(2, "small.html")], env=env)
+    assert out[0]["result"]["isError"] is True
+    assert "file too large" in out[0]["result"]["content"][0]["text"]
+    # the refusal is in-band: the server stays up and serves the next call
+    ok = json.loads(out[1]["result"]["content"][0]["text"])
+    assert ok["extraction"]["tables"][0]["range"] == "A1:B3"
+
+
 def test_mcp_edit_document_roundtrip():
     """edit_document applies the cell-op family over the pipe and the
     patched HTML re-extracts with the edit visible; bad ops skip."""

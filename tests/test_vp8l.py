@@ -511,6 +511,15 @@ def test_oversized_lossless_degrades_even_in_strict():
     assert not row["decoded"]
     assert (row["width"], row["height"]) == (3000, 2000)  # REAL header dims
 
+    # ADVICE r5: decode_image's webp branch must make the SAME
+    # cap-vs-corrupt split — over-cap valid file degrades to the real
+    # header tier even in strict, instead of re-raising as corruption
+    from exstruct_spark.kernels.media import decode_image
+
+    meta = decode_image(raw, mode="strict")
+    assert meta["decoded"] is False and meta["pixels"] is None
+    assert (meta["width"], meta["height"]) == (3000, 2000)
+
     # corrupt VP8X-wrapped lossless still raises in strict
     rng = np.random.default_rng(13)
     img = rng.integers(0, 256, (10, 12, 4), dtype=np.uint8)
