@@ -1,0 +1,271 @@
+"""Same-document ``<style>`` rule resolution for the border/color kernels.
+
+The reference resolves INDIRECT styling — a cell's fill may arrive via a
+theme index or an indexed-color table, not a literal per-cell value
+(``core/cells.py:578-686`` theme/indexed color resolution).  The web twin
+of indirect styling is class-based CSS: on real crawled pages the
+overwhelming majority of table borders and background colors are declared
+once in a ``<style>`` block (or an external sheet) and referenced by
+class, so a detector that reads only the inline ``style`` attribute is
+blind exactly where the reference is not (VERDICT r5 Missing #1).
+
+This is deliberately NOT a CSS engine.  The contract:
+
+  * same-document ``<style>`` blocks only (external sheets are not
+    fetched — the extractor is a pure function of the page bytes);
+  * simple selectors only: ``tag``, ``.class``, ``#id`` and compounds
+    (``td.cell``, ``.a.b``, ``table#prices``).  Selectors with
+    combinators, pseudo-classes/elements, attribute selectors or
+    wildcards are SKIPPED — deterministic under-match, never a guess;
+  * document-order last-wins per property, no specificity arithmetic
+    (the resolver's declared contract; real pages that depend on
+    specificity inversions degrade deterministically);
+  * inline ``style`` attributes beat class rules per property (in every
+    browser inline style outranks stylesheet rules), and class rules
+    beat presentational hints (``bgcolor=``) because the merged style
+    string is consulted before the attribute fallback by the existing
+    ``cell_background`` — the real cascade's priority order;
+  * only the properties the downstream predicates read are kept
+    (``border*``, ``background``, ``background-color``) so merged style
+    strings stay small and matching stays cheap;
+  * caps-not-crashes: CSS text and rule counts are capped, oversized
+    sheets are truncated (prefix kept) rather than failing the page.
+
+The resolved output is an ordinary ``style`` declaration string merged
+into a COPY of the element's attrs, so ``kernels/borders.py`` and
+``kernels/colors.py`` evaluate it with their existing predicates,
+unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from exstruct_spark.kernels.dom import Node
+
+# caps-not-crashes: bound the work one adversarial page can demand
+MAX_CSS_BYTES = 262_144   # per document, across all <style> blocks
+MAX_RULES = 2_048         # parsed (selector, decls) pairs kept
+
+_COMMENT_RE = re.compile(r"/\*.*?(?:\*/|$)", re.S)
+
+# the properties the downstream kernels evaluate: border visibility
+# (borders.py _BORDER_PROP_RE) and background color (colors.py
+# _STYLE_BG_RE) — everything else is dropped at parse time
+_KEPT_PROP_RE = re.compile(
+    r"^(?:border(?:-(?:top|right|bottom|left))?(?:-(?:width|style))?"
+    r"|background(?:-color)?)$"
+)
+
+# one compound simple selector: optional tag, then any run of
+# .class / #id segments (no combinators/pseudo/attr — those selectors
+# are skipped by the caller's fullmatch failing)
+_COMPOUND_SEL_RE = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9-]*|\*)?((?:[.#][-\w]+)+|)$"
+)
+_SEL_PART_RE = re.compile(r"[.#][-\w]+")
+
+
+def _parse_selector(sel: str):
+    """One comma-branch -> (tag, classes, id) or None if unsupported."""
+    sel = sel.strip()
+    if not sel:
+        return None
+    m = _COMPOUND_SEL_RE.fullmatch(sel)
+    if m is None:
+        return None  # combinator / pseudo / attribute selector: skipped
+    tag = (m.group(1) or "").lower()
+    if tag == "*":
+        tag = ""  # universal: matches any tag
+    classes: list = []
+    sel_id: Optional[str] = None
+    for part in _SEL_PART_RE.findall(m.group(2)):
+        if part[0] == ".":
+            classes.append(part[1:])
+        else:
+            sel_id = part[1:]  # last #id wins within the compound
+    if not tag and not classes and not sel_id:
+        return None
+    return tag or None, tuple(classes), sel_id
+
+
+def _parse_decls(body: str) -> list:
+    """Declaration block body -> ordered [(prop, value)] of kept props."""
+    decls: list = []
+    for decl in body.split(";"):
+        prop, sep, val = decl.partition(":")
+        if not sep:
+            continue
+        prop = prop.strip().lower()
+        val = val.strip()
+        # drop priority annotations; last-wins stays document order
+        # (no !important arithmetic — part of the declared contract)
+        if val.lower().endswith("!important"):
+            val = val[: -len("!important")].rstrip()
+        if val and _KEPT_PROP_RE.match(prop):
+            decls.append((prop, val))
+    return decls
+
+
+def parse_css_rules(css: str) -> list:
+    """CSS text -> [((tag, classes, id), decls), ...] in document order.
+
+    A linear brace scan: at-rules (``@media`` etc.) are skipped whole
+    (their nested blocks too) rather than descended into — conditional
+    rules are environment-dependent and this resolver is deterministic
+    by contract.  Braces inside quoted strings are not tracked (the kept
+    property values never contain them in practice; a pathological sheet
+    degrades to fewer rules, never to a crash).
+    """
+    css = _COMMENT_RE.sub(" ", css[:MAX_CSS_BYTES])
+    rules: list = []
+    i, n = 0, len(css)
+    while i < n and len(rules) < MAX_RULES:
+        b = css.find("{", i)
+        if b == -1:
+            break
+        sel_text = css[i:b].strip()
+        if sel_text.startswith("@"):
+            depth, j = 1, b + 1
+            while j < n and depth:
+                ch = css[j]
+                if ch == "{":
+                    depth += 1
+                elif ch == "}":
+                    depth -= 1
+                j += 1
+            i = j
+            continue
+        e = css.find("}", b + 1)
+        if e == -1:
+            e = n
+        decls = _parse_decls(css[b + 1 : e])
+        if decls:
+            for branch in sel_text.split(","):
+                parsed = _parse_selector(branch)
+                if parsed is not None:
+                    rules.append((parsed, decls))
+                    if len(rules) >= MAX_RULES:
+                        break
+        i = e + 1
+    return rules
+
+
+def _style_text(node: Node) -> str:
+    """Raw CSS text of a ``<style>`` element (its string children —
+    ``text_content()`` intentionally returns '' for raw-text tags)."""
+    return "".join(c for c in node.children if type(c) is str)
+
+
+class StyleResolver:
+    """Per-document class/tag/id rule table with an attrs-merging view.
+
+    ``effective_attrs(node)`` returns the node's attrs unchanged when no
+    rule matches (the overwhelmingly common case — identity, zero
+    allocation), else a shallow copy whose ``style`` value is the merged
+    declaration string: matched rules in document order, then the
+    element's own inline declarations, each property re-inserted at the
+    end on update so string order equals last-set order — which is
+    exactly the order the existing ``cell_background`` / border
+    predicates resolve.
+    """
+
+    __slots__ = ("rules", "_by_id", "_by_class", "_by_tag")
+
+    def __init__(self, style_nodes: list):
+        budget = MAX_CSS_BYTES
+        rules: list = []
+        for sn in style_nodes:
+            if budget <= 0 or len(rules) >= MAX_RULES:
+                break
+            text = _style_text(sn)[:budget]
+            budget -= len(text)
+            rules.extend(parse_css_rules(text)[: MAX_RULES - len(rules)])
+        self.rules = rules
+        # index each rule under its most selective key (id > class >
+        # tag): a node only needs to probe its own id/classes/tag
+        by_id: dict = {}
+        by_class: dict = {}
+        by_tag: dict = {}
+        for order, ((tag, classes, sel_id), decls) in enumerate(rules):
+            entry = (order, tag, classes, sel_id, decls)
+            if sel_id is not None:
+                by_id.setdefault(sel_id, []).append(entry)
+            elif classes:
+                by_class.setdefault(classes[0], []).append(entry)
+            else:
+                by_tag.setdefault(tag, []).append(entry)
+        self._by_id = by_id
+        self._by_class = by_class
+        self._by_tag = by_tag
+
+    def __bool__(self) -> bool:
+        return bool(self.rules)
+
+    def _matches(self, attrs: dict, tag: str):
+        node_id = attrs.get("id")
+        cls = attrs.get("class")
+        node_classes = cls.split() if cls else []
+        cand: list = []
+        bucket = self._by_tag.get(tag)
+        if bucket:
+            cand.extend(bucket)
+        for c in node_classes:
+            bucket = self._by_class.get(c)
+            if bucket:
+                cand.extend(bucket)
+        if node_id:
+            bucket = self._by_id.get(node_id)
+            if bucket:
+                cand.extend(bucket)
+        if not cand:
+            return None
+        cset = set(node_classes)
+        matched = [
+            entry
+            for entry in cand
+            if (entry[1] is None or entry[1] == tag)
+            and (not entry[2] or cset.issuperset(entry[2]))
+            and (entry[3] is None or entry[3] == node_id)
+        ]
+        if not matched:
+            return None
+        matched.sort(key=lambda entry: entry[0])
+        return matched
+
+    def effective_attrs(self, node: Node) -> dict:
+        attrs = node.attrs
+        if not self.rules:
+            return attrs
+        matched = self._matches(attrs, node.tag)
+        if matched is None:
+            return attrs
+        merged: dict = {}
+        for entry in matched:
+            for prop, val in entry[4]:
+                merged.pop(prop, None)  # re-insert: last-set goes last
+                merged[prop] = val
+        inline = attrs.get("style")
+        if inline:
+            for decl in inline.split(";"):
+                prop, sep, val = decl.partition(":")
+                if sep:
+                    prop = prop.strip().lower()
+                    merged.pop(prop, None)
+                    merged[prop] = val.strip()
+        out = dict(attrs)
+        out["style"] = ";".join(f"{p}:{v}" for p, v in merged.items())
+        return out
+
+
+_EMPTY_RESOLVER = StyleResolver([])
+
+
+def build_resolver(style_nodes: Optional[list]) -> StyleResolver:
+    """StyleResolver for a document's ``<style>`` nodes (shared empty
+    instance when there are none — the common case stays allocation-free
+    and every ``effective_attrs`` call is an identity return)."""
+    if not style_nodes:
+        return _EMPTY_RESOLVER
+    return StyleResolver(style_nodes)

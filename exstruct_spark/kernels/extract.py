@@ -29,6 +29,7 @@ from exstruct_spark.config import ExtractOptions
 from exstruct_spark.kernels.areas import area_views, auto_areas
 from exstruct_spark.kernels.boilerplate import extract_main_text
 from exstruct_spark.kernels.charts import extract_charts
+from exstruct_spark.kernels.css import build_resolver
 from exstruct_spark.kernels.dom import (
     Node,
     decode_html_bytes,
@@ -66,6 +67,83 @@ def _section_views(sections: list, table_node_ids: dict) -> list:
         view["text_chars"] = len(text)
         views.append(view)
     return views
+
+
+def _srcset_candidates(srcset: str) -> list:
+    """``srcset`` value -> [(url, width_px, density)] in listed order
+    (width/density None when the candidate has no descriptor).  Minimal
+    deterministic parse: comma-separated candidates, first whitespace
+    token is the URL, one optional ``<n>w`` / ``<x>x`` descriptor."""
+    out: list = []
+    for part in srcset.split(","):
+        toks = part.split()
+        if not toks:
+            continue
+        cand_url = toks[0]
+        width = density = None
+        if len(toks) > 1:
+            d = toks[1].lower()
+            try:
+                if d.endswith("w"):
+                    width = int(d[:-1])
+                elif d.endswith("x"):
+                    density = float(d[:-1])
+            except ValueError:
+                pass
+        out.append((cand_url, width, density))
+    return out
+
+
+def _is_placeholder_src(src: str) -> bool:
+    """Lazy-load placeholder ``src`` values: inline data URIs and
+    about:blank (the universal spacer patterns) — the real URL lives in
+    ``data-src``/``data-original``/``data-lazy-src`` on such images."""
+    low = src.lower()
+    return low.startswith("data:") or low == "about:blank"
+
+
+_LAZY_SRC_ATTRS = ("data-src", "data-original", "data-lazy-src")
+
+
+def _best_image_src(im, picture_srcsets: Optional[list]) -> str:
+    """One deterministic best URL for an ``<img>`` (VERDICT r5 #3):
+    responsive/lazy markup carries the real image URL in ``srcset``,
+    ``<picture><source>`` or ``data-src`` — an ``src``-only reader
+    silently harvests spacer GIFs or nothing.
+
+    Order: largest ``w`` descriptor across the img's own ``srcset`` plus
+    any enclosing ``<picture>``'s ``<source srcset>`` values; else
+    largest density descriptor; else the first srcset candidate; else
+    ``src`` unless it is a lazy-load placeholder; else the first
+    populated ``data-src``-family attribute; else ''.
+    """
+    cands: list = []
+    own = (im.attrs.get("srcset") or "").strip()
+    if own:
+        cands.extend(_srcset_candidates(own))
+    if picture_srcsets:
+        for ss in picture_srcsets:
+            cands.extend(_srcset_candidates(ss))
+    if cands:
+        widest = max(
+            (c for c in cands if c[1] is not None),
+            key=lambda c: c[1], default=None)
+        if widest is not None:
+            return widest[0]
+        densest = max(
+            (c for c in cands if c[2] is not None),
+            key=lambda c: c[2], default=None)
+        if densest is not None:
+            return densest[0]
+        return cands[0][0]
+    src = (im.attrs.get("src") or "").strip()
+    if src and not _is_placeholder_src(src):
+        return src
+    for attr in _LAZY_SRC_ATTRS:
+        lazy = (im.attrs.get(attr) or "").strip()
+        if lazy:
+            return lazy
+    return src
 
 
 _DEFAULT_PORTS = {"http": ":80", "https": ":443"}
@@ -219,7 +297,7 @@ def extract_document(
             groups: dict = {
                 t: []
                 for t in ("body", "title", "table", "figure", "svg", "a",
-                          "script", "img")
+                          "script", "img", "style", "picture")
             }
             # ul/ol (and section/article) share buckets so document order
             # across kinds is preserved (outer-before-inner claiming)
@@ -265,6 +343,13 @@ def extract_document(
                 extraction["title"] = title
             main_text = extract_main_text(root, opts)
 
+            # class-rule resolution (kernels/css.py): same-document
+            # <style> blocks feed the border/color kernels — the web
+            # twin of the reference's indirect-styling resolution
+            # (theme/indexed colors, core/cells.py:578-686).  Shared
+            # empty resolver when the page has no <style>: zero cost.
+            css = build_resolver(groups["style"])
+
             if opts.include_tables:
                 tables = []
                 figure_table_ids: dict = {}
@@ -275,7 +360,8 @@ def extract_document(
                         fig_of_table[id(t)] = id(fig)
                 for t_node in table_like:
                     art = extract_table(
-                        t_node, len(tables), opts.detection, opts.alpha_keys
+                        t_node, len(tables), opts.detection, opts.alpha_keys,
+                        css,
                     )
                     if art is None:
                         continue
@@ -287,7 +373,7 @@ def extract_document(
                     table_node_ids[id(t_node)] = art["id"]
                     tables.append(art)
                 for g in detect_grid_candidates(
-                    body, opts.detection, opts.alpha_keys
+                    body, opts.detection, opts.alpha_keys, css
                 ):
                     g["id"] = len(tables)
                     tables.append(g)
@@ -408,9 +494,24 @@ def extract_document(
                         continue
                     for im in fig.find_all("img"):
                         fig_caption[id(im)] = cap_text
+                # responsive markup: an <img> inside <picture> inherits
+                # its sibling <source srcset> candidates (VERDICT r5 #3)
+                picture_srcsets: dict = {}
+                for pic in groups["picture"]:
+                    srcsets = [
+                        ss for ss in (
+                            (s.attrs.get("srcset") or "").strip()
+                            for s in pic.element_children()
+                            if s.tag == "source"
+                        ) if ss
+                    ]
+                    if not srcsets:
+                        continue
+                    for im in pic.find_all("img"):
+                        picture_srcsets[id(im)] = srcsets
                 images = []
                 for im in groups["img"]:
-                    src = (im.attrs.get("src") or "").strip()
+                    src = _best_image_src(im, picture_srcsets.get(id(im)))
                     if not src:
                         continue
                     entry: dict = {"src": src}

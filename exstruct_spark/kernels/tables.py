@@ -41,7 +41,7 @@ def _int_attr(node: Node, name: str, default: int = 1) -> int:
         return default
 
 
-def _grid_from_table(table: Node, cfg: DetectionConfig):
+def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
     """Occupancy-grid expansion of one <table>.
 
     Returns (cells, merged_items, links, th_cells, colors, n_rows, n_cols,
@@ -93,8 +93,12 @@ def _grid_from_table(table: Node, cfg: DetectionConfig):
                 row_had_content = True
             if cell.tag == "th":
                 th_cells.add((r, c))
-            if cell.attrs:
-                color = cell_background(cell.attrs)
+            # class-resolved style (kernels/css.py) falls back to the
+            # bare attrs when no <style> rules exist — the common case
+            # stays an identity read
+            eff_attrs = css.effective_attrs(cell) if css else cell.attrs
+            if eff_attrs:
+                color = cell_background(eff_attrs)
                 if color:
                     colors[(r, c)] = color
                     # a colored cell is content for the empty-run counter:
@@ -231,7 +235,7 @@ def score_candidate(
 _ARIA_CELL_ROLES = ("cell", "gridcell", "columnheader", "rowheader")
 
 
-def _grid_from_aria(table: Node, cfg: DetectionConfig):
+def _grid_from_aria(table: Node, cfg: DetectionConfig, css=None):
     """G7-twin grid pass: ARIA-DECLARED structure — ``role="table"`` (or
     ``grid``) containers with ``role="row"`` rows and
     cell/gridcell/columnheader/rowheader cells, spans via
@@ -291,8 +295,9 @@ def _grid_from_aria(table: Node, cfg: DetectionConfig):
                 row_had_content = True
             if role_of(cell) == "columnheader":
                 th_cells.add((r, c))
-            if cell.attrs:
-                color = cell_background(cell.attrs)
+            eff_attrs = css.effective_attrs(cell) if css else cell.attrs
+            if eff_attrs:
+                color = cell_background(eff_attrs)
                 if color:
                     colors[(r, c)] = color
                     row_had_content = True
@@ -326,7 +331,8 @@ def _grid_from_aria(table: Node, cfg: DetectionConfig):
 
 
 def extract_table(
-    table: Node, index: int, cfg: DetectionConfig, alpha_keys: bool = False
+    table: Node, index: int, cfg: DetectionConfig, alpha_keys: bool = False,
+    css=None,
 ) -> Optional[dict]:
     """One <table> element — or one ARIA ``role="table"``/``grid``
     container (G7 declared-table twin) — -> table artifact dict (or None
@@ -343,7 +349,7 @@ def extract_table(
     (
         cells, merged_items, links, th_cells, colors,
         n_rows, n_cols, truncated,
-    ) = grid_fn(table, cfg)
+    ) = grid_fn(table, cfg, css)
     if not cells:
         return None
     # the direct <th> signal counts only when row 0 consists ENTIRELY of
@@ -535,7 +541,7 @@ def _structural_candidates(
 
 
 def _border_candidates(
-    node: Node, cfg: DetectionConfig, alpha_keys: bool, idx: int
+    node: Node, cfg: DetectionConfig, alpha_keys: bool, idx: int, css=None,
 ) -> list:
     """CSS/attribute border signal (G1): per-cell border presence is the
     detection mask — the reference's primary table evidence (border maps
@@ -555,9 +561,14 @@ def _border_candidates(
     mask: dict = {}
     cells: dict = {}
     for r, row in enumerate(rows):
-        row_bordered = has_visible_border(row.attrs)
+        # class-resolved borders (kernels/css.py): a div grid styled via
+        # '.cell { border: 1px solid }' carries the same G1 signal as
+        # one with inline styles — identity read when no rules exist
+        row_bordered = has_visible_border(
+            css.effective_attrs(row) if css else row.attrs)
         for c, cell in enumerate(row.element_children()):
-            if row_bordered or has_visible_border(cell.attrs):
+            if row_bordered or has_visible_border(
+                    css.effective_attrs(cell) if css else cell.attrs):
                 mask[(r, c)] = True
             text = cell.text_content()
             if text:
@@ -573,7 +584,7 @@ def _border_candidates(
 
 
 def detect_grid_candidates(
-    root: Node, cfg: DetectionConfig, alpha_keys: bool = False
+    root: Node, cfg: DetectionConfig, alpha_keys: bool = False, css=None,
 ) -> list:
     """Heuristic detection of div-grid layouts, two signals per container:
 
@@ -607,7 +618,7 @@ def detect_grid_candidates(
             continue
         found = _structural_candidates(node, cfg, alpha_keys, len(out))
         if not found:
-            found = _border_candidates(node, cfg, alpha_keys, len(out))
+            found = _border_candidates(node, cfg, alpha_keys, len(out), css)
         if found:
             out.extend(found)
             for inner in node.iter():

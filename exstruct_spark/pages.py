@@ -384,6 +384,54 @@ def _bordered_grid(rng: random.Random, lang: str) -> str:
     return "<div class='bordered-layout'>" + "".join(rows) + "</div>"
 
 
+def _styled_grid(rng: random.Random, lang: str) -> str:
+    """CLASS-styled twin of ``_bordered_grid`` (VERDICT r5 #1): the same
+    non-uniform geometry (widths 3/5/3/1, structural gate rejects), but
+    the border arrives via a same-document ``<style>`` class rule and
+    the first cell carries a class-declared fill — only the CSS
+    class-rule resolver (kernels/css.py) sees either signal, which is
+    how most real crawled tables are styled."""
+    widths = [3, 5, 3, 1]
+    rows = []
+    for r, w in enumerate(widths):
+        cells = "".join(
+            f"<div class='gc'>{rng.randint(1, 99)}</div>" if r or c == 0
+            else f"<div class='gc'>h{c}</div>"
+            for c in range(w)
+        )
+        rows.append(f"<div>{cells}</div>")
+    return (
+        "<style>.gc { border: 1px solid #999 } "
+        ".styled-layout div.gc:first-child { color: red } "
+        ".hl { background-color: #FFEE00 }</style>"
+        "<div class='styled-layout'>" + "".join(rows) + "</div>"
+        "<table><tr><th class='hl'>k</th><th>v</th></tr>"
+        f"<tr><td>rows</td><td>{sum(widths)}</td></tr></table>"
+    )
+
+
+def _responsive_gallery(rng: random.Random, lang: str) -> str:
+    """Responsive/lazy image markup (VERDICT r5 #3): srcset width
+    descriptors, a <picture> with <source srcset>, and a lazy-loaded
+    spacer whose real URL is in data-src — the LAION-style pair harvest
+    must pick one deterministic best URL from each."""
+    n = rng.randint(100, 999)
+    return (
+        "<figure><figcaption>Skyline at dusk</figcaption>"
+        f"<img src='/img/sky-{n}-400.jpg' alt='skyline'"
+        f" srcset='/img/sky-{n}-400.jpg 400w, /img/sky-{n}-1600.jpg 1600w,"
+        f" /img/sky-{n}-800.jpg 800w'></figure>"
+        "<picture>"
+        f"<source srcset='/img/river-{n}.webp' type='image/webp'>"
+        f"<source srcset='/img/river-{n}.jpg' type='image/jpeg'>"
+        f"<img src='/img/river-{n}-fallback.jpg' alt='river bend'>"
+        "</picture>"
+        "<img src='data:image/gif;base64,R0lGODlhAQABAAAAACw=' "
+        f"data-src='/img/lazy-{n}.png' alt='lazy boat' width='640' "
+        "height='480'>"
+    )
+
+
 def _aria_grid(rng: random.Random, lang: str) -> str:
     """ARIA-declared table (role=table/row/cell + columnheader,
     aria-label, one aria-colspan merge) — the G7 declared-table twin's
@@ -438,7 +486,7 @@ def _plotly_chart(rng: random.Random, lang: str) -> str:
 RICH_ARCHETYPES = [
     "colored_table", "wired_flowchart", "split_grid", "unit_chart",
     "script_chart", "bordered_grid", "highcharts_chart", "aria_grid",
-    "plotly_chart",
+    "plotly_chart", "styled_grid", "responsive_gallery",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -450,6 +498,8 @@ _RICH_BUILDERS = {
     "highcharts_chart": _highcharts_chart,
     "aria_grid": _aria_grid,
     "plotly_chart": _plotly_chart,
+    "styled_grid": _styled_grid,
+    "responsive_gallery": _responsive_gallery,
 }
 
 

@@ -1735,6 +1735,171 @@ def test_bpe_token_count_none_text():
     assert bpe_token_count(None, {}, {}) == 0
 
 
+def test_css_rule_parsing_and_precedence():
+    """kernels/css.py: selector parsing (tag/.class/#id compounds,
+    unsupported selectors skipped), comment/at-rule handling, and the
+    cascade contract — document-order last-wins between rules, inline
+    style over class rules, class rules over bgcolor presentational
+    hints."""
+    from exstruct_spark.kernels.colors import cell_background
+    from exstruct_spark.kernels.css import StyleResolver, parse_css_rules
+    from exstruct_spark.kernels.dom import parse_html
+
+    rules = parse_css_rules("""
+      /* comment with { braces } */
+      .a { background-color: red }
+      td.b, #x { background: blue; padding: 4px }
+      @media print { .a { background-color: white } }
+      div > .c { background: green }   /* combinator: skipped */
+      .d:hover { background: green }   /* pseudo: skipped */
+      .e { color: green }              /* no kept props: dropped */
+      .f { border: 1px solid !important }
+    """)
+    assert [(sel, [p for p, _ in decls]) for sel, decls in rules] == [
+        ((None, ("a",), None), ["background-color"]),
+        (("td", ("b",), None), ["background"]),
+        ((None, (), "x"), ["background"]),
+        ((None, ("f",), None), ["border"]),
+    ]
+    assert rules[3][1] == [("border", "1px solid")]  # !important stripped
+
+    def cell(html):
+        return parse_html(html).find_first("td")
+
+    # build via style nodes: same rules, through the real entry point
+    root = parse_html(
+        "<style>.a { background-color: red }"
+        ".a { background-color: lime }"          # doc-order last wins
+        "td.b { background: blue }</style>")
+    css = StyleResolver(root.find_all("style"))
+    assert cell_background(
+        css.effective_attrs(cell("<td class='a'>v</td>"))) == "00FF00"
+    # inline beats class
+    assert cell_background(css.effective_attrs(
+        cell("<td class='a' style='background:navy'>v</td>"))) == "000080"
+    # class beats the bgcolor presentational hint
+    assert cell_background(css.effective_attrs(
+        cell("<td class='a' bgcolor='red'>v</td>"))) == "00FF00"
+    # tag-qualified class only matches that tag
+    assert cell_background(
+        css.effective_attrs(cell("<td class='b'>v</td>"))) == "0000FF"
+    span = parse_html("<span class='b'>v</span>").find_first("span")
+    assert css.effective_attrs(span) is span.attrs  # identity: no match
+    # no rules at all: identity even for classed nodes
+    from exstruct_spark.kernels.css import build_resolver
+    empty = build_resolver([])
+    node = cell("<td class='a'>v</td>")
+    assert empty.effective_attrs(node) is node.attrs
+
+
+def test_styled_grid_matches_inline_twin():
+    """VERDICT r5 #1 done-criterion: a class-styled layout extracts
+    IDENTICALLY to its inline-style twin — same detection, same grid,
+    same colors_map — and the styled_grid archetype flows end-to-end
+    with the class-declared fill in colors_map."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    def grid(rows_markup):
+        return ("<html><body><div>"
+                + "".join(rows_markup) + "</div></body></html>").encode()
+
+    vals = [[7, 8, 9], [1, 2, 3, 4, 5], [4, 5, 6], [2]]
+    inline_rows = [
+        "<div>" + "".join(
+            f"<div style='border:1px solid #999'>{v}</div>" for v in row
+        ) + "</div>" for row in vals]
+    classed_rows = [
+        "<div>" + "".join(
+            f"<div class='gc'>{v}</div>" for v in row
+        ) + "</div>" for row in vals]
+    rec_inline = extract_document("http://t/i", grid(inline_rows))
+    rec_classed = extract_document(
+        "http://t/i",  # same url so the JSONs are byte-comparable
+        ("<html><head><style>.gc{border:1px solid #999}</style></head>"
+         "<body><div>" + "".join(classed_rows) + "</div></body></html>"
+         ).encode())
+    ti = json.loads(rec_inline["extraction_json"])["tables"]
+    tc = json.loads(rec_classed["extraction_json"])["tables"]
+    assert ti == tc and ti[0]["range"] == "A1:E4"
+
+    # archetype end-to-end: border-class div grid detected + the
+    # declared table's class fill lands in colors_map
+    i = RICH_ARCHETYPES.index("styled_grid")
+    page = build_rich_page(i)
+    assert page["archetype"] == "styled_grid"
+    rec = extract_document(page["url"], page["html"], ExtractOptions())
+    ex = json.loads(rec["extraction_json"])
+    tables = ex["tables"]
+    kinds = [(t.get("kind"), t.get("signal")) for t in tables]
+    assert (None, None) in kinds          # the declared <table>
+    assert ("grid", "border") in kinds    # the class-bordered layout
+    declared = tables[kinds.index((None, None))]
+    assert declared["colors_map"] == {"FFEE00": [[1, 0]]}
+    bordered = tables[kinds.index(("grid", "border"))]
+    assert bordered["range"] == "A1:E4"
+
+
+def test_responsive_image_harvesting():
+    """VERDICT r5 #3: srcset (largest width descriptor wins), <picture>
+    <source> candidates, density-only srcsets, and data-src lazy-load
+    fallback all yield one deterministic best URL; round-5 code returned
+    the spacer or the small fallback for every one of these."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.kernels.extract import _best_image_src, \
+        _srcset_candidates
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    assert _srcset_candidates("a.jpg 400w, b.jpg 1600w , c.jpg 2x") == [
+        ("a.jpg", 400, None), ("b.jpg", 1600, None), ("c.jpg", None, 2.0)]
+
+    class _Im:
+        def __init__(self, **attrs):
+            self.attrs = attrs
+
+    # widest width descriptor wins over density and listing order
+    assert _best_image_src(
+        _Im(src="s.jpg", srcset="a.jpg 2x, b.jpg 800w, c.jpg 1600w"),
+        None) == "c.jpg"
+    # density-only: largest density
+    assert _best_image_src(
+        _Im(src="s.jpg", srcset="a.jpg 1x, b.jpg 3x, c.jpg 2x"),
+        None) == "b.jpg"
+    # no descriptors: first candidate
+    assert _best_image_src(_Im(srcset="a.jpg, b.jpg"), None) == "a.jpg"
+    # picture sources join the pool
+    assert _best_image_src(
+        _Im(src="fb.jpg", srcset="a.jpg 400w"),
+        ["w.webp 1200w", "j.jpg 600w"]) == "w.webp"
+    # plain src passes through; placeholder defers to data-src
+    assert _best_image_src(_Im(src="real.png"), None) == "real.png"
+    assert _best_image_src(
+        _Im(**{"src": "data:image/gif;base64,R0lGOD",
+               "data-src": "real.png"}), None) == "real.png"
+    # placeholder with no lazy attr: kept as-is (old behavior)
+    assert _best_image_src(_Im(src="data:image/gif;base64,Q"), None) \
+        == "data:image/gif;base64,Q"
+
+    # archetype end-to-end: three images, each resolved to the real URL
+    i = RICH_ARCHETYPES.index("responsive_gallery")
+    page = build_rich_page(i)
+    assert page["archetype"] == "responsive_gallery"
+    rec = extract_document(page["url"], page["html"], ExtractOptions())
+    images = json.loads(rec["extraction_json"])["images"]
+    srcs = [im["src"] for im in images]
+    assert len(srcs) == 3
+    assert "-1600.jpg" in srcs[0]          # widest srcset candidate
+    assert ".webp" in srcs[1]              # first (widthless) source
+    assert "/img/lazy-" in srcs[2]         # data-src, not the spacer
+    assert images[0]["caption"] == "Skyline at dusk"
+    assert images[2]["alt"] == "lazy boat"
+    assert (images[2]["w"], images[2]["h"]) == (640, 480)
+
+
 def test_cell_edit_tokenizer_linear_on_unbalanced_quotes():
     """ADVICE r5 high: the old regex tokenizer's quote alternation was
     ambiguous and went exponential (~2.7x per 2 chars) on
