@@ -410,6 +410,38 @@ def _styled_grid(rng: random.Random, lang: str) -> str:
     )
 
 
+def _vegalite_chart(rng: random.Random, lang: str) -> str:
+    """Inline Vega-Lite spec (the FIFTH chart dialect — pure JSON, no JS
+    tokenization): long-format data.values split into series by the
+    color field, plus the companion table the grid binder joins."""
+    cats = ["Q1", "Q2", "Q3", "Q4"]
+    a = [rng.randint(1, 99) for _ in range(4)]
+    b = [rng.randint(1, 99) for _ in range(4)]
+    values = ", ".join(
+        f'{{"q": "{cats[i]}", "units": {v}, "region": "{name}"}}'
+        for name, vals in (("north", a), ("south", b))
+        for i, v in enumerate(vals)
+    )
+    rows = "".join(
+        f"<tr><td>{cats[i]}</td><td>{a[i]}</td><td>{b[i]}</td></tr>"
+        for i in range(4)
+    )
+    return (
+        "<figure><figcaption>Unit shipments</figcaption>"
+        "<div id='vl1'></div>"
+        "<script>vegaEmbed('#vl1', {"
+        '"$schema": "https://vega.github.io/schema/vega-lite/v5.json",'
+        '"title": "Unit shipments", "mark": "bar",'
+        f'"data": {{"values": [{values}]}},'
+        '"encoding": {"x": {"field": "q", "type": "nominal"},'
+        '"y": {"field": "units", "type": "quantitative"},'
+        '"color": {"field": "region", "type": "nominal"}}'
+        "});</script>"
+        "<table><tr><th>q</th><th>north</th><th>south</th></tr>"
+        + rows + "</table></figure>"
+    )
+
+
 def _responsive_gallery(rng: random.Random, lang: str) -> str:
     """Responsive/lazy image markup (VERDICT r5 #3): srcset width
     descriptors, a <picture> with <source srcset>, and a lazy-loaded
@@ -486,7 +518,7 @@ def _plotly_chart(rng: random.Random, lang: str) -> str:
 RICH_ARCHETYPES = [
     "colored_table", "wired_flowchart", "split_grid", "unit_chart",
     "script_chart", "bordered_grid", "highcharts_chart", "aria_grid",
-    "plotly_chart", "styled_grid", "responsive_gallery",
+    "plotly_chart", "styled_grid", "responsive_gallery", "vegalite_chart",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -500,6 +532,7 @@ _RICH_BUILDERS = {
     "plotly_chart": _plotly_chart,
     "styled_grid": _styled_grid,
     "responsive_gallery": _responsive_gallery,
+    "vegalite_chart": _vegalite_chart,
 }
 
 

@@ -1842,6 +1842,77 @@ def test_styled_grid_matches_inline_twin():
     assert bordered["range"] == "A1:E4"
 
 
+def test_chartconfig_vegalite_dialect():
+    """Vega-Lite (fifth dialect): pure-JSON specs via vegaEmbed calls
+    and application/json blocks.  Covers color-field series splitting,
+    bar orientation from the quantitative channel, arc->Pie with
+    theta/color, title objects, url-bound data skipped, and the
+    end-to-end archetype with companion-grid binding."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    charts = charts_from_script("""
+      vegaEmbed('#v1', {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        title: {text: 'Quarterly'}, mark: 'bar',
+        data: {values: [
+          {q: 'a', n: 1, g: 'east'}, {q: 'b', n: 2.5, g: 'east'},
+          {q: 'a', n: 4, g: 'west'}, {q: 'b', n: 5, g: 'west'},
+        ]},
+        encoding: {x: {field: 'q', type: 'nominal'},
+                   y: {field: 'n', type: 'quantitative'},
+                   color: {field: 'g', type: 'nominal'}},
+      });
+      vegaEmbed('#v2', {mark: 'bar',
+        data: {values: [{v: 5, r: 'r1'}, {v: 7, r: 'r2'}]},
+        encoding: {x: {field: 'v', type: 'quantitative'},
+                   y: {field: 'r', type: 'nominal'}}});
+      vegaEmbed('#v3', {mark: {type: 'arc'},
+        data: {values: [{k: 'x', t: 10}, {k: 'y', t: 20}]},
+        encoding: {theta: {field: 't', type: 'quantitative'},
+                   color: {field: 'k', type: 'nominal'}}});
+      vegaEmbed('#v4', {mark: 'line', data: {url: 'remote.json'},
+        encoding: {x: {field: 'a'}, y: {field: 'b'}}});
+    """)
+    assert [c["chart_type"] for c in charts] == ["Column", "Bar", "Pie"]
+    q = charts[0]
+    assert q["title"] == "Quarterly"
+    assert q["labels"] == ["a", "b"]
+    assert q["series"] == [("east", [1.0, 2.5]), ("west", [4.0, 5.0])]
+    assert charts[1]["labels"] == ["r1", "r2"]
+    assert charts[2]["labels"] == ["x", "y"]
+    assert charts[2]["series"] == [("t", [10.0, 20.0])]
+
+    # whole-script JSON embedding (script type=application/json)
+    spec = {"$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+            "mark": "line", "title": "Trend",
+            "data": {"values": [{"x": "m1", "y": 3}, {"x": "m2", "y": 4}]},
+            "encoding": {"x": {"field": "x", "type": "ordinal"},
+                         "y": {"field": "y", "type": "quantitative"}}}
+    charts = charts_from_script(json.dumps(spec))
+    assert len(charts) == 1 and charts[0]["chart_type"] == "Line"
+    assert charts[0]["series"] == [("y", [3.0, 4.0])]
+    # a JSON block WITHOUT the vega-lite $schema is not a chart
+    spec.pop("$schema")
+    assert charts_from_script(json.dumps(spec)) == []
+
+    # archetype end-to-end: typed chart bound to the companion grid
+    i = RICH_ARCHETYPES.index("vegalite_chart")
+    page = build_rich_page(i)
+    assert page["archetype"] == "vegalite_chart"
+    rec = extract_document(page["url"], page["html"], ExtractOptions())
+    ex = json.loads(rec["extraction_json"])
+    chart = ex["charts"][0]
+    assert chart["chart_type"] == "Column"
+    assert chart["title"] == "Unit shipments"
+    names = [s["name"] for s in chart["series"]]
+    assert names == ["north", "south"]
+    assert all("y_range" in s for s in chart["series"])
+
+
 def test_responsive_image_harvesting():
     """VERDICT r5 #3: srcset (largest width descriptor wins), <picture>
     <source> candidates, density-only srcsets, and data-src lazy-load

@@ -207,6 +207,7 @@ def test_charts_from_script_is_total(s):
     assert isinstance(charts_from_script(s), list)
     assert isinstance(charts_from_script("new Chart(ctx, " + s + ")"), list)
     assert isinstance(charts_from_script("x.setOption(" + s + ");"), list)
+    assert isinstance(charts_from_script("vegaEmbed('#v', " + s + ")"), list)
 
 
 @given(
