@@ -21,6 +21,16 @@ Ops (each addresses the ``table``-th ``<table`` in document order,
                         (reference set_range_values' grow case);
   * ``delete_row``    — remove a ``<tr>``.
 
+Wave 2 (VERDICT r5 #4 — the remaining reference ops with clean HTML
+analogues, edit/types.py:7-29):
+  * ``set_bold`` / ``set_font_size`` / ``set_font_color`` /
+    ``set_alignment`` — inline-style splices on the cell's open tag;
+  * ``set_value_if`` — conditional write (mismatch -> skipped);
+  * ``set_range_values`` — all-or-nothing 2-D block write;
+  * ``merge_cells`` / ``unmerge_cells`` — rowspan/colspan splices in
+    GRID coordinates (the reference addresses merges by A1 range, i.e.
+    grid positions; the occupancy layout maps grid -> DOM).
+
 Semantics follow the reference's patch contract: ops apply in order,
 each yields status ``applied`` or ``skipped`` (bad address, malformed
 region) — a skipped op never aborts the batch (edit/types.py
@@ -247,7 +257,12 @@ def op_set_link(html: str, table: int, row: int, col: int, href) -> str:
     return (html[:c0] + f'<a href="{quoted}">' + text + "</a>" + html[c1:])
 
 
-_STYLE_ATTR_RE = re.compile(r'(\bstyle\s*=\s*")([^"]*)(")', re.IGNORECASE)
+# single- OR double-quoted style attribute (backreferenced delimiter;
+# the body is anything up to the matching quote) — matching only "…"
+# used to inject a DUPLICATE style attr on single-quoted markup, which
+# browsers resolve to the FIRST attr, silently dropping the edit
+_STYLE_ATTR_RE = re.compile(
+    r"(\bstyle\s*=\s*([\"']))((?:(?!\2).)*)(\2)", re.IGNORECASE | re.S)
 _BG_DECL_RE = re.compile(r"background(?:-color)?\s*:\s*[^;]*;?",
                          re.IGNORECASE)
 
@@ -265,10 +280,10 @@ def op_set_fill_color(html: str, table: int, row: int, col: int,
     decl = f"background:{color}"
     m = _STYLE_ATTR_RE.search(open_tag)
     if m:
-        body = _BG_DECL_RE.sub("", m.group(2)).strip().rstrip(";")
+        body = _BG_DECL_RE.sub("", m.group(3)).strip().rstrip(";")
         new_body = (body + ";" if body else "") + decl
         new_tag = (open_tag[:m.start()] + m.group(1) + new_body
-                   + m.group(3) + open_tag[m.end():])
+                   + m.group(4) + open_tag[m.end():])
     else:
         # inject before the closing '>'
         gt = open_tag.rfind(">")
@@ -312,12 +327,306 @@ def op_delete_row(html: str, table: int, row: int) -> str:
     return html[:r0] + html[r1:]
 
 
+# -- wave 2 (VERDICT r5 #4): style splices, conditional set, range set,
+# -- merge/unmerge via rowspan/colspan splice --------------------------------
+
+_STYLE_VALUE_BAD = ('"', "'", "<", ">", ";")
+
+
+def _check_style_value(value: str) -> str:
+    """Style-splice values must not break out of the quoted attribute or
+    smuggle extra declarations — reject, don't sanitize (a skipped op is
+    honest; a silently altered value is not)."""
+    s = str(value)
+    if any(ch in s for ch in _STYLE_VALUE_BAD):
+        raise ValueError("unsafe style value")
+    return s
+
+
+def _replace_style_decl(open_tag: str, prop: str, value: str) -> str:
+    """Set ``prop: value`` in the open tag's style attribute — existing
+    declarations of the SAME property are dropped (exact-name match, so
+    ``color`` never eats ``background-color``), everything else kept."""
+    decl = f"{prop}:{value}"
+    m = _STYLE_ATTR_RE.search(open_tag)
+    if m:
+        kept = [
+            d.strip() for d in m.group(3).split(";")
+            if d.strip()
+            and d.partition(":")[0].strip().lower() != prop
+        ]
+        body = ";".join(kept + [decl])
+        return (open_tag[:m.start()] + m.group(1) + body + m.group(4)
+                + open_tag[m.end():])
+    gt = open_tag.rfind(">")
+    if gt < 0:
+        raise ValueError("malformed cell tag")
+    return open_tag[:gt] + f' style="{decl}"' + open_tag[gt:]
+
+
+def _set_cell_style(html: str, table: int, row: int, col: int,
+                    prop: str, value: str) -> str:
+    cell = _locate_cell(html, table, row, col)
+    if cell is None:
+        raise ValueError("cell not found")
+    cell_start, c0, _, _ = cell
+    new_tag = _replace_style_decl(html[cell_start:c0], prop, value)
+    return html[:cell_start] + new_tag + html[c0:]
+
+
+def op_set_bold(html: str, table: int, row: int, col: int,
+                bold: bool = True) -> str:
+    """Reference ``set_bold`` (edit/types.py) — font-weight splice."""
+    return _set_cell_style(html, table, row, col, "font-weight",
+                           "bold" if bold else "normal")
+
+
+def op_set_font_size(html: str, table: int, row: int, col: int,
+                     size) -> str:
+    """Reference ``set_font_size`` — points, like Excel font sizes."""
+    if isinstance(size, bool) or not isinstance(size, (int, float)) \
+            or not 1 <= size <= 512:
+        raise ValueError("font size must be a number in [1, 512]")
+    sz = int(size) if float(size).is_integer() else float(size)
+    return _set_cell_style(html, table, row, col, "font-size", f"{sz}pt")
+
+
+def op_set_font_color(html: str, table: int, row: int, col: int,
+                      color: str) -> str:
+    """Reference ``set_font_color`` — CSS color splice."""
+    return _set_cell_style(html, table, row, col, "color",
+                           _check_style_value(color))
+
+
+_H_ALIGN = {"general", "left", "center", "right", "fill", "justify",
+            "centercontinuous", "distributed"}
+_V_ALIGN = {"top", "center", "bottom", "justify", "distributed"}
+
+
+def op_set_alignment(html: str, table: int, row: int, col: int,
+                     horizontal=None, vertical=None) -> str:
+    """Reference ``set_alignment`` — text-align / vertical-align splice;
+    the alignment vocabularies are the reference's literal types
+    (edit/types.py HorizontalAlignType/VerticalAlignType)."""
+    if horizontal is None and vertical is None:
+        raise ValueError("no alignment given")
+    if horizontal is not None:
+        h = str(horizontal).lower()
+        if h not in _H_ALIGN:
+            raise ValueError("bad horizontal alignment")
+        html = _set_cell_style(
+            html, table, row, col, "text-align",
+            {"centercontinuous": "center", "fill": "left",
+             "distributed": "justify", "general": "left"}.get(h, h))
+    if vertical is not None:
+        v = str(vertical).lower()
+        if v not in _V_ALIGN:
+            raise ValueError("bad vertical alignment")
+        html = _set_cell_style(
+            html, table, row, col, "vertical-align",
+            "justify" if v == "distributed" else v)
+    return html
+
+
+def op_set_value_if(html: str, table: int, row: int, col: int,
+                    expected, value) -> str:
+    """Reference ``set_value_if`` — conditional write: the cell is set
+    only when its current text equals ``expected``; a mismatch is a
+    skipped op (the reference's PatchStatus contract), never a silent
+    overwrite."""
+    cell = _locate_cell(html, table, row, col)
+    if cell is None:
+        raise ValueError("cell not found")
+    _, c0, c1, _ = cell
+    from html import unescape
+
+    current = unescape(_TEXT_STRIP_RE.sub("", html[c0:c1])).strip()
+    if current != str(expected).strip():
+        raise ValueError("condition not met")
+    return html[:c0] + _escape(value) + html[c1:]
+
+
+def op_set_range_values(html: str, table: int, row: int, col: int,
+                        values) -> str:
+    """Reference ``set_range_values`` — a 2-D block write anchored at
+    (row, col), DOM indexes like set_value.  All-or-nothing: every
+    target address is validated BEFORE the first splice, so a partially
+    out-of-range block is one skipped op, not a half-applied write."""
+    if not isinstance(values, list) or not values or not all(
+        isinstance(r, list) for r in values
+    ):
+        raise ValueError("values must be a non-empty list of rows")
+    for dr, row_vals in enumerate(values):
+        for dc in range(len(row_vals)):
+            if _locate_cell(html, table, row + dr, col + dc) is None:
+                raise ValueError("range exceeds table")
+    for dr, row_vals in enumerate(values):
+        for dc, v in enumerate(row_vals):
+            html = op_set_value(html, table, row + dr, col + dc, v)
+    return html
+
+
+_ROWSPAN_RE = re.compile(r"\browspan\s*=\s*[\"']?(\d+)", re.IGNORECASE)
+_COLSPAN_RE = re.compile(r"\bcolspan\s*=\s*[\"']?(\d+)", re.IGNORECASE)
+_SPAN_ATTR_STRIP_RE = re.compile(
+    r"\s*\b(?:rowspan|colspan)\s*=\s*(?:\"[^\"]*\"|'[^']*'|\S+)",
+    re.IGNORECASE,
+)
+
+
+def _grid_layout(html: str, table: int):
+    """(table_span, row_spans, layout) where ``layout[r]`` lists each
+    DOM cell of row r as ``(span4, grid_col, rowspan, colspan)`` with
+    GRID columns assigned under rowspan/colspan occupancy — the same
+    expansion the extraction grid walk performs, so merge/unmerge
+    address cells exactly like the reference's A1 ranges address the
+    sheet.  Spans are capped (rowspan by the rows that exist, colspan
+    at 1024) so adversarial span values cannot blow up the occupancy
+    set."""
+    tspan = _table_span(html, table)
+    if tspan is None:
+        raise ValueError("table not found")
+    rows = _row_spans(html, *tspan)
+    occupied: set = set()
+    layout: list = []
+    for r, (r0, r1) in enumerate(rows):
+        row_cells: list = []
+        c = 0
+        for cs in _cell_spans(html, r0, r1):
+            while (r, c) in occupied:
+                c += 1
+            open_tag = html[cs[0] : cs[1]]
+            m = _ROWSPAN_RE.search(open_tag)
+            rs = min(int(m.group(1)) if m else 1, len(rows) - r)
+            m = _COLSPAN_RE.search(open_tag)
+            cl = min(int(m.group(1)) if m else 1, 1024)
+            rs, cl = max(rs, 1), max(cl, 1)
+            for rr in range(r, r + rs):
+                for cc in range(c, c + cl):
+                    occupied.add((rr, cc))
+            row_cells.append((cs, c, rs, cl))
+            c += cl
+        layout.append(row_cells)
+    return tspan, rows, layout
+
+
+def _strip_span_attrs(open_tag: str) -> str:
+    return _SPAN_ATTR_STRIP_RE.sub("", open_tag)
+
+
+def op_merge_cells(html: str, table: int, r1: int, c1: int,
+                   r2: int, c2: int) -> str:
+    """Reference ``merge_cells`` — GRID coordinates (0-based, inclusive),
+    the HTML splice of an A1-range merge: the master cell at (r1, c1)
+    gains rowspan/colspan, every other cell whose origin lies inside the
+    rectangle is removed (its value is lost, exactly like an Excel
+    merge).  A rectangle that crosses an existing span — from inside or
+    outside — is a skipped op."""
+    if not (r1 <= r2 and c1 <= c2) or r1 < 0 or c1 < 0:
+        raise ValueError("bad merge rectangle")
+    if r1 == r2 and c1 == c2:
+        raise ValueError("degenerate merge")
+    _tspan, rows, layout = _grid_layout(html, table)
+    if r2 >= len(rows):
+        raise ValueError("merge exceeds table rows")
+    master = None
+    doomed: list = []
+    for r, row_cells in enumerate(layout):
+        for cs, gc, rs, cl in row_cells:
+            inside = r1 <= r <= r2 and c1 <= gc <= c2
+            extent_r, extent_c = r + rs - 1, gc + cl - 1
+            overlaps = not (extent_r < r1 or r > r2
+                            or extent_c < c1 or gc > c2)
+            if inside:
+                if extent_r > r2 or extent_c > c2 or rs > 1 or cl > 1:
+                    raise ValueError("merge crosses an existing span")
+                if (r, gc) == (r1, c1):
+                    master = cs
+                else:
+                    doomed.append(cs)
+            elif overlaps:
+                raise ValueError("merge crosses an outside span")
+    if master is None:
+        raise ValueError("master cell not found")
+    n_rows, n_cols = r2 - r1 + 1, c2 - c1 + 1
+    open_tag = _strip_span_attrs(html[master[0] : master[1]])
+    gt = open_tag.rfind(">")
+    if gt < 0:
+        raise ValueError("malformed cell tag")
+    attrs = (f' rowspan="{n_rows}"' if n_rows > 1 else "") + (
+        f' colspan="{n_cols}"' if n_cols > 1 else "")
+    new_tag = open_tag[:gt] + attrs + open_tag[gt:]
+    # splice from the back so earlier byte offsets stay valid
+    edits = [(s[0], s[3], "") for s in doomed]
+    edits.append((master[0], master[1], new_tag))
+    for start, end, repl in sorted(edits, reverse=True):
+        html = html[:start] + repl + html[end:]
+    return html
+
+
+def op_unmerge_cells(html: str, table: int, row: int, col: int) -> str:
+    """Reference ``unmerge_cells`` — the master cell at GRID (row, col)
+    loses its rowspan/colspan and the vacated grid positions become
+    empty cells (blank, like Excel's unmerge), inserted at the correct
+    DOM positions via the occupancy layout."""
+    _tspan, rows, layout = _grid_layout(html, table)
+    if not 0 <= row < len(layout):
+        raise ValueError("row out of range")
+    master = None
+    for cs, gc, rs, cl in layout[row]:
+        if gc == col:
+            master = (cs, gc, rs, cl)
+            break
+    if master is None:
+        raise ValueError("cell not found")
+    cs, gc, rs, cl = master
+    if rs == 1 and cl == 1:
+        raise ValueError("cell is not merged")
+    tag = "th" if html[cs[0] : cs[0] + 3].lower().startswith("<th") else "td"
+    empty = f"<{tag}></{tag}>"
+    edits: list = []
+    new_tag = _strip_span_attrs(html[cs[0] : cs[1]])
+    edits.append((cs[0], cs[1], new_tag))
+    if cl > 1:  # master row: empties right after the master cell
+        edits.append((cs[3], cs[3], empty * (cl - 1)))
+    for rr in range(row + 1, row + rs):
+        # insert before the first cell whose grid col is PAST the span;
+        # else after the last cell before it; else just after <tr ...>
+        at = None
+        for cs2, gc2, _rs2, _cl2 in layout[rr]:
+            if gc2 > gc:
+                at = cs2[0]
+                break
+        if at is None:
+            before = [cs2 for cs2, gc2, _r, _c in layout[rr] if gc2 < gc]
+            if before:
+                at = before[-1][3]
+            else:
+                m = _TAG_START_RE.match(html, rows[rr][0])
+                at = _scan_tag_end(html, m.end(), rows[rr][1]) \
+                    if m else rows[rr][0]
+                if at == -1:
+                    raise ValueError("malformed row tag")
+        edits.append((at, at, empty * cl))
+    for start, end, repl in sorted(edits, reverse=True):
+        html = html[:start] + repl + html[end:]
+    return html
+
+
 _OPS = {
     "set_value": op_set_value,
     "set_link": op_set_link,
     "set_fill_color": op_set_fill_color,
     "add_row": op_add_row,
     "delete_row": op_delete_row,
+    "set_bold": op_set_bold,
+    "set_font_size": op_set_font_size,
+    "set_font_color": op_set_font_color,
+    "set_alignment": op_set_alignment,
+    "set_value_if": op_set_value_if,
+    "set_range_values": op_set_range_values,
+    "merge_cells": op_merge_cells,
+    "unmerge_cells": op_unmerge_cells,
 }
 
 

@@ -2006,6 +2006,115 @@ def test_cell_edit_tokenizer_linear_on_unbalanced_quotes():
     assert len(toks) == 1 and toks[0].end() == 9
 
 
+def test_cell_edit_wave2_style_and_conditional_ops():
+    """Wave-2 ops (VERDICT r5 #4): style splices preserve unrelated
+    declarations and replace exact-name matches only; set_value_if
+    applies on match and skips on mismatch; set_range_values is
+    all-or-nothing."""
+    from exstruct_spark.kernels.edits import apply_ops
+
+    html = ("<table><tr><td style='color:blue;padding:2px'>a</td>"
+            "<td>b</td></tr><tr><td>c</td><td>d</td></tr></table>")
+    out, st = apply_ops(html, [
+        {"op": "set_bold", "table": 0, "row": 0, "col": 0},
+        {"op": "set_font_color", "table": 0, "row": 0, "col": 0,
+         "color": "#112233"},
+        {"op": "set_font_size", "table": 0, "row": 0, "col": 1,
+         "size": 14},
+        {"op": "set_alignment", "table": 0, "row": 1, "col": 0,
+         "horizontal": "right", "vertical": "top"},
+        {"op": "set_alignment", "table": 0, "row": 1, "col": 1},  # none
+        {"op": "set_font_size", "table": 0, "row": 0, "col": 0,
+         "size": "12"},                                     # non-numeric
+        {"op": "set_font_color", "table": 0, "row": 0, "col": 1,
+         "color": 'x";injected=1'},                         # breakout
+    ])
+    assert st == ["applied"] * 4 + ["skipped"] * 3
+    # exact-name replace: color replaced, padding kept, font-weight added
+    assert "padding:2px" in out
+    assert "color:#112233" in out and "color:blue" not in out
+    assert "font-weight:bold" in out
+    assert 'style="font-size:14pt"' in out
+    assert "text-align:right" in out and "vertical-align:top" in out
+
+    out2, st2 = apply_ops(html, [
+        {"op": "set_value_if", "table": 0, "row": 0, "col": 0,
+         "expected": "a", "value": "A!"},
+        {"op": "set_value_if", "table": 0, "row": 0, "col": 1,
+         "expected": "WRONG", "value": "nope"},
+    ])
+    assert st2 == ["applied", "skipped"]
+    assert ">A!</td>" in out2 and ">b</td>" in out2
+
+    out3, st3 = apply_ops(html, [
+        {"op": "set_range_values", "table": 0, "row": 0, "col": 0,
+         "values": [["r0c0", "r0c1"], ["r1c0", "r1c1"]]},
+        {"op": "set_range_values", "table": 0, "row": 1, "col": 1,
+         "values": [["x", "OUT"]]},   # exceeds width: all-or-nothing
+    ])
+    assert st3 == ["applied", "skipped"]
+    for v in ("r0c0", "r0c1", "r1c0", "r1c1"):
+        assert f">{v}</td>" in out3
+    assert "OUT" not in out3 and ">x<" not in out3
+
+
+def test_cell_edit_merge_unmerge_roundtrip():
+    """merge_cells/unmerge_cells in GRID coordinates: the merged HTML
+    re-extracts with the reference-convention merged_cells items; a
+    merge crossing an existing span skips; unmerge restores the grid
+    shape with blank cells at the vacated positions."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.kernels.edits import apply_ops
+
+    html = ("<table>"
+            "<tr><td>a0</td><td>a1</td><td>a2</td></tr>"
+            "<tr><td>b0</td><td>b1</td><td>b2</td></tr>"
+            "<tr><td>c0</td><td>c1</td><td>c2</td></tr></table>")
+    merged, st = apply_ops(html, [
+        {"op": "merge_cells", "table": 0, "r1": 0, "c1": 0,
+         "r2": 1, "c2": 1},
+    ])
+    assert st == ["applied"]
+    assert 'rowspan="2"' in merged and 'colspan="2"' in merged
+    for gone in ("a1", "b0", "b1"):
+        assert f">{gone}<" not in merged
+    rec = extract_document("http://t/m", merged.encode(), ExtractOptions())
+    t = json.loads(rec["extraction_json"])["tables"][0]
+    # reference MergedCells convention: r 1-based, c 0-based
+    assert t["merged_cells"]["items"] == [[1, 0, 2, 1, "a0"]]
+    assert t["range"] == "A1:C3"
+    # row 1 keeps its non-merged cell at grid col 2
+    row1 = [r for r in t["rows"] if r["r"] == 2][0]
+    assert row1["c"] == {"2": "b2"}
+
+    # merging across the existing span skips; merging the free 2x1
+    # block beside it applies
+    out2, st2 = apply_ops(merged, [
+        {"op": "merge_cells", "table": 0, "r1": 1, "c1": 1,
+         "r2": 2, "c2": 2},   # crosses the 2x2 span
+        {"op": "merge_cells", "table": 0, "r1": 0, "c1": 2,
+         "r2": 1, "c2": 2},   # the free right column
+    ])
+    assert st2 == ["skipped", "applied"]
+
+    # unmerge restores a full 3x3 grid, vacated cells blank
+    restored, st3 = apply_ops(merged, [
+        {"op": "unmerge_cells", "table": 0, "row": 0, "col": 0},
+        {"op": "unmerge_cells", "table": 0, "row": 2, "col": 0},  # plain
+    ])
+    assert st3 == ["applied", "skipped"]
+    rec2 = extract_document("http://t/u", restored.encode(),
+                            ExtractOptions())
+    t2 = json.loads(rec2["extraction_json"])["tables"][0]
+    assert "merged_cells" not in t2
+    cells = {(r["r"], int(c)): v for r in t2["rows"]
+             for c, v in r["c"].items()}
+    assert cells == {(1, 0): "a0", (1, 2): "a2", (2, 2): "b2",
+                     (3, 0): "c0", (3, 1): "c1", (3, 2): "c2"}
+
+
 def test_cell_edit_unbalanced_quote_keeps_cell_indexing():
     """Second-review finding: an UNBALANCED quote in an attribute must
     not drop the tag from tokenization (which silently renumbers cells

@@ -285,6 +285,49 @@ def test_jpeg_decode_never_hangs_on_garbage(raw):
             st.integers(),                         # non-dict op entry
             st.none(),
             st.text(max_size=4),
+            # wave-2 ops with their OWN kwarg shapes (so the applied
+            # paths run, not just the unexpected-kwarg TypeError net)
+            st.fixed_dictionaries({
+                "op": st.just("merge_cells"), "table": st.integers(-1, 3),
+                "r1": st.integers(-1, 4), "c1": st.integers(-1, 4),
+                "r2": st.integers(-1, 4), "c2": st.integers(-1, 4)}),
+            st.fixed_dictionaries({
+                "op": st.just("unmerge_cells"), "table": st.integers(-1, 3),
+                "row": st.integers(-1, 4), "col": st.integers(-1, 4)}),
+            st.fixed_dictionaries({
+                "op": st.just("set_bold"), "table": st.integers(-1, 3),
+                "row": st.integers(-1, 4), "col": st.integers(-1, 3),
+                "bold": st.booleans()}),
+            st.fixed_dictionaries({
+                "op": st.just("set_font_size"),
+                "table": st.integers(-1, 3), "row": st.integers(-1, 4),
+                "col": st.integers(-1, 3),
+                "size": st.one_of(st.integers(-5, 600),
+                                  st.text(max_size=3))}),
+            st.fixed_dictionaries({
+                "op": st.just("set_font_color"),
+                "table": st.integers(-1, 3), "row": st.integers(-1, 4),
+                "col": st.integers(-1, 3), "color": st.text(max_size=6)}),
+            st.fixed_dictionaries({
+                "op": st.just("set_alignment"),
+                "table": st.integers(-1, 3), "row": st.integers(-1, 4),
+                "col": st.integers(-1, 3),
+                "horizontal": st.one_of(st.none(), st.text(max_size=7)),
+                "vertical": st.one_of(st.none(), st.text(max_size=7))}),
+            st.fixed_dictionaries({
+                "op": st.just("set_value_if"),
+                "table": st.integers(-1, 3), "row": st.integers(-1, 4),
+                "col": st.integers(-1, 3),
+                "expected": st.text(max_size=3),
+                "value": st.text(max_size=3)}),
+            st.fixed_dictionaries({
+                "op": st.just("set_range_values"),
+                "table": st.integers(-1, 3), "row": st.integers(-1, 4),
+                "col": st.integers(-1, 3),
+                "values": st.one_of(
+                    st.lists(st.lists(st.text(max_size=2), max_size=2),
+                             max_size=2),
+                    st.lists(st.text(max_size=2), max_size=2))}),
         ),
         max_size=4,
     ),
