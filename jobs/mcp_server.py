@@ -126,6 +126,24 @@ TOOLS = [
         },
     },
     {
+        "name": "make_document",
+        "description": "Build an HTML document from an extraction "
+                       "record (the exstruct_make twin — the generative "
+                       "direction): tables with rows, merged_cells, "
+                       "colors_map, links and captions are materialized "
+                       "so re-extracting the output reproduces them.  "
+                       "Optionally writes the document to a path under "
+                       "the served root.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "extraction": {"type": "object"},
+                "extraction_json": {"type": "string"},
+                "out_path": {"type": "string"},
+            },
+        },
+    },
+    {
         "name": "extract_file",
         "description": "Extract structured content from an HTML file on "
                        "disk.  Paths are confined to the served root "
@@ -301,6 +319,26 @@ def _call_media_probe(args: dict) -> dict:
     return out
 
 
+def _call_make_document(args: dict) -> dict:
+    from exstruct_spark.kernels.make import make_document
+
+    extraction = args.get("extraction")
+    if extraction is None and args.get("extraction_json"):
+        extraction = json.loads(args["extraction_json"])
+    if not isinstance(extraction, dict):
+        raise ValueError("extraction must be an object (or extraction_json "
+                         "a JSON object string)")
+    html = make_document(extraction)
+    out = {"html": html,
+           "n_tables": len(extraction.get("tables") or [])}
+    if args.get("out_path"):
+        resolved = _confine(args["out_path"])
+        with open(resolved, "w", encoding="utf-8") as fh:
+            fh.write(html)
+        out["path"] = resolved
+    return out
+
+
 def _call_edit_document(args: dict) -> dict:
     from exstruct_spark.kernels.edits import apply_ops
 
@@ -317,6 +355,7 @@ def _call_edit_document(args: dict) -> dict:
 _TOOL_FNS = {
     "extract_html": _call_extract_html,
     "edit_document": _call_edit_document,
+    "make_document": _call_make_document,
     "extract_file": _call_extract_file,
     "media_probe": _call_media_probe,
     "render_table_images": _call_render_table_images,

@@ -1913,6 +1913,65 @@ def test_chartconfig_vegalite_dialect():
     assert all("y_range" in s for s in chart["series"])
 
 
+def test_make_document_roundtrip():
+    """exstruct_make twin (VERDICT r5 #6): extract(make(J)) reproduces
+    J's table family — rows, merged_cells, colors_map, links, caption
+    name and range — across every declared-table archetype; malformed
+    records degrade to skipped entries instead of raising; grid extents
+    are capped."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.kernels.make import make_document
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    def extract_tables(html_bytes):
+        rec = extract_document("http://t/mk", html_bytes, ExtractOptions())
+        return json.loads(rec["extraction_json"]).get("tables", [])
+
+    for name in ("colored_table", "aria_grid", "styled_grid",
+                 "vegalite_chart", "plotly_chart"):
+        page = build_rich_page(RICH_ARCHETYPES.index(name))
+        ex = json.loads(extract_document(
+            page["url"], page["html"], ExtractOptions())["extraction_json"])
+        declared = [t for t in ex.get("tables", []) if "kind" not in t]
+        out = extract_tables(make_document(
+            {"title": ex.get("title"), "tables": declared}).encode())
+        assert len(out) == len(declared), name
+        for a, b in zip(declared, out):
+            for k in ("rows", "merged_cells", "colors_map", "name",
+                      "range"):
+                assert a.get(k) == b.get(k), (name, k)
+
+    # a hand-built record with links and a merged master round-trips too
+    J = {"title": "Made", "tables": [{
+        "id": 0, "name": "t", "rows": [
+            {"r": 1, "c": {"0": "k", "1": "v"},
+             "links": {"1": "https://x.example/a"}},
+            {"r": 2, "c": {"0": "total", "2": 9}},
+        ],
+        "merged_cells": {"schema": ["r1", "c1", "r2", "c2", "v"],
+                         "items": [[2, 0, 2, 1, "total"]]},
+        "colors_map": {"FFEE00": [[1, 0]]},
+    }]}
+    t = extract_tables(make_document(J).encode())[0]
+    assert t["rows"] == J["tables"][0]["rows"]
+    assert t["merged_cells"]["items"] == [[2, 0, 2, 1, "total"]]
+    assert t["colors_map"] == {"FFEE00": [[1, 0]]}
+    assert t["name"] == "t"
+
+    # totality + caps: garbage coordinates skipped, huge spans refused
+    bad = {"tables": [
+        {"rows": [{"r": "x", "c": {"0": "a"}},
+                  {"r": 1, "c": {"zz": "b", "0": "keep"}}]},
+        {"merged_cells": {"items": [[1, 0, 10**9, 10**9, "v"],
+                                    "junk", [1]]}},
+        "not-a-table",
+    ]}
+    html = make_document(bad)
+    assert "keep" in html and len(html) < 10_000
+
+
 def test_responsive_image_harvesting():
     """VERDICT r5 #3: srcset (largest width descriptor wins), <picture>
     <source> candidates, density-only srcsets, and data-src lazy-load

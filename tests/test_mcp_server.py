@@ -37,7 +37,8 @@ def test_mcp_handshake_and_tools():
     assert init["result"]["serverInfo"]["name"] == "exstruct-spark"
     names = [t["name"] for t in tools["result"]["tools"]]
     assert names == ["extract_html", "render_table_images", "media_probe",
-                     "read_table_range", "edit_document", "extract_file"]
+                     "read_table_range", "edit_document", "make_document",
+                     "extract_file"]
     assert err["error"]["code"] == -32601
 
 
@@ -220,6 +221,50 @@ def test_mcp_extract_file_size_cap(tmp_path):
     # the refusal is in-band: the server stays up and serves the next call
     ok = json.loads(out[1]["result"]["content"][0]["text"])
     assert ok["extraction"]["tables"][0]["range"] == "A1:B3"
+
+
+def test_mcp_make_document_generative_roundtrip(tmp_path):
+    """make_document (the exstruct_make twin) over the pipe: the built
+    HTML re-extracts to the input record's table family; out_path writes
+    under the confined root only."""
+    root = tmp_path / "root"
+    root.mkdir()
+    env = {"EXSTRUCT_MCP_ROOT": str(root)}
+    record = {"title": "Gen", "tables": [{
+        "id": 0, "name": "made",
+        "rows": [{"r": 1, "c": {"0": "h", "1": "n"}},
+                 {"r": 2, "c": {"0": "a", "1": 3}}],
+        "colors_map": {"00FF00": [[2, 1]]},
+    }]}
+
+    def call(msg_id, name, args):
+        return {"jsonrpc": "2.0", "id": msg_id, "method": "tools/call",
+                "params": {"name": name, "arguments": args}}
+
+    out = _rpc_session([
+        call(1, "make_document",
+             {"extraction": record, "out_path": "gen.html"}),
+        call(2, "make_document",
+             {"extraction": record, "out_path": "../escape.html"}),
+        call(3, "make_document", {"extraction_json": "not json"}),
+    ], env=env)
+    made = json.loads(out[0]["result"]["content"][0]["text"])
+    assert made["n_tables"] == 1 and made["path"].endswith("gen.html")
+    assert (root / "gen.html").read_text() == made["html"]
+    assert out[1]["result"]["isError"] is True
+    assert "outside served root" in out[1]["result"]["content"][0]["text"]
+    assert out[2]["result"]["isError"] is True
+
+    # generative round trip through the extractor
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+
+    rec = extract_document("file://gen", made["html"].encode(),
+                           ExtractOptions())
+    t = json.loads(rec["extraction_json"])["tables"][0]
+    assert t["rows"] == record["tables"][0]["rows"]
+    assert t["colors_map"] == {"00FF00": [[2, 1]]}
+    assert t["name"] == "made"
 
 
 def test_mcp_edit_document_roundtrip():
