@@ -40,6 +40,7 @@ import pandas as pd
 
 from exstruct_spark.kernels.gif import GIF_MAGICS, decode_gif
 from exstruct_spark.kernels.jpeg import JPEG_MAGIC, decode_jpeg
+from exstruct_spark.kernels.vp8 import decode_webp_lossy
 from exstruct_spark.kernels.vp8l import Vp8lCapExceeded, decode_vp8l
 from exstruct_spark.kernels.png import (
     PNG_MAGIC,
@@ -162,12 +163,17 @@ def decode_image(raw: bytes, mode: str = "fake") -> dict:
             if mode == "strict":
                 raise
     elif raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
-        # lossless (VP8L) decodes for real; lossy VP8 raises ValueError
-        # inside decode_vp8l, so strict refuses and fake degrades —
-        # alpha is dropped here for parity with the other codecs' RGB
+        # lossless (VP8L, kernels/vp8l.py) and lossy stills (VP8
+        # keyframes, kernels/vp8.py) BOTH decode for real — alpha is
+        # dropped here for parity with the other codecs' RGB
         # pixel-stat path (decode_vp8l itself returns RGBA)
         try:
-            real_px = np.ascontiguousarray(decode_vp8l(raw)[:, :, :3])
+            try:
+                real_px = np.ascontiguousarray(decode_vp8l(raw)[:, :, :3])
+            except Vp8lCapExceeded:
+                raise
+            except ValueError:
+                real_px = decode_webp_lossy(raw)
             n_frames = 1
         except Vp8lCapExceeded:
             # capability cap, not corruption: the file may be perfectly
@@ -601,19 +607,30 @@ def media_meta_pdf(
             "rms": None,
         }
         if mtype == "image/webp":
-            # LOSSLESS (VP8L) decodes for REAL (kernels/vp8l.py — LZ77 +
-            # prefix codes + all four transforms, pinned byte-identical
-            # to libwebp in pytest): genuine pixels, stats, features.
-            # Lossy VP8 / animations get the mp3-tier honest treatment:
-            # REAL header metadata (dims, variant, flags) with decoded
-            # False — a boolean-coder DCT decoder doesn't exist here
-            # and strict mode forbids fabricating pixels.
+            # LOSSLESS (VP8L, kernels/vp8l.py) and LOSSY STILLS (VP8
+            # keyframes, kernels/vp8.py — boolean decoder + intra
+            # prediction + IDCT + loop filter + fancy upsampler, pinned
+            # byte-identical to libwebp in pytest) both decode for
+            # REAL: genuine pixels, stats, features.  Animations keep
+            # the mp3-tier honest treatment: REAL header metadata
+            # (dims, variant, flags, duration) with decoded False —
+            # frame compositing has no decoder here and strict mode
+            # forbids fabricating pixels.
             rgb = None
             vp8l_err = None
+            lossy_err = None
             try:
                 rgb = np.ascontiguousarray(decode_vp8l(raw)[:, :, :3])
+            except Vp8lCapExceeded as exc:
+                vp8l_err = exc
             except ValueError as exc:
                 vp8l_err = exc
+                try:
+                    rgb = decode_webp_lossy(raw)
+                except Vp8lCapExceeded as exc2:
+                    lossy_err = exc2
+                except ValueError as exc2:
+                    lossy_err = exc2
             if rgb is not None:
                 h2, w2 = rgb.shape[:2]
                 rec["width"], rec["height"] = w2, h2
@@ -638,10 +655,20 @@ def media_meta_pdf(
                     # the container SAYS pure lossless but the bitstream
                     # failed to decode: that is a corrupt file, and
                     # strict surfaces decode failures (same contract as
-                    # every other codec) — only lossy/animated files,
-                    # which genuinely have no decoder here, stay at the
+                    # every other codec) — only animated files, which
+                    # genuinely have no decoder here, stay at the
                     # metadata tier
                     raise vp8l_err
+                if (mode == "strict" and vp8l_err is not None
+                        and lossy_err is not None
+                        and not isinstance(lossy_err, Vp8lCapExceeded)
+                        and "lossy" in wm["variant"]
+                        and not wm["has_animation"]):
+                    # same contract for lossy stills now that a VP8
+                    # keyframe decoder exists: a still that BOTH
+                    # decoders reject (and not via the pixel cap) is
+                    # corrupt, not undecodable
+                    raise lossy_err
                 rec["width"], rec["height"] = wm["width"], wm["height"]
                 if wm.get("n_frames"):
                     # animated: genuine frame count -> total duration

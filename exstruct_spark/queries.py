@@ -3353,8 +3353,17 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _webp(i: int) -> bytearray:
-        # REAL lossless WebP via the repo's own VP8L writer (decoded by
-        # the real VP8L decoder downstream; libwebp-validated in pytest)
+        # REAL WebP, BOTH codings: even slots are lossless via the
+        # repo's own VP8L writer, odd slots are LOSSY via the minimal
+        # VP8 keyframe writer (kernels/vp8.py) — so the corpus's webp
+        # slice exercises both real decoders and lossy blobs flow real
+        # pixel features into media_neardup/media_ann_topk
+        # (libwebp-validated in pytest for both writers)
+        if i % 2:
+            from exstruct_spark.kernels.vp8 import encode_vp8_minimal
+
+            return bytearray(encode_vp8_minimal(2 + i % 3, 1 + i % 2,
+                                                seed=3000 + i))
         rng = np.random.default_rng(3000 + i)
         pal = rng.integers(0, 256, (4 + i, 3)).astype(np.uint8)
         img = pal[rng.integers(0, len(pal), (14 + 4 * i, 20 + 2 * i))]

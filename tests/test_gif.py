@@ -404,12 +404,15 @@ def test_webp_header_metadata_real_parse():
         row = media_meta_pdf(pd.DataFrame({"k": [0], "blob": [raw]}),
                              blob_col="blob", mode="strict").iloc[0]
         assert row["media_type"] == "image/webp"
-        assert not row["decoded"]
+        # round 6: the lossy still decodes for REAL (kernels/vp8.py),
+        # so strict now yields genuine pixels, not the metadata tier
+        assert bool(row["decoded"]) is True
         assert (row["width"], row["height"]) == (16, 16)
-        assert row["feature"] is None
-        # fake mode: same real dims, stub plumbing for downstream schema
+        assert row["feature"] is not None
+        # fake mode: identical real pixels
         row = media_meta_pdf(pd.DataFrame({"k": [0], "blob": [raw]}),
                              blob_col="blob", mode="fake").iloc[0]
+        assert bool(row["decoded"]) is True
         assert (row["width"], row["height"]) == (16, 16)
         assert row["feature"] is not None
 

@@ -1,0 +1,301 @@
+"""VP8 (lossy WebP) keyframe decode (kernels/vp8.py), pinned against the
+system libwebp via ctypes — the library both encodes the vectors and
+serves as the oracle at BOTH layers: ``WebPDecodeYUV`` must match the
+codec output byte-for-byte (boolean decoder, intra prediction, IDCT,
+loop filter), and ``WebPDecodeRGB`` must match the fancy-upsampled RGB.
+
+The vendored constant tables (vp8_tables.py) are additionally re-derived
+from libwebp's read-only data by structural search, so a transcription
+error cannot survive CI (the VP8L distance-table discipline)."""
+
+import ctypes
+import ctypes.util
+import glob
+import struct
+
+import numpy as np
+import pytest
+
+from exstruct_spark.kernels.vp8 import (
+    KF_BMODE_PROBS_RFC,
+    decode_vp8,
+    decode_vp8_frame,
+    decode_webp_lossy,
+)
+from exstruct_spark.kernels.vp8l import Vp8lCapExceeded
+
+
+def _load_libwebp():
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_void_p)]
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lib.WebPDecodeRGB.restype = ctypes.POINTER(ctypes.c_ubyte)
+    return lib
+
+
+_LIB = _load_libwebp()
+needs_libwebp = pytest.mark.skipif(
+    _LIB is None, reason="libwebp not present on this host")
+
+
+def _enc(img, q):
+    h, w = img.shape[:2]
+    out = ctypes.c_void_p()
+    n = _LIB.WebPEncodeRGB(np.ascontiguousarray(img).tobytes(), w, h,
+                           w * 3, ctypes.c_float(q), ctypes.byref(out))
+    assert n > 0
+    return ctypes.string_at(out, n)
+
+
+def _ref_yuv(buf):
+    W, H = ctypes.c_int(), ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_ubyte)()
+    v = ctypes.POINTER(ctypes.c_ubyte)()
+    st, uvst = ctypes.c_int(), ctypes.c_int()
+    y = _LIB.WebPDecodeYUV(buf, len(buf), ctypes.byref(W), ctypes.byref(H),
+                           ctypes.byref(u), ctypes.byref(v),
+                           ctypes.byref(st), ctypes.byref(uvst))
+    assert y
+    w, h = W.value, H.value
+    cw, ch = (w + 1) >> 1, (h + 1) >> 1
+    Y = np.frombuffer(bytes(y[: st.value * h]),
+                      np.uint8).reshape(h, st.value)[:, :w]
+    U = np.frombuffer(bytes(u[: uvst.value * ch]),
+                      np.uint8).reshape(ch, uvst.value)[:, :cw]
+    V = np.frombuffer(bytes(v[: uvst.value * ch]),
+                      np.uint8).reshape(ch, uvst.value)[:, :cw]
+    return Y.copy(), U.copy(), V.copy()
+
+
+def _ref_rgb(buf):
+    W, H = ctypes.c_int(), ctypes.c_int()
+    p = _LIB.WebPDecodeRGB(buf, len(buf), ctypes.byref(W), ctypes.byref(H))
+    assert p
+    w, h = W.value, H.value
+    return np.frombuffer(bytes(p[: w * h * 3]), np.uint8).reshape(h, w, 3)
+
+
+def _vp8_payload(webp):
+    i = 12
+    while i + 8 <= len(webp):
+        tag = webp[i : i + 4]
+        (sz,) = struct.unpack("<I", webp[i + 4 : i + 8])
+        if tag == b"VP8 ":
+            return webp[i + 8 : i + 8 + sz]
+        i += 8 + sz + (sz & 1)
+    raise AssertionError("no VP8 chunk in encoder output")
+
+
+def _content_cases():
+    rng = np.random.default_rng(5)
+    gy, gx = np.mgrid[0:48, 0:64]
+    grad = np.stack([(gy * 3) % 256, (gx * 2) % 256, (gy + gx) % 256],
+                    2).astype(np.uint8)
+    mixed = np.zeros((33, 49, 3), np.uint8)
+    mixed[:, :, 0] = np.linspace(0, 255, 49, dtype=np.uint8)[None, :]
+    mixed[:, :, 1] = rng.integers(0, 256, (33, 49))
+    mixed[11:22, 16:33, 2] = 230
+    return {
+        "solid": np.full((16, 16, 3), 130, np.uint8),
+        "gradient": grad,                                   # i16 modes
+        "noise": rng.integers(0, 256, (32, 32, 3)).astype(np.uint8),
+        "mixed_odd": mixed,                                 # odd dims
+        "tall": rng.integers(0, 256, (80, 17, 3)).astype(np.uint8),
+    }
+
+
+@needs_libwebp
+def test_vp8_yuv_byte_identity_vs_libwebp():
+    """The codec layer: every decode must equal WebPDecodeYUV exactly —
+    across content families (flat/i16, noisy/i4 B_PRED, odd dims that
+    exercise cropping) and quality levels (10 hits heavy quantization +
+    strong loop filtering, 95 hits dense token streams)."""
+    for name, img in _content_cases().items():
+        for q in (10, 50, 75, 95):
+            buf = _enc(img, q)
+            Y0, U0, V0 = _ref_yuv(buf)
+            y, u, v = decode_vp8_frame(_vp8_payload(buf))
+            for plane, a, b in (("Y", Y0, y), ("U", U0, u), ("V", V0, v)):
+                assert np.array_equal(a, b), (name, q, plane)
+
+
+@needs_libwebp
+def test_vp8_rgb_byte_identity_vs_libwebp():
+    """The pixel layer: fancy upsampler + fixed-point YUV->RGB must
+    equal WebPDecodeRGB exactly (even/odd widths and heights hit every
+    edge-row/edge-pixel branch of the upsampler)."""
+    rng = np.random.default_rng(9)
+    for (h, w) in ((16, 16), (32, 48), (17, 31), (33, 49), (15, 15)):
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for q in (30, 75):
+            buf = _enc(img, q)
+            assert np.array_equal(decode_vp8(_vp8_payload(buf)),
+                                  _ref_rgb(buf)), (h, w, q)
+
+
+@needs_libwebp
+def test_vp8_container_and_real_vector():
+    """decode_webp_lossy accepts full containers; the CPython test-suite
+    python.webp (VP8X + ALPH + lossy VP8) decodes with pixels equal to
+    libwebp's RGB output for the same frame."""
+    hits = sorted(glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/**/python.webp",
+        recursive=True))
+    if not hits:
+        pytest.skip("no python.webp vector on this host")
+    raw = open(hits[-1], "rb").read()
+    rgb = decode_webp_lossy(raw)
+    assert rgb.shape == (16, 16, 3)
+    # compare against libwebp decoding the bare VP8 frame (the full
+    # container path would alpha-blend; the frame itself must agree)
+    i = 12
+    while raw[i : i + 4] != b"VP8 ":
+        (sz,) = struct.unpack("<I", raw[i + 4 : i + 8])
+        i += 8 + sz + (sz & 1)
+    (sz,) = struct.unpack("<I", raw[i + 4 : i + 8])
+    frame = raw[i + 8 : i + 8 + sz]
+    wrapped = (b"RIFF" + struct.pack("<I", 4 + 8 + len(frame)) + b"WEBP"
+               + b"VP8 " + struct.pack("<I", len(frame)) + frame)
+    assert np.array_equal(rgb, _ref_rgb(wrapped))
+
+
+def test_vp8_malformed_and_caps():
+    with pytest.raises(ValueError):
+        decode_vp8_frame(b"\x00" * 4)                     # too short
+    with pytest.raises(ValueError):
+        decode_vp8_frame(b"\x01\x00\x00" + b"\x9d\x01\x2a" + b"\x00" * 8)
+    with pytest.raises(ValueError):                       # interframe
+        decode_vp8_frame(b"\x00\x00\x00" + b"XXX" + b"\x00" * 8)
+    # oversized dims: capability cap, not corruption
+    tag = bytes([0x00, 0x10, 0x00])  # keyframe, some partition size
+    dims = struct.pack("<HH", 3000, 2000)
+    with pytest.raises(Vp8lCapExceeded):
+        decode_vp8_frame(tag + b"\x9d\x01\x2a" + dims + b"\x00" * 64)
+    # truncated first partition
+    big = (0x7FFFF << 5).to_bytes(3, "little")
+    with pytest.raises(ValueError):
+        decode_vp8_frame(big + b"\x9d\x01\x2a"
+                         + struct.pack("<HH", 16, 16) + b"\x00" * 8)
+    # animated container refused by the still decoder
+    anim = (b"RIFF" + struct.pack("<I", 4 + 8 + 4) + b"WEBP"
+            + b"ANIM" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="animated"):
+        decode_webp_lossy(anim)
+    with pytest.raises(ValueError):
+        decode_webp_lossy(b"nonsense")
+
+
+def test_vp8_bool_encoder_roundtrip():
+    """The RFC section-8 boolean encoder round-trips arbitrary
+    (bit, probability) sequences through the section-7 decoder —
+    including carry propagation through 0xFF byte runs."""
+    import random
+
+    from exstruct_spark.kernels.vp8 import BoolDecoder, BoolEncoder
+
+    random.seed(11)
+    for _ in range(300):
+        seq = [(random.randint(0, 1), random.randint(1, 255))
+               for _ in range(random.randint(1, 400))]
+        enc = BoolEncoder()
+        for bit, prob in seq:
+            enc.put(bit, prob)
+        dec = BoolDecoder(enc.flush())
+        assert [dec.bool(p) for _, p in seq] == [b for b, _ in seq]
+
+
+@needs_libwebp
+def test_vp8_minimal_encoder_triple_agreement():
+    """encode_vp8_minimal's streams (the corpus generator for the lossy
+    media slice) are ACCEPTED BY LIBWEBP and decode to the same pixels
+    through both decoders — own-encoder -> own-decoder == libwebp, the
+    strongest cross-validation available without a second host codec."""
+    from exstruct_spark.kernels.vp8 import encode_vp8_minimal
+
+    for mbw, mbh, seed in ((1, 1, 0), (3, 2, 7), (5, 4, 42), (2, 6, 99)):
+        buf = encode_vp8_minimal(mbw, mbh, seed)
+        rgb = decode_webp_lossy(buf)
+        assert rgb.shape == (mbh * 16, mbw * 16, 3)
+        assert np.array_equal(rgb, _ref_rgb(buf)), (mbw, mbh, seed)
+    # content actually varies across MBs (not one flat canvas)
+    rgb = decode_webp_lossy(encode_vp8_minimal(5, 4, 42))
+    assert len(set(rgb[::16, ::16, 1].ravel().tolist())) > 4
+
+
+@needs_libwebp
+def test_vp8_tables_rederived_from_libwebp():
+    """Structural re-derivation of every vendored table from libwebp's
+    read-only data: the quantizer lookups are located by their monotone
+    prefixes, the update-probability block by its 255-density, the
+    coefficient/B-mode tables by adjacency — a transcription error in
+    vp8_tables.py cannot survive this test."""
+    from exstruct_spark.kernels import vp8_tables as T
+
+    path = None
+    for cand in ("/usr/lib/x86_64-linux-gnu/libwebp.so.7",
+                 "/usr/lib/libwebp.so.7",
+                 ctypes.util.find_library("webp")):
+        if not cand:
+            continue
+        try:
+            data = open(cand, "rb").read()
+            path = cand
+            break
+        except OSError:
+            continue
+    if path is None:
+        pytest.skip("cannot read libwebp binary")
+
+    # ac qlookup: uint16[128], monotone, starts 4,5,6,7, ends > 255
+    ac_at = None
+    i = -1
+    probe = struct.pack("<4H", 4, 5, 6, 7)
+    while True:
+        i = data.find(probe, i + 1)
+        if i == -1:
+            break
+        vals = struct.unpack_from("<128H", data, i)
+        if all(vals[j] <= vals[j + 1] for j in range(127)) and vals[-1] > 255:
+            ac_at = i
+            break
+    assert ac_at is not None
+    assert list(struct.unpack_from("<128H", data, ac_at)) == \
+        list(T.AC_QLOOKUP)
+
+    # dc qlookup: uint8[128], monotone, same prefix, values < 256
+    dc_at = None
+    i = -1
+    probe = bytes([4, 5, 6, 7, 8, 9, 10, 10])
+    while True:
+        i = data.find(probe, i + 1)
+        if i == -1:
+            break
+        vals = list(data[i : i + 128])
+        if all(vals[j] <= vals[j + 1] for j in range(127)):
+            dc_at = i
+            break
+    assert dc_at is not None
+    assert list(data[dc_at : dc_at + 128]) == list(T.DC_QLOOKUP)
+
+    # update probs: the first 1056-byte zero-free block that is >75% 255
+    upd_at = data.find(bytes(T.COEFF_UPDATE_PROBS))
+    assert upd_at != -1
+    blk = data[upd_at : upd_at + 1056]
+    assert blk.count(255) > 790 and 0 not in blk
+
+    # the kf B-mode table and default coefficient probabilities follow
+    # the update block in .rodata (dec-side copies); verify both by
+    # direct byte equality at their structural positions
+    assert data.find(bytes(T.KF_BMODE_PROBS)) != -1
+    assert data.find(bytes(T.COEFF_PROBS)) != -1
+
+    # and the RFC-order permutation is a pure re-indexing of the table
+    assert sorted(KF_BMODE_PROBS_RFC) == sorted(T.KF_BMODE_PROBS)
+    assert KF_BMODE_PROBS_RFC[(0 * 10 + 0) * 9 : 9] == \
+        list(T.KF_BMODE_PROBS[:9])

@@ -327,8 +327,10 @@ def test_vp8l_media_integration():
         row = media_meta_pdf(
             pd.DataFrame({"k": [0], "blob": [bytearray(lossy)]}),
             blob_col="blob", mode="strict").iloc[0]
-        assert bool(row["decoded"]) is False
+        # round 6: lossy stills now decode for REAL (kernels/vp8.py)
+        assert bool(row["decoded"]) is True
         assert (row["width"], row["height"]) == (16, 16)
+        assert row["px_mean"] is not None
 
 
 def test_vp8l_malformed_and_unsupported():
