@@ -159,6 +159,70 @@ TOOLS = [
             "required": ["path"],
         },
     },
+    {
+        "name": "validate_input",
+        "description": "Pre-flight check of a file for extract_file "
+                       "(the exstruct_validate_input twin): confinement, "
+                       "existence, extension, readability and the size "
+                       "cap, reported as is_readable/warnings/errors "
+                       "instead of a hard failure.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"path": {"type": "string"}},
+            "required": ["path"],
+        },
+    },
+    {
+        "name": "get_runtime_info",
+        "description": "Server runtime environment (the "
+                       "exstruct_get_runtime_info twin): served root, "
+                       "cwd, platform, size cap, and path examples.",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+    {
+        "name": "list_ops",
+        "description": "List the edit-op family edit_document accepts "
+                       "(the exstruct_list_ops twin).",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+    {
+        "name": "describe_op",
+        "description": "Argument schema and semantics of one edit op "
+                       "(the exstruct_describe_op twin).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"op": {"type": "string"}},
+            "required": ["op"],
+        },
+    },
+    {
+        "name": "read_links_map",
+        "description": "Per-table link positions from an extraction "
+                       "record (the exstruct_read_formulas analogue — "
+                       "links are the web's cell-attached layer).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "extraction_json": {"type": "string"},
+                "table_id": {"type": "integer"},
+            },
+            "required": ["extraction_json"],
+        },
+    },
+    {
+        "name": "read_colors_map",
+        "description": "Per-table background-color inverted index from "
+                       "an extraction record (the exstruct_read_cells "
+                       "styling reader analogue).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "extraction_json": {"type": "string"},
+                "table_id": {"type": "integer"},
+            },
+            "required": ["extraction_json"],
+        },
+    },
 ]
 
 # served root for file tools — resolved ONCE at startup so a later
@@ -352,11 +416,135 @@ def _call_edit_document(args: dict) -> dict:
     }
 
 
+def _call_validate_input(args: dict) -> dict:
+    warnings: list = []
+    errors: list = []
+    path = args["path"]
+    try:
+        resolved = _confine(path)
+    except ValueError as exc:
+        return {"is_readable": False, "warnings": [], "errors": [str(exc)]}
+    if not os.path.exists(resolved):
+        errors.append(f"File not found: {resolved}")
+    elif not os.path.isfile(resolved):
+        errors.append(f"Path is not a file: {resolved}")
+    else:
+        ext = os.path.splitext(resolved)[1].lower()
+        if ext not in (".html", ".htm", ".xhtml", ".pdf"):
+            warnings.append(f"Unusual extension for extraction: {ext!r} "
+                            "(the extractor dispatches on content, so "
+                            "this may still work)")
+        n_bytes = os.stat(resolved).st_size
+        if n_bytes > MAX_FILE_BYTES:
+            errors.append(f"file too large: {n_bytes} bytes > cap "
+                          f"{MAX_FILE_BYTES}")
+        else:
+            try:
+                with open(resolved, "rb") as fh:
+                    fh.read(1)
+            except OSError as exc:
+                errors.append(f"Failed to read file: {exc}")
+    return {"is_readable": not errors, "warnings": warnings,
+            "errors": errors}
+
+
+def _call_get_runtime_info(args: dict) -> dict:
+    return {
+        "root": SERVED_ROOT,
+        "cwd": os.getcwd(),
+        "platform": sys.platform,
+        "max_file_bytes": MAX_FILE_BYTES,
+        "path_examples": {
+            "relative": "docs/page.html (resolved under the root)",
+            "absolute": os.path.join(SERVED_ROOT, "docs", "page.html"),
+        },
+    }
+
+
+def _op_registry() -> dict:
+    """name -> (summary from the op function's docstring-or-contract,
+    ordered arg names beyond ``html``) — introspected from the live op
+    table so the listing can never drift from edit_document."""
+    import inspect
+
+    from exstruct_spark.kernels import edits
+
+    out = {}
+    for name, fn in edits._OPS.items():
+        sig = inspect.signature(fn)
+        params = [p for p in sig.parameters.values() if p.name != "html"]
+        doc = (fn.__doc__ or "").strip().split("\n\n")[0].replace("\n", " ")
+        out[name] = {
+            "op": name,
+            "summary": " ".join(doc.split()) or f"{name} cell edit",
+            "args": [
+                {"name": p.name,
+                 "required": p.default is inspect.Parameter.empty}
+                for p in params
+            ],
+        }
+    return out
+
+
+def _call_list_ops(args: dict) -> dict:
+    ops = _op_registry()
+    return {"ops": [{"op": o["op"],
+                     "args": [a["name"] for a in o["args"]]}
+                    for o in ops.values()],
+            "total": len(ops)}
+
+
+def _call_describe_op(args: dict) -> dict:
+    ops = _op_registry()
+    name = args["op"]
+    if name not in ops:
+        raise ValueError(f"unknown op: {name!r} (known: "
+                         f"{', '.join(sorted(ops))})")
+    return ops[name]
+
+
+def _tables_of(args: dict) -> list:
+    extraction = json.loads(args["extraction_json"])
+    tables = extraction.get("tables") or []
+    if "table_id" in args and args["table_id"] is not None:
+        tables = [t for t in tables if t.get("id") == args["table_id"]]
+        if not tables:
+            raise ValueError(f"table_id {args['table_id']} not found")
+    return tables
+
+
+def _call_read_links_map(args: dict) -> dict:
+    out = []
+    for t in _tables_of(args):
+        links: dict = {}
+        for row in t.get("rows") or []:
+            for ck, href in (row.get("links") or {}).items():
+                links.setdefault(href, []).append([row.get("r"), ck])
+        out.append({"table_id": t.get("id"), "links_map": links,
+                    "n_links": sum(len(v) for v in links.values())})
+    return {"tables": out}
+
+
+def _call_read_colors_map(args: dict) -> dict:
+    out = []
+    for t in _tables_of(args):
+        cmap = t.get("colors_map") or {}
+        out.append({"table_id": t.get("id"), "colors_map": cmap,
+                    "n_colored": sum(len(v) for v in cmap.values())})
+    return {"tables": out}
+
+
 _TOOL_FNS = {
     "extract_html": _call_extract_html,
     "edit_document": _call_edit_document,
     "make_document": _call_make_document,
     "extract_file": _call_extract_file,
+    "validate_input": _call_validate_input,
+    "get_runtime_info": _call_get_runtime_info,
+    "list_ops": _call_list_ops,
+    "describe_op": _call_describe_op,
+    "read_links_map": _call_read_links_map,
+    "read_colors_map": _call_read_colors_map,
     "media_probe": _call_media_probe,
     "render_table_images": _call_render_table_images,
     "read_table_range": _call_read_table_range,

@@ -38,7 +38,9 @@ def test_mcp_handshake_and_tools():
     names = [t["name"] for t in tools["result"]["tools"]]
     assert names == ["extract_html", "render_table_images", "media_probe",
                      "read_table_range", "edit_document", "make_document",
-                     "extract_file"]
+                     "extract_file", "validate_input", "get_runtime_info",
+                     "list_ops", "describe_op", "read_links_map",
+                     "read_colors_map"]
     assert err["error"]["code"] == -32601
 
 
@@ -265,6 +267,80 @@ def test_mcp_make_document_generative_roundtrip(tmp_path):
     assert t["rows"] == record["tables"][0]["rows"]
     assert t["colors_map"] == {"00FF00": [[2, 1]]}
     assert t["name"] == "made"
+
+
+def test_mcp_introspection_and_reader_tools(tmp_path):
+    """The thin tool-breadth wave (VERDICT r5 #5): validate_input's
+    is_readable/warnings/errors triage, get_runtime_info, the op
+    registry introspected from the live edit table, and the
+    links_map/colors_map readers over an extraction record."""
+    root = tmp_path / "root"
+    root.mkdir()
+    (root / "ok.html").write_text("<p>x</p>")
+    (root / "odd.bin").write_text("zz")
+    (root / "big.html").write_text("y" * 2000)
+    env = {"EXSTRUCT_MCP_ROOT": str(root),
+           "EXSTRUCT_MCP_MAX_FILE_BYTES": "1024"}
+
+    def call(msg_id, name, args):
+        return {"jsonrpc": "2.0", "id": msg_id, "method": "tools/call",
+                "params": {"name": name, "arguments": args}}
+
+    ejson = json.dumps({"tables": [
+        {"id": 0, "rows": [
+            {"r": 1, "c": {"0": "a", "1": "b"},
+             "links": {"1": "https://x/a"}},
+            {"r": 2, "c": {"0": "c"}, "links": {"0": "https://x/a"}},
+        ], "colors_map": {"FF0000": [[1, 0]]}},
+        {"id": 1, "rows": [{"r": 1, "c": {"0": "z"}}]},
+    ]})
+    out = _rpc_session([
+        call(1, "validate_input", {"path": "ok.html"}),
+        call(2, "validate_input", {"path": "odd.bin"}),
+        call(3, "validate_input", {"path": "big.html"}),
+        call(4, "validate_input", {"path": "../escape.html"}),
+        call(5, "validate_input", {"path": "missing.html"}),
+        call(6, "get_runtime_info", {}),
+        call(7, "list_ops", {}),
+        call(8, "describe_op", {"op": "merge_cells"}),
+        call(9, "describe_op", {"op": "nope"}),
+        call(10, "read_links_map", {"extraction_json": ejson}),
+        call(11, "read_colors_map",
+             {"extraction_json": ejson, "table_id": 0}),
+        call(12, "read_colors_map",
+             {"extraction_json": ejson, "table_id": 9}),
+    ], env=env)
+
+    def body(i):
+        return json.loads(out[i]["result"]["content"][0]["text"])
+
+    assert body(0) == {"is_readable": True, "warnings": [], "errors": []}
+    odd = body(1)
+    assert odd["is_readable"] and "Unusual extension" in odd["warnings"][0]
+    big = body(2)
+    assert not big["is_readable"] and "file too large" in big["errors"][0]
+    esc = body(3)
+    assert not esc["is_readable"] and "outside served root" in esc["errors"][0]
+    assert not body(4)["is_readable"]
+    info = body(5)
+    assert info["root"] == str(root) and info["max_file_bytes"] == 1024
+    ops = body(6)
+    names = {o["op"] for o in ops["ops"]}
+    assert ops["total"] == 13 and {"set_value", "merge_cells",
+                                   "set_value_if"} <= names
+    desc = body(7)
+    assert desc["op"] == "merge_cells"
+    assert [a["name"] for a in desc["args"]] == ["table", "r1", "c1",
+                                                 "r2", "c2"]
+    assert all(a["required"] for a in desc["args"])
+    assert out[8]["result"]["isError"] is True
+    links = body(9)["tables"]
+    assert links[0]["links_map"] == {"https://x/a": [[1, "1"], [2, "0"]]}
+    assert links[0]["n_links"] == 2 and links[1]["links_map"] == {}
+    colors = body(10)["tables"]
+    assert len(colors) == 1
+    assert colors[0]["colors_map"] == {"FF0000": [[1, 0]]}
+    assert out[11]["result"]["isError"] is True  # unknown table_id
 
 
 def test_mcp_edit_document_roundtrip():
