@@ -122,12 +122,20 @@ def parse_css_rules(css: str) -> list:
     rules: list = []
     i, n = 0, len(css)
     while i < n and len(rules) < MAX_RULES:
-        b = css.find("{", i)
-        if b == -1:
+        while i < n and css[i] in " \t\r\n;":
+            i += 1
+        if i >= n:
             break
-        sel_text = css[i:b].strip()
-        if sel_text.startswith("@"):
-            depth, j = 1, b + 1
+        if css[i] == "@":
+            # statement at-rules (@import/@charset/@namespace) end at
+            # ';' with NO block — treating them as block at-rules used
+            # to swallow the next real rule's braces (review finding)
+            semi = css.find(";", i)
+            brace = css.find("{", i)
+            if brace == -1 or (semi != -1 and semi < brace):
+                i = n if semi == -1 else semi + 1
+                continue
+            depth, j = 1, brace + 1
             while j < n and depth:
                 ch = css[j]
                 if ch == "{":
@@ -137,6 +145,10 @@ def parse_css_rules(css: str) -> list:
                 j += 1
             i = j
             continue
+        b = css.find("{", i)
+        if b == -1:
+            break
+        sel_text = css[i:b].strip()
         e = css.find("}", b + 1)
         if e == -1:
             e = n

@@ -277,7 +277,7 @@ def op_set_fill_color(html: str, table: int, row: int, col: int,
         raise ValueError("cell not found")
     cell_start, c0, _, _ = cell
     open_tag = html[cell_start:c0]
-    decl = f"background:{color}"
+    decl = f"background:{_check_style_value(color)}"
     m = _STYLE_ATTR_RE.search(open_tag)
     if m:
         body = _BG_DECL_RE.sub("", m.group(3)).strip().rstrip(";")
@@ -440,8 +440,12 @@ def op_set_value_if(html: str, table: int, row: int, col: int,
     _, c0, c1, _ = cell
     from html import unescape
 
-    current = unescape(_TEXT_STRIP_RE.sub("", html[c0:c1])).strip()
-    if current != str(expected).strip():
+    # whitespace-collapsed comparison: extraction JSON reports collapsed
+    # text (dom text_content), so a client echoing the extractor's value
+    # must match a cell whose markup carries newlines/indentation
+    current = " ".join(
+        unescape(_TEXT_STRIP_RE.sub("", html[c0:c1])).split())
+    if current != " ".join(str(expected).split()):
         raise ValueError("condition not met")
     return html[:c0] + _escape(value) + html[c1:]
 
@@ -456,13 +460,27 @@ def op_set_range_values(html: str, table: int, row: int, col: int,
         isinstance(r, list) for r in values
     ):
         raise ValueError("values must be a non-empty list of rows")
+    # ONE document walk: collect every target span up front, validate,
+    # then splice back-to-front (per-cell op_set_value calls re-tokenize
+    # the whole document per cell — O(block_cells x doc_size))
+    span = _table_span(html, table)
+    if span is None:
+        raise ValueError("table not found")
+    rows = _row_spans(html, *span)
+    edits: list = []
     for dr, row_vals in enumerate(values):
-        for dc in range(len(row_vals)):
-            if _locate_cell(html, table, row + dr, col + dc) is None:
-                raise ValueError("range exceeds table")
-    for dr, row_vals in enumerate(values):
+        r = row + dr
+        if not 0 <= r < len(rows):
+            raise ValueError("range exceeds table rows")
+        cells = _cell_spans(html, *rows[r])
         for dc, v in enumerate(row_vals):
-            html = op_set_value(html, table, row + dr, col + dc, v)
+            c = col + dc
+            if not 0 <= c < len(cells):
+                raise ValueError("range exceeds table columns")
+            _, c0, c1, _ = cells[c]
+            edits.append((c0, c1, _escape(v)))
+    for start, end, repl in sorted(edits, reverse=True):
+        html = html[:start] + repl + html[end:]
     return html
 
 
@@ -531,6 +549,7 @@ def op_merge_cells(html: str, table: int, r1: int, c1: int,
         raise ValueError("merge exceeds table rows")
     master = None
     doomed: list = []
+    covered_area = 0
     for r, row_cells in enumerate(layout):
         for cs, gc, rs, cl in row_cells:
             inside = r1 <= r <= r2 and c1 <= gc <= c2
@@ -540,6 +559,7 @@ def op_merge_cells(html: str, table: int, r1: int, c1: int,
             if inside:
                 if extent_r > r2 or extent_c > c2 or rs > 1 or cl > 1:
                     raise ValueError("merge crosses an existing span")
+                covered_area += rs * cl
                 if (r, gc) == (r1, c1):
                     master = cs
                 else:
@@ -548,6 +568,11 @@ def op_merge_cells(html: str, table: int, r1: int, c1: int,
                 raise ValueError("merge crosses an outside span")
     if master is None:
         raise ValueError("master cell not found")
+    if covered_area != (r2 - r1 + 1) * (c2 - c1 + 1):
+        # uncovered grid positions (ragged rows, or c2 past the table's
+        # width): merging would fabricate a colspan wider than the grid
+        # instead of addressing real cells — bad address, skipped op
+        raise ValueError("merge rectangle not fully covered by cells")
     n_rows, n_cols = r2 - r1 + 1, c2 - c1 + 1
     open_tag = _strip_span_attrs(html[master[0] : master[1]])
     gt = open_tag.rfind(">")

@@ -172,8 +172,19 @@ def decode_image(raw: bytes, mode: str = "fake") -> dict:
                 real_px = np.ascontiguousarray(decode_vp8l(raw)[:, :, :3])
             except Vp8lCapExceeded:
                 raise
-            except ValueError:
-                real_px = decode_webp_lossy(raw)
+            except ValueError as vp8l_err:
+                try:
+                    real_px = decode_webp_lossy(raw)
+                except Vp8lCapExceeded:
+                    raise
+                except ValueError as lossy_err:
+                    # surface the error from the decoder that OWNED the
+                    # container: for a corrupt lossless file the lossy
+                    # decoder's 'wrong decoder' refusal must not mask
+                    # the real corruption reason, and vice versa
+                    if "lossy VP8" in str(vp8l_err):
+                        raise lossy_err
+                    raise vp8l_err from None
             n_frames = 1
         except Vp8lCapExceeded:
             # capability cap, not corruption: the file may be perfectly
@@ -291,7 +302,10 @@ def parse_mp3_header(raw: bytes) -> dict:
         size = ((raw[6] & 0x7F) << 21) | ((raw[7] & 0x7F) << 14) \
             | ((raw[8] & 0x7F) << 7) | (raw[9] & 0x7F)
         pos = 10 + size
-    end = min(len(raw) - 3, pos + 4096)
+    # a sync needs all FOUR header bytes in range — `len(raw) - 4`
+    # keeps raw[pos + 3] in bounds (a sync in the last 3 bytes used to
+    # IndexError past the fallback-not-fail ValueError net)
+    end = min(len(raw) - 4, pos + 4096)
     while pos <= end:
         if raw[pos] == 0xFF and (raw[pos + 1] & 0xE0) == 0xE0:
             break

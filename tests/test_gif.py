@@ -291,6 +291,10 @@ def test_mp3_header_metadata_real_parse():
     with pytest.raises(ValueError):
         parse_mp3_header(b"ID3" + bytes(200))          # no sync after tag
     with pytest.raises(ValueError):
+        # sync in the last 3 bytes: must be the in-contract ValueError,
+        # not an IndexError past the fallback net (review finding)
+        parse_mp3_header(b"\x00\xff\xfb\x90")
+    with pytest.raises(ValueError):
         parse_mp3_header(bytes([0xFF, 0xF7, 0x90, 0]) + bytes(20))  # L II
 
     out = media_meta_pdf(

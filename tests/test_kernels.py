@@ -1746,6 +1746,10 @@ def test_css_rule_parsing_and_precedence():
     from exstruct_spark.kernels.dom import parse_html
 
     rules = parse_css_rules("""
+      @charset "utf-8";
+      @import url(site.css);           /* statement at-rules: skipped
+                                          WITHOUT eating the next rule
+                                          (review finding) */
       /* comment with { braces } */
       .a { background-color: red }
       td.b, #x { background: blue; padding: 4px }
@@ -2116,6 +2120,22 @@ def test_cell_edit_wave2_style_and_conditional_ops():
         assert f">{v}</td>" in out3
     assert "OUT" not in out3 and ">x<" not in out3
 
+    # review findings: fill-color values that would break out of the
+    # quoted attribute are REJECTED (same hardening as the font ops);
+    # set_value_if compares whitespace-collapsed text (what extraction
+    # JSON reports), so markup newlines don't spuriously skip
+    out4, st4 = apply_ops(html, [
+        {"op": "set_fill_color", "table": 0, "row": 0, "col": 0,
+         "color": 'red" onclick="alert(1)'},
+    ])
+    assert st4 == ["skipped"] and "onclick" not in out4
+    ws_html = "<table><tr><td>foo\n  bar</td></tr></table>"
+    out5, st5 = apply_ops(ws_html, [
+        {"op": "set_value_if", "table": 0, "row": 0, "col": 0,
+         "expected": "foo bar", "value": "Q"},
+    ])
+    assert st5 == ["applied"] and ">Q</td>" in out5
+
 
 def test_cell_edit_merge_unmerge_roundtrip():
     """merge_cells/unmerge_cells in GRID coordinates: the merged HTML
@@ -2149,14 +2169,18 @@ def test_cell_edit_merge_unmerge_roundtrip():
     assert row1["c"] == {"2": "b2"}
 
     # merging across the existing span skips; merging the free 2x1
-    # block beside it applies
+    # block beside it applies; a rectangle past the table's width is a
+    # bad address, not a fabricated over-wide colspan (review finding)
     out2, st2 = apply_ops(merged, [
         {"op": "merge_cells", "table": 0, "r1": 1, "c1": 1,
          "r2": 2, "c2": 2},   # crosses the 2x2 span
         {"op": "merge_cells", "table": 0, "r1": 0, "c1": 2,
          "r2": 1, "c2": 2},   # the free right column
+        {"op": "merge_cells", "table": 0, "r1": 2, "c1": 0,
+         "r2": 2, "c2": 7},   # past the 3-wide grid
     ])
-    assert st2 == ["skipped", "applied"]
+    assert st2 == ["skipped", "applied", "skipped"]
+    assert 'colspan="8"' not in out2
 
     # unmerge restores a full 3x3 grid, vacated cells blank
     restored, st3 = apply_ops(merged, [
