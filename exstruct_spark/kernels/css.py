@@ -108,6 +108,24 @@ def _parse_decls(body: str) -> list:
     return decls
 
 
+def _find_unquoted(css: str, i: int, n: int, targets: str):
+    """First unquoted occurrence of any char in ``targets`` at/after
+    ``i`` -> (char, index), or (None, n) when none before the end
+    (an unterminated quote consumes the rest)."""
+    while i < n:
+        ch = css[i]
+        if ch in "\"'":
+            close = css.find(ch, i + 1)
+            if close == -1:
+                return None, n
+            i = close + 1
+            continue
+        if ch in targets:
+            return ch, i
+        i += 1
+    return None, n
+
+
 def parse_css_rules(css: str) -> list:
     """CSS text -> [((tag, classes, id), decls), ...] in document order.
 
@@ -129,15 +147,20 @@ def parse_css_rules(css: str) -> list:
         if css[i] == "@":
             # statement at-rules (@import/@charset/@namespace) end at
             # ';' with NO block — treating them as block at-rules used
-            # to swallow the next real rule's braces (review finding)
-            semi = css.find(";", i)
-            brace = css.find("{", i)
-            if brace == -1 or (semi != -1 and semi < brace):
-                i = n if semi == -1 else semi + 1
+            # to swallow the next real rule's braces (review finding).
+            # The prelude scan is QUOTE-AWARE: url("a;b.css") must not
+            # misroute on the quoted ';' (second-review finding)
+            kind, pos = _find_unquoted(css, i, n, ";{")
+            if kind != "{":
+                i = pos + 1
                 continue
-            depth, j = 1, brace + 1
+            depth, j = 1, pos + 1
             while j < n and depth:
                 ch = css[j]
+                if ch in "\"'":
+                    close = css.find(ch, j + 1)
+                    j = n if close == -1 else close + 1
+                    continue
                 if ch == "{":
                     depth += 1
                 elif ch == "}":

@@ -450,6 +450,16 @@ def op_set_value_if(html: str, table: int, row: int, col: int,
     return html[:c0] + _escape(value) + html[c1:]
 
 
+def _splice_all(html: str, edits: list) -> str:
+    """Apply ``[(start, end, replacement)]`` splices back-to-front so
+    earlier byte offsets stay valid.  Shared by the multi-splice ops —
+    note zero-width insertions at equal offsets rely on the reverse
+    sort being applied to the full tuples (stable for distinct spans)."""
+    for start, end, repl in sorted(edits, reverse=True):
+        html = html[:start] + repl + html[end:]
+    return html
+
+
 def op_set_range_values(html: str, table: int, row: int, col: int,
                         values) -> str:
     """Reference ``set_range_values`` — a 2-D block write anchored at
@@ -469,6 +479,9 @@ def op_set_range_values(html: str, table: int, row: int, col: int,
     rows = _row_spans(html, *span)
     edits: list = []
     for dr, row_vals in enumerate(values):
+        if not row_vals:
+            continue  # an empty row has no target addresses (and may
+            # legitimately trail past the table — second-review finding)
         r = row + dr
         if not 0 <= r < len(rows):
             raise ValueError("range exceeds table rows")
@@ -479,9 +492,7 @@ def op_set_range_values(html: str, table: int, row: int, col: int,
                 raise ValueError("range exceeds table columns")
             _, c0, c1, _ = cells[c]
             edits.append((c0, c1, _escape(v)))
-    for start, end, repl in sorted(edits, reverse=True):
-        html = html[:start] + repl + html[end:]
-    return html
+    return _splice_all(html, edits)
 
 
 _ROWSPAN_RE = re.compile(r"\browspan\s*=\s*[\"']?(\d+)", re.IGNORECASE)
@@ -581,12 +592,9 @@ def op_merge_cells(html: str, table: int, r1: int, c1: int,
     attrs = (f' rowspan="{n_rows}"' if n_rows > 1 else "") + (
         f' colspan="{n_cols}"' if n_cols > 1 else "")
     new_tag = open_tag[:gt] + attrs + open_tag[gt:]
-    # splice from the back so earlier byte offsets stay valid
     edits = [(s[0], s[3], "") for s in doomed]
     edits.append((master[0], master[1], new_tag))
-    for start, end, repl in sorted(edits, reverse=True):
-        html = html[:start] + repl + html[end:]
-    return html
+    return _splice_all(html, edits)
 
 
 def op_unmerge_cells(html: str, table: int, row: int, col: int) -> str:
@@ -633,9 +641,7 @@ def op_unmerge_cells(html: str, table: int, row: int, col: int) -> str:
                 if at == -1:
                     raise ValueError("malformed row tag")
         edits.append((at, at, empty * cl))
-    for start, end, repl in sorted(edits, reverse=True):
-        html = html[:start] + repl + html[end:]
-    return html
+    return _splice_all(html, edits)
 
 
 _OPS = {

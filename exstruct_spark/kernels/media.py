@@ -178,13 +178,25 @@ def decode_image(raw: bytes, mode: str = "fake") -> dict:
                 except Vp8lCapExceeded:
                     raise
                 except ValueError as lossy_err:
-                    # surface the error from the decoder that OWNED the
-                    # container: for a corrupt lossless file the lossy
-                    # decoder's 'wrong decoder' refusal must not mask
-                    # the real corruption reason, and vice versa
-                    if "lossy VP8" in str(vp8l_err):
-                        raise lossy_err
-                    raise vp8l_err from None
+                    # surface the error from the decoder that OWNS the
+                    # container per the parsed variant (the robust
+                    # routing media_meta_pdf uses) — a corrupt lossless
+                    # file must not be masked by the lossy decoder's
+                    # 'wrong decoder' refusal, a valid animated file
+                    # must keep its accurate 'animated' diagnostic, and
+                    # vice versa
+                    variant = ""
+                    try:
+                        wm = parse_webp_meta(raw)
+                        variant = wm["variant"]
+                        if wm["has_animation"]:
+                            variant += "+animated"
+                    except ValueError:
+                        pass
+                    if ("lossless" in variant and "lossy" not in variant
+                            and "animated" not in variant):
+                        raise vp8l_err from None
+                    raise lossy_err
             n_frames = 1
         except Vp8lCapExceeded:
             # capability cap, not corruption: the file may be perfectly
