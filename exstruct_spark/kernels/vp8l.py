@@ -639,6 +639,15 @@ def decode_alph(raw: bytes) -> np.ndarray:
         raise ValueError("no ALPH chunk")
     if not w or not h:
         raise ValueError("no dimensions for alpha plane")
+    return decode_alph_body(alph, w, h)
+
+
+def decode_alph_body(alph: bytes, w: int, h: int) -> np.ndarray:
+    """Bare ALPH chunk body + known dimensions -> (H, W) uint8 alpha
+    plane (shared by the still path above and the ANMF frame path in
+    kernels/media.py)."""
+    if not alph:
+        raise ValueError("empty ALPH body")
     head = alph[0]
     compression = head & 3
     filt = (head >> 2) & 3

@@ -299,3 +299,104 @@ def test_vp8_tables_rederived_from_libwebp():
     assert sorted(KF_BMODE_PROBS_RFC) == sorted(T.KF_BMODE_PROBS)
     assert KF_BMODE_PROBS_RFC[(0 * 10 + 0) * 9 : 9] == \
         list(T.KF_BMODE_PROBS[:9])
+
+
+def test_animated_webp_real_compositing():
+    """decode_webp_anim: REAL per-frame decode (VP8L and VP8 frames
+    through the repo's own codecs, ALPH-capable) + blend/dispose
+    compositing; the media kernel upgrades valid animations to the
+    decoded tier (real first-frame stats, real frame fingerprints,
+    summed durations) while corrupt/capped ones keep the round-5
+    header-metadata floor."""
+    import hashlib
+
+    import pandas as pd
+
+    from exstruct_spark.kernels.media import (
+        decode_webp_anim,
+        frame_sample,
+        media_meta_pdf,
+    )
+    from exstruct_spark.kernels.vp8 import encode_vp8_minimal
+    from exstruct_spark.kernels.vp8l import encode_vp8l_lossless
+
+    def chunk(cid, body):
+        return (cid + len(body).to_bytes(4, "little") + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    def extract_chunk(container, cid):
+        i = 12
+        while i + 8 <= len(container):
+            tag = container[i : i + 4]
+            sz = int.from_bytes(container[i + 4 : i + 8], "little")
+            if tag == cid:
+                return container[i + 8 : i + 8 + sz]
+            i += 8 + sz + (sz & 1)
+        raise AssertionError(f"no {cid} chunk")
+
+    def anim_container(frames_spec, cw, ch):
+        vp8x = chunk(b"VP8X", bytes([0x02, 0, 0, 0])
+                     + (cw - 1).to_bytes(3, "little")
+                     + (ch - 1).to_bytes(3, "little"))
+        anim = chunk(b"ANIM", bytes(4) + bytes(2))
+        out = vp8x + anim
+        for (x, y, w, h, cid, payload, dur, flags) in frames_spec:
+            body = ((x // 2).to_bytes(3, "little")
+                    + (y // 2).to_bytes(3, "little")
+                    + (w - 1).to_bytes(3, "little")
+                    + (h - 1).to_bytes(3, "little")
+                    + dur.to_bytes(3, "little") + bytes([flags]))
+            body += chunk(cid, payload)
+            out += chunk(b"ANMF", body)
+        riff = b"WEBP" + out
+        return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+    # frame 1: opaque 32x32 VP8L base (no-blend replace)
+    base = np.zeros((32, 32, 4), np.uint8)
+    base[:, :] = (100, 200, 50, 255)
+    f1 = extract_chunk(encode_vp8l_lossless(base), b"VP8L")
+    # frame 2: 16x16 half-transparent red VP8L at (8, 8), alpha-BLENDED
+    ov = np.zeros((16, 16, 4), np.uint8)
+    ov[:, :] = (200, 0, 0, 128)
+    f2 = extract_chunk(encode_vp8l_lossless(ov), b"VP8L")
+    # frame 3: 16x16 lossy VP8 at (0, 0), no-blend, DISPOSED afterwards
+    f3 = extract_chunk(encode_vp8_minimal(1, 1, seed=5), b"VP8 ")
+    raw = anim_container([
+        (0, 0, 32, 32, b"VP8L", f1, 100, 0x02),   # no-blend
+        (8, 8, 16, 16, b"VP8L", f2, 250, 0x00),   # blend
+        (0, 0, 16, 16, b"VP8 ", f3, 80, 0x02 | 0x01),  # no-blend+dispose
+    ], 32, 32)
+
+    frames, durations = decode_webp_anim(raw)
+    assert len(frames) == 3 and durations == [100, 250, 80]
+    assert (frames[0][0, 0] == (100, 200, 50, 255)).all()
+    # exact integer alpha-over at (8, 8): fg (200,0,0,128) over opaque
+    # (100,200,50) — denom = 128*255 + 255*127, floor division
+    denom = 128 * 255 + 255 * 127
+    want = [(fg * 128 * 255 + bg * 255 * 127) // denom
+            for fg, bg in ((200, 100), (0, 200), (0, 50))]
+    assert frames[1][8, 8, :3].tolist() == want
+    assert frames[1][8, 8, 3] == (denom + 127) // 255
+    assert (frames[1][0, 0] == (100, 200, 50, 255)).all()  # outside rect
+    # frame 3 replaced the top-left 16x16 (visible in its snapshot)
+    assert not (frames[2][0, 0] == frames[1][0, 0]).all()
+
+    # media kernel: decoded tier with real stats + fingerprints
+    row = media_meta_pdf(pd.DataFrame({"k": [0], "blob": [raw]}),
+                         blob_col="blob", mode="strict").iloc[0]
+    assert bool(row["decoded"]) is True
+    assert (row["width"], row["height"]) == (32, 32)
+    assert row["duration_s"] == 0.43
+    want_fps = [hashlib.sha256(frames[p].tobytes()).hexdigest()[:12]
+                for p in (0, 1, 2)]
+    assert list(row["frame_fps"]) == want_fps
+    assert frame_sample(raw, n_frames=3, mode="strict") == want_fps
+
+    # a frame exceeding the canvas is corrupt: header-metadata floor
+    # (decoded False) in the kernel, strict raise in frame_sample
+    bad = anim_container([(24, 24, 16, 16, b"VP8L", f2, 10, 0)], 32, 32)
+    row = media_meta_pdf(pd.DataFrame({"k": [0], "blob": [bad]}),
+                         blob_col="blob", mode="fake").iloc[0]
+    assert bool(row["decoded"]) is False
+    with pytest.raises(ValueError):
+        frame_sample(bad, mode="strict")
