@@ -40,9 +40,10 @@ from exstruct_spark.kernels.vp8_tables import (
 from exstruct_spark.kernels.vp8l import Vp8lCapExceeded
 
 # tighter than VP8L's 4M: token decode and per-subblock reconstruction
-# are scalar Python (measured ~0.1 MPix/s on mixed content), so 1 MP
-# bounds a worst-case blob at ~10 s; larger stills degrade to the REAL
-# header-metadata tier via Vp8lCapExceeded, same as oversized VP8L
+# are scalar Python (~0.16 MPix/s measured after the slab-filter
+# rewrite), so 1 MP bounds a worst-case blob at ~6 s; larger stills
+# degrade to the REAL header-metadata tier via Vp8lCapExceeded, same
+# as oversized VP8L
 VP8_MAX_PIXELS = 1_000_000
 
 # -- small spec tables (RFC 6386; verified behaviorally vs libwebp) ----------
@@ -753,7 +754,9 @@ def decode_vp8_frame(data: bytes):
 
 
 def _c128(x):
-    return np.clip(x, -128, 127)
+    # np.minimum/np.maximum skip np.clip's dispatch layer — measurably
+    # faster on the filter's small per-edge arrays
+    return np.minimum(np.maximum(x, -128), 127)
 
 
 def _filter_common(p1, p0, q0, q1, use_outer):
@@ -765,25 +768,19 @@ def _filter_common(p1, p0, q0, q1, use_outer):
     return _c128(p0 + E), _c128(q0 - F), F
 
 
-def _normal_edge(plane, ys, xs, horiz, E, I, T, mb_edge):
-    """Filter one edge: lanes are the pixel lines crossing it.
-    ``ys, xs``: arrays of the q0 pixel coordinates; horiz True = edge is
-    horizontal (filtering vertically)."""
-    def px(off):
-        if horiz:
-            return plane[ys + off, xs].astype(np.int32)
-        return plane[ys, xs + off].astype(np.int32)
-
-    def store(off, vals):
-        if horiz:
-            plane[ys + off, xs] = np.clip(vals + 128, 0, 255).astype(
-                np.uint8)
-        else:
-            plane[ys, xs + off] = np.clip(vals + 128, 0, 255).astype(
-                np.uint8)
-
-    P3, P2, P1, P0 = px(-4) - 128, px(-3) - 128, px(-2) - 128, px(-1) - 128
-    Q0, Q1, Q2, Q3 = px(0) - 128, px(1) - 128, px(2) - 128, px(3) - 128
+def _normal_edge(plane, y0, x0, L, horiz, E, I, T, mb_edge):
+    """Filter one edge on a contiguous slab: lanes are the L pixel
+    lines crossing it, (y0, x0) the first lane's q0 position, horiz
+    True = horizontal edge (filtering vertically).  ONE gather and ONE
+    scatter per edge — the per-offset fancy indexing this replaced was
+    85% of decode time in tiny-array numpy overhead.  Stored values are
+    c128-clamped, so +128 lands in [0, 255] with no further clip."""
+    if horiz:
+        win = plane[y0 - 4 : y0 + 4, x0 : x0 + L].astype(np.int32) - 128
+    else:
+        win = (plane[y0 : y0 + L, x0 - 4 : x0 + 4].astype(np.int32)
+               - 128).T
+    P3, P2, P1, P0, Q0, Q1, Q2, Q3 = win
     mask = (
         (np.abs(P3 - P2) <= I) & (np.abs(P2 - P1) <= I)
         & (np.abs(P1 - P0) <= I) & (np.abs(Q1 - Q0) <= I)
@@ -800,59 +797,55 @@ def _normal_edge(plane, ys, xs, horiz, E, I, T, mb_edge):
         a18 = _c128((18 * w + 63) >> 7)
         a9 = _c128((9 * w + 63) >> 7)
         np0, nq0, _F = _filter_common(P1, P0, Q0, Q1, True)
-        oP0 = np.where(mask, np.where(hev, np0, _c128(P0 + a27)), P0)
-        oQ0 = np.where(mask, np.where(hev, nq0, _c128(Q0 - a27)), Q0)
-        oP1 = np.where(mask & ~hev, _c128(P1 + a18), P1)
-        oQ1 = np.where(mask & ~hev, _c128(Q1 - a18), Q1)
-        oP2 = np.where(mask & ~hev, _c128(P2 + a9), P2)
-        oQ2 = np.where(mask & ~hev, _c128(Q2 - a9), Q2)
-        store(-3, oP2)
-        store(-2, oP1)
-        store(-1, oP0)
-        store(0, oQ0)
-        store(1, oQ1)
-        store(2, oQ2)
+        soft = mask & ~hev
+        win[1] = np.where(soft, _c128(P2 + a9), P2)
+        win[2] = np.where(soft, _c128(P1 + a18), P1)
+        win[3] = np.where(mask, np.where(hev, np0, _c128(P0 + a27)), P0)
+        win[4] = np.where(mask, np.where(hev, nq0, _c128(Q0 - a27)), Q0)
+        win[5] = np.where(soft, _c128(Q1 - a18), Q1)
+        win[6] = np.where(soft, _c128(Q2 - a9), Q2)
+        out = (win[1:7] + 128).astype(np.uint8)
+        if horiz:
+            plane[y0 - 3 : y0 + 3, x0 : x0 + L] = out
+        else:
+            plane[y0 : y0 + L, x0 - 3 : x0 + 3] = out.T
     else:
         np0, nq0, F = _filter_common(P1, P0, Q0, Q1, hev)
         a = _c128(F + 1) >> 1
-        oP0 = np.where(mask, np0, P0)
-        oQ0 = np.where(mask, nq0, Q0)
-        oP1 = np.where(mask & ~hev, _c128(P1 + a), P1)
-        oQ1 = np.where(mask & ~hev, _c128(Q1 - a), Q1)
-        store(-2, oP1)
-        store(-1, oP0)
-        store(0, oQ0)
-        store(1, oQ1)
-
-
-def _simple_edge(plane, ys, xs, horiz, E):
-    def px(off):
+        soft = mask & ~hev
+        win[2] = np.where(soft, _c128(P1 + a), P1)
+        win[3] = np.where(mask, np0, P0)
+        win[4] = np.where(mask, nq0, Q0)
+        win[5] = np.where(soft, _c128(Q1 - a), Q1)
+        out = (win[2:6] + 128).astype(np.uint8)
         if horiz:
-            return plane[ys + off, xs].astype(np.int32)
-        return plane[ys, xs + off].astype(np.int32)
-
-    def store(off, vals):
-        if horiz:
-            plane[ys + off, xs] = np.clip(vals + 128, 0, 255).astype(
-                np.uint8)
+            plane[y0 - 2 : y0 + 2, x0 : x0 + L] = out
         else:
-            plane[ys, xs + off] = np.clip(vals + 128, 0, 255).astype(
-                np.uint8)
+            plane[y0 : y0 + L, x0 - 2 : x0 + 2] = out.T
 
-    P1, P0 = px(-2) - 128, px(-1) - 128
-    Q0, Q1 = px(0) - 128, px(1) - 128
+
+def _simple_edge(plane, y0, x0, L, horiz, E):
+    if horiz:
+        win = plane[y0 - 2 : y0 + 2, x0 : x0 + L].astype(np.int32) - 128
+    else:
+        win = (plane[y0 : y0 + L, x0 - 2 : x0 + 2].astype(np.int32)
+               - 128).T
+    P1, P0, Q0, Q1 = win
     mask = np.abs(P0 - Q0) * 2 + (np.abs(P1 - Q1) >> 1) <= E
     if not mask.any():
         return
     np0, nq0, _F = _filter_common(P1, P0, Q0, Q1, True)
-    store(-1, np.where(mask, np0, P0))
-    store(0, np.where(mask, nq0, Q0))
+    win[1] = np.where(mask, np0, P0)
+    win[2] = np.where(mask, nq0, Q0)
+    out = (win[1:3] + 128).astype(np.uint8)
+    if horiz:
+        plane[y0 - 1 : y0 + 1, x0 : x0 + L] = out
+    else:
+        plane[y0 : y0 + L, x0 - 1 : x0 + 1] = out.T
 
 
 def _loop_filter(y_plane, u_plane, v_plane, mb_w, mb_h, hdr, filter_info):
     simple = bool(hdr.filter_simple)
-    lanes16 = np.arange(16)
-    lanes8 = np.arange(8)
     for mb_y in range(mb_h):
         for mb_x in range(mb_w):
             level, inner = filter_info[mb_y * mb_w + mb_x]
@@ -871,56 +864,52 @@ def _loop_filter(y_plane, u_plane, v_plane, mb_w, mb_h, hdr, filter_info):
             T = 2 if level >= 40 else (1 if level >= 15 else 0)
             y0 = 1 + mb_y * 16
             x0 = 1 + mb_x * 16
-            ys = y0 + lanes16
             cy0 = 1 + mb_y * 8
             cx0 = 1 + mb_x * 8
-            cys = cy0 + lanes8
             if simple:
                 if mb_x > 0:
-                    _simple_edge(y_plane, ys, np.full(16, x0), False, mbE)
+                    _simple_edge(y_plane, y0, x0, 16, False, mbE)
                 if inner:
                     for dx in (4, 8, 12):
-                        _simple_edge(y_plane, ys, np.full(16, x0 + dx),
-                                     False, subE)
+                        _simple_edge(y_plane, y0, x0 + dx, 16, False,
+                                     subE)
                 if mb_y > 0:
-                    _simple_edge(y_plane, np.full(16, y0), x0 + lanes16,
-                                 True, mbE)
+                    _simple_edge(y_plane, y0, x0, 16, True, mbE)
                 if inner:
                     for dy in (4, 8, 12):
-                        _simple_edge(y_plane, np.full(16, y0 + dy),
-                                     x0 + lanes16, True, subE)
+                        _simple_edge(y_plane, y0 + dy, x0, 16, True,
+                                     subE)
                 continue
             if mb_x > 0:
-                _normal_edge(y_plane, ys, np.full(16, x0), False,
+                _normal_edge(y_plane, y0, x0, 16, False,
                              mbE, interior, T, True)
-                _normal_edge(u_plane, cys, np.full(8, cx0), False,
+                _normal_edge(u_plane, cy0, cx0, 8, False,
                              mbE, interior, T, True)
-                _normal_edge(v_plane, cys, np.full(8, cx0), False,
+                _normal_edge(v_plane, cy0, cx0, 8, False,
                              mbE, interior, T, True)
             if inner:
                 for dx in (4, 8, 12):
-                    _normal_edge(y_plane, ys, np.full(16, x0 + dx),
-                                 False, subE, interior, T, False)
-                _normal_edge(u_plane, cys, np.full(8, cx0 + 4), False,
+                    _normal_edge(y_plane, y0, x0 + dx, 16, False,
+                                 subE, interior, T, False)
+                _normal_edge(u_plane, cy0, cx0 + 4, 8, False,
                              subE, interior, T, False)
-                _normal_edge(v_plane, cys, np.full(8, cx0 + 4), False,
+                _normal_edge(v_plane, cy0, cx0 + 4, 8, False,
                              subE, interior, T, False)
             if mb_y > 0:
-                _normal_edge(y_plane, np.full(16, y0), x0 + lanes16,
-                             True, mbE, interior, T, True)
-                _normal_edge(u_plane, np.full(8, cy0), cx0 + lanes8,
-                             True, mbE, interior, T, True)
-                _normal_edge(v_plane, np.full(8, cy0), cx0 + lanes8,
-                             True, mbE, interior, T, True)
+                _normal_edge(y_plane, y0, x0, 16, True,
+                             mbE, interior, T, True)
+                _normal_edge(u_plane, cy0, cx0, 8, True,
+                             mbE, interior, T, True)
+                _normal_edge(v_plane, cy0, cx0, 8, True,
+                             mbE, interior, T, True)
             if inner:
                 for dy in (4, 8, 12):
-                    _normal_edge(y_plane, np.full(16, y0 + dy),
-                                 x0 + lanes16, True, subE, interior, T,
-                                 False)
-                _normal_edge(u_plane, np.full(8, cy0 + 4), cx0 + lanes8,
-                             True, subE, interior, T, False)
-                _normal_edge(v_plane, np.full(8, cy0 + 4), cx0 + lanes8,
-                             True, subE, interior, T, False)
+                    _normal_edge(y_plane, y0 + dy, x0, 16, True,
+                                 subE, interior, T, False)
+                _normal_edge(u_plane, cy0 + 4, cx0, 8, True,
+                             subE, interior, T, False)
+                _normal_edge(v_plane, cy0 + 4, cx0, 8, True,
+                             subE, interior, T, False)
 
 
 # -- fancy upsampling + YUV -> RGB (libwebp twin) ----------------------------
