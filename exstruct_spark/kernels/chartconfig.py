@@ -23,12 +23,14 @@ This module is that tokenizer, transplanted to the web shape:
     bare identifiers as strings); callback values (``function`` /
     ``=>``) are consumed as balanced token runs and yield ``None`` —
     skipped, never crashed on;
-  * ``charts_from_script``: normalize five config dialects — Chart.js
+  * ``charts_from_script``: normalize six config dialects — Chart.js
     ``{type, data:{labels, datasets:[{label, data}]}}``, ECharts/
     Highcharts ``{title, xAxis, series:[{name, type, data}]}``, Plotly
-    trace arrays, and Vega-Lite JSON specs (``vegaEmbed`` calls or
-    ``application/json`` blocks) — into the engine's intermediate chart
-    shape {chart_type, title, labels, series: [(name, [values])]}.
+    trace arrays, Vega-Lite JSON specs (``vegaEmbed`` calls or
+    ``application/json`` blocks), and Google Charts
+    ``arrayToDataTable`` row tables — into the engine's intermediate
+    chart shape {chart_type, title, labels, series: [(name,
+    [values])]}.
 
 Pure Python, no Spark: runs inside the single mapInPandas extraction
 stage like every other kernel.
@@ -814,6 +816,94 @@ def _from_vegalite(spec: dict) -> Optional[dict]:
     }
 
 
+# Google Charts (SIXTH dialect): the data is a row-major array fed to
+# google.visualization.arrayToDataTable (header row = x label + series
+# names), the type the constructor name, the title an options field
+_GVIZ_DATA_RE = re.compile(r"arrayToDataTable\s*\(")
+_GVIZ_CTOR_RE = re.compile(
+    r"new\s+google\s*\.\s*(?:visualization|charts)\s*\.\s*(\w+)")
+
+_GVIZ_TYPES = {
+    "linechart": "Line", "columnchart": "Column", "barchart": "Bar",
+    "piechart": "Pie", "scatterchart": "Scatter", "areachart": "Line",
+    "combochart": "Column", "line": "Line", "bar": "Bar",
+}
+
+
+def _find_gviz_tables(script_text: str) -> list:
+    """Every arrayToDataTable call's first top-level ``[...]``
+    argument, parsed — same skipping discipline as the other finders."""
+    out = []
+    s = script_text or ""
+    n = len(s)
+    for m in _GVIZ_DATA_RE.finditer(s):
+        i = m.end()
+        while i < n:
+            ch = s[i]
+            if ch in "\"'`":
+                i = _scan_string(s, i)
+                continue
+            if ch == "/":
+                i = _slash(s, i, None)
+                continue
+            if ch == "[":
+                rows, _j = parse_js_value(s, i)
+                if isinstance(rows, list):
+                    out.append(rows)
+                break
+            if ch == ")":
+                break
+            i += 1
+    return out
+
+
+def _from_gviz(rows: list, chart_type: str, title: str):
+    """arrayToDataTable rows -> normalized chart record.  Row 0 is the
+    header (x-axis label + one name per series column); data rows carry
+    the category in column 0 and numeric series values after."""
+    if len(rows) < 2 or not isinstance(rows[0], list) or len(rows[0]) < 2:
+        return None
+    header = rows[0]
+    names = [str(x) for x in header[1:]]
+    labels: list = []
+    columns: list = [[] for _ in names]
+    for r in rows[1:]:
+        if not isinstance(r, list) or not r:
+            continue
+        if not isinstance(r[0], (dict, list)):
+            labels.append(str(r[0]))
+        for k in range(len(names)):
+            v = r[k + 1] if k + 1 < len(r) else None
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                columns[k].append(float(v))
+    series = [(names[k], columns[k]) for k in range(len(names))
+              if columns[k]]
+    if not series:
+        return None
+    return {
+        "chart_type": chart_type,
+        "title": title,
+        "labels": labels,
+        "series": series,
+    }
+
+
+def _gviz_context(script_text: str):
+    """(chart_type, title) from the constructor name and the first
+    options-looking ``title`` declaration — one per script is the
+    overwhelmingly common Google Charts shape."""
+    ctor = _GVIZ_CTOR_RE.search(script_text or "")
+    chart_type = "Unknown"
+    if ctor:
+        chart_type = _GVIZ_TYPES.get(ctor.group(1).lower(), "Unknown")
+    title = ""
+    m = re.search(r"\btitle\s*:\s*(['\"])((?:(?!\1).)*)\1",
+                  script_text or "")
+    if m:
+        title = m.group(2)
+    return chart_type, title
+
+
 def charts_from_script(script_text: str) -> list:
     """One <script>'s text -> normalized chart dicts (possibly several —
     a page can construct many charts in one script block)."""
@@ -833,4 +923,11 @@ def charts_from_script(script_text: str) -> list:
         chart = _from_vegalite(spec)
         if chart is not None:
             out.append(chart)
+    gviz_tables = _find_gviz_tables(script_text)
+    if gviz_tables:
+        chart_type, title = _gviz_context(script_text)
+        for rows in gviz_tables:
+            chart = _from_gviz(rows, chart_type, title)
+            if chart is not None:
+                out.append(chart)
     return out

@@ -410,6 +410,36 @@ def _styled_grid(rng: random.Random, lang: str) -> str:
     )
 
 
+def _gviz_chart(rng: random.Random, lang: str) -> str:
+    """Google Charts (the SIXTH dialect): arrayToDataTable row-major
+    data with a header row, constructor-typed, options title, plus the
+    companion table the grid binder joins."""
+    cats = ["Q1", "Q2", "Q3", "Q4"]
+    a = [rng.randint(1, 99) for _ in range(4)]
+    b = [rng.randint(1, 99) for _ in range(4)]
+    data_rows = ", ".join(
+        f"['{cats[i]}', {a[i]}, {b[i]}]" for i in range(4))
+    rows = "".join(
+        f"<tr><td>{cats[i]}</td><td>{a[i]}</td><td>{b[i]}</td></tr>"
+        for i in range(4)
+    )
+    return (
+        "<figure><figcaption>Regional totals</figcaption>"
+        "<div id='gc1'></div>"
+        "<script>google.charts.load('current', "
+        "{packages:['corechart']});"
+        "google.charts.setOnLoadCallback(function() {"
+        "var data = google.visualization.arrayToDataTable(["
+        f"['q', 'north', 'south'], {data_rows}]);"
+        "var chart = new google.visualization.ColumnChart("
+        "document.getElementById('gc1'));"
+        "chart.draw(data, {title: 'Regional totals'});});"
+        "</script>"
+        "<table><tr><th>q</th><th>north</th><th>south</th></tr>"
+        + rows + "</table></figure>"
+    )
+
+
 def _vegalite_chart(rng: random.Random, lang: str) -> str:
     """Inline Vega-Lite spec (the FIFTH chart dialect — pure JSON, no JS
     tokenization): long-format data.values split into series by the
@@ -519,6 +549,7 @@ RICH_ARCHETYPES = [
     "colored_table", "wired_flowchart", "split_grid", "unit_chart",
     "script_chart", "bordered_grid", "highcharts_chart", "aria_grid",
     "plotly_chart", "styled_grid", "responsive_gallery", "vegalite_chart",
+    "gviz_chart",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -533,6 +564,7 @@ _RICH_BUILDERS = {
     "styled_grid": _styled_grid,
     "responsive_gallery": _responsive_gallery,
     "vegalite_chart": _vegalite_chart,
+    "gviz_chart": _gviz_chart,
 }
 
 

@@ -1976,6 +1976,48 @@ def test_make_document_roundtrip():
     assert "keep" in html and len(html) < 10_000
 
 
+def test_chartconfig_google_charts_dialect():
+    """Google Charts (sixth dialect): arrayToDataTable rows with a
+    header row naming the series, constructor-derived type, options
+    title; non-numeric cells and annotation columns degrade gracefully;
+    a DataTable with no numeric series is skipped."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    charts = charts_from_script("""
+      google.charts.load('current', {packages: ['corechart']});
+      function draw() {
+        var data = google.visualization.arrayToDataTable([
+          ['Quarter', 'North', 'South'],
+          ['Q1', 10, 4.5],
+          ['Q2', 20, 6],
+          ['Q3', 15, 'n/a'],
+        ]);
+        var chart = new google.visualization.ColumnChart(
+            document.getElementById('d'));
+        chart.draw(data, {title: 'Sales by region', legend: 'bottom'});
+      }
+    """)
+    assert len(charts) == 1
+    c = charts[0]
+    assert c["chart_type"] == "Column"
+    assert c["title"] == "Sales by region"
+    assert c["labels"] == ["Q1", "Q2", "Q3"]
+    assert c["series"] == [("North", [10.0, 20.0, 15.0]),
+                           ("South", [4.5, 6.0])]
+
+    # pie via the charts namespace; header-only tables skipped
+    charts = charts_from_script("""
+      var d = google.visualization.arrayToDataTable(
+        [['Task', 'Hours'], ['Work', 8], ['Sleep', 7]]);
+      new google.charts.PieChart(el).draw(d, {title: 'Day'});
+      var empty = google.visualization.arrayToDataTable([['x', 'y']]);
+    """)
+    assert len(charts) == 1
+    assert charts[0]["chart_type"] == "Pie"
+    assert charts[0]["labels"] == ["Work", "Sleep"]
+    assert charts[0]["series"] == [("Hours", [8.0, 7.0])]
+
+
 def test_responsive_image_harvesting():
     """VERDICT r5 #3: srcset (largest width descriptor wins), <picture>
     <source> candidates, density-only srcsets, and data-src lazy-load

@@ -208,6 +208,8 @@ def test_charts_from_script_is_total(s):
     assert isinstance(charts_from_script("new Chart(ctx, " + s + ")"), list)
     assert isinstance(charts_from_script("x.setOption(" + s + ");"), list)
     assert isinstance(charts_from_script("vegaEmbed('#v', " + s + ")"), list)
+    assert isinstance(
+        charts_from_script("arrayToDataTable(" + s + ")"), list)
 
 
 @given(
