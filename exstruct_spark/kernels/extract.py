@@ -297,7 +297,7 @@ def extract_document(
             groups: dict = {
                 t: []
                 for t in ("body", "title", "table", "figure", "svg", "a",
-                          "script", "img", "style", "picture")
+                          "script", "img", "style", "picture", "base")
             }
             # ul/ol (and section/article) share buckets so document order
             # across kinds is preserved (outer-before-inner claiming)
@@ -469,8 +469,17 @@ def extract_document(
                 n_lists = len(lists)
 
             if opts.include_links:
+                # <base href>: relative links resolve against the
+                # document's declared base, itself resolved against the
+                # url (HTML spec: the FIRST base with an href wins)
+                effective_base = url
+                for b in groups["base"]:
+                    b_href = (b.attrs.get("href") or "").strip()
+                    if b_href:
+                        effective_base = urljoin(url, b_href)
+                        break
                 links = _links_map(
-                    groups["a"], url, opts.absolutize_links,
+                    groups["a"], effective_base, opts.absolutize_links,
                     opts.normalize_links,
                 )
                 if links:

@@ -1976,6 +1976,32 @@ def test_make_document_roundtrip():
     assert "keep" in html and len(html) < 10_000
 
 
+def test_base_href_link_resolution():
+    """<base href> redirects relative-link absolutization (the HTML
+    base-URL rule; first base with an href wins, itself resolved
+    against the document url); absolute hrefs and base-less documents
+    are unchanged."""
+    import json
+
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+
+    html = (b"<html><head><base href='/assets/'>"
+            b"<base href='https://ignored.example/'></head>"
+            b"<body><p><a href='a.css'>x</a>"
+            b" <a href='https://abs.example/z'>z</a></p></body></html>")
+    opts = ExtractOptions(absolutize_links=True)
+    rec = extract_document("https://site.example/dir/doc.html", html, opts)
+    links = json.loads(rec["extraction_json"])["links_map"]
+    assert set(links) == {"https://site.example/assets/a.css",
+                          "https://abs.example/z"}
+    # default (verbatim hrefs): base changes nothing
+    rec2 = extract_document("https://site.example/dir/doc.html", html,
+                            ExtractOptions())
+    assert set(json.loads(rec2["extraction_json"])["links_map"]) == \
+        {"a.css", "https://abs.example/z"}
+
+
 def test_chartconfig_google_charts_dialect():
     """Google Charts (sixth dialect): arrayToDataTable rows with a
     header row naming the series, constructor-derived type, options
