@@ -301,6 +301,42 @@ def test_vp8_tables_rederived_from_libwebp():
         list(T.KF_BMODE_PROBS[:9])
 
 
+@needs_libwebp
+def test_vp8_decoder_total_on_hostile_streams():
+    """Caps-not-crashes for the crawl path: truncations, random bytes,
+    valid-header-random-tail, and bit-flipped valid streams may only
+    raise ValueError (Vp8lCapExceeded included) — never IndexError /
+    numpy shape errors / hangs.  Deterministic seeds; ~2k mutations."""
+    import random
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    valid = _vp8_payload(_enc(img, 75))
+    random.seed(2)
+
+    def try_decode(data):
+        try:
+            decode_vp8_frame(bytes(data))
+        except ValueError:
+            pass
+
+    for n in range(0, len(valid), 13):
+        try_decode(valid[:n])
+    for _ in range(500):
+        try_decode(bytes(random.getrandbits(8)
+                         for _ in range(random.randint(0, 120))))
+    hdr = valid[:10]
+    for _ in range(500):
+        try_decode(hdr + bytes(random.getrandbits(8)
+                               for _ in range(random.randint(0, 100))))
+    for _ in range(800):
+        b = bytearray(valid)
+        for _ in range(random.randint(1, 4)):
+            i = random.randrange(len(b))
+            b[i] ^= 1 << random.randrange(8)
+        try_decode(b)
+
+
 def test_animated_webp_real_compositing():
     """decode_webp_anim: REAL per-frame decode (VP8L and VP8 frames
     through the repo's own codecs, ALPH-capable) + blend/dispose
