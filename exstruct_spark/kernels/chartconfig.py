@@ -857,23 +857,37 @@ def _find_gviz_tables(script_text: str) -> list:
     return out
 
 
+def _gviz_cell(v):
+    """One DataTable cell -> a plain value: Google Charts object cells
+    carry {v: value, f: formatted} (data) or {label, type} (header)."""
+    if isinstance(v, dict):
+        if "label" in v:
+            return v["label"]
+        if "f" in v and isinstance(v.get("f"), str):
+            return v["f"]
+        return v.get("v")
+    return v
+
+
 def _from_gviz(rows: list, chart_type: str, title: str):
     """arrayToDataTable rows -> normalized chart record.  Row 0 is the
     header (x-axis label + one name per series column); data rows carry
-    the category in column 0 and numeric series values after."""
+    the category in column 0 and numeric series values after; object
+    cells ({v, f} / {label, type}) unwrap before use."""
     if len(rows) < 2 or not isinstance(rows[0], list) or len(rows[0]) < 2:
         return None
-    header = rows[0]
+    header = [_gviz_cell(x) for x in rows[0]]
     names = [str(x) for x in header[1:]]
     labels: list = []
     columns: list = [[] for _ in names]
     for r in rows[1:]:
         if not isinstance(r, list) or not r:
             continue
-        if not isinstance(r[0], (dict, list)):
-            labels.append(str(r[0]))
+        lab = _gviz_cell(r[0])
+        if not isinstance(lab, (dict, list)) and lab is not None:
+            labels.append(str(lab))
         for k in range(len(names)):
-            v = r[k + 1] if k + 1 < len(r) else None
+            v = _gviz_cell(r[k + 1]) if k + 1 < len(r) else None
             if isinstance(v, (int, float)) and not isinstance(v, bool):
                 columns[k].append(float(v))
     series = [(names[k], columns[k]) for k in range(len(names))
@@ -889,18 +903,44 @@ def _from_gviz(rows: list, chart_type: str, title: str):
 
 
 def _gviz_context(script_text: str):
-    """(chart_type, title) from the constructor name and the first
-    options-looking ``title`` declaration — one per script is the
-    overwhelmingly common Google Charts shape."""
-    ctor = _GVIZ_CTOR_RE.search(script_text or "")
+    """(chart_type, title) from the constructor name and the draw
+    call's OPTIONS OBJECT — the title must come from the parsed second
+    argument of ``chart.draw(data, options)``, not a whole-script
+    regex, or an hAxis/vAxis sub-title (or another dialect's title)
+    appearing earlier wins (third-review finding)."""
+    s = script_text or ""
+    ctor = _GVIZ_CTOR_RE.search(s)
     chart_type = "Unknown"
     if ctor:
         chart_type = _GVIZ_TYPES.get(ctor.group(1).lower(), "Unknown")
     title = ""
-    m = re.search(r"\btitle\s*:\s*(['\"])((?:(?!\1).)*)\1",
-                  script_text or "")
-    if m:
-        title = m.group(2)
+    for m in re.finditer(r"\.\s*draw\s*\(", s):
+        i = m.end()
+        n = len(s)
+        depth = 0
+        while i < n:
+            ch = s[i]
+            if ch in "\"'`":
+                i = _scan_string(s, i)
+                continue
+            if ch == "/":
+                i = _slash(s, i, None)
+                continue
+            if depth == 0 and ch == "{":
+                opts, _j = parse_js_value(s, i)
+                if isinstance(opts, dict) and isinstance(
+                        opts.get("title"), str):
+                    title = opts["title"]
+                break
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            i += 1
+        if title:
+            break
     return chart_type, title
 
 

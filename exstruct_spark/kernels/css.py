@@ -110,14 +110,17 @@ def _parse_decls(body: str) -> list:
 
 def _find_unquoted(css: str, i: int, n: int, targets: str):
     """First unquoted occurrence of any char in ``targets`` at/after
-    ``i`` -> (char, index), or (None, n) when none before the end
-    (an unterminated quote consumes the rest)."""
+    ``i`` -> (char, index), or (None, n).  An UNTERMINATED quote is
+    treated as a literal character (stray apostrophes are common in
+    malformed crawl CSS — consuming to the end would swallow every
+    later rule, third-review finding)."""
     while i < n:
         ch = css[i]
         if ch in "\"'":
             close = css.find(ch, i + 1)
             if close == -1:
-                return None, n
+                i += 1
+                continue
             i = close + 1
             continue
         if ch in targets:
@@ -159,7 +162,9 @@ def parse_css_rules(css: str) -> list:
                 ch = css[j]
                 if ch in "\"'":
                     close = css.find(ch, j + 1)
-                    j = n if close == -1 else close + 1
+                    # unterminated quote: literal char, keep counting
+                    # braces (don't swallow the rest of the sheet)
+                    j = j + 1 if close == -1 else close + 1
                     continue
                 if ch == "{":
                     depth += 1

@@ -432,6 +432,13 @@ def decode_webp_anim(raw: bytes):
         if cid == b"VP8X" and len(body) >= 10:
             canvas_w = 1 + int.from_bytes(body[4:7], "little")
             canvas_h = 1 + int.from_bytes(body[7:10], "little")
+            # the canvas itself (and every composited snapshot) is
+            # output memory — a 24-bit-dims canvas with tiny frames
+            # would otherwise pass the frame-pixel budget and OOM the
+            # executor (third-review finding)
+            if canvas_w * canvas_h > ANIM_WEBP_MAX_PIXELS:
+                raise Vp8lCapExceeded(
+                    "animated WebP canvas exceeds the pixel budget")
         elif cid == b"ANIM":
             saw_anim = True
         elif cid == b"ANMF":
@@ -449,7 +456,9 @@ def decode_webp_anim(raw: bytes):
             no_blend = bool(flags & 0x02)
             if fx + fw > canvas_w or fy + fh > canvas_h:
                 raise ValueError("ANMF frame exceeds canvas")
-            total_px += fw * fh
+            # each snapshot copies the WHOLE canvas, so the budget
+            # counts canvas area per frame, not just the frame region
+            total_px += canvas_w * canvas_h
             if total_px > ANIM_WEBP_MAX_PIXELS or fw * fh > VP8_MAX_PIXELS:
                 raise Vp8lCapExceeded(
                     "animated WebP exceeds the pixel budget")
@@ -606,6 +615,22 @@ def frame_sample_stub(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list
     ]
 
 
+def _evenly_spaced_fps(frames: list, n_frames: int) -> list:
+    """Deterministic frame fingerprints: ``n_frames`` evenly spaced by
+    index (first and last always included), 12-hex sha256 of each
+    composited pixel buffer — the one sampling rule shared by the GIF,
+    animated-WebP and metadata paths."""
+    k = min(n_frames, len(frames))
+    picks = sorted({
+        int(round(i * (len(frames) - 1) / max(k - 1, 1)))
+        for i in range(k)
+    })
+    return [
+        hashlib.sha256(frames[p].tobytes()).hexdigest()[:12]
+        for p in picks
+    ]
+
+
 def frame_sample(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list:
     """Frame sampling: REAL for GIF — decode ALL composited frames
     (kernels/gif.py), pick ``n_frames`` evenly spaced by frame index
@@ -622,15 +647,7 @@ def frame_sample(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list:
             if mode == "strict":
                 raise
             return frame_sample_stub(raw, n_frames, mode)
-        k = min(n_frames, len(frames))
-        picks = sorted({
-            int(round(i * (len(frames) - 1) / max(k - 1, 1)))
-            for i in range(k)
-        })
-        return [
-            hashlib.sha256(frames[p].tobytes()).hexdigest()[:12]
-            for p in picks
-        ]
+        return _evenly_spaced_fps(frames, n_frames)
     if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP" and b"ANMF" in raw:
         # REAL for animated WebP too (decode_webp_anim composites every
         # frame through the repo's own VP8/VP8L decoders); the pixel
@@ -645,15 +662,7 @@ def frame_sample(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list:
             if mode == "strict":
                 raise
             return frame_sample_stub(raw, n_frames, mode)
-        k = min(n_frames, len(frames))
-        picks = sorted({
-            int(round(i * (len(frames) - 1) / max(k - 1, 1)))
-            for i in range(k)
-        })
-        return [
-            hashlib.sha256(frames[p].tobytes()).hexdigest()[:12]
-            for p in picks
-        ]
+        return _evenly_spaced_fps(frames, n_frames)
     return frame_sample_stub(raw, n_frames, mode)
 
 
@@ -809,17 +818,8 @@ def media_meta_pdf(
                 if anim_frames:
                     rec["duration_s"] = float(
                         round(sum(anim_durations) / 1000.0, 6))
-                    k = min(4, len(anim_frames))
-                    picks = sorted({
-                        int(round(i * (len(anim_frames) - 1)
-                                  / max(k - 1, 1)))
-                        for i in range(k)
-                    })
-                    rec["frame_fps"] = [
-                        hashlib.sha256(
-                            anim_frames[p].tobytes()).hexdigest()[:12]
-                        for p in picks
-                    ]
+                    rec["frame_fps"] = _evenly_spaced_fps(
+                        anim_frames, 4)
                 out.append(rec)
                 continue
             # header-metadata tier: a parseable header satisfies strict

@@ -1765,6 +1765,11 @@ def test_css_rule_parsing_and_precedence():
         ((None, (), "x"), ["background"]),
         ((None, ("f",), None), ["border"]),
     ]
+    # a stray unpaired quote inside a block is a literal, not an
+    # everything-swallowing string (third-review finding)
+    r = parse_css_rules(
+        "@media screen { a::after { content: it's } } p { background: red }")
+    assert len(r) == 1 and r[0][0][0] == "p"
     assert rules[3][1] == [("border", "1px solid")]  # !important stripped
 
     def cell(html):
@@ -2042,6 +2047,24 @@ def test_chartconfig_google_charts_dialect():
     assert charts[0]["chart_type"] == "Pie"
     assert charts[0]["labels"] == ["Work", "Sleep"]
     assert charts[0]["series"] == [("Hours", [8.0, 7.0])]
+
+    # third-review findings: the title comes from the DRAW OPTIONS
+    # object (an hAxis sub-title earlier in the options must not win),
+    # and object cells ({label,type} headers, {v,f} data) unwrap
+    charts = charts_from_script("""
+      var d = google.visualization.arrayToDataTable([
+        ['Year', {label: 'Sales', type: 'number'}],
+        [{v: 2020, f: 'FY20'}, 10],
+        [{v: 2021, f: 'FY21'}, {v: 12}],
+      ]);
+      new google.visualization.LineChart(el).draw(d,
+        {hAxis: {title: 'Year'}, title: 'Annual sales'});
+    """)
+    assert len(charts) == 1
+    c = charts[0]
+    assert c["title"] == "Annual sales"
+    assert c["labels"] == ["FY20", "FY21"]
+    assert c["series"] == [("Sales", [10.0, 12.0])]
 
 
 def test_responsive_image_harvesting():

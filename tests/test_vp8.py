@@ -436,3 +436,16 @@ def test_animated_webp_real_compositing():
     assert bool(row["decoded"]) is False
     with pytest.raises(ValueError):
         frame_sample(bad, mode="strict")
+
+    # third-review finding: a huge declared CANVAS with tiny frames is
+    # a memory bomb (each snapshot copies the whole canvas) — must hit
+    # the pixel-budget cap BEFORE any canvas allocation, and a long
+    # animation on a large canvas trips the cumulative budget too
+    bomb = anim_container([(0, 0, 16, 16, b"VP8L", f2, 10, 0)],
+                          16000, 16000)
+    with pytest.raises(Vp8lCapExceeded):
+        decode_webp_anim(bomb)
+    many = anim_container(
+        [(0, 0, 32, 32, b"VP8L", f1, 10, 0)] * 8, 1000, 1000)
+    with pytest.raises(Vp8lCapExceeded):
+        decode_webp_anim(many)
