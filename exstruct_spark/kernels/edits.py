@@ -29,7 +29,9 @@ analogues, edit/types.py:7-29):
   * ``set_range_values`` — all-or-nothing 2-D block write;
   * ``merge_cells`` / ``unmerge_cells`` — rowspan/colspan splices in
     GRID coordinates (the reference addresses merges by A1 range, i.e.
-    grid positions; the occupancy layout maps grid -> DOM).
+    grid positions; the occupancy layout maps grid -> DOM);
+  * ``draw_grid_border`` — border-style splice over a grid rectangle
+    (the G1 border-signal carrier).
 
 Semantics follow the reference's patch contract: ops apply in order,
 each yields status ``applied`` or ``skipped`` (bad address, malformed
@@ -644,6 +646,37 @@ def op_unmerge_cells(html: str, table: int, row: int, col: int) -> str:
     return _splice_all(html, edits)
 
 
+def op_draw_grid_border(html: str, table: int, r1: int, c1: int,
+                        r2: int, c2: int, style: str = "1px solid #000",
+                        ) -> str:
+    """Reference ``draw_grid_border`` — GRID coordinates (0-based,
+    inclusive): every cell whose origin lies inside the rectangle gains
+    a ``border`` declaration (the G1 border-signal carrier), existing
+    border declarations replaced, other styles kept.  Cells merged
+    ACROSS the rectangle boundary make the address ambiguous: skipped."""
+    if not (0 <= r1 <= r2 and 0 <= c1 <= c2):
+        raise ValueError("bad border rectangle")
+    _check_style_value(style)
+    _tspan, rows, layout = _grid_layout(html, table)
+    if r2 >= len(rows):
+        raise ValueError("border rectangle exceeds table rows")
+    edits: list = []
+    hit = False
+    for r in range(r1, r2 + 1):
+        for cs, gc, rs, cl in layout[r]:
+            if gc > c2 or gc + cl - 1 < c1:
+                continue
+            if gc < c1 or gc + cl - 1 > c2 or r + rs - 1 > r2:
+                raise ValueError("border rectangle splits a merged cell")
+            hit = True
+            new_tag = _replace_style_decl(html[cs[0] : cs[1]], "border",
+                                          style)
+            edits.append((cs[0], cs[1], new_tag))
+    if not hit:
+        raise ValueError("border rectangle covers no cells")
+    return _splice_all(html, edits)
+
+
 _OPS = {
     "set_value": op_set_value,
     "set_link": op_set_link,
@@ -658,6 +691,7 @@ _OPS = {
     "set_range_values": op_set_range_values,
     "merge_cells": op_merge_cells,
     "unmerge_cells": op_unmerge_cells,
+    "draw_grid_border": op_draw_grid_border,
 }
 
 

@@ -2289,6 +2289,34 @@ def test_cell_edit_merge_unmerge_roundtrip():
                      (3, 0): "c0", (3, 1): "c1", (3, 2): "c2"}
 
 
+def test_cell_edit_draw_grid_border():
+    """draw_grid_border (reference edit/types.py): border splice over a
+    grid rectangle; existing border declarations replaced, other styles
+    kept; fully-contained merged cells included; a rect that splits a
+    merged cell or covers no cells skips; unsafe style values skip."""
+    from exstruct_spark.kernels.edits import apply_ops
+
+    html = ("<table><tr><td style='color:red;border:none'>a</td>"
+            "<td>b</td><td>c</td></tr>"
+            "<tr><td colspan='2'>d</td><td>e</td></tr></table>")
+    out, st = apply_ops(html, [
+        {"op": "draw_grid_border", "table": 0, "r1": 0, "c1": 0,
+         "r2": 1, "c2": 1},
+        {"op": "draw_grid_border", "table": 0, "r1": 0, "c1": 1,
+         "r2": 1, "c2": 1},      # splits the colspan'd d
+        {"op": "draw_grid_border", "table": 0, "r1": 0, "c1": 5,
+         "r2": 0, "c2": 6},      # no cells
+        {"op": "draw_grid_border", "table": 0, "r1": 0, "c1": 2,
+         "r2": 0, "c2": 2, "style": 'x" onload="p()'},  # breakout
+    ])
+    assert st == ["applied", "skipped", "skipped", "skipped"]
+    assert out.count("border:1px solid #000") == 3
+    assert "color:red" in out and "border:none" not in out
+    assert ">c</td>" in out and "onload" not in out
+    # the un-bordered cells stayed untouched byte-for-byte
+    assert "<td>c</td>" in out and "<td>e</td>" in out
+
+
 def test_cell_edit_unbalanced_quote_keeps_cell_indexing():
     """Second-review finding: an UNBALANCED quote in an attribute must
     not drop the tag from tokenization (which silently renumbers cells

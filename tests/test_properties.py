@@ -297,6 +297,12 @@ def test_jpeg_decode_never_hangs_on_garbage(raw):
                 "op": st.just("unmerge_cells"), "table": st.integers(-1, 3),
                 "row": st.integers(-1, 4), "col": st.integers(-1, 4)}),
             st.fixed_dictionaries({
+                "op": st.just("draw_grid_border"),
+                "table": st.integers(-1, 3),
+                "r1": st.integers(-1, 4), "c1": st.integers(-1, 4),
+                "r2": st.integers(-1, 4), "c2": st.integers(-1, 4),
+                "style": st.text(max_size=8)}),
+            st.fixed_dictionaries({
                 "op": st.just("set_bold"), "table": st.integers(-1, 3),
                 "row": st.integers(-1, 4), "col": st.integers(-1, 3),
                 "bold": st.booleans()}),
