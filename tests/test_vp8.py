@@ -337,6 +337,55 @@ def test_vp8_decoder_total_on_hostile_streams():
         try_decode(b)
 
 
+def test_animated_webp_total_on_hostile_containers():
+    """decode_webp_anim is total on bit-flipped and truncated
+    containers: only ValueError (incl. the cap tier) may escape."""
+    import random
+
+    from exstruct_spark.kernels.media import decode_webp_anim
+    from exstruct_spark.kernels.vp8l import encode_vp8l_lossless
+
+    def chunk(cid, body):
+        return (cid + len(body).to_bytes(4, "little") + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[:, :] = (10, 20, 30, 255)
+    f = encode_vp8l_lossless(img)
+    i = 12
+    payload = None
+    while i + 8 <= len(f):
+        tag, sz = f[i : i + 4], int.from_bytes(f[i + 4 : i + 8], "little")
+        if tag == b"VP8L":
+            payload = f[i + 8 : i + 8 + sz]
+            break
+        i += 8 + sz + (sz & 1)
+    body = (bytes(3) * 2 + (15).to_bytes(3, "little") * 2
+            + (10).to_bytes(3, "little") + b"\x00"
+            + chunk(b"VP8L", payload))
+    riff = (b"WEBP"
+            + chunk(b"VP8X", bytes([0x02, 0, 0, 0])
+                    + (15).to_bytes(3, "little") * 2)
+            + chunk(b"ANIM", bytes(6)) + chunk(b"ANMF", body))
+    valid = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+    assert len(decode_webp_anim(valid)[0]) == 1
+    random.seed(4)
+    for _ in range(600):
+        b = bytearray(valid)
+        for _ in range(random.randint(1, 5)):
+            j = random.randrange(len(b))
+            b[j] ^= 1 << random.randrange(8)
+        try:
+            decode_webp_anim(bytes(b))
+        except ValueError:
+            pass
+    for n in range(0, len(valid), 5):
+        try:
+            decode_webp_anim(valid[:n])
+        except ValueError:
+            pass
+
+
 def test_animated_webp_real_compositing():
     """decode_webp_anim: REAL per-frame decode (VP8L and VP8 frames
     through the repo's own codecs, ALPH-capable) + blend/dispose
