@@ -832,58 +832,82 @@ _GVIZ_TYPES = {
 
 def _find_gviz_tables(script_text: str) -> list:
     """Every arrayToDataTable call's first top-level ``[...]``
-    argument, parsed — same skipping discipline as the other finders."""
+    argument -> (rows, no_header) — ``no_header`` True when the
+    documented second argument ``true`` (first row is data) follows.
+    Same skipping discipline as the other finders, INCLUDING prev-char
+    tracking for the division-vs-regex '/' rule."""
     out = []
     s = script_text or ""
     n = len(s)
     for m in _GVIZ_DATA_RE.finditer(s):
         i = m.end()
+        prev = None
         while i < n:
             ch = s[i]
             if ch in "\"'`":
                 i = _scan_string(s, i)
+                prev = '"'
                 continue
             if ch == "/":
-                i = _slash(s, i, None)
+                i = _slash(s, i, prev)
+                prev = "/"
                 continue
             if ch == "[":
-                rows, _j = parse_js_value(s, i)
+                rows, j = parse_js_value(s, i)
                 if isinstance(rows, list):
-                    out.append(rows)
+                    tail = s[j : j + 40]
+                    no_header = bool(
+                        re.match(r"\s*,\s*true\b", tail))
+                    out.append((rows, no_header))
                 break
             if ch == ")":
                 break
+            prev = ch if not ch.isspace() else prev
             i += 1
     return out
 
 
-def _gviz_cell(v):
+def _gviz_cell(v, prefer_formatted: bool = False):
     """One DataTable cell -> a plain value: Google Charts object cells
-    carry {v: value, f: formatted} (data) or {label, type} (header)."""
+    carry {v: value, f: formatted} (data) or {label, type} (header).
+    Value columns prefer the RAW ``v`` (``f`` is a display string like
+    '$1,000' that would fail the numeric check); label cells prefer the
+    formatted form."""
     if isinstance(v, dict):
         if "label" in v:
             return v["label"]
-        if "f" in v and isinstance(v.get("f"), str):
+        if prefer_formatted and isinstance(v.get("f"), str):
             return v["f"]
-        return v.get("v")
+        if "v" in v:
+            return v["v"]
+        return v.get("f")
     return v
 
 
-def _from_gviz(rows: list, chart_type: str, title: str):
+def _from_gviz(rows: list, chart_type: str, title: str,
+               no_header: bool = False):
     """arrayToDataTable rows -> normalized chart record.  Row 0 is the
-    header (x-axis label + one name per series column); data rows carry
-    the category in column 0 and numeric series values after; object
-    cells ({v, f} / {label, type}) unwrap before use."""
-    if len(rows) < 2 or not isinstance(rows[0], list) or len(rows[0]) < 2:
+    header (x-axis label + one name per series column) unless the
+    call's second argument was ``true`` (the documented
+    first-row-is-data form — series get positional names); data rows
+    carry the category in column 0 and numeric series values after;
+    object cells ({v, f} / {label, type}) unwrap before use."""
+    if not rows or not isinstance(rows[0], list) or len(rows[0]) < 2:
         return None
-    header = [_gviz_cell(x) for x in rows[0]]
-    names = [str(x) for x in header[1:]]
+    if no_header:
+        names = [f"s{k}" for k in range(len(rows[0]) - 1)]
+        data_rows = rows
+    else:
+        if len(rows) < 2:
+            return None
+        names = [str(_gviz_cell(x)) for x in rows[0][1:]]
+        data_rows = rows[1:]
     labels: list = []
     columns: list = [[] for _ in names]
-    for r in rows[1:]:
+    for r in data_rows:
         if not isinstance(r, list) or not r:
             continue
-        lab = _gviz_cell(r[0])
+        lab = _gviz_cell(r[0], prefer_formatted=True)
         if not isinstance(lab, (dict, list)) and lab is not None:
             labels.append(str(lab))
         for k in range(len(names)):
@@ -909,22 +933,29 @@ def _gviz_context(script_text: str):
     regex, or an hAxis/vAxis sub-title (or another dialect's title)
     appearing earlier wins (third-review finding)."""
     s = script_text or ""
-    ctor = _GVIZ_CTOR_RE.search(s)
     chart_type = "Unknown"
-    if ctor:
-        chart_type = _GVIZ_TYPES.get(ctor.group(1).lower(), "Unknown")
+    for ctor in _GVIZ_CTOR_RE.finditer(s):
+        # the first CHART constructor wins — pages routinely build a
+        # NumberFormat/DataView/DataTable before the chart itself
+        mapped = _GVIZ_TYPES.get(ctor.group(1).lower())
+        if mapped is not None:
+            chart_type = mapped
+            break
     title = ""
     for m in re.finditer(r"\.\s*draw\s*\(", s):
         i = m.end()
         n = len(s)
         depth = 0
+        prev = None
         while i < n:
             ch = s[i]
             if ch in "\"'`":
                 i = _scan_string(s, i)
+                prev = '"'
                 continue
             if ch == "/":
-                i = _slash(s, i, None)
+                i = _slash(s, i, prev)
+                prev = "/"
                 continue
             if depth == 0 and ch == "{":
                 opts, _j = parse_js_value(s, i)
@@ -938,6 +969,7 @@ def _gviz_context(script_text: str):
                 if depth == 0:
                     break
                 depth -= 1
+            prev = ch if not ch.isspace() else prev
             i += 1
         if title:
             break
@@ -966,8 +998,8 @@ def charts_from_script(script_text: str) -> list:
     gviz_tables = _find_gviz_tables(script_text)
     if gviz_tables:
         chart_type, title = _gviz_context(script_text)
-        for rows in gviz_tables:
-            chart = _from_gviz(rows, chart_type, title)
+        for rows, no_header in gviz_tables:
+            chart = _from_gviz(rows, chart_type, title, no_header)
             if chart is not None:
                 out.append(chart)
     return out

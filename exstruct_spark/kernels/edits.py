@@ -660,6 +660,13 @@ def op_draw_grid_border(html: str, table: int, r1: int, c1: int,
     _tspan, rows, layout = _grid_layout(html, table)
     if r2 >= len(rows):
         raise ValueError("border rectangle exceeds table rows")
+    # a rowspan reaching INTO the rectangle from an origin row above r1
+    # also splits it (fourth-review finding: origin-row iteration alone
+    # silently skipped top crossings)
+    for r in range(r1):
+        for _cs, gc, rs, cl in layout[r]:
+            if (r + rs - 1 >= r1 and gc <= c2 and gc + cl - 1 >= c1):
+                raise ValueError("border rectangle splits a merged cell")
     edits: list = []
     hit = False
     for r in range(r1, r2 + 1):

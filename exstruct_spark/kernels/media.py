@@ -654,11 +654,7 @@ def frame_sample(raw: bytes, n_frames: int = 4, mode: str = "fake") -> list:
         # cap stays honest under strict (Vp8lCapExceeded, not a stub)
         try:
             frames, _durations = decode_webp_anim(raw)
-        except Vp8lCapExceeded:
-            if mode == "strict":
-                raise
-            return frame_sample_stub(raw, n_frames, mode)
-        except ValueError:
+        except ValueError:  # Vp8lCapExceeded included (its subclass)
             if mode == "strict":
                 raise
             return frame_sample_stub(raw, n_frames, mode)

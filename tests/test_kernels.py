@@ -2066,6 +2066,29 @@ def test_chartconfig_google_charts_dialect():
     assert c["labels"] == ["FY20", "FY21"]
     assert c["series"] == [("Sales", [10.0, 12.0])]
 
+    # fourth-review findings: {v,f} VALUE cells keep the raw number
+    # (the formatted '$1,000' string must not drop the point), a
+    # NumberFormat/DataView constructed before the chart must not eat
+    # the type, division inside draw() args must not lex as a regex,
+    # and the arrayToDataTable(data, true) no-header form parses
+    charts = charts_from_script("""
+      var fmt = new google.visualization.NumberFormat({pattern: '#'});
+      var d = google.visualization.arrayToDataTable([
+        ['Q', 'Sales'], ['Q1', {v: 1000, f: '$1,000'}]]);
+      var chart = new google.visualization.ColumnChart(el);
+      chart.draw(pick(total/2) || d, {title: 'Rev'});
+    """)
+    assert charts[0]["chart_type"] == "Column"
+    assert charts[0]["title"] == "Rev"
+    assert charts[0]["series"] == [("Sales", [1000.0])]
+    charts = charts_from_script("""
+      var d = google.visualization.arrayToDataTable(
+        [['Q1', 10], ['Q2', 20]], true);
+      new google.visualization.BarChart(el).draw(d, {});
+    """)
+    assert charts[0]["series"] == [("s0", [10.0, 20.0])]
+    assert charts[0]["labels"] == ["Q1", "Q2"]
+
 
 def test_responsive_image_harvesting():
     """VERDICT r5 #3: srcset (largest width descriptor wins), <picture>
@@ -2310,6 +2333,12 @@ def test_cell_edit_draw_grid_border():
          "r2": 0, "c2": 2, "style": 'x" onload="p()'},  # breakout
     ])
     assert st == ["applied", "skipped", "skipped", "skipped"]
+    # a rowspan reaching INTO the rect from above also splits it
+    html2 = ("<table><tr><td rowspan='2'>a</td><td>b</td></tr>"
+             "<tr><td>c</td></tr></table>")
+    _, st2 = apply_ops(html2, [{"op": "draw_grid_border", "table": 0,
+                                "r1": 1, "c1": 0, "r2": 1, "c2": 1}])
+    assert st2 == ["skipped"]
     assert out.count("border:1px solid #000") == 3
     assert "color:red" in out and "border:none" not in out
     assert ">c</td>" in out and "onload" not in out
