@@ -59,6 +59,9 @@ class ExtractOptions:
     # analogue, core/cells.py:277-310)
     include_sections: bool = True
     include_class_map: bool = True
+    # schema.org structured data (JSON-LD + microdata) — author-declared
+    # entities, the web analogue of the reference's typed models
+    include_structured: bool = True
     # Excel-style alpha column keys in rows.c (reference col_index_to_alpha,
     # models/__init__.py:569-600; convert_workbook_keys_to_alpha 644-657)
     alpha_keys: bool = False
@@ -111,6 +114,7 @@ class ExtractOptions:
                 include_lists=False, include_links=False,
                 include_images=False,
                 include_sections=False, include_class_map=False,
+                include_structured=False,
             )
         elif mode == "standard":
             base = dict(scrub_backend_metadata=True)

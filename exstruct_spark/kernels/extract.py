@@ -39,6 +39,10 @@ from exstruct_spark.kernels.dom import (
 from exstruct_spark.kernels.pdf import extract_pdf_document, is_pdf
 from exstruct_spark.kernels.serialize import canonical_json, sha256_hex
 from exstruct_spark.kernels.shapes import extract_nested_lists, extract_svg_shapes
+from exstruct_spark.kernels.structured import (
+    from_ldjson_scripts,
+    from_microdata,
+)
 from exstruct_spark.kernels.tables import detect_grid_candidates, extract_table
 
 _DEFAULT_OPTS = ExtractOptions()
@@ -537,6 +541,17 @@ def extract_document(
                     images.append(entry)
                 if images:
                     extraction["images"] = images
+
+            if opts.include_structured:
+                # schema.org structured data: the author-DECLARED
+                # entities (JSON-LD blocks + microdata markup), the
+                # highest-signal metadata a crawl extractor can
+                # harvest — the web analogue of the reference's typed
+                # document models (models/__init__.py)
+                entities = from_ldjson_scripts(groups["script"])
+                entities.extend(from_microdata(root))
+                if entities:
+                    extraction["structured_data"] = entities[:64]
 
             if opts.include_sections:
                 sections = _section_views(groups["section"], table_node_ids)

@@ -1,0 +1,170 @@
+"""schema.org structured-data harvesting: JSON-LD + microdata.
+
+A Common-Crawl-scale extraction pipeline's highest-signal metadata is
+the page's own declared structure — ``<script type="application/
+ld+json">`` blocks and microdata (``itemscope``/``itemprop``) markup.
+This is the web's analogue of the reference's typed document models
+(SheetData/Chart/Shape, models/__init__.py): entities the author
+DECLARED, as opposed to the heuristic families the detector infers.
+
+Output: a flat list of entity records, each
+``{"source": "ld+json"|"microdata", "type": <schema.org type>,
+"props": {name: scalar}}`` — scalar-valued properties only, with
+nested entities surfacing as their own records (depth-first document
+order).  Deterministic, caps-not-crashes (entity/prop/string caps,
+malformed JSON skipped, never raised).
+"""
+
+from __future__ import annotations
+
+import json
+
+from exstruct_spark.kernels.dom import Node
+
+MAX_ENTITIES = 64
+MAX_PROPS = 32
+MAX_VALUE_CHARS = 512
+
+
+def _type_name(t) -> str:
+    """@type / itemtype -> bare schema.org type name."""
+    if isinstance(t, list) and t:
+        t = t[0]
+    s = str(t or "").strip()
+    # itemtype is a URL (https://schema.org/Product); @type usually bare
+    return s.rstrip("/").rsplit("/", 1)[-1][:128]
+
+
+def _scalar(v):
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        s = " ".join(v.split())
+        return s[:MAX_VALUE_CHARS] if s else None
+    return None
+
+
+def _walk_ldjson(value, out: list) -> None:
+    """Depth-first entity collection over a parsed JSON-LD value: every
+    dict carrying @type becomes a record (scalar props kept; a nested
+    dict's ``name`` stands in for the object value); @graph and lists
+    recurse."""
+    if len(out) >= MAX_ENTITIES:
+        return
+    if isinstance(value, list):
+        for item in value:
+            _walk_ldjson(item, out)
+        return
+    if not isinstance(value, dict):
+        return
+    t = value.get("@type")
+    if t:
+        props: dict = {}
+        for k, v in value.items():
+            if k.startswith("@") or len(props) >= MAX_PROPS:
+                continue
+            sv = _scalar(v)
+            if sv is None and isinstance(v, dict):
+                # nested entity: its name stands in; the entity itself
+                # is collected as its own record below
+                sv = _scalar(v.get("name"))
+            if sv is None and isinstance(v, list) and v:
+                sv = _scalar(v[0])
+            if sv is not None:
+                props[str(k)[:64]] = sv
+        if len(out) < MAX_ENTITIES:
+            out.append({"source": "ld+json", "type": _type_name(t),
+                        "props": props})
+    for k, v in value.items():
+        if isinstance(v, (dict, list)) and k != "@context":
+            _walk_ldjson(v, out)
+
+
+def from_ldjson_scripts(script_nodes: list) -> list:
+    """``<script type="application/ld+json">`` nodes -> entity records.
+    Malformed JSON skips the block (fallback-not-fail)."""
+    out: list = []
+    for sn in script_nodes:
+        stype = (sn.attrs.get("type") or "").strip().lower()
+        if stype != "application/ld+json":
+            continue
+        text = "".join(c for c in sn.children if type(c) is str)
+        if not text.strip():
+            continue
+        try:
+            # RecursionError too: json.loads (and the walk) recurse on
+            # nesting depth, and a crafted 2000-deep block must skip
+            # like any other malformed payload, not sink the document's
+            # whole rich phase
+            parsed = json.loads(text)
+            _walk_ldjson(parsed, out)
+        except (ValueError, RecursionError):
+            continue
+        if len(out) >= MAX_ENTITIES:
+            break
+    return out
+
+
+def _microdata_value(node: Node):
+    """An itemprop element's value per the microdata spec's
+    tag-specific rules (content attr, href/src carriers, else text)."""
+    attrs = node.attrs
+    if "content" in attrs and attrs.get("content"):
+        return _scalar(attrs["content"])
+    tag = node.tag
+    if tag in ("a", "area", "link") and attrs.get("href"):
+        return _scalar(attrs["href"])
+    if tag in ("img", "audio", "video", "source", "iframe", "embed") \
+            and attrs.get("src"):
+        return _scalar(attrs["src"])
+    if tag == "time" and attrs.get("datetime"):
+        return _scalar(attrs["datetime"])
+    if tag in ("data", "meter") and attrs.get("value"):
+        return _scalar(attrs["value"])
+    return _scalar(node.text_content())
+
+
+def from_microdata(root: Node) -> list:
+    """Microdata items -> entity records.  Each ``itemscope`` element
+    is one record; its props are the ``itemprop`` descendants OUTSIDE
+    any nested itemscope (the nested item is its own record and stands
+    in by its first ``name`` prop, mirroring the JSON-LD walk)."""
+    out: list = []
+    scopes = [n for n in root.iter() if "itemscope" in n.attrs]
+    scope_ids = {id(n) for n in scopes}
+    for scope in scopes[:MAX_ENTITIES]:
+        props: dict = {}
+        # iterative walk (adversarially deep nesting must not blow the
+        # recursion limit — same discipline as Node.text_content)
+        stack = [(ch, False) for ch in reversed(scope.element_children())]
+        while stack:
+            ch, in_nested = stack.pop()
+            nested = id(ch) in scope_ids
+            name = (ch.attrs.get("itemprop") or "").strip()
+            if name and not in_nested and len(props) < MAX_PROPS:
+                if nested:
+                    # nested item: ITS name itemprop stands in
+                    val = None
+                    for inner in ch.iter():
+                        if inner is ch:
+                            continue
+                        if (inner.attrs.get("itemprop") or "") == "name":
+                            val = _microdata_value(inner)
+                            break
+                    if val is not None:
+                        props[name[:64]] = val
+                else:
+                    val = _microdata_value(ch)
+                    if val is not None:
+                        props[name[:64]] = val
+            deeper = in_nested or nested
+            for sub in reversed(ch.element_children()):
+                stack.append((sub, deeper))
+        out.append({
+            "source": "microdata",
+            "type": _type_name(scope.attrs.get("itemtype")),
+            "props": props,
+        })
+    return out

@@ -410,6 +410,28 @@ def _styled_grid(rng: random.Random, lang: str) -> str:
     )
 
 
+def _structured_article(rng: random.Random, lang: str) -> str:
+    """schema.org structured data (round 6): a JSON-LD Article with a
+    nested author entity plus a microdata Product — the author-declared
+    metadata layer a crawl extractor harvests alongside the heuristic
+    families."""
+    price = f"{rng.randint(1, 99)}.{rng.randint(0, 99):02d}"
+    title = _sentence(rng, lang, 4)
+    return (
+        '<script type="application/ld+json">'
+        '{"@context": "https://schema.org", "@type": "Article",'
+        f'"headline": "{title}",'
+        '"datePublished": "2024-03-01",'
+        '"author": {"@type": "Person", "name": "A. Writer"}}'
+        "</script>"
+        '<div itemscope itemtype="https://schema.org/Product">'
+        '<span itemprop="name">Widget</span>'
+        f'<meta itemprop="price" content="{price}">'
+        "</div>"
+        f"<p>{_sentence(rng, lang, 12)}.</p>"
+    )
+
+
 def _gviz_chart(rng: random.Random, lang: str) -> str:
     """Google Charts (the SIXTH dialect): arrayToDataTable row-major
     data with a header row, constructor-typed, options title, plus the
@@ -549,7 +571,7 @@ RICH_ARCHETYPES = [
     "colored_table", "wired_flowchart", "split_grid", "unit_chart",
     "script_chart", "bordered_grid", "highcharts_chart", "aria_grid",
     "plotly_chart", "styled_grid", "responsive_gallery", "vegalite_chart",
-    "gviz_chart",
+    "gviz_chart", "structured_article",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -565,6 +587,7 @@ _RICH_BUILDERS = {
     "responsive_gallery": _responsive_gallery,
     "vegalite_chart": _vegalite_chart,
     "gviz_chart": _gviz_chart,
+    "structured_article": _structured_article,
 }
 
 

@@ -1981,6 +1981,94 @@ def test_make_document_roundtrip():
     assert "keep" in html and len(html) < 10_000
 
 
+def test_structured_data_harvesting():
+    """schema.org structured data (round 6): JSON-LD entities incl.
+    nested @type objects and @graph, microdata items with the
+    spec's tag-specific value rules and nested itemscopes, malformed
+    JSON skipped, caps honored, light mode excludes the family, and
+    the archetype flows end-to-end."""
+    import json
+
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+    from exstruct_spark.kernels.dom import parse_html
+    from exstruct_spark.kernels.structured import (
+        MAX_ENTITIES,
+        from_ldjson_scripts,
+        from_microdata,
+    )
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    html = b"""<html><head>
+    <script type="application/ld+json">
+    {"@context": "https://schema.org", "@graph": [
+      {"@type": "Article", "headline": "Results", "wordCount": 840,
+       "author": {"@type": "Person", "name": "A. Writer"}},
+      {"@type": "BreadcrumbList"}]}
+    </script>
+    <script type="application/ld+json">{broken</script>
+    <script>var notLd = 1;</script>
+    </head><body>
+    <div itemscope itemtype="https://schema.org/Product">
+      <span itemprop="name">Widget</span>
+      <meta itemprop="sku" content="W-42">
+      <img itemprop="image" src="/w.png">
+      <a itemprop="url" href="/widget">more</a>
+      <time itemprop="released" datetime="2024-01-02">Jan 2</time>
+      <div itemprop="offers" itemscope itemtype="https://schema.org/Offer">
+        <span itemprop="name">Deal</span><span itemprop="price">9.99</span>
+      </div>
+    </div></body></html>"""
+    rec = extract_document("http://t/sd", html)
+    sd = json.loads(rec["extraction_json"])["structured_data"]
+    by_type = {e["type"]: e for e in sd}
+    assert set(by_type) == {"Article", "Person", "BreadcrumbList",
+                            "Product", "Offer"}
+    art = by_type["Article"]
+    assert art["source"] == "ld+json"
+    assert art["props"]["headline"] == "Results"
+    assert art["props"]["wordCount"] == 840
+    assert art["props"]["author"] == "A. Writer"  # nested name stands in
+    prod = by_type["Product"]
+    assert prod["source"] == "microdata"
+    assert prod["props"] == {"name": "Widget", "sku": "W-42",
+                             "image": "/w.png", "url": "/widget",
+                             "released": "2024-01-02", "offers": "Deal"}
+    assert by_type["Offer"]["props"] == {"name": "Deal", "price": "9.99"}
+
+    # light mode excludes; entity cap binds
+    rec2 = extract_document("http://t/sd", html,
+                            ExtractOptions.from_mode("light"))
+    assert "structured_data" not in json.loads(rec2["extraction_json"])
+    bomb = "[" + ",".join(
+        '{"@type": "Thing", "name": "x"}' for _ in range(200)) + "]"
+    root = parse_html(
+        f'<script type="application/ld+json">{bomb}</script>')
+    assert len(from_ldjson_scripts(root.find_all("script"))) \
+        == MAX_ENTITIES
+    deep = "<div itemscope>" + "<div>" * 3000 + "<span itemprop='name'>n" \
+        "</span>" + "</div>" * 3000 + "</div>"
+    assert from_microdata(parse_html(deep))[0]["props"] == {"name": "n"}
+    # a 3000-deep JSON block skips (RecursionError tier), it must not
+    # sink the script list's other blocks
+    deep_json = "[" * 3000 + "]" * 3000
+    root2 = parse_html(
+        f'<script type="application/ld+json">{deep_json}</script>'
+        '<script type="application/ld+json">'
+        '{"@type": "Thing", "name": "ok"}</script>')
+    got = from_ldjson_scripts(root2.find_all("script"))
+    assert [e["props"].get("name") for e in got] == ["ok"]
+
+    # archetype end-to-end
+    i = RICH_ARCHETYPES.index("structured_article")
+    page = build_rich_page(i)
+    assert page["archetype"] == "structured_article"
+    rec3 = extract_document(page["url"], page["html"], ExtractOptions())
+    sd3 = json.loads(rec3["extraction_json"])["structured_data"]
+    types = [e["type"] for e in sd3]
+    assert "Article" in types and "Person" in types and "Product" in types
+
+
 def test_base_href_link_resolution():
     """<base href> redirects relative-link absolutization (the HTML
     base-URL rule; first base with an href wins, itself resolved
