@@ -41,6 +41,7 @@ from exstruct_spark.kernels.serialize import canonical_json, sha256_hex
 from exstruct_spark.kernels.shapes import extract_nested_lists, extract_svg_shapes
 from exstruct_spark.kernels.structured import (
     from_ldjson_scripts,
+    from_meta_tags,
     from_microdata,
 )
 from exstruct_spark.kernels.tables import detect_grid_candidates, extract_table
@@ -301,7 +302,8 @@ def extract_document(
             groups: dict = {
                 t: []
                 for t in ("body", "title", "table", "figure", "svg", "a",
-                          "script", "img", "style", "picture", "base")
+                          "script", "img", "style", "picture", "base",
+                          "meta", "link")
             }
             # ul/ol (and section/article) share buckets so document order
             # across kinds is preserved (outer-before-inner claiming)
@@ -552,6 +554,9 @@ def extract_document(
                 entities.extend(from_microdata(root))
                 if entities:
                     extraction["structured_data"] = entities[:64]
+                page_meta = from_meta_tags(groups["meta"], groups["link"])
+                if page_meta:
+                    extraction["page_meta"] = page_meta
 
             if opts.include_sections:
                 sections = _section_views(groups["section"], table_node_ids)

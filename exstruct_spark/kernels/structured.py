@@ -168,3 +168,40 @@ def from_microdata(root: Node) -> list:
             "props": props,
         })
     return out
+
+
+# the meta-tag page-metadata keys a curation pipeline keeps: OpenGraph
+# and Twitter cards pass through by prefix; plus the classic head tags
+_META_NAMES = {"description", "keywords", "author", "robots",
+               "twitter:card", "twitter:title", "twitter:description",
+               "twitter:image", "twitter:site", "twitter:creator"}
+MAX_META = 32
+
+
+def from_meta_tags(meta_nodes: list, link_nodes: list) -> dict:
+    """``<meta>``/``<link>`` head metadata -> one flat dict: OpenGraph
+    (``og:*`` / ``article:*`` properties), Twitter cards, the classic
+    description/keywords/author names, and the canonical link.  First
+    occurrence wins (the browser rule for duplicated metadata);
+    key/value caps bound hostile heads."""
+    out: dict = {}
+    for m in meta_nodes:
+        if len(out) >= MAX_META:
+            break
+        attrs = m.attrs
+        content = attrs.get("content")
+        if not content:
+            continue
+        key = (attrs.get("property") or "").strip().lower()
+        if not (key.startswith("og:") or key.startswith("article:")):
+            key = (attrs.get("name") or "").strip().lower()
+            if key not in _META_NAMES:
+                continue
+        if key and key not in out:
+            out[key[:64]] = " ".join(str(content).split())[:MAX_VALUE_CHARS]
+    for ln in link_nodes:
+        rel = (ln.attrs.get("rel") or "").strip().lower()
+        href = (ln.attrs.get("href") or "").strip()
+        if rel == "canonical" and href and "canonical" not in out:
+            out["canonical"] = href[:MAX_VALUE_CHARS]
+    return out

@@ -2068,6 +2068,25 @@ def test_structured_data_harvesting():
     types = [e["type"] for e in sd3]
     assert "Article" in types and "Person" in types and "Product" in types
 
+    # page_meta: OpenGraph/Twitter/meta/canonical harvesting (first
+    # occurrence wins; non-kept names like viewport excluded)
+    html_m = (b"<html><head>"
+              b"<meta property='og:title' content='Big'>"
+              b"<meta property='og:title' content='dup'>"
+              b"<meta name='description' content='  a  summary '>"
+              b"<meta name='viewport' content='width=device-width'>"
+              b"<meta name='twitter:card' content='summary'>"
+              b"<link rel='canonical' href='https://c.example/x'>"
+              b"</head><body><p>text body here</p></body></html>")
+    pm = json.loads(extract_document("http://t/pm", html_m)
+                    ["extraction_json"])["page_meta"]
+    assert pm == {"og:title": "Big", "description": "a summary",
+                  "twitter:card": "summary",
+                  "canonical": "https://c.example/x"}
+    rec4 = extract_document("http://t/pm", html_m,
+                            ExtractOptions.from_mode("light"))
+    assert "page_meta" not in json.loads(rec4["extraction_json"])
+
 
 def test_base_href_link_resolution():
     """<base href> redirects relative-link absolutization (the HTML
