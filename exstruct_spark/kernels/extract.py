@@ -310,6 +310,7 @@ def extract_document(
             groups["ul"] = groups["ol"] = []
             groups["section"] = groups["article"] = []
             class_positions: dict = {}
+            micro_scopes: list = []
             # document-order table-LIKE elements: <table> plus ARIA
             # role="table"/"grid" declarations (the G7 declared-table
             # twin — extract_table dispatches on the node)
@@ -329,6 +330,8 @@ def extract_document(
                     # extract_table so all three role sites agree (an
                     # element with role="Table" / " table " must be
                     # collected by whoever claims it)
+                    if "itemscope" in attrs:
+                        micro_scopes.append(n)
                     role = (attrs.get("role") or "").strip().lower()
                     if role in ("table", "grid") and n.tag != "table":
                         table_like.append(n)
@@ -550,10 +553,12 @@ def extract_document(
                 # highest-signal metadata a crawl extractor can
                 # harvest — the web analogue of the reference's typed
                 # document models (models/__init__.py)
+                # each family carries its OWN entity cap — a JSON-LD
+                # bomb must not evict the page's microdata records
                 entities = from_ldjson_scripts(groups["script"])
-                entities.extend(from_microdata(root))
+                entities.extend(from_microdata(root, micro_scopes))
                 if entities:
-                    extraction["structured_data"] = entities[:64]
+                    extraction["structured_data"] = entities
                 page_meta = from_meta_tags(groups["meta"], groups["link"])
                 if page_meta:
                     extraction["page_meta"] = page_meta

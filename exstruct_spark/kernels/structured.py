@@ -18,6 +18,7 @@ malformed JSON skipped, never raised).
 from __future__ import annotations
 
 import json
+import math
 
 from exstruct_spark.kernels.dom import Node
 
@@ -38,7 +39,11 @@ def _type_name(t) -> str:
 def _scalar(v):
     if isinstance(v, bool) or v is None:
         return v
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # json.loads accepts NaN/Infinity; emitting them back would
+        # make extraction_json invalid RFC-8259 for strict consumers
+        return v if math.isfinite(v) else None
+    if isinstance(v, int):
         return v
     if isinstance(v, str):
         s = " ".join(v.split())
@@ -72,10 +77,15 @@ def _walk_ldjson(value, out: list) -> None:
                 sv = _scalar(v.get("name"))
             if sv is None and isinstance(v, list) and v:
                 sv = _scalar(v[0])
+                if sv is None and isinstance(v[0], dict):
+                    # multi-author-style list of entities: the first
+                    # one's name stands in, same as the dict form
+                    sv = _scalar(v[0].get("name"))
             if sv is not None:
                 props[str(k)[:64]] = sv
-        if len(out) < MAX_ENTITIES:
-            out.append({"source": "ld+json", "type": _type_name(t),
+        tname = _type_name(t)
+        if tname and len(out) < MAX_ENTITIES:
+            out.append({"source": "ld+json", "type": tname,
                         "props": props})
     for k, v in value.items():
         if isinstance(v, (dict, list)) and k != "@context":
@@ -111,9 +121,12 @@ def _microdata_value(node: Node):
     """An itemprop element's value per the microdata spec's
     tag-specific rules (content attr, href/src carriers, else text)."""
     attrs = node.attrs
-    if "content" in attrs and attrs.get("content"):
-        return _scalar(attrs["content"])
     tag = node.tag
+    # the content-attribute rule applies to <meta> only (microdata
+    # spec); a stray SEO-plugin content attr on a/img/time must not
+    # shadow the tag-specific carriers below
+    if tag == "meta" and attrs.get("content"):
+        return _scalar(attrs["content"])
     if tag in ("a", "area", "link") and attrs.get("href"):
         return _scalar(attrs["href"])
     if tag in ("img", "audio", "video", "source", "iframe", "embed") \
@@ -126,13 +139,34 @@ def _microdata_value(node: Node):
     return _scalar(node.text_content())
 
 
-def from_microdata(root: Node) -> list:
+def _own_name_value(scope: Node, scope_ids: set):
+    """The ``name`` itemprop value belonging to THIS scope (descendants
+    of further nested itemscopes excluded)."""
+    stack = list(reversed(scope.element_children()))
+    while stack:
+        ch = stack.pop()
+        if id(ch) in scope_ids:
+            continue  # a deeper item owns its own subtree
+        if "name" in (ch.attrs.get("itemprop") or "").split():
+            return _microdata_value(ch)
+        for sub in reversed(ch.element_children()):
+            stack.append(sub)
+    return None
+
+
+def from_microdata(root: Node, scopes=None) -> list:
     """Microdata items -> entity records.  Each ``itemscope`` element
     is one record; its props are the ``itemprop`` descendants OUTSIDE
     any nested itemscope (the nested item is its own record and stands
-    in by its first ``name`` prop, mirroring the JSON-LD walk)."""
+    in by its first ``name`` prop, mirroring the JSON-LD walk).
+
+    ``scopes``: pre-collected itemscope nodes in document order (the
+    caller's single traversal already has every node's attrs in hand —
+    passing them keeps the one-parse-per-document discipline); computed
+    here when omitted."""
     out: list = []
-    scopes = [n for n in root.iter() if "itemscope" in n.attrs]
+    if scopes is None:
+        scopes = [n for n in root.iter() if "itemscope" in n.attrs]
     scope_ids = {id(n) for n in scopes}
     for scope in scopes[:MAX_ENTITIES]:
         props: dict = {}
@@ -142,29 +176,31 @@ def from_microdata(root: Node) -> list:
         while stack:
             ch, in_nested = stack.pop()
             nested = id(ch) in scope_ids
-            name = (ch.attrs.get("itemprop") or "").strip()
-            if name and not in_nested and len(props) < MAX_PROPS:
+            # itemprop is a space-separated token LIST per the spec
+            names = (ch.attrs.get("itemprop") or "").split()
+            if names and not in_nested and len(props) < MAX_PROPS:
                 if nested:
-                    # nested item: ITS name itemprop stands in
-                    val = None
-                    for inner in ch.iter():
-                        if inner is ch:
-                            continue
-                        if (inner.attrs.get("itemprop") or "") == "name":
-                            val = _microdata_value(inner)
-                            break
-                    if val is not None:
-                        props[name[:64]] = val
+                    # nested item: ITS OWN name itemprop stands in —
+                    # scan only the nested scope's direct subtree,
+                    # excluding doubly-nested scopes (else a deeper
+                    # item's name wrongly stands in)
+                    val = _own_name_value(ch, scope_ids)
                 else:
                     val = _microdata_value(ch)
-                    if val is not None:
-                        props[name[:64]] = val
+                if val is not None:
+                    for name in names:
+                        if len(props) >= MAX_PROPS:
+                            break
+                        props.setdefault(name[:64], val)
             deeper = in_nested or nested
             for sub in reversed(ch.element_children()):
                 stack.append((sub, deeper))
         out.append({
             "source": "microdata",
-            "type": _type_name(scope.attrs.get("itemtype")),
+            # untyped items keep a stable non-empty type (canonical
+            # serialization strips empty values, and consumers index
+            # records by type)
+            "type": _type_name(scope.attrs.get("itemtype")) or "Item",
             "props": props,
         })
     return out
@@ -197,8 +233,9 @@ def from_meta_tags(meta_nodes: list, link_nodes: list) -> dict:
             key = (attrs.get("name") or "").strip().lower()
             if key not in _META_NAMES:
                 continue
+        key = key[:64]
         if key and key not in out:
-            out[key[:64]] = " ".join(str(content).split())[:MAX_VALUE_CHARS]
+            out[key] = " ".join(str(content).split())[:MAX_VALUE_CHARS]
     for ln in link_nodes:
         rel = (ln.attrs.get("rel") or "").strip().lower()
         href = (ln.attrs.get("href") or "").strip()

@@ -2059,6 +2059,52 @@ def test_structured_data_harvesting():
     got = from_ldjson_scripts(root2.find_all("script"))
     assert [e["props"].get("name") for e in got] == ["ok"]
 
+    # fifth-review findings, pinned: NaN/Infinity floats never reach
+    # the JSON; untyped items get a stable type; list-of-entity props
+    # keep the first name; doubly-nested names don't stand in; a
+    # JSON-LD bomb can't evict microdata; content attrs only carry
+    # values on <meta>; multi-token itemprop fans out
+    nan_html = (b'<html><head><script type="application/ld+json">'
+                b'{"@type":"Thing","x":NaN,"y":1e999,"z":2.5}</script>'
+                b'</head><body><p>t</p></body></html>')
+    ej = extract_document("http://t/n", nan_html)["extraction_json"]
+    json.loads(ej)
+    assert "NaN" not in ej and "Infinity" not in ej
+    r = from_microdata(parse_html(
+        '<div itemscope><span itemprop="name">x</span></div>'))
+    assert r[0]["type"] == "Item"
+    r = from_ldjson_scripts(parse_html(
+        '<script type="application/ld+json">{"@type":"Article",'
+        '"author":[{"@type":"Person","name":"A"}]}</script>'
+    ).find_all("script"))
+    assert r[0]["props"]["author"] == "A"
+    r = from_microdata(parse_html(
+        '<div itemscope itemtype="https://schema.org/Product">'
+        '<div itemprop="offers" itemscope '
+        'itemtype="https://schema.org/Offer">'
+        '<div itemprop="seller" itemscope '
+        'itemtype="https://schema.org/Organization">'
+        '<span itemprop="name">Acme</span></div>'
+        '<span itemprop="name">Deal</span></div></div>'))
+    assert {e["type"]: e for e in r}["Product"]["props"]["offers"] == "Deal"
+    bomb_html = ('<html><head><script type="application/ld+json">['
+                 + ",".join('{"@type":"Thing","name":"x"}'
+                            for _ in range(100))
+                 + ']</script></head><body>'
+                 '<div itemscope itemtype="https://schema.org/Product">'
+                 '<span itemprop="name">W</span></div>'
+                 '<p>t</p></body></html>').encode()
+    sd_b = json.loads(extract_document("http://t/b", bomb_html)
+                      ["extraction_json"])["structured_data"]
+    assert any(e.get("source") == "microdata" for e in sd_b)
+    r = from_microdata(parse_html(
+        '<div itemscope><a itemprop="url" href="/w" content="blob">m'
+        '</a></div>'))
+    assert r[0]["props"]["url"] == "/w"
+    r = from_microdata(parse_html(
+        '<div itemscope><span itemprop="name headline">W</span></div>'))
+    assert r[0]["props"] == {"name": "W", "headline": "W"}
+
     # archetype end-to-end
     i = RICH_ARCHETYPES.index("structured_article")
     page = build_rich_page(i)
