@@ -41,6 +41,7 @@ from exstruct_spark.kernels.serialize import canonical_json, sha256_hex
 from exstruct_spark.kernels.shapes import extract_nested_lists, extract_svg_shapes
 from exstruct_spark.kernels.structured import (
     from_ldjson_scripts,
+    from_link_alternates,
     from_meta_tags,
     from_microdata,
 )
@@ -562,6 +563,9 @@ def extract_document(
                 page_meta = from_meta_tags(groups["meta"], groups["link"])
                 if page_meta:
                     extraction["page_meta"] = page_meta
+                alternates = from_link_alternates(groups["link"])
+                if alternates:
+                    extraction["alternates"] = alternates
 
             if opts.include_sections:
                 sections = _section_views(groups["section"], table_node_ids)

@@ -242,3 +242,30 @@ def from_meta_tags(meta_nodes: list, link_nodes: list) -> dict:
         if rel == "canonical" and href and "canonical" not in out:
             out["canonical"] = href[:MAX_VALUE_CHARS]
     return out
+
+
+MAX_ALTERNATES = 32
+
+
+def from_link_alternates(link_nodes: list) -> list:
+    """``<link rel="alternate" hreflang=...>`` pairs — the canonical
+    cross-language clustering key for a multilingual crawl (CCNet-style
+    dedup joins documents on their declared translation set).  Document
+    order, first occurrence per hreflang wins, capped."""
+    out: list = []
+    seen: set = set()
+    for ln in link_nodes:
+        if len(out) >= MAX_ALTERNATES:
+            break
+        attrs = ln.attrs
+        rels = (attrs.get("rel") or "").lower().split()
+        if "alternate" not in rels:
+            continue
+        hreflang = (attrs.get("hreflang") or "").strip().lower()
+        href = (attrs.get("href") or "").strip()
+        if not hreflang or not href or hreflang in seen:
+            continue
+        seen.add(hreflang)
+        out.append({"hreflang": hreflang[:32],
+                    "href": href[:MAX_VALUE_CHARS]})
+    return out

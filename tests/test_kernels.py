@@ -2133,6 +2133,19 @@ def test_structured_data_harvesting():
                             ExtractOptions.from_mode("light"))
     assert "page_meta" not in json.loads(rec4["extraction_json"])
 
+    # hreflang alternates: the multilingual-crawl clustering key;
+    # first per language wins, non-hreflang alternates excluded
+    html_a = (b"<html><head>"
+              b"<link rel='alternate' hreflang='en' href='/en'>"
+              b"<link rel='alternate' hreflang='JA' href='/ja'>"
+              b"<link rel='alternate' hreflang='en' href='/dup'>"
+              b"<link rel='alternate' type='application/rss+xml' "
+              b"href='/feed'></head><body><p>t</p></body></html>")
+    alts = json.loads(extract_document("http://t/a", html_a)
+                      ["extraction_json"])["alternates"]
+    assert alts == [{"hreflang": "en", "href": "/en"},
+                    {"hreflang": "ja", "href": "/ja"}]
+
 
 def test_base_href_link_resolution():
     """<base href> redirects relative-link absolutization (the HTML
