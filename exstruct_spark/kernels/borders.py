@@ -12,10 +12,22 @@ same cluster detector the structural signal does.
 This module answers one question per element: does it declare a VISIBLE
 border?  Heuristic CSS evaluation (not a CSS engine), deterministic:
 
-  * ``border`` attribute: integer > 0 (the HTML presentational hint);
-  * style declarations whose property is ``border``, ``border-top/right/
-    bottom/left``, ``border-style`` or ``border-width``: visible unless
-    the value contains ``none``/``hidden`` or every numeric token is 0.
+  * style declarations resolve per-side LAST-WINS (ADVICE r6): each of
+    the four sides tracks a width facet and a style facet; ``border``
+    and ``border-top/right/bottom/left`` shorthands set both facets,
+    ``border[-side]-width`` / ``border[-side]-style`` set one.  A side
+    is visible when neither facet was last set invisible and at least
+    one was last set visible — so a later ``border: none`` (inline or
+    higher-priority rule, already ordered by kernels/css.py) really
+    resets an earlier visible border;
+  * a declaration's own visibility verdict: invisible when the value
+    contains ``none``/``hidden`` or every numeric token is 0, else
+    visible (``border-width: 1px`` alone stays visible — the
+    deliberate heuristic, browsers' initial ``style: none`` is NOT
+    modeled);
+  * ``border`` attribute: integer > 0 (the HTML presentational hint) —
+    consulted only when NO style declaration touched any border facet
+    (CSS beats presentational hints in the real cascade).
 """
 
 from __future__ import annotations
@@ -23,10 +35,12 @@ from __future__ import annotations
 import re
 
 _BORDER_PROP_RE = re.compile(
-    r"^border(?:-(?:top|right|bottom|left))?(?:-(?:width|style))?$"
+    r"^border(?:-(top|right|bottom|left))?(?:-(width|style))?$"
 )
 _NUM_TOK_RE = re.compile(r"^[\d.]+[a-z%]*$")
 _ZERO_TOK_RE = re.compile(r"^0*\.?0*(?:px|pt|em|rem|%|in|cm|mm)?$")
+
+_SIDES = ("top", "right", "bottom", "left")
 
 
 def _value_visible(value: str) -> bool:
@@ -45,20 +59,53 @@ def has_visible_border(attrs: dict) -> bool:
     """True when the element's attributes declare a visible border."""
     if not attrs:
         return False
-    b = attrs.get("border")
-    if b is not None:
-        try:
-            if int(str(b).strip()) > 0:
-                return True
-        except ValueError:
-            pass
     style = attrs.get("style")
-    if not style:
-        return False
-    for decl in style.split(";"):
-        prop, sep, val = decl.partition(":")
-        if not sep:
-            continue
-        if _BORDER_PROP_RE.match(prop.strip().lower()) and _value_visible(val):
-            return True
+    touched = False
+    if style:
+        # per-side (width, style) facets, last declaration wins; None =
+        # unset.  The merged style string from kernels/css.py is already
+        # in cascade order, so a plain in-order fold IS the cascade.
+        w: dict = dict.fromkeys(_SIDES)
+        s: dict = dict.fromkeys(_SIDES)
+        for decl in style.split(";"):
+            prop, sep, val = decl.partition(":")
+            if not sep:
+                continue
+            m = _BORDER_PROP_RE.match(prop.strip().lower())
+            if not m:
+                continue
+            touched = True
+            side, facet = m.group(1), m.group(2)
+            vis = _value_visible(val)
+            sides = (side,) if side else _SIDES
+            if facet is None and not vis and any(
+                t in ("none", "hidden") for t in val.lower().split()
+            ):
+                # shorthand 'none'/'hidden': style -> none, width ->
+                # initial (medium, i.e. unset) — a later per-side
+                # border-X-style: solid must become visible again
+                for sd in sides:
+                    s[sd] = False
+                    w[sd] = None
+                continue
+            for sd in sides:
+                if facet != "style":
+                    w[sd] = vis
+                if facet != "width":
+                    s[sd] = vis
+        if touched:
+            for sd in _SIDES:
+                ws, ss = w[sd], s[sd]
+                if ws is False or ss is False:
+                    continue
+                if ws or ss:
+                    return True
+    if not touched:
+        b = attrs.get("border")
+        if b is not None:
+            try:
+                if int(str(b).strip()) > 0:
+                    return True
+            except ValueError:
+                pass
     return False

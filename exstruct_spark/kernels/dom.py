@@ -66,7 +66,8 @@ class Node:
     trees (``doc_nodes is None``) fall back to an explicit-stack walk.
     """
 
-    __slots__ = ("tag", "attrs", "children", "doc_nodes", "i0", "i1")
+    __slots__ = ("tag", "attrs", "children", "doc_nodes", "i0", "i1",
+                 "parent")
 
     def __init__(self, tag: str, attrs: Optional[dict] = None):
         self.tag = tag
@@ -75,6 +76,11 @@ class Node:
         self.doc_nodes = None
         self.i0 = 0
         self.i1 = 0
+        # ancestor link for CSS combinator matching (kernels/css.py).
+        # Set by the parser; manually built trees may leave it None, in
+        # which case combinator rules simply never match (deterministic
+        # under-match, same contract as unsupported selectors).
+        self.parent: Optional["Node"] = None
 
     # -- traversal -------------------------------------------------------
     def _subtree(self) -> list:
@@ -220,6 +226,7 @@ class _TreeBuilder(HTMLParser):
         i0 = len(self.doc_nodes)
         node.i0 = i0
         node.i1 = i0 + 1  # leaf until its scope closes
+        node.parent = self.stack[-1]
         self.stack[-1].children.append(node)
         self.doc_nodes.append(node)
         return node
@@ -377,6 +384,7 @@ def _parse_html_fast(html: str) -> Node:
             i0 = len(doc_nodes)
             node.i0 = i0
             node.i1 = i0 + 1  # leaf until proven otherwise (scope close)
+            node.parent = stack[-1]
             stack[-1].children.append(node)
             add_node(node)
             if self_close or tag in VOID_ELEMENTS:

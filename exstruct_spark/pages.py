@@ -410,6 +410,30 @@ def _styled_grid(rng: random.Random, lang: str) -> str:
     )
 
 
+def _styled_grid_descendant(rng: random.Random, lang: str) -> str:
+    """Combinator-styled twin (VERDICT r6 Missing #1 done-criterion):
+    the border and fill signals are reachable ONLY through descendant/
+    child combinator rules — the cells themselves carry no class — which
+    is how most real crawled tables are styled (``table.pricing td``
+    style rules, cells rarely classed)."""
+    widths = [3, 5, 3, 1]
+    rows = []
+    for r, w in enumerate(widths):
+        cells = "".join(
+            f"<div>{rng.randint(1, 99)}</div>" if r or c == 0
+            else f"<div>h{c}</div>"
+            for c in range(w)
+        )
+        rows.append(f"<div>{cells}</div>")
+    return (
+        "<style>div.pricing > div > div { border: 1px solid #888 } "
+        "#prices th { background-color: #00CCFF }</style>"
+        "<div class='pricing'>" + "".join(rows) + "</div>"
+        "<table id='prices'><tr><th>k</th><th>v</th></tr>"
+        f"<tr><td>rows</td><td>{sum(widths)}</td></tr></table>"
+    )
+
+
 def _structured_article(rng: random.Random, lang: str) -> str:
     """schema.org structured data (round 6): a JSON-LD Article with a
     nested author entity plus a microdata Product — the author-declared
@@ -571,7 +595,7 @@ RICH_ARCHETYPES = [
     "colored_table", "wired_flowchart", "split_grid", "unit_chart",
     "script_chart", "bordered_grid", "highcharts_chart", "aria_grid",
     "plotly_chart", "styled_grid", "responsive_gallery", "vegalite_chart",
-    "gviz_chart", "structured_article",
+    "gviz_chart", "structured_article", "styled_grid_descendant",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -588,6 +612,7 @@ _RICH_BUILDERS = {
     "vegalite_chart": _vegalite_chart,
     "gviz_chart": _gviz_chart,
     "structured_article": _structured_article,
+    "styled_grid_descendant": _styled_grid_descendant,
 }
 
 

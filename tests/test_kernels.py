@@ -1032,6 +1032,40 @@ def test_has_visible_border():
     for attrs in no:
         assert not has_visible_border(attrs or {}), attrs
 
+    # per-side LAST-WINS (ADVICE r6): a later reset really overrides —
+    # the merged style string from kernels/css.py is in cascade order
+    yes_cascade = [
+        # reset then re-enable one side
+        {"style": "border: none; border-top: 1px solid"},
+        # shorthand none resets style but width reverts to initial
+        # (medium): a later per-side style revives the border
+        {"style": "border: none; border-top-style: solid"},
+        # width zeroed then a full side shorthand re-enables
+        {"style": "border-width: 0; border-left: 2px dashed"},
+        # only one side killed, the other three survive
+        {"style": "border: 1px solid; border-top: none"},
+        # CSS border info wins over the presentational hint
+        {"border": "0", "style": "border: 1px solid"},
+    ]
+    no_cascade = [
+        # inline/late 'none' overrides an earlier visible border
+        {"style": "border: 1px solid; border: none"},
+        # late width zero kills all sides
+        {"style": "border: 1px solid; border-width: 0"},
+        # late style none kills all sides
+        {"style": "border: 1px solid; border-style: none"},
+        # per-side kills covering all four sides
+        {"style": "border: 1px solid; border-top: none;"
+                  "border-right: none; border-bottom: 0;"
+                  "border-left: hidden"},
+        # CSS 'none' beats border="1" (real-cascade priority)
+        {"border": "1", "style": "border: none"},
+    ]
+    for attrs in yes_cascade:
+        assert has_visible_border(attrs), attrs
+    for attrs in no_cascade:
+        assert not has_visible_border(attrs), attrs
+
 
 def test_border_signal_detects_nonuniform_div_grid():
     """A bordered div layout whose rows have NON-uniform child counts
@@ -1754,23 +1788,30 @@ def test_css_rule_parsing_and_precedence():
       .a { background-color: red }
       td.b, #x { background: blue; padding: 4px }
       @media print { .a { background-color: white } }
-      div > .c { background: green }   /* combinator: skipped */
+      div > .c { background: green }   /* child combinator: kept */
       .d:hover { background: green }   /* pseudo: skipped */
       .e { color: green }              /* no kept props: dropped */
       .f { border: 1px solid !important }
+      ul + p { background: red }       /* sibling comb: skipped */
+      a b c d e { background: red }    /* chain > MAX_CHAIN: skipped */
     """)
-    assert [(sel, [p for p, _ in decls]) for sel, decls in rules] == [
-        ((None, ("a",), None), ["background-color"]),
-        (("td", ("b",), None), ["background"]),
-        ((None, (), "x"), ["background"]),
-        ((None, ("f",), None), ["border"]),
+    assert [
+        (chain, combs, spec, [p for p, _ in decls])
+        for (chain, combs, spec), decls in rules
+    ] == [
+        (((None, ("a",), None),), (), (0, 1, 0), ["background-color"]),
+        ((("td", ("b",), None),), (), (0, 1, 1), ["background"]),
+        (((None, (), "x"),), (), (1, 0, 0), ["background"]),
+        ((("div", (), None), (None, ("c",), None)), (">",),
+         (0, 1, 1), ["background"]),
+        (((None, ("f",), None),), (), (0, 1, 0), ["border"]),
     ]
     # a stray unpaired quote inside a block is a literal, not an
     # everything-swallowing string (third-review finding)
     r = parse_css_rules(
         "@media screen { a::after { content: it's } } p { background: red }")
-    assert len(r) == 1 and r[0][0][0] == "p"
-    assert rules[3][1] == [("border", "1px solid")]  # !important stripped
+    assert len(r) == 1 and r[0][0][0] == (("p", (), None),)
+    assert rules[4][1] == [("border", "1px solid")]  # !important stripped
 
     def cell(html):
         return parse_html(html).find_first("td")
@@ -1848,6 +1889,106 @@ def test_styled_grid_matches_inline_twin():
     declared = tables[kinds.index((None, None))]
     assert declared["colors_map"] == {"FFEE00": [[1, 0]]}
     bordered = tables[kinds.index(("grid", "border"))]
+    assert bordered["range"] == "A1:E4"
+
+
+def test_css_combinators_and_specificity():
+    """VERDICT r6 #1 done-criterion: descendant/child combinator rules
+    match against the ancestor path, cascade order is (specificity,
+    document order) with id > class > tag, and the combinator-only
+    archetype extracts identically to its inline twin."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.kernels.colors import cell_background
+    from exstruct_spark.kernels.css import StyleResolver
+    from exstruct_spark.kernels.dom import parse_html
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    def resolver(css_text):
+        root = parse_html(f"<style>{css_text}</style>")
+        return StyleResolver(root.find_all("style"))
+
+    # --- combinator matching against the real ancestor path ---------
+    css = resolver(
+        "table.pricing td { background: red }"
+        ".outer > .inner { background: blue }"
+        "div td { background: lime }")
+    doc = parse_html(
+        "<table class='pricing'><tr><td id='a'>x</td></tr></table>"
+        "<table><tr><td id='b'>y</td></tr></table>"
+        "<div class='outer'><p class='inner' id='c'></p>"
+        "<span><p class='inner' id='d'></p></span></div>"
+        "<div><table><tr><td id='e'>z</td></tr></table></div>")
+    by_id = {n.get("id"): n for n in doc.iter() if n.get("id")}
+    # td under table.pricing matches; td under a bare table does not
+    assert cell_background(css.effective_attrs(by_id["a"])) == "FF0000"
+    assert css.effective_attrs(by_id["b"]) is by_id["b"].attrs
+    # child combinator: direct child matches, grandchild does not
+    assert cell_background(css.effective_attrs(by_id["c"])) == "0000FF"
+    assert css.effective_attrs(by_id["d"]) is by_id["d"].attrs
+    # descendant combinator spans multiple levels
+    assert cell_background(css.effective_attrs(by_id["e"])) == "00FF00"
+
+    # --- specificity: id > class > tag, doc order breaks ties --------
+    spec = resolver(
+        "#win { background: green }"      # id: wins despite doc order
+        "td.x { background: blue }"       # 1 class + 1 tag
+        ".x { background: red }"          # 1 class: loses to td.x
+        "td { background: yellow }")      # tag only: lowest
+    cell = parse_html("<td class='x' id='win'>v</td>").find_first("td")
+    assert cell_background(spec.effective_attrs(cell)) == "008000"
+    cell2 = parse_html("<td class='x'>v</td>").find_first("td")
+    assert cell_background(spec.effective_attrs(cell2)) == "0000FF"
+    cell3 = parse_html("<td>v</td>").find_first("td")
+    assert cell_background(spec.effective_attrs(cell3)) == "FFFF00"
+    # equal specificity: document-order last-wins (unchanged contract)
+    tie = resolver(".t { background: red } .t { background: lime }")
+    cell4 = parse_html("<td class='t'>v</td>").find_first("td")
+    assert cell_background(tie.effective_attrs(cell4)) == "00FF00"
+    # a combinator chain's specificity counts ALL compounds: div .y
+    # (tag+class) beats .y (class) regardless of document order
+    chain = resolver(".y { background: red } div .y { background: lime }")
+    cell5 = parse_html(
+        "<div><td class='y'>v</td></div>").find_first("td")
+    assert cell_background(chain.effective_attrs(cell5)) == "00FF00"
+
+    # --- twin identity: combinator-styled grid == inline twin --------
+    def grid(rows_markup, head=""):
+        return (f"<html><head>{head}</head><body>"
+                + rows_markup + "</body></html>").encode()
+
+    vals = [[7, 8, 9], [1, 2, 3, 4, 5], [4, 5, 6], [2]]
+    inline = "<div>" + "".join(
+        "<div>" + "".join(
+            f"<div style='border:1px solid #888'>{v}</div>" for v in row
+        ) + "</div>" for row in vals) + "</div>"
+    combi = "<div class='pricing'>" + "".join(
+        "<div>" + "".join(f"<div>{v}</div>" for v in row) + "</div>"
+        for row in vals) + "</div>"
+    rec_i = extract_document("http://t/c", grid(inline))
+    rec_c = extract_document("http://t/c", grid(
+        combi,
+        head="<style>div.pricing > div > div "
+             "{ border: 1px solid #888 }</style>"))
+    ti = json.loads(rec_i["extraction_json"])["tables"]
+    tc = json.loads(rec_c["extraction_json"])["tables"]
+    assert ti == tc and ti[0]["range"] == "A1:E4"
+
+    # archetype end-to-end: combinator border grid + id-scoped th fill
+    i = RICH_ARCHETYPES.index("styled_grid_descendant")
+    page = build_rich_page(i)
+    assert page["archetype"] == "styled_grid_descendant"
+    rec = extract_document(page["url"], page["html"], ExtractOptions())
+    ex = json.loads(rec["extraction_json"])
+    kinds = [(t.get("kind"), t.get("signal")) for t in ex["tables"]]
+    assert ("grid", "border") in kinds
+    assert (None, None) in kinds
+    declared = ex["tables"][kinds.index((None, None))]
+    # same coordinate convention the styled_grid twin pins: header row
+    # cells land at [[1, 0], [1, 1]]
+    assert declared["colors_map"] == {"00CCFF": [[1, 0], [1, 1]]}
+    bordered = ex["tables"][kinds.index(("grid", "border"))]
     assert bordered["range"] == "A1:E4"
 
 
