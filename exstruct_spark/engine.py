@@ -76,11 +76,133 @@ def default_session(
     )
 
 
+# -- external-stylesheet corpus join (VERDICT r6 #2) -------------------------
+# <link rel=stylesheet href> is unread by the pure per-page extractor, yet
+# the crawl CONTAINS most of those CSS files as its own documents.  This is
+# the genuinely Spark-shaped operator the single-process reference cannot
+# have: a cheap JVM-regex harvest pass over the pages, an equi-join of the
+# harvested refs against the corpus's stylesheet documents (broadcast when
+# the css side fits — it is a tiny fraction of any real crawl), and a
+# per-page collect in link order.  The joined sheet texts ride the SAME
+# Arrow batch into the fused extraction stage, where kernels/css.py merges
+# them below same-document <style> rules.  At 10^12 docs: the harvest is
+# scan-local (whole-stage codegen, no Python), the refs->css join shuffles
+# only the refs (pages that actually link sheets), and the pages<-sheets
+# left join keys on url — the same key extract_stage repartitions by, so
+# AQE/exchange reuse co-locates it.
+
+_LINK_TAG_RE = r"(?i)<link\b[^>]*>"
+_BASE_HREF_RE = "(?i)<base\\b[^>]*?\\bhref\\s*=\\s*[\"']?([^\"'\\s>]+)"
+_HREF_RE = "(?i)\\bhref\\s*=\\s*[\"']?([^\"'\\s>]+)"
+_REL_STYLESHEET_RE = "(?i)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bstylesheet\\b"
+_CSS_URL_RE = r"(?i)\.css([?#].*)?$"
+
+
+def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
+    """Pass-1 harvest: pages -> (url, link_order, css_url).
+
+    Pure JVM (regexp over ``cast(html as string)`` — tolerant of non-UTF8
+    bytes, unlike ``decode``) except the final href resolution, which is
+    one Arrow-batched pandas UDF over the already-tiny harvested rows
+    (a few per page, zero for most).  The regex harvest is deliberately
+    permissive; the authoritative per-page list (exact DOM walk, base
+    resolution, first-wins dedup) is the ``stylesheets`` extraction
+    field — at join time permissive is correct because a harvested URL
+    that matches no corpus document simply drops out of the inner join.
+    """
+    import pandas as pd  # noqa: F811 (kernel import pattern)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _resolve(page_url: pd.Series, base_href: pd.Series,
+                 href: pd.Series) -> pd.Series:
+        from urllib.parse import urljoin
+
+        out = []
+        for u, b, h in zip(page_url, base_href, href):
+            try:
+                base = urljoin(u or "", b) if b else (u or "")
+                out.append(urljoin(base, h or ""))
+            except ValueError:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    html_s = F.col("html").cast("string")
+    tags = pages.select(
+        "url",
+        F.regexp_extract(html_s, _BASE_HREF_RE, 1).alias("base_href"),
+        F.posexplode(
+            F.regexp_extract_all(html_s, F.lit(_LINK_TAG_RE), 0)
+        ).alias("link_order", "tag"),
+    )
+    refs = (
+        tags.where(F.col("tag").rlike(_REL_STYLESHEET_RE))
+        .select(
+            "url", "base_href", "link_order",
+            F.regexp_extract("tag", _HREF_RE, 1).alias("href"),
+        )
+        .where(F.col("href") != "")
+        .select(
+            "url", "link_order",
+            _resolve("url", "base_href", "href").alias("css_url"),
+        )
+        .where(F.col("css_url").isNotNull())
+    )
+    # same sheet linked twice: keep the first position (kernel parity)
+    return refs.groupBy("url", "css_url").agg(
+        F.min("link_order").alias("link_order")
+    )
+
+
+def attach_external_css(
+    pages: DataFrame,
+    css_docs: Optional[DataFrame] = None,
+    broadcast_css: bool = True,
+) -> DataFrame:
+    """pages (url, html, ...) -> same + ``external_css array<string>``.
+
+    ``css_docs``: the corpus's stylesheet documents as (url, html) — by
+    default derived from ``pages`` itself by url shape (``*.css``).
+    ``broadcast_css``: hint that the distinct stylesheet side fits in
+    memory (true on any real crawl slice — sheets are a small fraction
+    of pages and heavily shared); pass False to let AQE pick the
+    strategy for a css-heavy corpus.
+    """
+    refs = harvest_stylesheet_refs(pages)
+    if css_docs is None:
+        css_docs = pages.where(F.col("url").rlike(_CSS_URL_RE))
+    sheets = css_docs.select(
+        F.col("url").alias("css_url"),
+        F.col("html").cast("string").alias("css_text"),
+    )
+    right = F.broadcast(sheets) if broadcast_css else sheets
+    per_page = (
+        refs.join(right, "css_url", "inner")
+        .groupBy("url")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("link_order").alias("o"),
+                        F.col("css_text").alias("t"),
+                    )
+                )
+            ).alias("ordered")
+        )
+        .select(
+            "url",
+            F.expr("transform(ordered, s -> s.t)").alias("external_css"),
+        )
+    )
+    return pages.join(per_page, "url", "left")
+
+
 def extract_stage(
     pages: DataFrame,
     opts: ExtractOptions = ExtractOptions(),
     repartition_to: Optional[int] = None,
     passthrough: tuple = (),
+    use_external_css: bool = False,
 ) -> DataFrame:
     """The fused extraction transform: pages df -> extraction df.
 
@@ -94,6 +216,10 @@ def extract_stage(
     verbatim (lang, archetype, warc_ts, url_bucket, ...).  At 10^12 docs a
     downstream re-join on url to recover these is a full extra shuffle —
     carrying them through the same batch is free.
+
+    ``use_external_css``: the input carries an ``external_css`` column
+    (from ``attach_external_css``) — ride it into the batch so the
+    kernel's StyleResolver sees corpus-joined stylesheet rules.
     """
     df = pages
     if repartition_to:
@@ -129,7 +255,8 @@ def extract_stage(
                 out[col] = pdf[col].values
             yield out
 
-    return df.select("url", "html", *passthrough).mapInPandas(
+    extra_in = ("external_css",) if use_external_css else ()
+    return df.select("url", "html", *extra_in, *passthrough).mapInPandas(
         run, schema=EXTRACT_WITH_PARTITION_DDL + pass_ddl
     )
 

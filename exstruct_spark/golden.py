@@ -45,10 +45,22 @@ def extract_pdf(pdf: pd.DataFrame, opts: ExtractOptions = ExtractOptions()) -> p
     This exact function body runs inside the Spark ``mapInPandas`` stage;
     calling it directly on a pandas frame is the reference extractor.
     """
-    records = [
-        extract_document(url, html, opts)
-        for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist())
-    ]
+    if "external_css" in pdf.columns:
+        # corpus-joined stylesheet texts (engine.attach_external_css):
+        # per-row list of sheet strings in link order, None when the
+        # page linked no sheet present in the corpus
+        records = [
+            extract_document(url, html, opts, external_css=ext)
+            for url, html, ext in zip(
+                pdf["url"].tolist(), pdf["html"].tolist(),
+                pdf["external_css"].tolist(),
+            )
+        ]
+    else:
+        records = [
+            extract_document(url, html, opts)
+            for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist())
+        ]
     return pd.DataFrame(records, columns=GOLDEN_COLUMNS)
 
 

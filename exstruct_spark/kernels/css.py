@@ -11,8 +11,12 @@ blind exactly where the reference is not (VERDICT r5 Missing #1).
 
 This is deliberately NOT a CSS engine.  The contract:
 
-  * same-document ``<style>`` blocks only (external sheets are not
-    fetched — the extractor is a pure function of the page bytes);
+  * same-document ``<style>`` blocks, plus OPTIONAL external-sheet
+    rules supplied by the corpus join (engine.attach_external_css —
+    the crawl itself contains most linked CSS files as documents; the
+    extractor never fetches anything, it stays a pure function of its
+    inputs).  External rules cascade below same-document rules at
+    equal specificity, matching real link-before-style page layout;
   * simple selectors: ``tag``, ``.class``, ``#id`` and compounds
     (``td.cell``, ``.a.b``, ``table#prices``), chained by descendant
     and child combinators (``table.pricing td``, ``.data > tr > td``)
@@ -239,6 +243,28 @@ def parse_css_rules(css: str) -> list:
                     if len(rules) >= MAX_RULES:
                         break
         i = e + 1
+    return rules
+
+
+MAX_EXTERNAL_SHEETS = 8  # per document, in link order
+
+
+def rules_from_sheets(sheets) -> list:
+    """External stylesheet texts (corpus join, link order) -> parsed
+    rules under the same byte/rule caps as same-document ``<style>``
+    blocks.  Returns [] for None/empty input (the common case)."""
+    if not sheets:
+        return []
+    budget = MAX_CSS_BYTES
+    rules: list = []
+    for text in list(sheets)[:MAX_EXTERNAL_SHEETS]:
+        if budget <= 0 or len(rules) >= MAX_RULES:
+            break
+        if not text or not isinstance(text, str):
+            continue  # a None/empty sheet must not drop later ones
+        chunk = text[:budget]
+        budget -= len(chunk)
+        rules.extend(parse_css_rules(chunk)[: MAX_RULES - len(rules)])
     return rules
 
 

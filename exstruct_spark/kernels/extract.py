@@ -29,7 +29,7 @@ from exstruct_spark.config import ExtractOptions
 from exstruct_spark.kernels.areas import area_views, auto_areas
 from exstruct_spark.kernels.boilerplate import extract_main_text
 from exstruct_spark.kernels.charts import extract_charts
-from exstruct_spark.kernels.css import build_resolver
+from exstruct_spark.kernels.css import build_resolver, rules_from_sheets
 from exstruct_spark.kernels.dom import (
     Node,
     decode_html_bytes,
@@ -215,6 +215,32 @@ def normalize_url(href: str) -> str:
     return urlunsplit((parts.scheme.lower(), netloc, path, parts.query, ""))
 
 
+_MAX_STYLESHEET_REFS = 16  # per document, link order
+
+
+def _stylesheet_refs(link_nodes: list, base_url: str) -> list:
+    """Resolved ``<link rel=stylesheet href>`` URLs in document order —
+    the per-page key set the external-CSS corpus join
+    (engine.attach_external_css) resolves against.  Deduplicated
+    first-wins; capped (caps-not-crashes)."""
+    out: list = []
+    seen: set = set()
+    for ln in link_nodes:
+        attrs = ln.attrs
+        rel = (attrs.get("rel") or "").strip().lower()
+        if "stylesheet" in rel.split():
+            href = (attrs.get("href") or "").strip()
+            if not href:
+                continue
+            resolved = urljoin(base_url, href)
+            if resolved not in seen:
+                seen.add(resolved)
+                out.append(resolved)
+                if len(out) >= _MAX_STYLESHEET_REFS:
+                    break
+    return out
+
+
 def _links_map(anchors: list, base_url: str = "", absolutize: bool = False,
                normalize: bool = False) -> dict:
     """href -> POSITIONS over content links: the true inverted-index shape
@@ -243,13 +269,20 @@ def _links_map(anchors: list, base_url: str = "", absolutize: bool = False,
 
 
 def extract_document(
-    url: str, html_bytes: Optional[bytes], opts: ExtractOptions = _DEFAULT_OPTS
+    url: str, html_bytes: Optional[bytes], opts: ExtractOptions = _DEFAULT_OPTS,
+    external_css=None,
 ) -> dict:
     """One document -> flat result record (plain Python scalars only).
 
     Returns keys: url, status ('ok'|'fallback'), fallback_reason,
     main_text, extraction_json, text_sha256, json_sha256, n_tables,
     n_shapes, n_arrows, n_charts, n_lists, n_links, bytes_in, truncated.
+
+    ``external_css``: optional list of stylesheet TEXTS for this page
+    (link order), resolved by the corpus join (engine.attach_external_css
+    — the crawl contains most linked CSS files as its own documents).
+    They feed the same StyleResolver as same-document ``<style>`` blocks,
+    cascading below them at equal specificity.
     """
     raw = html_bytes or b""
     bytes_in = len(raw)
@@ -271,6 +304,11 @@ def extract_document(
             if pdf["n_pages"]:
                 extraction["n_pages"] = pdf["n_pages"]
             extraction["approximation_level"] = pdf["approximation_level"]
+            stats = pdf.get("stream_stats")
+            if stats and (stats["corrupt"] or stats["truncated"]):
+                # no-silent-caps: corrupt/over-cap streams are visible
+                # in the extraction record, not just dropped
+                extraction["stream_stats"] = stats
             main_text = unicodedata.normalize("NFC", pdf["text"])
         except Exception as exc:
             status = "fallback"
@@ -358,7 +396,24 @@ def extract_document(
             # twin of the reference's indirect-styling resolution
             # (theme/indexed colors, core/cells.py:578-686).  Shared
             # empty resolver when the page has no <style>: zero cost.
-            css = build_resolver(groups["style"])
+            # External sheets (corpus join) cascade below <style>.
+            # (length test, not truthiness: Arrow hands list columns to
+            # the kernel as numpy arrays, whose bool() is ambiguous)
+            css = build_resolver(
+                groups["style"],
+                rules_from_sheets(external_css)
+                if external_css is not None and len(external_css)
+                else None,
+            )
+
+            # <base href>: the FIRST base with an href wins (HTML spec);
+            # resolved once, shared by stylesheet + link resolution
+            effective_base = url
+            for b in groups["base"]:
+                b_href = (b.attrs.get("href") or "").strip()
+                if b_href:
+                    effective_base = urljoin(url, b_href)
+                    break
 
             if opts.include_tables:
                 tables = []
@@ -479,15 +534,6 @@ def extract_document(
                 n_lists = len(lists)
 
             if opts.include_links:
-                # <base href>: relative links resolve against the
-                # document's declared base, itself resolved against the
-                # url (HTML spec: the FIRST base with an href wins)
-                effective_base = url
-                for b in groups["base"]:
-                    b_href = (b.attrs.get("href") or "").strip()
-                    if b_href:
-                        effective_base = urljoin(url, b_href)
-                        break
                 links = _links_map(
                     groups["a"], effective_base, opts.absolutize_links,
                     opts.normalize_links,
@@ -566,6 +612,9 @@ def extract_document(
                 alternates = from_link_alternates(groups["link"])
                 if alternates:
                     extraction["alternates"] = alternates
+                sheets = _stylesheet_refs(groups["link"], effective_base)
+                if sheets:
+                    extraction["stylesheets"] = sheets
 
             if opts.include_sections:
                 sections = _section_views(groups["section"], table_node_ids)

@@ -9,18 +9,28 @@ one, and marks the result as an approximation:
 
   * uncompressed text-showing operators: ``(string) Tj`` and
     ``[(s1) (s2)] TJ`` arrays, with PDF string escapes decoded;
+  * FlateDecode content streams (VERDICT r6 #3): ``stream…endstream``
+    blocks whose object dictionary declares ``/FlateDecode`` are
+    zlib-inflated (stdlib) under per-stream/per-document output caps —
+    nearly every real PDF since 1.2 compresses its streams, so without
+    this the route is metadata-only on the overwhelming majority of
+    crawl PDFs — then the same Tj/TJ harvest runs over the inflated
+    bytes.  Corrupt streams are skipped, decompression bombs are
+    truncated at the cap, and both are COUNTED in the result's
+    ``stream_stats`` (the no-silent-caps discipline);
   * document metadata from the /Info dictionary (Title, Author) when
     stored as plain literal strings;
   * page count from ``/Type /Page`` occurrences.
 
-Compressed (FlateDecode) content streams yield no text -> the document
-degrades to metadata-only with ``approximation_level`` marking it, never
-failing the job (fallback-not-fail, reference core/pipeline.py:1097).
+Streams with other filters (DCT, LZW, crypt) still yield no text -> the
+document degrades to metadata-only with ``approximation_level`` marking
+it, never failing the job (fallback-not-fail, core/pipeline.py:1097).
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
 _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
 _TJ_ARRAY_RE = re.compile(rb"\[((?:[^\[\]\\]|\\.)*)\]\s*TJ")
@@ -66,32 +76,103 @@ def is_pdf(raw: bytes) -> bool:
     return raw[:5] == b"%PDF-"
 
 
+# caps-not-crashes: bound what one adversarial PDF can demand
+MAX_STREAMS = 256               # inflated streams per document
+MAX_INFLATED_PER_STREAM = 1 << 22   # 4 MiB
+MAX_INFLATED_TOTAL = 1 << 24        # 16 MiB per document
+
+_STREAM_RE = re.compile(rb"stream\r?\n")
+_DICT_WINDOW = 512  # bytes of object dict inspected before 'stream'
+
+
+def _iter_flate_streams(raw: bytes):
+    """Yield the COMPRESSED payload of each /FlateDecode stream.
+
+    The object dictionary is inspected as a bounded byte window before
+    the ``stream`` keyword (a full PDF object parser is out of scope —
+    /Length indirections, object streams and xref recovery belong to a
+    real PDF library).  ``endstream`` search is forward from the data
+    start; a missing terminator consumes to end-of-file (bounded by the
+    inflate caps, not by trusting /Length)."""
+    for n, m in enumerate(_STREAM_RE.finditer(raw)):
+        if n >= MAX_STREAMS:
+            break
+        head = raw[max(0, m.start() - _DICT_WINDOW) : m.start()]
+        if b"/FlateDecode" not in head:
+            continue
+        data_start = m.end()
+        end = raw.find(b"endstream", data_start)
+        if end == -1:
+            end = len(raw)
+        yield raw[data_start:end].rstrip(b"\r\n")
+
+
+def _inflate_streams(raw: bytes):
+    """-> (inflated_chunks, stats dict).  Corrupt streams are skipped
+    and counted; over-cap output is truncated and counted — the
+    no-silent-caps rule applied to decompression."""
+    chunks: list = []
+    inflated = corrupt = truncated = 0
+    budget = MAX_INFLATED_TOTAL
+    for payload in _iter_flate_streams(raw):
+        if budget <= 0:
+            truncated += 1
+            continue
+        d = zlib.decompressobj()
+        try:
+            out = d.decompress(payload, min(MAX_INFLATED_PER_STREAM, budget))
+        except zlib.error:
+            corrupt += 1
+            continue
+        if d.unconsumed_tail:
+            truncated += 1  # bomb guard: output cap hit mid-stream
+        budget -= len(out)
+        if out:
+            chunks.append(out)
+            inflated += 1
+    return chunks, {
+        "inflated": inflated, "corrupt": corrupt, "truncated": truncated,
+    }
+
+
 def extract_pdf_document(raw: bytes) -> dict:
     """PDF bytes -> {text, title, n_pages, approximation_level}.
 
-    approximation_level: 1 if any text operators were recovered, 2 if
-    only structure/metadata (compressed streams).
+    approximation_level: 1 if any text operators were recovered
+    (directly or from inflated FlateDecode streams), 2 if only
+    structure/metadata.  ``stream_stats`` counts inflated/corrupt/
+    truncated streams (present only when any stream was seen).
     """
     texts: list = []
-    for m in _TJ_RE.finditer(raw):
-        s = _decode_pdf_string(m.group(1))
-        if s.strip():
-            texts.append(s)
-    for m in _TJ_ARRAY_RE.finditer(raw):
-        parts = [
-            _decode_pdf_string(x.group(1))
-            for x in _STR_IN_ARRAY_RE.finditer(m.group(1))
-        ]
-        joined = "".join(parts)
-        if joined.strip():
-            texts.append(joined)
+
+    def _harvest(buf: bytes) -> None:
+        for m in _TJ_RE.finditer(buf):
+            s = _decode_pdf_string(m.group(1))
+            if s.strip():
+                texts.append(s)
+        for m in _TJ_ARRAY_RE.finditer(buf):
+            parts = [
+                _decode_pdf_string(x.group(1))
+                for x in _STR_IN_ARRAY_RE.finditer(m.group(1))
+            ]
+            joined = "".join(parts)
+            if joined.strip():
+                texts.append(joined)
+
+    _harvest(raw)
+    inflated_chunks, stream_stats = _inflate_streams(raw)
+    for chunk in inflated_chunks:
+        _harvest(chunk)
     title_m = _TITLE_RE.search(raw)
     title = _decode_pdf_string(title_m.group(1)) if title_m else ""
     n_pages = len(_PAGE_RE.findall(raw))
     text = "\n".join(texts)
-    return {
+    out = {
         "text": text,
         "title": title,
         "n_pages": n_pages,
         "approximation_level": 1 if text else 2,
     }
+    if any(stream_stats.values()):
+        out["stream_stats"] = stream_stats
+    return out

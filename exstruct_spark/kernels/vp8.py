@@ -482,11 +482,13 @@ def _decode_coeffs(bd, probs, ctx, first, qdc, qac):
     return coeffs, nz
 
 
-def decode_vp8_frame(data: bytes):
+def decode_vp8_frame(data: bytes, max_pixels: int = None):
     """VP8 keyframe bitstream -> (y, u, v) uint8 planes (cropped to the
     frame size) — the codec layer, byte-identical to libwebp's
     WebPDecodeYUV.  Raises ValueError on non-keyframes / corrupt data,
-    Vp8lCapExceeded past the pixel budget."""
+    Vp8lCapExceeded past the pixel budget (``max_pixels`` tightens the
+    module cap per call — the corpus-mode decode budget; it can only
+    LOWER the bound, never lift the interpreter-speed ceiling)."""
     if len(data) < 10:
         raise ValueError("VP8 bitstream too short")
     tag = data[0] | (data[1] << 8) | (data[2] << 16)
@@ -501,7 +503,9 @@ def decode_vp8_frame(data: bytes):
     height = h_code & 0x3FFF
     if not width or not height:
         raise ValueError("degenerate VP8 dimensions")
-    if width * height > VP8_MAX_PIXELS:
+    cap = VP8_MAX_PIXELS if max_pixels is None else min(
+        max_pixels, VP8_MAX_PIXELS)
+    if width * height > cap:
         raise Vp8lCapExceeded("VP8 dimensions exceed max_pixels cap")
     if 10 + first_part_size > len(data):
         raise ValueError("VP8 first partition overruns data")
@@ -1001,13 +1005,13 @@ def yuv420_to_rgb(y, u, v):
     return rgb
 
 
-def decode_vp8(data: bytes) -> np.ndarray:
+def decode_vp8(data: bytes, max_pixels: int = None) -> np.ndarray:
     """VP8 keyframe bitstream -> (H, W, 3) uint8 RGB."""
-    y, u, v = decode_vp8_frame(data)
+    y, u, v = decode_vp8_frame(data, max_pixels=max_pixels)
     return yuv420_to_rgb(y, u, v)
 
 
-def decode_webp_lossy(raw: bytes) -> np.ndarray:
+def decode_webp_lossy(raw: bytes, max_pixels: int = None) -> np.ndarray:
     """Full WebP container (or bare VP8 chunk payload) -> (H, W, 3)
     uint8 RGB via the keyframe decoder + fancy upsampler.  Animated
     containers (ANIM/ANMF) raise — their frames need compositing, which
@@ -1032,7 +1036,7 @@ def decode_webp_lossy(raw: bytes) -> np.ndarray:
         payload = raw
     else:
         raise ValueError("not a WebP container or VP8 bitstream")
-    return decode_vp8(payload)
+    return decode_vp8(payload, max_pixels=max_pixels)
 
 
 class BoolEncoder:

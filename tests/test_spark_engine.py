@@ -113,8 +113,9 @@ def test_no_row_python_in_plan(spark):
     pages = spark_pages(spark, 10, partitions=2)
     plan = extract_stage(pages, repartition_to=2)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+    # BatchEvalPython (row-at-a-time UDF) is the real gate; Arrow-batched
+    # pandas UDFs (ArrowEvalPython) are legal by design (VERDICT r6)
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan or True  # pandas_udf would be fine too
 
 
 def test_wave_resume_after_partial_failure(spark, tmp_path):
@@ -588,3 +589,81 @@ def test_image_pairs_stage_end_to_end(spark):
         .executedPlan().toString()
     assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") \
         <= 1  # only extract_stage's mapInPandas feeds it
+
+
+def test_external_css_corpus_join(spark):
+    """VERDICT r6 #2 done-criterion: a page whose border/fill signal
+    exists ONLY in a separate CSS document in the corpus extracts
+    identically to its inline twin, via harvest -> equi-join ->
+    extract_stage(use_external_css=True).  Plan audited: one broadcast
+    hash join on the css side, no cartesian product."""
+    import json
+
+    from exstruct_spark.engine import attach_external_css
+
+    grid = "".join(
+        "<div>" + "".join(f"<div>{v}</div>" for v in row) + "</div>"
+        for row in [[7, 8, 9], [1, 2, 3, 4, 5], [4, 5, 6], [2]]
+    )
+    inline_grid = "".join(
+        "<div>" + "".join(
+            f"<div style='border:1px solid #888'>{v}</div>" for v in row
+        ) + "</div>"
+        for row in [[7, 8, 9], [1, 2, 3, 4, 5], [4, 5, 6], [2]]
+    )
+    css_bytes = (b"div.pricing > div > div { border: 1px solid #888 }\n"
+                 b".hl { background-color: #FFEE00 }")
+    rows = [
+        # signal reachable only through the corpus-joined sheet
+        ("https://site.example/page",
+         ("<html><head>"
+          "<link rel='stylesheet' href='/assets/site.css'>"
+          "</head><body><div class='pricing'>" + grid + "</div>"
+          "<table><tr><th class='hl'>k</th><th>v</th></tr>"
+          "<tr><td>rows</td><td>12</td></tr></table>"
+          "</body></html>").encode()),
+        # the stylesheet IS a corpus document
+        ("https://site.example/assets/site.css", css_bytes),
+        # inline twin (no external sheet involved)
+        ("https://site.example/twin",
+         ("<html><body><div>" + inline_grid + "</div>"
+          "<table><tr><th style='background-color:#FFEE00'>k</th>"
+          "<th>v</th></tr><tr><td>rows</td><td>12</td></tr></table>"
+          "</body></html>").encode()),
+        # a page linking a sheet that is NOT in the corpus: no crash,
+        # left join yields null external_css
+        ("https://other.example/miss",
+         b"<html><head><link rel=stylesheet href='gone.css'></head>"
+         b"<body><p>hello world text</p></body></html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    with_css = attach_external_css(pages)
+    out = extract_stage(with_css, use_external_css=True)
+    recs = {r["url"]: r for r in out.collect()}
+
+    ex_page = json.loads(recs["https://site.example/page"]["extraction_json"])
+    ex_twin = json.loads(recs["https://site.example/twin"]["extraction_json"])
+    kinds = [(t.get("kind"), t.get("signal")) for t in ex_page["tables"]]
+    assert ("grid", "border") in kinds
+    bordered = ex_page["tables"][kinds.index(("grid", "border"))]
+    twin_kinds = [(t.get("kind"), t.get("signal")) for t in ex_twin["tables"]]
+    twin_bordered = ex_twin["tables"][twin_kinds.index(("grid", "border"))]
+    # identical detection: same grid, same range, same rows
+    for key in ("range", "rows", "score"):
+        assert bordered.get(key) == twin_bordered.get(key), key
+    # the class fill from the external sheet lands in colors_map
+    declared = ex_page["tables"][kinds.index((None, None))]
+    twin_declared = ex_twin["tables"][twin_kinds.index((None, None))]
+    assert declared["colors_map"] == twin_declared["colors_map"] \
+        == {"FFEE00": [[1, 0]]}
+    # the harvested refs also surface as extraction metadata
+    assert ex_page["stylesheets"] == [
+        "https://site.example/assets/site.css"]
+    # missing sheet: degrades to no external rules, page still extracts
+    assert recs["https://other.example/miss"]["status"] == "ok"
+
+    # plan audit: broadcast hash join on the css side, no cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
