@@ -832,7 +832,7 @@ _GVIZ_TYPES = {
 
 def _find_gviz_tables(script_text: str) -> list:
     """Every arrayToDataTable call's first top-level ``[...]``
-    argument -> (rows, no_header) — ``no_header`` True when the
+    argument -> (rows, no_header, offset) — ``no_header`` True when the
     documented second argument ``true`` (first row is data) follows.
     Same skipping discipline as the other finders, INCLUDING prev-char
     tracking for the division-vs-regex '/' rule."""
@@ -858,7 +858,10 @@ def _find_gviz_tables(script_text: str) -> list:
                     tail = s[j : j + 40]
                     no_header = bool(
                         re.match(r"\s*,\s*true\b", tail))
-                    out.append((rows, no_header))
+                    # the call offset keys the per-chart context
+                    # association (ADVICE r6: a script building several
+                    # charts must not label them all from the first)
+                    out.append((rows, no_header, m.start()))
                 break
             if ch == ")":
                 break
@@ -926,23 +929,38 @@ def _from_gviz(rows: list, chart_type: str, title: str,
     }
 
 
-def _gviz_context(script_text: str):
+def _gviz_context(script_text: str, from_pos: int = 0):
     """(chart_type, title) from the constructor name and the draw
     call's OPTIONS OBJECT — the title must come from the parsed second
     argument of ``chart.draw(data, options)``, not a whole-script
     regex, or an hAxis/vAxis sub-title (or another dialect's title)
-    appearing earlier wins (third-review finding)."""
+    appearing earlier wins (third-review finding).
+
+    ``from_pos``: offset of the arrayToDataTable call this context is
+    for — the NEAREST FOLLOWING chart constructor and draw() win, so a
+    script building several charts labels each with its own
+    type/title (ADVICE r6); when nothing follows (data built after the
+    constructor), the whole-script search is the fallback."""
     s = script_text or ""
-    chart_type = "Unknown"
-    for ctor in _GVIZ_CTOR_RE.finditer(s):
-        # the first CHART constructor wins — pages routinely build a
-        # NumberFormat/DataView/DataTable before the chart itself
-        mapped = _GVIZ_TYPES.get(ctor.group(1).lower())
-        if mapped is not None:
-            chart_type = mapped
-            break
+
+    def _ctor_from(pos):
+        for ctor in _GVIZ_CTOR_RE.finditer(s, pos):
+            # the first CHART constructor wins — pages routinely build
+            # a NumberFormat/DataView/DataTable before the chart itself
+            mapped = _GVIZ_TYPES.get(ctor.group(1).lower())
+            if mapped is not None:
+                return mapped
+        return None
+
+    chart_type = _ctor_from(from_pos)
+    if chart_type is None and from_pos:
+        chart_type = _ctor_from(0)
+    if chart_type is None:
+        chart_type = "Unknown"
     title = ""
-    for m in re.finditer(r"\.\s*draw\s*\(", s):
+    draws = list(re.finditer(r"\.\s*draw\s*\(", s, ))
+    following = [m for m in draws if m.start() >= from_pos]
+    for m in (following or draws):
         i = m.end()
         n = len(s)
         depth = 0
@@ -995,11 +1013,9 @@ def charts_from_script(script_text: str) -> list:
         chart = _from_vegalite(spec)
         if chart is not None:
             out.append(chart)
-    gviz_tables = _find_gviz_tables(script_text)
-    if gviz_tables:
-        chart_type, title = _gviz_context(script_text)
-        for rows, no_header in gviz_tables:
-            chart = _from_gviz(rows, chart_type, title, no_header)
-            if chart is not None:
-                out.append(chart)
+    for rows, no_header, pos in _find_gviz_tables(script_text):
+        chart_type, title = _gviz_context(script_text, pos)
+        chart = _from_gviz(rows, chart_type, title, no_header)
+        if chart is not None:
+            out.append(chart)
     return out

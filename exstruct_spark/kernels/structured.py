@@ -237,6 +237,10 @@ def from_meta_tags(meta_nodes: list, link_nodes: list) -> dict:
         if key and key not in out:
             out[key] = " ".join(str(content).split())[:MAX_VALUE_CHARS]
     for ln in link_nodes:
+        if len(out) >= MAX_META:
+            break  # the cap holds for the canonical insert too (ADVICE
+            # r6: appending after the meta loop's check could exceed
+            # MAX_META by one on a hostile head)
         rel = (ln.attrs.get("rel") or "").strip().lower()
         href = (ln.attrs.get("href") or "").strip()
         if rel == "canonical" and href and "canonical" not in out:

@@ -18,23 +18,50 @@ from exstruct_spark.kernels.media import MEDIA_META_SCHEMA_DDL, media_meta_pdf
 
 def media_meta_stage(
     blobs: DataFrame, key_col: str = "url", blob_col: str = "blob",
-    mode: str = "fake", feature_dim: int = 8,
+    mode: str = "fake", feature_dim: int = 8, budget=None,
 ) -> DataFrame:
     """(key, blob binary) df -> typed media-metadata df.
 
     ``feature_dim``: width of the stub feature vector — 64 matches the
     sign-LSH plane matrix so stub features flow straight into the real
-    ANN/near-dup operators (queries.py media_neardup / media_ann_topk)."""
+    ANN/near-dup operators (queries.py media_neardup / media_ann_topk).
+
+    ``budget``: a ``kernels.media.DecodeBudget`` for corpus mode —
+    bounds the interpreter-speed webp pixel decodes per blob (pixel
+    cap) and per batch (time cap); degrades are marked per row
+    (``budget_degraded``) and ``media_decode_ledger`` aggregates the
+    accounting.  None (default) = full-depth decode for the
+    dedup-verify stage."""
     key_field = blobs.schema[key_col]
     schema = f"{key_field.name} {key_field.dataType.simpleString()}, {MEDIA_META_SCHEMA_DDL}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield media_meta_pdf(
-                pdf, blob_col=blob_col, mode=mode, feature_dim=feature_dim
+                pdf, blob_col=blob_col, mode=mode,
+                feature_dim=feature_dim, budget=budget,
             )
 
     return blobs.select(key_col, blob_col).mapInPandas(run, schema=schema)
+
+
+def media_decode_ledger(meta: DataFrame) -> DataFrame:
+    """Decode-budget accounting (the no-silent-caps rule applied to CPU
+    seconds): one cheap aggregation over the media-metadata output —
+    per media type: blobs seen, real decodes, budget degrades, and
+    decode wall time.  ``blobs == decoded + budget_degraded + other``
+    never hides a row; a corpus-mode run's ledger accounts for every
+    degrade the budget caused."""
+    from pyspark.sql import functions as F
+
+    return meta.groupBy("media_type").agg(
+        F.count("*").alias("blobs"),
+        F.sum(F.col("decoded").cast("long")).alias("decoded"),
+        F.sum(F.col("budget_degraded").cast("long")).alias(
+            "budget_degraded"),
+        F.round(F.sum("decode_ms"), 3).alias("decode_ms_total"),
+        F.round(F.max("decode_ms"), 3).alias("decode_ms_max"),
+    )
 
 
 def render_tables_stage(

@@ -481,3 +481,62 @@ def test_webp_animation_metadata():
                          blob_col="blob", mode="strict").iloc[0]
     assert not row["decoded"]
     assert row["duration_s"] == 0.43
+
+
+def test_media_decode_budget_and_anmf_gating():
+    """VERDICT r6 #4: corpus-mode DecodeBudget bounds the interpreter-
+    speed lossy-VP8 path — per-blob pixel cap and per-batch time cap —
+    with every degrade MARKED (budget_degraded) and per-row decode_ms
+    for the ledger.  Plus the ADVICE fix: frame_sample routes on an
+    ACTUAL ANMF chunk, not a whole-blob byte substring."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    from exstruct_spark.kernels.media import (
+        DecodeBudget, frame_sample, media_meta_pdf)
+    from exstruct_spark.kernels.vp8 import encode_vp8_minimal
+
+    big = encode_vp8_minimal(40, 30, seed=1)    # 640x480 = 307,200 px
+    small = encode_vp8_minimal(4, 4, seed=2)    # 64x64
+    pdf = pd.DataFrame({"k": [0, 1], "blob": [big, small]})
+
+    # no budget (the verify stage): both decode for real
+    full = media_meta_pdf(pdf, mode="strict")
+    assert full["decoded"].tolist() == [True, True]
+    assert full["budget_degraded"].tolist() == [False, False]
+    assert (full["decode_ms"] > 0).all()
+
+    # pixel budget: the big still degrades to the REAL header tier,
+    # marked as a budget degrade (it fits the HARD cap), dims intact
+    lim = media_meta_pdf(
+        pdf, mode="strict", budget=DecodeBudget(lossy_max_pixels=250_000))
+    assert lim["decoded"].tolist() == [False, True]
+    assert lim["budget_degraded"].tolist() == [True, False]
+    assert (lim.loc[0, "width"], lim.loc[0, "height"]) == (640, 480)
+
+    # time budget spent: remaining webp blobs take the header tier
+    timed = media_meta_pdf(
+        pdf, mode="strict", budget=DecodeBudget(batch_seconds=0.0))
+    assert timed["decoded"].tolist() == [False, False]
+    assert timed["budget_degraded"].tolist() == [True, True]
+    assert timed["width"].tolist() == [640, 64]
+
+    # ANMF gating: a valid STILL whose trailing metadata chunk body
+    # contains the bytes b'ANMF' must not route to the animation
+    # decoder (substring test would raise ValueError under strict)
+    def add_chunk(raw, cid, body):
+        body = body + (b"\x00" if len(body) & 1 else b"")
+        out = raw + cid + struct.pack("<I", len(body)) + body
+        return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+    sneaky = add_chunk(small, b"XMP ", b"junk ANMF junk")
+    fps = frame_sample(sneaky, mode="fake")
+    assert fps  # the deterministic stub path, not an animation decode
+    with pytest.raises(NotImplementedError):  # stub contract, NOT
+        frame_sample(sneaky, mode="strict")   # a ValueError misroute
+    # and the still keeps decoding for real through media_meta_pdf
+    row = media_meta_pdf(
+        pd.DataFrame({"k": [0], "blob": [sneaky]}), mode="strict").iloc[0]
+    assert row["decoded"] and (row["width"], row["height"]) == (64, 64)

@@ -2455,6 +2455,30 @@ def test_chartconfig_google_charts_dialect():
     assert c["series"] == [("North", [10.0, 20.0, 15.0]),
                            ("South", [4.5, 6.0])]
 
+    # a script building SEVERAL charts labels each with ITS OWN
+    # constructor/draw pair — nearest-following by offset (ADVICE r6),
+    # with fallback to the whole script when data follows the ctor
+    multi = charts_from_script("""
+      var d1 = google.visualization.arrayToDataTable([
+        ['q', 'a'], ['Q1', 1], ['Q2', 2]]);
+      var c1 = new google.visualization.ColumnChart(el1);
+      c1.draw(d1, {title: 'First chart'});
+      var d2 = google.visualization.arrayToDataTable([
+        ['q', 'b'], ['Q1', 3], ['Q2', 4]]);
+      var c2 = new google.visualization.PieChart(el2);
+      c2.draw(d2, {title: 'Second chart'});
+    """)
+    assert [(c["chart_type"], c["title"]) for c in multi] == [
+        ("Column", "First chart"), ("Pie", "Second chart")]
+    late_data = charts_from_script("""
+      var c = new google.visualization.BarChart(el);
+      var d = google.visualization.arrayToDataTable([
+        ['q', 'a'], ['Q1', 1]]);
+      c.draw(d, {title: 'After ctor'});
+    """)
+    assert [(c["chart_type"], c["title"]) for c in late_data] == [
+        ("Bar", "After ctor")]
+
     # pie via the charts namespace; header-only tables skipped
     charts = charts_from_script("""
       var d = google.visualization.arrayToDataTable(

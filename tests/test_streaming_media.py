@@ -440,3 +440,42 @@ def test_stream_watermark_drops_expired_late_data(spark, tmp_path):
     # hour 3 still n=1 proves the expired one never did.
     emitted = run([ev(5, 13)])
     assert emitted == {3: 1, 9: 1, 10: 1}
+
+
+def test_media_decode_ledger_through_spark(spark):
+    """Corpus-mode budget end-to-end: a lossy-WebP-heavy batch through
+    media_meta_stage(budget=...) stays bounded, every budget degrade is
+    marked, and media_decode_ledger accounts for blobs == decoded +
+    degraded per media type — the no-silent-caps rule applied to CPU
+    seconds."""
+    from exstruct_spark.kernels.media import DecodeBudget
+    from exstruct_spark.kernels.vp8 import encode_vp8_minimal
+    from exstruct_spark.media import media_decode_ledger, media_meta_stage
+
+    big = encode_vp8_minimal(40, 30, seed=3)    # 307,200 px: over budget
+    small = encode_vp8_minimal(3, 3, seed=4)    # 48x48: decodes
+    rows = [(f"u{i}", big if i % 2 else small) for i in range(8)]
+    blobs = spark.createDataFrame(rows, "url string, blob binary")
+
+    meta = media_meta_stage(
+        blobs, mode="strict",
+        budget=DecodeBudget(lossy_max_pixels=250_000),
+    ).toPandas().sort_values("url")
+    assert meta["decoded"].sum() == 4
+    assert meta["budget_degraded"].sum() == 4
+    # degraded rows keep REAL header metadata (dims), never fabricate
+    degraded = meta[meta["budget_degraded"]]
+    assert (degraded["width"] == 640).all()
+    assert degraded["px_mean"].isna().all()
+
+    ledger = media_decode_ledger(
+        media_meta_stage(
+            blobs, mode="strict",
+            budget=DecodeBudget(lossy_max_pixels=250_000),
+        )
+    ).collect()
+    led = {r["media_type"]: r for r in ledger}
+    assert led["image/webp"]["blobs"] == 8
+    assert led["image/webp"]["decoded"] == 4
+    assert led["image/webp"]["budget_degraded"] == 4
+    assert led["image/webp"]["decode_ms_total"] > 0
