@@ -33,6 +33,31 @@ analogues, edit/types.py:7-29):
   * ``draw_grid_border`` — border-style splice over a grid rectangle
     (the G1 border-signal carrier).
 
+Wave 3 (VERDICT r6 #6 — closes the family: 16 of the reference's 21
+typed ops implemented, 5 declared n/a below, plus the 3 web-native
+extras ``set_link``/``add_row``/``delete_row`` = 19 ops in ``_OPS``):
+  * ``set_style``       — the combined style op over a grid RANGE
+    (bold/size/color/fill/alignment/wrap in one splice per cell);
+  * ``set_dimensions``  — row ``height:px`` on ``<tr>`` tags, column
+    ``width:px`` on unmerged cells of the listed grid columns;
+  * ``apply_table_style`` — named style joins the table's class list
+    (the indirection channel kernels/css.py resolves);
+  * ``create_chart``    — injects a Chart.js config script bound to a
+    grid data range; the F7 six-dialect parser reads it back, so
+    ``extract(create_chart(doc))`` round-trips the series;
+  * ``design_snapshot`` / ``restore_design_snapshot`` — capture every
+    open tag (table/tr/cell) verbatim; restore splices them back iff
+    the table shape is unchanged (structural edits -> skipped).
+
+Not implemented, by design (no honest HTML analogue —
+edit/types.py:7-29): ``set_formula`` / ``fill_formula`` /
+``set_formula_if`` (HTML cells hold values, not a formula layer;
+coercion parity for formula RESULTS lives in P2/kernels/coerce.py),
+``add_sheet`` (a document IS one sheet; multi-sheet is the corpus
+dimension), ``auto_fit_columns`` (layout is the browser's, not the
+document's — no stored width to fit).  16 implemented + 5 n/a = all
+21 reference ops accounted for.
+
 Semantics follow the reference's patch contract: ops apply in order,
 each yields status ``applied`` or ``skipped`` (bad address, malformed
 region) — a skipped op never aborts the batch (edit/types.py
@@ -267,6 +292,9 @@ _STYLE_ATTR_RE = re.compile(
     r"(\bstyle\s*=\s*([\"']))((?:(?!\2).)*)(\2)", re.IGNORECASE | re.S)
 _BG_DECL_RE = re.compile(r"background(?:-color)?\s*:\s*[^;]*;?",
                          re.IGNORECASE)
+# class attribute, same quote discipline as _STYLE_ATTR_RE
+_CLASS_ATTR_RE = re.compile(
+    r"(\bclass\s*=\s*([\"']))((?:(?!\2).)*)(\2)", re.IGNORECASE | re.S)
 
 
 def op_set_fill_color(html: str, table: int, row: int, col: int,
@@ -684,6 +712,325 @@ def op_draw_grid_border(html: str, table: int, r1: int, c1: int,
     return _splice_all(html, edits)
 
 
+def op_set_style(html: str, table: int, r1: int, c1: int,
+                 r2: int, c2: int, bold=None, font_size=None,
+                 color=None, fill_color=None, horizontal=None,
+                 vertical=None, wrap_text=None) -> str:
+    """Reference ``set_style`` (edit/internal.py:1253) — the combined
+    style op over a cell RANGE (grid coordinates, like
+    ``draw_grid_border``): at least one style field required, each
+    mapped to the same CSS declaration its single-cell op uses.  A
+    range that splits a merged cell is a skipped op."""
+    fields = (bold, font_size, color, fill_color, horizontal, vertical,
+              wrap_text)
+    if all(f is None for f in fields):
+        raise ValueError("set_style requires at least one style field")
+    if not (0 <= r1 <= r2 and 0 <= c1 <= c2):
+        raise ValueError("bad style rectangle")
+    decls: list = []
+    if bold is not None:
+        decls.append(("font-weight", "bold" if bold else "normal"))
+    if font_size is not None:
+        if isinstance(font_size, bool) or not isinstance(
+                font_size, (int, float)) or not 1 <= font_size <= 512:
+            raise ValueError("font size must be a number in [1, 512]")
+        sz = (int(font_size) if float(font_size).is_integer()
+              else float(font_size))
+        decls.append(("font-size", f"{sz}pt"))
+    if color is not None:
+        decls.append(("color", _check_style_value(color)))
+    if fill_color is not None:
+        decls.append(("background-color", _check_style_value(fill_color)))
+    if horizontal is not None:
+        h = str(horizontal).lower()
+        if h not in _H_ALIGN:
+            raise ValueError("bad horizontal alignment")
+        decls.append(("text-align",
+                      {"centercontinuous": "center", "fill": "left",
+                       "distributed": "justify",
+                       "general": "left"}.get(h, h)))
+    if vertical is not None:
+        v = str(vertical).lower()
+        if v not in _V_ALIGN:
+            raise ValueError("bad vertical alignment")
+        decls.append(("vertical-align",
+                      "justify" if v == "distributed" else v))
+    if wrap_text is not None:
+        decls.append(("white-space", "normal" if wrap_text else "nowrap"))
+    _tspan, rows, layout = _grid_layout(html, table)
+    if r2 >= len(rows):
+        raise ValueError("style rectangle exceeds table rows")
+    edits: list = []
+    hit = False
+    for r in range(r1, r2 + 1):
+        for cs, gc, rs, cl in layout[r]:
+            if gc > c2 or gc + cl - 1 < c1:
+                continue
+            if gc < c1 or gc + cl - 1 > c2 or r + rs - 1 > r2:
+                raise ValueError("style rectangle splits a merged cell")
+            hit = True
+            tag = html[cs[0] : cs[1]]
+            for prop, val in decls:
+                tag = _replace_style_decl(tag, prop, val)
+            edits.append((cs[0], cs[1], tag))
+    if not hit:
+        raise ValueError("style rectangle covers no cells")
+    return _splice_all(html, edits)
+
+
+def op_set_dimensions(html: str, table: int, rows=None, row_height=None,
+                      columns=None, column_width=None) -> str:
+    """Reference ``set_dimensions`` (edit/internal.py:1120) — row
+    heights and/or column widths.  HTML carriers: ``height:<n>px`` on
+    the ``<tr>`` open tags, ``width:<n>px`` on every unmerged cell
+    whose grid column is listed (the per-cell width rule — HTML has no
+    per-table column object without a ``<colgroup>``, and injecting one
+    would reshape documents that never had it)."""
+    has_rows = rows is not None
+    has_cols = columns is not None
+    if not has_rows and not has_cols:
+        raise ValueError("set_dimensions requires rows and/or columns")
+    for which, val in (("row_height", row_height),
+                       ("column_width", column_width)):
+        if val is not None and (isinstance(val, bool) or not isinstance(
+                val, (int, float)) or val <= 0 or val > 10_000):
+            raise ValueError(f"bad {which}")
+    if has_rows and row_height is None:
+        raise ValueError("rows given without row_height")
+    if has_cols and column_width is None:
+        raise ValueError("columns given without column_width")
+    _tspan, row_spans, layout = _grid_layout(html, table)
+    edits: list = []
+    if has_rows:
+        hv = (int(row_height) if float(row_height).is_integer()
+              else float(row_height))
+        for r in rows:
+            if not isinstance(r, int) or not 0 <= r < len(row_spans):
+                raise ValueError("row index out of range")
+            r0, r1 = row_spans[r]
+            m = _TAG_START_RE.match(html, r0)
+            end = _scan_tag_end(html, m.end(), r1) if m else -1
+            if end == -1:
+                raise ValueError("malformed row tag")
+            tag = _replace_style_decl(html[r0:end], "height", f"{hv}px")
+            edits.append((r0, end, tag))
+    if has_cols:
+        wv = (int(column_width) if float(column_width).is_integer()
+              else float(column_width))
+        wanted = set()
+        for c in columns:
+            if not isinstance(c, int) or c < 0:
+                raise ValueError("bad column index")
+            wanted.add(c)
+        hit = False
+        for row_cells in layout:
+            for cs, gc, _rs, cl in row_cells:
+                if cl == 1 and gc in wanted:
+                    hit = True
+                    tag = _replace_style_decl(html[cs[0] : cs[1]],
+                                              "width", f"{wv}px")
+                    edits.append((cs[0], cs[1], tag))
+        if not hit:
+            raise ValueError("no unmerged cell in the listed columns")
+    return _splice_all(html, edits)
+
+
+_STYLE_TOKEN_RE = re.compile(r"^[A-Za-z][\w-]{0,63}$")
+
+
+def op_apply_table_style(html: str, table: int, style: str,
+                         table_name=None) -> str:
+    """Reference ``apply_table_style`` (edit/internal.py:1285) — a NAMED
+    table style.  HTML carrier: the style name joins the table's class
+    list (the indirect-styling channel kernels/css.py resolves and A2's
+    class_map indexes); ``table_name`` lands in ``data-table-name``.
+    Names must be single identifier tokens — reject, don't sanitize."""
+    if not isinstance(style, str) or not _STYLE_TOKEN_RE.match(style):
+        raise ValueError("bad table style name")
+    if table_name is not None and (
+            not isinstance(table_name, str)
+            or not _STYLE_TOKEN_RE.match(table_name)):
+        raise ValueError("bad table name")
+    tspan = _table_span(html, table)
+    if tspan is None:
+        raise ValueError("table not found")
+    t0 = tspan[0]
+    m = _TAG_START_RE.match(html, t0)
+    end = _scan_tag_end(html, m.end(), tspan[1]) if m else -1
+    if end == -1:
+        raise ValueError("malformed table tag")
+    tag = html[t0:end]
+    cm = _CLASS_ATTR_RE.search(tag)
+    if cm:
+        classes = cm.group(3).split()
+        if style not in classes:
+            classes.append(style)
+        tag = (tag[:cm.start()] + cm.group(1) + " ".join(classes)
+               + cm.group(4) + tag[cm.end():])
+    else:
+        gt = tag.rfind(">")
+        tag = tag[:gt] + f' class="{style}"' + tag[gt:]
+    if table_name is not None and "data-table-name" not in tag.lower():
+        gt = tag.rfind(">")
+        tag = tag[:gt] + f' data-table-name="{table_name}"' + tag[gt:]
+    return html[:t0] + tag + html[end:]
+
+
+_CHART_TYPES = {"bar": "bar", "column": "bar", "line": "line",
+                "pie": "pie", "scatter": "scatter", "area": "line",
+                "doughnut": "doughnut"}
+
+
+def op_create_chart(html: str, table: int, chart_type: str,
+                    r1: int, c1: int, r2: int, c2: int,
+                    title=None, titles_from_data: bool = True,
+                    series_from_rows: bool = False,
+                    anchor=None) -> str:
+    """Reference ``create_chart`` (edit/internal.py:1346) — the HTML
+    analogue injects a Chart.js config script bound to the table's data
+    range (grid coordinates), which the F7 chart-config parser reads
+    back: ``extract(create_chart(doc))`` round-trips the series.  With
+    ``titles_from_data`` the range's first row (or first column when
+    ``series_from_rows``) names the labels/series; non-numeric data
+    cells become nulls (Chart.js's own missing-point value)."""
+    import json as _json
+    from html import unescape as _unescape
+
+    ct = _CHART_TYPES.get(str(chart_type).lower())
+    if ct is None:
+        raise ValueError("unknown chart type")
+    if not (0 <= r1 <= r2 and 0 <= c1 <= c2):
+        raise ValueError("bad data range")
+    tspan, rows, layout = _grid_layout(html, table)
+    if r2 >= len(rows):
+        raise ValueError("data range exceeds table rows")
+    # grid -> matrix of collapsed cell texts (None where no cell origin)
+    grid: dict = {}
+    for r in range(r1, r2 + 1):
+        for cs, gc, _rs, _cl in layout[r]:
+            if c1 <= gc <= c2:
+                text = " ".join(_unescape(
+                    _TEXT_STRIP_RE.sub("", html[cs[1] : cs[2]])).split())
+                grid[(r, gc)] = text
+    matrix = [[grid.get((r, c)) for c in range(c1, c2 + 1)]
+              for r in range(r1, r2 + 1)]
+    if series_from_rows:
+        matrix = [list(t) for t in zip(*matrix)]
+    if len(matrix) < 2 or len(matrix[0]) < 2:
+        raise ValueError("data range too small for a chart")
+
+    def _num(s):
+        try:
+            return float(s)
+        except (TypeError, ValueError):
+            return None
+
+    if titles_from_data:
+        header, body = matrix[0], matrix[1:]
+        labels = [row[0] or "" for row in body]
+        names = [h or f"series{i}" for i, h in enumerate(header[1:])]
+        datasets = [
+            {"label": names[j],
+             "data": [_num(row[j + 1]) for row in body]}
+            for j in range(len(names))
+        ]
+    else:
+        labels = [str(i) for i in range(len(matrix))]
+        datasets = [
+            {"label": f"series{j}",
+             "data": [_num(row[j]) for row in matrix]}
+            for j in range(len(matrix[0]))
+        ]
+    if not any(any(v is not None for v in d["data"]) for d in datasets):
+        raise ValueError("data range has no numeric series")
+    cfg: dict = {"type": ct, "data": {"labels": labels,
+                                      "datasets": datasets}}
+    if title is not None:
+        cfg["options"] = {"plugins": {"title": {
+            "display": True, "text": _escape(str(title))}}}
+    cid = f"chart-t{table}-{r1}-{c1}"
+    anchor_attr = ""
+    if anchor is not None:
+        if not isinstance(anchor, str) or not _STYLE_TOKEN_RE.match(
+                anchor.replace(":", "")):
+            raise ValueError("bad anchor")
+        anchor_attr = f' data-anchor="{anchor}"'
+    snippet = (
+        f'<canvas id="{cid}"{anchor_attr}></canvas>'
+        f'<script>new Chart(document.getElementById("{cid}"), '
+        f"{_json.dumps(cfg)});</script>"
+    )
+    at = tspan[1]
+    return html[:at] + snippet + html[at:]
+
+
+def design_snapshot(html: str, table: int) -> dict:
+    """Capture the table's DESIGN state for ``restore_design_snapshot``
+    (the reference's DesignSnapshot, edit/models.py:108 — borders,
+    fonts, fills, alignments, dimensions): the table's open tag plus
+    every row and cell OPEN TAG verbatim.  Every design op in this
+    module rewrites only open tags, so restoring them is an exact
+    inverse; structural ops (merge, add_row) invalidate the snapshot
+    and restore skips (shape check)."""
+    tspan, row_spans, layout = _grid_layout(html, table)
+    m = _TAG_START_RE.match(html, tspan[0])
+    end = _scan_tag_end(html, m.end(), tspan[1]) if m else -1
+    if end == -1:
+        raise ValueError("malformed table tag")
+    rows_out: list = []
+    cells_out: list = []
+    for r, (r0, r1) in enumerate(row_spans):
+        rm = _TAG_START_RE.match(html, r0)
+        rend = _scan_tag_end(html, rm.end(), r1) if rm else -1
+        if rend == -1:
+            raise ValueError("malformed row tag")
+        rows_out.append(html[r0:rend])
+        cells_out.append([html[cs[0] : cs[1]]
+                          for cs, _gc, _rs, _cl in layout[r]])
+    return {"table": table, "table_tag": html[tspan[0] : end],
+            "rows": rows_out, "cells": cells_out}
+
+
+def op_restore_design_snapshot(html: str, design_snapshot: dict) -> str:
+    """Reference ``restore_design_snapshot`` — the inverse op: splice
+    the captured open tags back.  The CURRENT table must have the same
+    shape (row count, cells per row) as the snapshot; a structurally
+    edited table is a skipped op, never a mis-addressed restore."""
+    snap = design_snapshot
+    if not isinstance(snap, dict):
+        raise ValueError("bad snapshot")
+    try:
+        table = snap["table"]
+        table_tag = snap["table_tag"]
+        snap_rows = snap["rows"]
+        snap_cells = snap["cells"]
+    except (KeyError, TypeError):
+        raise ValueError("bad snapshot") from None
+    if (not isinstance(snap_rows, list) or not isinstance(
+            snap_cells, list) or len(snap_rows) != len(snap_cells)
+            or not all(isinstance(rc, list) for rc in snap_cells)):
+        raise ValueError("bad snapshot")
+    tspan, row_spans, layout = _grid_layout(html, table)
+    if len(row_spans) != len(snap_rows) or any(
+            len(layout[r]) != len(snap_cells[r])
+            for r in range(len(row_spans))):
+        raise ValueError("snapshot shape mismatch")
+    m = _TAG_START_RE.match(html, tspan[0])
+    end = _scan_tag_end(html, m.end(), tspan[1]) if m else -1
+    if end == -1:
+        raise ValueError("malformed table tag")
+    edits: list = [(tspan[0], end, str(table_tag))]
+    for r, (r0, r1) in enumerate(row_spans):
+        rm = _TAG_START_RE.match(html, r0)
+        rend = _scan_tag_end(html, rm.end(), r1) if rm else -1
+        if rend == -1:
+            raise ValueError("malformed row tag")
+        edits.append((r0, rend, str(snap_rows[r])))
+        for (cs, _gc, _rs, _cl), tag in zip(layout[r], snap_cells[r]):
+            edits.append((cs[0], cs[1], str(tag)))
+    return _splice_all(html, edits)
+
+
 _OPS = {
     "set_value": op_set_value,
     "set_link": op_set_link,
@@ -699,6 +1046,11 @@ _OPS = {
     "merge_cells": op_merge_cells,
     "unmerge_cells": op_unmerge_cells,
     "draw_grid_border": op_draw_grid_border,
+    "set_style": op_set_style,
+    "set_dimensions": op_set_dimensions,
+    "apply_table_style": op_apply_table_style,
+    "create_chart": op_create_chart,
+    "restore_design_snapshot": op_restore_design_snapshot,
 }
 
 

@@ -44,6 +44,7 @@ from exstruct_spark.kernels.structured import (
     from_link_alternates,
     from_meta_tags,
     from_microdata,
+    from_rdfa,
 )
 from exstruct_spark.kernels.tables import detect_grid_candidates, extract_table
 
@@ -350,6 +351,7 @@ def extract_document(
             groups["section"] = groups["article"] = []
             class_positions: dict = {}
             micro_scopes: list = []
+            rdfa_scopes: list = []
             # document-order table-LIKE elements: <table> plus ARIA
             # role="table"/"grid" declarations (the G7 declared-table
             # twin — extract_table dispatches on the node)
@@ -371,6 +373,8 @@ def extract_document(
                     # collected by whoever claims it)
                     if "itemscope" in attrs:
                         micro_scopes.append(n)
+                    if "typeof" in attrs:
+                        rdfa_scopes.append(n)
                     role = (attrs.get("role") or "").strip().lower()
                     if role in ("table", "grid") and n.tag != "table":
                         table_like.append(n)
@@ -604,6 +608,7 @@ def extract_document(
                 # bomb must not evict the page's microdata records
                 entities = from_ldjson_scripts(groups["script"])
                 entities.extend(from_microdata(root, micro_scopes))
+                entities.extend(from_rdfa(root, rdfa_scopes))
                 if entities:
                     extraction["structured_data"] = entities
                 page_meta = from_meta_tags(groups["meta"], groups["link"])

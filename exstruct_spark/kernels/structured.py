@@ -206,6 +206,83 @@ def from_microdata(root: Node, scopes=None) -> list:
     return out
 
 
+def _rdfa_prop_name(token: str) -> str:
+    """RDFa property token -> bare name: CURIE prefixes (``schema:name``)
+    and full IRIs (``https://schema.org/name``) both reduce to the last
+    segment, matching how microdata/JSON-LD prop names surface."""
+    t = token.rstrip("/").rsplit("/", 1)[-1]
+    return t.rsplit(":", 1)[-1][:64]
+
+
+def _rdfa_value(node: Node):
+    """A ``property`` element's value per RDFa Lite: explicit
+    ``content`` wins, then the tag-specific href/src/datetime carriers
+    (shared with microdata), then text content."""
+    if node.attrs.get("content"):
+        # unlike microdata, RDFa's content attribute applies on ANY tag
+        return _scalar(node.attrs["content"])
+    return _microdata_value(node)
+
+
+def _own_rdfa_name(scope: Node, scope_ids: set):
+    """The ``name`` property value belonging to THIS typeof scope."""
+    stack = list(reversed(scope.element_children()))
+    while stack:
+        ch = stack.pop()
+        if id(ch) in scope_ids:
+            continue
+        names = [_rdfa_prop_name(t)
+                 for t in (ch.attrs.get("property") or "").split()]
+        if "name" in names:
+            return _rdfa_value(ch)
+        for sub in reversed(ch.element_children()):
+            stack.append(sub)
+    return None
+
+
+def from_rdfa(root: Node, scopes=None) -> list:
+    """RDFa Lite items -> entity records (the THIRD schema.org carrier,
+    VERDICT r6 Missing #5 — older news/commerce sites): every element
+    with ``typeof`` is one record; its props are the ``property``
+    descendants outside nested typeof scopes, nested entities standing
+    in by their own ``name`` property — the same record shape, caps and
+    walk discipline as the microdata family."""
+    out: list = []
+    if scopes is None:
+        scopes = [n for n in root.iter() if "typeof" in n.attrs]
+    scope_ids = {id(n) for n in scopes}
+    for scope in scopes[:MAX_ENTITIES]:
+        props: dict = {}
+        stack = [(ch, False) for ch in reversed(scope.element_children())]
+        while stack:
+            ch, in_nested = stack.pop()
+            nested = id(ch) in scope_ids
+            names = (ch.attrs.get("property") or "").split()
+            if names and not in_nested and len(props) < MAX_PROPS:
+                if nested:
+                    val = _own_rdfa_name(ch, scope_ids)
+                else:
+                    val = _rdfa_value(ch)
+                if val is not None:
+                    for name in names:
+                        if len(props) >= MAX_PROPS:
+                            break
+                        props.setdefault(_rdfa_prop_name(name), val)
+            deeper = in_nested or nested
+            for sub in reversed(ch.element_children()):
+                stack.append((sub, deeper))
+        # typeof is a space-separated type list, each possibly a CURIE
+        # (schema:Product) or IRI — first token, bare name
+        t_first = (scope.attrs.get("typeof") or "").split()
+        tname = _rdfa_prop_name(t_first[0])[:128] if t_first else ""
+        out.append({
+            "source": "rdfa",
+            "type": tname or "Item",
+            "props": props,
+        })
+    return out
+
+
 # the meta-tag page-metadata keys a curation pipeline keeps: OpenGraph
 # and Twitter cards pass through by prefix; plus the classic head tags
 _META_NAMES = {"description", "keywords", "author", "robots",

@@ -2289,6 +2289,42 @@ def test_structured_data_harvesting():
                              "released": "2024-01-02", "offers": "Deal"}
     assert by_type["Offer"]["props"] == {"name": "Deal", "price": "9.99"}
 
+    # RDFa Lite (the THIRD carrier, VERDICT r6 #5): vocab/typeof/
+    # property, CURIE and IRI names reduced to bare segments, content
+    # attr on any tag, href/src carriers, nested typeof stands in by
+    # its own name, same record shape and caps
+    rdfa_html = b"""<html><body vocab="https://schema.org/">
+    <div typeof="Product">
+      <span property="name">Gizmo</span>
+      <span property="schema:sku" content="G-7">G7</span>
+      <a property="url" href="/gizmo">buy</a>
+      <img property="https://schema.org/image" src="/g.png">
+      <div property="offers" typeof="schema:Offer">
+        <span property="name">Sale</span>
+        <span property="price" content="19.99">$19.99</span>
+      </div>
+    </div></body></html>"""
+    rec2 = extract_document("http://t/rdfa", rdfa_html)
+    sd2 = json.loads(rec2["extraction_json"])["structured_data"]
+    by_type2 = {e["type"]: e for e in sd2}
+    assert set(by_type2) == {"Product", "Offer"}
+    prod2 = by_type2["Product"]
+    assert prod2["source"] == "rdfa"
+    assert prod2["props"] == {"name": "Gizmo", "sku": "G-7",
+                              "url": "/gizmo", "image": "/g.png",
+                              "offers": "Sale"}
+    assert by_type2["Offer"]["props"] == {"name": "Sale",
+                                          "price": "19.99"}
+    # untyped-with-typeof-"" degenerate: stable record, never a crash
+    from exstruct_spark.kernels.structured import from_rdfa
+    deg = from_rdfa(parse_html("<div typeof=''><span property='a'>x"
+                               "</span></div>"))
+    assert deg == [{"source": "rdfa", "type": "Item",
+                    "props": {"a": "x"}}]
+    # entity cap holds for the rdfa family too
+    bomb = parse_html("<div>" + "<i typeof='T'></i>" * 200 + "</div>")
+    assert len(from_rdfa(bomb)) == MAX_ENTITIES
+
     # light mode excludes; entity cap binds
     rec2 = extract_document("http://t/sd", html,
                             ExtractOptions.from_mode("light"))
@@ -2856,3 +2892,131 @@ def test_plotly_archetype_end_to_end():
     assert ch["title"] == "Quarterly revenue"
     assert [s["name"] for s in ch["series"]] == ["north", "south"]
     assert out["n_tables"] >= 1   # companion table extracted too
+
+
+def test_cell_edit_wave3_design_ops():
+    """Wave-3 ops (VERDICT r6 #4): set_style over a grid range,
+    set_dimensions row/column carriers, apply_table_style class join,
+    create_chart -> Chart.js script the F7 parser round-trips, and
+    restore_design_snapshot as a byte-exact inverse of the design ops."""
+    import json
+
+    from exstruct_spark.golden import extract_document
+    from exstruct_spark.kernels.edits import apply_ops, design_snapshot
+
+    html = ("<html><body><table><tr><td>q</td><td>north</td>"
+            "<td>south</td></tr><tr><td>Q1</td><td>10</td><td>4</td></tr>"
+            "<tr><td>Q2</td><td>20</td><td>6</td></tr></table>"
+            "</body></html>")
+
+    # set_style: combined fields over a range; merged-split + no-field
+    # + breakout-value ops skip
+    out, st = apply_ops(html, [
+        {"op": "set_style", "table": 0, "r1": 0, "c1": 0, "r2": 0,
+         "c2": 2, "bold": True, "fill_color": "#ddeeff",
+         "horizontal": "center"},
+        {"op": "set_style", "table": 0, "r1": 1, "c1": 0, "r2": 2,
+         "c2": 0},                              # no style fields
+        {"op": "set_style", "table": 0, "r1": 0, "c1": 0, "r2": 0,
+         "c2": 0, "color": 'x";pwn="1'},        # breakout
+    ])
+    assert st == ["applied", "skipped", "skipped"]
+    assert out.count("font-weight:bold") == 3
+    assert out.count("background-color:#ddeeff") == 3
+    assert out.count("text-align:center") == 3
+
+    # set_dimensions: height on <tr>, width on unmerged column cells
+    out2, st2 = apply_ops(html, [
+        {"op": "set_dimensions", "table": 0, "rows": [0],
+         "row_height": 32, "columns": [1], "column_width": 120},
+        {"op": "set_dimensions", "table": 0},            # nothing given
+        {"op": "set_dimensions", "table": 0, "rows": [9],
+         "row_height": 10},                              # bad index
+    ])
+    assert st2 == ["applied", "skipped", "skipped"]
+    assert out2.count('<tr style="height:32px">') == 1
+    assert out2.count("width:120px") == 3
+
+    # apply_table_style: class joins (no duplicate), data-table-name;
+    # non-token names rejected; the class surfaces in class_map
+    out3, st3 = apply_ops(html, [
+        {"op": "apply_table_style", "table": 0,
+         "style": "TableStyleMedium2", "table_name": "Sales"},
+        {"op": "apply_table_style", "table": 0,
+         "style": "TableStyleMedium2"},          # already present: no dup
+        {"op": "apply_table_style", "table": 0,
+         "style": 'x" onmouseover="1'},          # breakout
+    ])
+    assert st3 == ["applied", "applied", "skipped"]
+    assert out3.count("TableStyleMedium2") == 1
+    assert 'data-table-name="Sales"' in out3
+    ex3 = json.loads(extract_document(
+        "http://t/ts", out3.encode())["extraction_json"])
+    assert "TableStyleMedium2" in ex3["class_map"]
+
+    # create_chart: the injected Chart.js config round-trips through
+    # the extractor's F7 parser with the grid's own series
+    out4, st4 = apply_ops(html, [
+        {"op": "create_chart", "table": 0, "chart_type": "column",
+         "r1": 0, "c1": 0, "r2": 2, "c2": 2, "title": "Quarterly"},
+        {"op": "create_chart", "table": 0, "chart_type": "nope",
+         "r1": 0, "c1": 0, "r2": 2, "c2": 2},    # unknown type
+        {"op": "create_chart", "table": 0, "chart_type": "line",
+         "r1": 0, "c1": 0, "r2": 0, "c2": 2},    # too small
+    ])
+    assert st4 == ["applied", "skipped", "skipped"]
+    ex4 = json.loads(extract_document(
+        "http://t/cc", out4.encode())["extraction_json"])
+    charts = ex4["charts"]
+    assert len(charts) == 1
+    c = charts[0]
+    assert c["chart_type"] == "Column"  # Chart.js 'bar' is vertical
+    assert c["title"] == "Quarterly"
+    assert [sr["name"] for sr in c["series"]] == ["north", "south"]
+    assert [sr["n_points"] for sr in c["series"]] == [2, 2]
+    assert c["y_axis_range"] == [4.0, 20.0]  # the grid's own numbers
+    assert c["n_labels"] == 2
+
+    # series_from_rows transposes: series named by the first column
+    out5, st5 = apply_ops(html, [
+        {"op": "create_chart", "table": 0, "chart_type": "line",
+         "r1": 0, "c1": 0, "r2": 2, "c2": 2, "series_from_rows": True},
+    ])
+    assert st5 == ["applied"]
+    ex5 = json.loads(extract_document(
+        "http://t/cr", out5.encode())["extraction_json"])
+    assert [sr["name"]
+            for sr in ex5["charts"][0]["series"]] == ["Q1", "Q2"]
+
+    # restore_design_snapshot: byte-exact inverse of the design wave
+    snap = design_snapshot(html, 0)
+    styled, st6 = apply_ops(html, [
+        {"op": "set_style", "table": 0, "r1": 0, "c1": 0, "r2": 2,
+         "c2": 2, "bold": True, "color": "#123456"},
+        {"op": "set_dimensions", "table": 0, "rows": [0, 1, 2],
+         "row_height": 24},
+        {"op": "apply_table_style", "table": 0, "style": "Dark1"},
+        {"op": "draw_grid_border", "table": 0, "r1": 0, "c1": 0,
+         "r2": 2, "c2": 2},
+    ])
+    assert st6 == ["applied"] * 4
+    assert styled != html
+    restored, st7 = apply_ops(styled, [
+        {"op": "restore_design_snapshot", "design_snapshot": snap},
+    ])
+    assert st7 == ["applied"]
+    assert restored == html
+    # a STRUCTURALLY edited table skips the restore (shape mismatch)
+    grown, _ = apply_ops(styled, [
+        {"op": "add_row", "table": 0, "row": 1, "values": ["X", 1, 2]},
+    ])
+    _, st8 = apply_ops(grown, [
+        {"op": "restore_design_snapshot", "design_snapshot": snap},
+    ])
+    assert st8 == ["skipped"]
+    # garbage snapshots skip, never raise
+    for bad in (None, 42, {}, {"table": 0}, {"table": 99,
+                "table_tag": "<table>", "rows": [], "cells": []}):
+        _, stx = apply_ops(html, [
+            {"op": "restore_design_snapshot", "design_snapshot": bad}])
+        assert stx == ["skipped"]

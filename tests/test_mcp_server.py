@@ -326,8 +326,9 @@ def test_mcp_introspection_and_reader_tools(tmp_path):
     assert info["root"] == str(root) and info["max_file_bytes"] == 1024
     ops = body(6)
     names = {o["op"] for o in ops["ops"]}
-    assert ops["total"] == 14 and {"set_value", "merge_cells",
-                                   "draw_grid_border"} <= names
+    assert ops["total"] == 19 and {"set_value", "merge_cells",
+                                   "draw_grid_border", "set_style",
+                                   "restore_design_snapshot"} <= names
     desc = body(7)
     assert desc["op"] == "merge_cells"
     assert [a["name"] for a in desc["args"]] == ["table", "r1", "c1",

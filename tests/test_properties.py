@@ -336,6 +336,52 @@ def test_jpeg_decode_never_hangs_on_garbage(raw):
                     st.lists(st.lists(st.text(max_size=2), max_size=2),
                              max_size=2),
                     st.lists(st.text(max_size=2), max_size=2))}),
+            st.fixed_dictionaries({
+                "op": st.just("set_style"), "table": st.integers(-1, 3),
+                "r1": st.integers(-1, 4), "c1": st.integers(-1, 4),
+                "r2": st.integers(-1, 4), "c2": st.integers(-1, 4),
+                "bold": st.one_of(st.none(), st.booleans()),
+                "font_size": st.one_of(st.none(), st.integers(-5, 600)),
+                "fill_color": st.one_of(st.none(), st.text(max_size=6)),
+                "horizontal": st.one_of(st.none(), st.text(max_size=7))}),
+            st.fixed_dictionaries({
+                "op": st.just("set_dimensions"),
+                "table": st.integers(-1, 3),
+                "rows": st.one_of(st.none(),
+                                  st.lists(st.integers(-2, 6),
+                                           max_size=3)),
+                "row_height": st.one_of(st.none(),
+                                        st.integers(-5, 50)),
+                "columns": st.one_of(st.none(),
+                                     st.lists(st.integers(-2, 6),
+                                              max_size=3)),
+                "column_width": st.one_of(st.none(),
+                                          st.integers(-5, 50))}),
+            st.fixed_dictionaries({
+                "op": st.just("apply_table_style"),
+                "table": st.integers(-1, 3),
+                "style": st.text(max_size=8)}),
+            st.fixed_dictionaries({
+                "op": st.just("create_chart"),
+                "table": st.integers(-1, 3),
+                "chart_type": st.text(max_size=6),
+                "r1": st.integers(-1, 4), "c1": st.integers(-1, 4),
+                "r2": st.integers(-1, 4), "c2": st.integers(-1, 4),
+                "series_from_rows": st.booleans()}),
+            st.fixed_dictionaries({
+                "op": st.just("restore_design_snapshot"),
+                "design_snapshot": st.one_of(
+                    st.none(), st.integers(),
+                    st.dictionaries(st.text(max_size=6),
+                                    st.text(max_size=4), max_size=3),
+                    st.fixed_dictionaries({
+                        "table": st.integers(-1, 3),
+                        "table_tag": st.text(max_size=10),
+                        "rows": st.lists(st.text(max_size=8),
+                                         max_size=3),
+                        "cells": st.lists(
+                            st.lists(st.text(max_size=6), max_size=3),
+                            max_size=3)}))}),
         ),
         max_size=4,
     ),
