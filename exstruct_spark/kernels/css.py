@@ -21,10 +21,15 @@ This is deliberately NOT a CSS engine.  The contract:
     (``td.cell``, ``.a.b``, ``table#prices``), chained by descendant
     and child combinators (``table.pricing td``, ``.data > tr > td``)
     up to ``MAX_CHAIN`` compounds — the dominant real-web idiom for
-    styling table cells (VERDICT r6 Missing #1).  Pseudo-classes/
-    elements, attribute selectors, sibling combinators (``+``/``~``)
-    and over-long chains are SKIPPED — deterministic under-match,
-    never a guess;
+    styling table cells (VERDICT r6 Missing #1) — plus the STRUCTURAL
+    pseudo-classes (``:nth-child``/``:nth-of-type`` with full An+B,
+    ``:first/last/only-child``, their ``-of-type`` twins and
+    ``nth-last`` variants): ``tr:nth-child(even)`` zebra striping is
+    the standard way real tables acquire row backgrounds.  All other
+    pseudo-classes/elements (state-dependent ``:hover`` etc.),
+    attribute selectors, sibling combinators (``+``/``~``) and
+    over-long chains are SKIPPED — deterministic under-match, never a
+    guess;
   * cascade order is (specificity, document order) — standard
     ``(#ids, .classes, tags)`` counting, no ``!important`` arithmetic
     (annotations are stripped; real pages that depend on !important
@@ -68,12 +73,72 @@ _KEPT_PROP_RE = re.compile(
 )
 
 # one compound simple selector: optional tag, then any run of
-# .class / #id segments (no pseudo/attr — those compounds are skipped
-# by the fullmatch failing)
+# .class / #id segments, then any run of pseudo-class tokens (only the
+# STRUCTURAL pseudo-classes below are understood — anything else in the
+# pseudo run, or an attribute selector, makes the fullmatch fail and
+# the compound is skipped)
 _COMPOUND_SEL_RE = re.compile(
-    r"([a-zA-Z][a-zA-Z0-9-]*|\*)?((?:[.#][-\w]+)+|)$"
+    r"([a-zA-Z][a-zA-Z0-9-]*|\*)?((?:[.#][-\w]+)*)"
+    r"((?:::?[a-zA-Z-]+(?:\([^()]*\))?)*)$"
 )
 _SEL_PART_RE = re.compile(r"[.#][-\w]+")
+_PSEUDO_PART_RE = re.compile(r"::?[a-zA-Z-]+(?:\([^()]*\))?")
+
+# An+B micro-grammar for :nth-child()/:nth-of-type() arguments
+# (whitespace already stripped inside parens by _parse_selector)
+_NTH_RE = re.compile(r"^(?:([+-]?\d*)n([+-]\d+)?|([+-]?\d+))$",
+                     re.IGNORECASE)
+
+
+def _parse_nth(arg: str):
+    """``odd`` / ``even`` / ``5`` / ``2n+1`` / ``-n+3`` -> (a, b)
+    of the CSS An+B position grammar, or None if unsupported."""
+    arg = arg.strip().lower()
+    if arg == "odd":
+        return 2, 1
+    if arg == "even":
+        return 2, 0
+    m = _NTH_RE.match(arg)
+    if m is None:
+        return None
+    if m.group(3) is not None:
+        return 0, int(m.group(3))
+    a_txt = m.group(1)
+    a = {"": 1, "+": 1, "-": -1}.get(a_txt)
+    if a is None:
+        a = int(a_txt)
+    return a, int(m.group(2) or 0)
+
+
+def _parse_pseudo(token: str):
+    """One ``:name`` / ``:name(arg)`` token -> ("child"|"type", a, b,
+    from_end) for the structural pseudo-classes (the zebra-striping
+    family — ``tr:nth-child(even)`` is THE standard way real tables get
+    row backgrounds), or None for everything else (``:hover``,
+    ``::before``, ...) — those compounds are skipped whole."""
+    if token.startswith("::"):
+        return None  # pseudo-ELEMENT: never a style carrier we read
+    name, _, arg = token[1:].partition("(")
+    name = name.lower()
+    arg = arg[:-1] if arg.endswith(")") else arg
+    base = {"first-child": ("child", 0, 1, False),
+            "last-child": ("child", 0, 1, True),
+            "first-of-type": ("type", 0, 1, False),
+            "last-of-type": ("type", 0, 1, True),
+            "only-child": ("child", 0, 1, None),
+            "only-of-type": ("type", 0, 1, None)}.get(name)
+    if base is not None:
+        return base
+    kind = {"nth-child": ("child", False),
+            "nth-last-child": ("child", True),
+            "nth-of-type": ("type", False),
+            "nth-last-of-type": ("type", True)}.get(name)
+    if kind is None:
+        return None
+    ab = _parse_nth(arg)
+    if ab is None:
+        return None
+    return kind[0], ab[0], ab[1], kind[1]
 
 MAX_CHAIN = 4        # compounds per selector; longer chains are skipped
 _MATCH_DEPTH = 32    # ancestor-walk bound per descendant step
@@ -84,10 +149,12 @@ _CHILD_COMB_RE = re.compile(r"\s*>\s*")
 
 
 def _parse_compound(part: str):
-    """One compound token -> (tag, classes, id) or None if unsupported."""
+    """One compound token -> (tag, classes, id, pseudos) or None if
+    unsupported (attribute selector, or any pseudo outside the
+    structural family)."""
     m = _COMPOUND_SEL_RE.fullmatch(part)
     if m is None:
-        return None  # pseudo / attribute selector: skipped
+        return None  # attribute selector / malformed: skipped
     tag = (m.group(1) or "").lower()
     if tag == "*":
         tag = ""  # universal: matches any tag
@@ -98,9 +165,15 @@ def _parse_compound(part: str):
             classes.append(seg[1:])
         else:
             sel_id = seg[1:]  # last #id wins within the compound
-    if not tag and not classes and not sel_id:
+    pseudos: list = []
+    for tok in _PSEUDO_PART_RE.findall(m.group(3)):
+        parsed = _parse_pseudo(tok)
+        if parsed is None:
+            return None  # non-structural pseudo: skip the compound
+        pseudos.append(parsed)
+    if not tag and not classes and not sel_id and not pseudos:
         return None
-    return tag or None, tuple(classes), sel_id
+    return tag or None, tuple(classes), sel_id, tuple(pseudos)
 
 
 def _parse_selector(sel: str):
@@ -115,7 +188,14 @@ def _parse_selector(sel: str):
     under-match, never a guess).
     """
     sel = sel.strip()
-    if not sel or "+" in sel or "~" in sel:
+    # strip whitespace INSIDE functional-pseudo parens first so token
+    # splitting can't break ":nth-child(2n + 1)", and run the sibling-
+    # combinator rejection on the paren-masked text so the '+' of an
+    # An+B argument doesn't misfire as a combinator
+    sel = re.sub(r"\([^()]*\)",
+                 lambda m: re.sub(r"\s+", "", m.group(0)), sel)
+    masked = re.sub(r"\([^()]*\)", "()", sel)
+    if not sel or "+" in masked or "~" in masked:
         return None
     tokens = _CHILD_COMB_RE.sub(" >", sel).split()
     if not tokens or len(tokens) > MAX_CHAIN:
@@ -137,9 +217,10 @@ def _parse_selector(sel: str):
         if parsed is None:
             return None
         chain.append(parsed)
-    ids = sum(1 for _, _, sid in chain if sid is not None)
-    classes = sum(len(cls) for _, cls, _ in chain)
-    tags = sum(1 for tag, _, _ in chain if tag is not None)
+    ids = sum(1 for _, _, sid, _ in chain if sid is not None)
+    # pseudo-CLASSES count in the class bucket (CSS specificity rules)
+    classes = sum(len(cls) + len(ps) for _, cls, _, ps in chain)
+    tags = sum(1 for tag, _, _, _ in chain if tag is not None)
     return tuple(chain), tuple(combs), (ids, classes, tags)
 
 
@@ -274,8 +355,45 @@ def _style_text(node: Node) -> str:
     return "".join(c for c in node.children if type(c) is str)
 
 
-def _compound_matches(comp, node: Node) -> bool:
-    tag, classes, sel_id = comp
+def _sibling_pos(node: Node, cache: dict):
+    """(pos, count, pos_of_type, count_of_type) of ``node`` among its
+    parent's ELEMENT children, 1-based — computed once per parent and
+    memoized in ``cache`` (per-document, owned by the resolver) so an
+    n-row table costs O(n) total, not O(n^2) per zebra rule."""
+    parent = node.parent
+    if parent is None:
+        return 1, 1, 1, 1
+    pk = id(parent)
+    fam = cache.get(pk)
+    if fam is None:
+        fam = {}
+        per_tag: dict = {}
+        sibs = parent.element_children()
+        for i, ch in enumerate(sibs):
+            t = per_tag.get(ch.tag, 0) + 1
+            per_tag[ch.tag] = t
+            fam[id(ch)] = (i + 1, t)
+        total = len(sibs)
+        fam["__totals__"] = (total, per_tag)
+        cache[pk] = fam
+    ent = fam.get(id(node))
+    if ent is None:  # not an element child of its parent (defensive)
+        return 1, 1, 1, 1
+    total, per_tag = fam["__totals__"]
+    return ent[0], total, ent[1], per_tag.get(node.tag, 1)
+
+
+def _nth_hit(a: int, b: int, pos: int) -> bool:
+    diff = pos - b
+    if a == 0:
+        return diff == 0
+    if a > 0:
+        return diff >= 0 and diff % a == 0
+    return diff <= 0 and (-diff) % (-a) == 0
+
+
+def _compound_matches(comp, node: Node, cache: dict) -> bool:
+    tag, classes, sel_id, pseudos = comp
     if tag is not None and node.tag != tag:
         return False
     attrs = node.attrs
@@ -287,10 +405,22 @@ def _compound_matches(comp, node: Node) -> bool:
             return False
         if not set(cls.split()).issuperset(classes):
             return False
+    if pseudos:
+        pos, count, pos_t, count_t = _sibling_pos(node, cache)
+        for kind, a, b, from_end in pseudos:
+            p, c = (pos, count) if kind == "child" else (pos_t, count_t)
+            if from_end is None:  # only-child / only-of-type
+                ok = c == 1
+            elif from_end:
+                ok = _nth_hit(a, b, c - p + 1)
+            else:
+                ok = _nth_hit(a, b, p)
+            if not ok:
+                return False
     return True
 
 
-def _match_left(chain, combs, i: int, anc) -> bool:
+def _match_left(chain, combs, i: int, anc, cache: dict) -> bool:
     """Right-to-left chain match: ``chain[i]`` must match an ancestor
     starting at ``anc`` under ``combs[i]`` ('>' = exactly ``anc``,
     ' ' = any ancestor, with backtracking for mixed chains like
@@ -302,14 +432,14 @@ def _match_left(chain, combs, i: int, anc) -> bool:
     if comb == ">":
         if anc is None or anc.tag == "#document":
             return False
-        if not _compound_matches(chain[i], anc):
+        if not _compound_matches(chain[i], anc, cache):
             return False
-        return _match_left(chain, combs, i - 1, anc.parent)
+        return _match_left(chain, combs, i - 1, anc.parent, cache)
     steps = 0
     while anc is not None and anc.tag != "#document":
-        if _compound_matches(chain[i], anc):
+        if _compound_matches(chain[i], anc, cache):
             # greedy try, backtrack to higher ancestors on failure
-            if _match_left(chain, combs, i - 1, anc.parent):
+            if _match_left(chain, combs, i - 1, anc.parent, cache):
                 return True
         anc = anc.parent
         steps += 1
@@ -331,7 +461,8 @@ class StyleResolver:
     existing ``cell_background`` / border predicates resolve.
     """
 
-    __slots__ = ("rules", "_by_id", "_by_class", "_by_tag")
+    __slots__ = ("rules", "_by_id", "_by_class", "_by_tag",
+                 "_sibling_cache")
 
     def __init__(self, style_nodes: list, extra_rules: list = None):
         budget = MAX_CSS_BYTES
@@ -356,17 +487,21 @@ class StyleResolver:
         by_class: dict = {}
         by_tag: dict = {}
         for order, ((chain, combs, spec), decls) in enumerate(rules):
-            tag, classes, sel_id = chain[-1]
+            tag, classes, sel_id, _ps = chain[-1]
             entry = (spec, order, chain, combs, decls)
             if sel_id is not None:
                 by_id.setdefault(sel_id, []).append(entry)
             elif classes:
                 by_class.setdefault(classes[0], []).append(entry)
             else:
+                # tag may be None for a pseudo-only rightmost compound
+                # (":first-child", "*:nth-child(odd)") — the None key
+                # is the universal bucket probed for every node
                 by_tag.setdefault(tag, []).append(entry)
         self._by_id = by_id
         self._by_class = by_class
         self._by_tag = by_tag
+        self._sibling_cache: dict = {}
 
     def __bool__(self) -> bool:
         return bool(self.rules)
@@ -377,6 +512,9 @@ class StyleResolver:
         cls = attrs.get("class")
         cand: list = []
         bucket = self._by_tag.get(node.tag)
+        if bucket:
+            cand.extend(bucket)
+        bucket = self._by_tag.get(None)  # universal / pseudo-only rules
         if bucket:
             cand.extend(bucket)
         if cls:
@@ -390,13 +528,14 @@ class StyleResolver:
                 cand.extend(bucket)
         if not cand:
             return None
+        cache = self._sibling_cache
         matched = [
             entry
             for entry in cand
-            if _compound_matches(entry[2][-1], node)
+            if _compound_matches(entry[2][-1], node, cache)
             and (len(entry[2]) == 1
                  or _match_left(entry[2], entry[3], len(entry[2]) - 2,
-                                node.parent))
+                                node.parent, cache))
         ]
         if not matched:
             return None

@@ -76,6 +76,11 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
     for r, tr in enumerate(trs):
         n_rows_scanned = r + 1
         row_had_content = False
+        # row-level paint (tr:nth-child zebra rules, <tr bgcolor>):
+        # cells with no background of their own inherit the row's —
+        # exactly what a browser renders
+        row_bg = cell_background(
+            css.effective_attrs(tr) if css else tr.attrs)
         c = 0
         for cell in tr.element_children():
             if cell.tag not in ("td", "th"):
@@ -97,8 +102,8 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
             # bare attrs when no <style> rules exist — the common case
             # stays an identity read
             eff_attrs = css.effective_attrs(cell) if css else cell.attrs
-            if eff_attrs:
-                color = cell_background(eff_attrs)
+            if eff_attrs or row_bg:
+                color = cell_background(eff_attrs) or row_bg
                 if color:
                     colors[(r, c)] = color
                     # a colored cell is content for the empty-run counter:
@@ -278,6 +283,9 @@ def _grid_from_aria(table: Node, cfg: DetectionConfig, css=None):
     for r, rn in enumerate(rows_nodes):
         n_rows_scanned = r + 1
         row_had_content = False
+        # role=row paint inherits to cells, same as <tr> (zebra rules)
+        row_bg = cell_background(
+            css.effective_attrs(rn) if css else rn.attrs)
         c = 0
         for cell in pruned_walk(rn):
             if role_of(cell) not in _ARIA_CELL_ROLES:
@@ -296,8 +304,8 @@ def _grid_from_aria(table: Node, cfg: DetectionConfig, css=None):
             if role_of(cell) == "columnheader":
                 th_cells.add((r, c))
             eff_attrs = css.effective_attrs(cell) if css else cell.attrs
-            if eff_attrs:
-                color = cell_background(eff_attrs)
+            if eff_attrs or row_bg:
+                color = cell_background(eff_attrs) or row_bg
                 if color:
                     colors[(r, c)] = color
                     row_had_content = True

@@ -434,6 +434,26 @@ def _styled_grid_descendant(rng: random.Random, lang: str) -> str:
     )
 
 
+def _striped_table(rng: random.Random, lang: str) -> str:
+    """Zebra-striped table (round 7): the row backgrounds exist ONLY
+    through a ``tr:nth-child(even)`` rule and the first column's border
+    only through ``td:first-child`` — the standard way real tables are
+    striped (no per-row classes, no inline styles).  Exercises the
+    structural-pseudo-class path of kernels/css.py end-to-end."""
+    n_rows = 4 + rng.randint(0, 2)
+    rows = "".join(
+        f"<tr><td>r{r}</td><td>{rng.randint(1, 99)}</td>"
+        f"<td>{rng.randint(1, 99)}</td></tr>"
+        for r in range(n_rows)
+    )
+    return (
+        "<style>#zt tr:nth-child(even) { background-color: #DDEEFF } "
+        "#zt td:first-child { border-left: 2px solid #333 }</style>"
+        f"<table id='zt'><tr><th>k</th><th>a</th><th>b</th></tr>{rows}"
+        "</table>"
+    )
+
+
 def _structured_article(rng: random.Random, lang: str) -> str:
     """schema.org structured data (round 6): a JSON-LD Article with a
     nested author entity plus a microdata Product — the author-declared
@@ -595,7 +615,7 @@ RICH_ARCHETYPES = [
     "colored_table", "wired_flowchart", "split_grid", "unit_chart",
     "script_chart", "bordered_grid", "highcharts_chart", "aria_grid",
     "plotly_chart", "styled_grid", "responsive_gallery", "vegalite_chart",
-    "gviz_chart", "structured_article", "styled_grid_descendant",
+    "gviz_chart", "structured_article", "styled_grid_descendant", "striped_table",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -613,6 +633,7 @@ _RICH_BUILDERS = {
     "gviz_chart": _gviz_chart,
     "structured_article": _structured_article,
     "styled_grid_descendant": _styled_grid_descendant,
+    "striped_table": _striped_table,
 }
 
 

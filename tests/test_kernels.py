@@ -1843,28 +1843,32 @@ def test_css_rule_parsing_and_precedence():
       td.b, #x { background: blue; padding: 4px }
       @media print { .a { background-color: white } }
       div > .c { background: green }   /* child combinator: kept */
-      .d:hover { background: green }   /* pseudo: skipped */
+      .d:hover { background: green }   /* non-structural pseudo: skipped */
       .e { color: green }              /* no kept props: dropped */
       .f { border: 1px solid !important }
       ul + p { background: red }       /* sibling comb: skipped */
       a b c d e { background: red }    /* chain > MAX_CHAIN: skipped */
+      tr:nth-child(2n + 1) { background: gray }  /* structural: kept */
     """)
     assert [
         (chain, combs, spec, [p for p, _ in decls])
         for (chain, combs, spec), decls in rules
     ] == [
-        (((None, ("a",), None),), (), (0, 1, 0), ["background-color"]),
-        ((("td", ("b",), None),), (), (0, 1, 1), ["background"]),
-        (((None, (), "x"),), (), (1, 0, 0), ["background"]),
-        ((("div", (), None), (None, ("c",), None)), (">",),
+        (((None, ("a",), None, ()),), (), (0, 1, 0),
+         ["background-color"]),
+        ((("td", ("b",), None, ()),), (), (0, 1, 1), ["background"]),
+        (((None, (), "x", ()),), (), (1, 0, 0), ["background"]),
+        ((("div", (), None, ()), (None, ("c",), None, ())), (">",),
          (0, 1, 1), ["background"]),
-        (((None, ("f",), None),), (), (0, 1, 0), ["border"]),
+        (((None, ("f",), None, ()),), (), (0, 1, 0), ["border"]),
+        ((("tr", (), None, (("child", 2, 1, False),)),), (),
+         (0, 1, 1), ["background"]),
     ]
     # a stray unpaired quote inside a block is a literal, not an
     # everything-swallowing string (third-review finding)
     r = parse_css_rules(
         "@media screen { a::after { content: it's } } p { background: red }")
-    assert len(r) == 1 and r[0][0][0] == (("p", (), None),)
+    assert len(r) == 1 and r[0][0][0] == (("p", (), None, ()),)
     assert rules[4][1] == [("border", "1px solid")]  # !important stripped
 
     def cell(html):
@@ -2044,6 +2048,114 @@ def test_css_combinators_and_specificity():
     assert declared["colors_map"] == {"00CCFF": [[1, 0], [1, 1]]}
     bordered = ex["tables"][kinds.index(("grid", "border"))]
     assert bordered["range"] == "A1:E4"
+
+
+def test_css_structural_pseudo_classes():
+    """Round 7: structural pseudo-classes — ``tr:nth-child(even)``
+    zebra striping (THE standard real-web way tables get row
+    backgrounds), full An+B grammar, first/last/only(-of-type)
+    variants, row-paint inheritance to cells, and specificity counting
+    pseudos in the class bucket.  Twin identity: a zebra-striped table
+    extracts the same colors_map as its inline-styled twin."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.kernels.colors import cell_background
+    from exstruct_spark.kernels.css import StyleResolver, _parse_nth
+    from exstruct_spark.kernels.dom import parse_html
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    # --- An+B grammar ------------------------------------------------
+    assert _parse_nth("odd") == (2, 1) and _parse_nth("even") == (2, 0)
+    assert _parse_nth("3") == (0, 3) and _parse_nth("2n+1") == (2, 1)
+    assert _parse_nth("-n+2") == (-1, 2) and _parse_nth("n") == (1, 0)
+    assert _parse_nth("3n-1") == (3, -1)
+    assert _parse_nth("garbage") is None and _parse_nth("n+") is None
+
+    def resolver(css_text):
+        root = parse_html(f"<style>{css_text}</style>")
+        return StyleResolver(root.find_all("style"))
+
+    # --- positional matching over a real sibling list ----------------
+    css = resolver(
+        "li:nth-child(even) { background: red }"
+        "li:first-child { background: blue }"
+        "li:last-child { background: lime }"
+        "li:nth-child(-n+2) { border-top: 1px solid }"
+        "em:only-of-type { background: yellow }")
+    doc = parse_html(
+        "<ul><li>1</li><li>2</li><li>3</li><li>4</li><li>5</li></ul>"
+        "<p><em>solo</em><b>x</b></p>"
+        "<p><em>a</em><em>b</em></p>")
+    lis = [n for n in doc.iter() if n.tag == "li"]
+    bgs = [cell_background(css.effective_attrs(n)) for n in lis]
+    # first-child (blue, later rule would lose the tie but -n+2 border
+    # doesn't carry background), evens red, last lime
+    assert bgs == ["0000FF", "FF0000", None, "FF0000", "00FF00"]
+    # -n+2: first two get the border, later ones don't
+    assert "border-top" in css.effective_attrs(lis[1])["style"]
+    assert "border-top" not in (
+        css.effective_attrs(lis[2]).get("style") or "")
+    ems = [n for n in doc.iter() if n.tag == "em"]
+    assert cell_background(css.effective_attrs(ems[0])) == "FFFF00"
+    assert css.effective_attrs(ems[1]) is ems[1].attrs  # two ems: no
+    assert css.effective_attrs(ems[2]) is ems[2].attrs
+
+    # nth-of-type counts only same-tag siblings
+    t = resolver("p:nth-of-type(2) { background: red }")
+    doc2 = parse_html("<div><h1>t</h1><p id='p1'>a</p><p id='p2'>b</p></div>")
+    ps = [n for n in doc2.iter() if n.tag == "p"]
+    assert t.effective_attrs(ps[0]) is ps[0].attrs
+    assert cell_background(t.effective_attrs(ps[1])) == "FF0000"
+
+    # --- specificity: pseudo counts as a class -----------------------
+    spec = resolver(
+        "tr:first-child { background: red }"   # tag + pseudo = (0,1,1)
+        "tr { background: blue }")             # tag only: loses
+    row = parse_html("<table><tr id='r'><td>v</td></tr></table>")
+    tr = row.find_first("tr")
+    assert cell_background(spec.effective_attrs(tr)) == "FF0000"
+
+    # --- zebra twin identity through the full extractor --------------
+    def page(body, head=""):
+        return (f"<html><head>{head}</head><body>{body}"
+                "</body></html>").encode()
+
+    rows = [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+    striped = ("<table><tr><th>k</th><th>v</th></tr>" + "".join(
+        f"<tr><td>{k}</td><td>{v}</td></tr>" for k, v in rows)
+        + "</table>")
+    inline = ("<table><tr><th>k</th><th>v</th></tr>" + "".join(
+        (f"<tr style='background-color:#EEF'><td>{k}</td><td>{v}</td></tr>"
+         if i % 2 == 0 else f"<tr><td>{k}</td><td>{v}</td></tr>")
+        for i, (k, v) in enumerate(rows)) + "</table>")
+    rec_s = extract_document("http://t/z", page(
+        striped, head="<style>tr:nth-child(even) "
+                      "{ background-color: #EEF }</style>"))
+    rec_i = extract_document("http://t/z", page(inline))
+    ts = json.loads(rec_s["extraction_json"])["tables"]
+    ti = json.loads(rec_i["extraction_json"])["tables"]
+    assert ts == ti
+    assert ts[0]["colors_map"] == {"EEEEFF": [[2, 0], [2, 1],
+                                              [4, 0], [4, 1]]}
+
+    # cell's own background (even a presentational bgcolor hint) wins
+    # over the inherited row paint, like a browser
+    rec_o = extract_document("http://t/o", page(
+        "<table><tr bgcolor='red'><td bgcolor='blue'>x</td>"
+        "<td>y</td></tr></table>"))
+    cm = json.loads(rec_o["extraction_json"])["tables"][0]["colors_map"]
+    assert cm == {"0000FF": [[1, 0]], "FF0000": [[1, 1]]}
+
+    # --- archetype end-to-end ---------------------------------------
+    i = RICH_ARCHETYPES.index("striped_table")
+    pg = build_rich_page(i)
+    assert pg["archetype"] == "striped_table"
+    rec = extract_document(pg["url"], pg["html"], ExtractOptions())
+    ex = json.loads(rec["extraction_json"])
+    zt = [t for t in ex["tables"] if t.get("colors_map")][0]
+    painted_rows = {pos[0] for pos in zt["colors_map"]["DDEEFF"]}
+    assert painted_rows and all(r % 2 == 0 for r in painted_rows)
 
 
 def test_external_css_kernel_cascade():
