@@ -69,6 +69,25 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
     # carry no links, and the per-cell subtree walk is the grid pass's
     # hottest incidental cost (profiled)
     table_has_links = table.find_first("a") is not None
+    # <colgroup>/<col> column paint (span-expanded): the lowest paint
+    # layer a cell can inherit — CSS paints cell > row > column, so the
+    # fallback chain below is own-bg, then row_bg, then col_bg
+    col_bg: list = []
+    for child in table.element_children():
+        cols = ([child] if child.tag == "col"
+                else child.element_children()
+                if child.tag == "colgroup" else ())
+        for col in cols:
+            if col.tag != "col":
+                continue
+            bg = cell_background(
+                css.effective_attrs(col) if css else col.attrs)
+            span = _int_attr(col, "span")
+            col_bg.extend([bg] * min(span, cfg.max_cols))
+            if len(col_bg) >= cfg.max_cols:
+                break
+    while col_bg and col_bg[-1] is None:
+        col_bg.pop()
     n_cols = 0
     empty_run = 0
     n_rows_scanned = 0
@@ -102,8 +121,9 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
             # bare attrs when no <style> rules exist — the common case
             # stays an identity read
             eff_attrs = css.effective_attrs(cell) if css else cell.attrs
-            if eff_attrs or row_bg:
-                color = cell_background(eff_attrs) or row_bg
+            if eff_attrs or row_bg or col_bg:
+                color = (cell_background(eff_attrs) or row_bg
+                         or (col_bg[c] if c < len(col_bg) else None))
                 if color:
                     colors[(r, c)] = color
                     # a colored cell is content for the empty-run counter:

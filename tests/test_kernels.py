@@ -2158,6 +2158,47 @@ def test_css_structural_pseudo_classes():
     assert painted_rows and all(r % 2 == 0 for r in painted_rows)
 
 
+def test_colgroup_column_paint():
+    """Round 7: <colgroup>/<col> column backgrounds (span-expanded,
+    class-rule-resolvable) inherit to cells under the browser's paint
+    order — cell's own background > row paint > column paint — and a
+    hostile span is capped, never expanded."""
+    import json
+
+    from exstruct_spark.golden import extract_document
+
+    html = ("<html><body><table>"
+            "<colgroup><col><col span='2' style='background:#FFEE00'>"
+            "</colgroup>"
+            "<tr><td>a</td><td>1</td><td>2</td></tr>"
+            "<tr style='background:#DDEEFF'><td>b</td>"
+            "<td bgcolor='red'>3</td><td>4</td></tr>"
+            "</table></body></html>").encode()
+    cm = json.loads(extract_document(
+        "http://t/cg", html)["extraction_json"])["tables"][0]["colors_map"]
+    assert cm == {"FFEE00": [[1, 1], [1, 2]],
+                  "DDEEFF": [[2, 0], [2, 2]],
+                  "FF0000": [[2, 1]]}
+
+    # class-styled <col> resolves through the same CSS resolver
+    html2 = ("<html><head><style>col.hl { background: #00FF00 }</style>"
+             "</head><body><table><colgroup><col class='hl'><col>"
+             "</colgroup><tr><td>x</td><td>y</td></tr></table>"
+             "</body></html>").encode()
+    cm2 = json.loads(extract_document(
+        "http://t/cg2", html2)["extraction_json"])["tables"][0]["colors_map"]
+    assert cm2 == {"00FF00": [[1, 0]]}
+
+    # hostile span: capped at max_cols, table still extracts
+    html3 = ("<html><body><table><col span='999999' "
+             "style='background:#ABCDEF'>"
+             "<tr><td>1</td><td>2</td></tr></table></body></html>").encode()
+    ex3 = json.loads(extract_document(
+        "http://t/cg3", html3)["extraction_json"])
+    assert ex3["tables"][0]["colors_map"] == {
+        "ABCDEF": [[1, 0], [1, 1]]}
+
+
 def test_external_css_kernel_cascade():
     """kernels/css.py external-sheet rules (corpus join): they feed the
     same resolver as <style> blocks but cascade BELOW them at equal
