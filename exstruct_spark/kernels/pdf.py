@@ -7,8 +7,11 @@ deployment would plug pypdfium2/pdfminer here; this environment has no
 PDF library, so this kernel extracts only what is recoverable WITHOUT
 one, and marks the result as an approximation:
 
-  * uncompressed text-showing operators: ``(string) Tj`` and
-    ``[(s1) (s2)] TJ`` arrays, with PDF string escapes decoded;
+  * uncompressed text-showing operators: ``(string) Tj``, the ``'`` /
+    ``"`` move-and-show variants, ``<hex> Tj`` hex strings and
+    ``[(s1) <s2>] TJ`` arrays — PDF string escapes decoded, one level
+    of balanced unescaped parens accepted, odd hex digits zero-padded,
+    and a UTF-16BE BOM selecting UTF-16 (non-Latin titles/text);
   * FlateDecode content streams (VERDICT r6 #3): ``stream…endstream``
     blocks whose object dictionary declares ``/FlateDecode`` are
     zlib-inflated (stdlib) under per-stream/per-document output caps —
@@ -32,11 +35,19 @@ from __future__ import annotations
 import re
 import zlib
 
-_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+# literal string body: escapes plus ONE level of balanced unescaped
+# parens — "(a (b) c) Tj" is legal PDF; deeper nesting degrades to a
+# shorter match, never a crash.  Text-showing operators: Tj, and the
+# ' / " move-and-show variants real writers emit for line-by-line text
+_LIT = rb"(?:[^()\\]|\\.|\((?:[^()\\]|\\.)*\))*"
+_TJ_RE = re.compile(rb"\((" + _LIT + rb")\)\s*(?:Tj|'|\")")
+_HEX_TJ_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")")
 _TJ_ARRAY_RE = re.compile(rb"\[((?:[^\[\]\\]|\\.)*)\]\s*TJ")
-_STR_IN_ARRAY_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+_STR_IN_ARRAY_RE = re.compile(
+    rb"\((" + _LIT + rb")\)|<([0-9A-Fa-f\s]*)>")
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
-_TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
+_TITLE_RE = re.compile(rb"/Title\s*(?:\((" + _LIT
+                       + rb")\)|<([0-9A-Fa-f\s]*)>)")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -69,7 +80,29 @@ def _decode_pdf_string(raw: bytes) -> str:
             continue
         out += ch
         i += 1
-    return out.decode("latin-1", errors="replace")
+    return _bytes_to_text(bytes(out))
+
+
+def _bytes_to_text(b: bytes) -> str:
+    """PDF text-string bytes -> str: a UTF-16BE BOM selects UTF-16
+    (the spec's encoding for non-Latin titles and Identity-encoded
+    text); everything else is PDFDocEncoding-approximated as latin-1."""
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", errors="replace")
+    return b.decode("latin-1", errors="replace")
+
+
+def _decode_hex_string(raw: bytes) -> str:
+    """``<48656C6C6F>`` hex-string body -> str (whitespace ignored, odd
+    trailing digit zero-padded per spec, BOM-aware like literals)."""
+    compact = bytes(c for c in raw if not chr(c).isspace())
+    if len(compact) % 2:
+        compact += b"0"
+    try:
+        b = bytes.fromhex(compact.decode("ascii"))
+    except ValueError:
+        return ""
+    return _bytes_to_text(b)
 
 
 def is_pdf(raw: bytes) -> bool:
@@ -81,7 +114,10 @@ MAX_STREAMS = 256               # inflated streams per document
 MAX_INFLATED_PER_STREAM = 1 << 22   # 4 MiB
 MAX_INFLATED_TOTAL = 1 << 24        # 16 MiB per document
 
-_STREAM_RE = re.compile(rb"stream\r?\n")
+# (?<!end): the keyword search must not re-match the 'stream' suffix
+# of 'endstream' — that window would read as a corrupt stream and
+# pollute the stats
+_STREAM_RE = re.compile(rb"(?<!end)stream\r?\n")
 _DICT_WINDOW = 512  # bytes of object dict inspected before 'stream'
 
 
@@ -150,9 +186,14 @@ def extract_pdf_document(raw: bytes) -> dict:
             s = _decode_pdf_string(m.group(1))
             if s.strip():
                 texts.append(s)
+        for m in _HEX_TJ_RE.finditer(buf):
+            s = _decode_hex_string(m.group(1))
+            if s.strip():
+                texts.append(s)
         for m in _TJ_ARRAY_RE.finditer(buf):
             parts = [
-                _decode_pdf_string(x.group(1))
+                _decode_pdf_string(x.group(1)) if x.group(1) is not None
+                else _decode_hex_string(x.group(2))
                 for x in _STR_IN_ARRAY_RE.finditer(m.group(1))
             ]
             joined = "".join(parts)
@@ -164,7 +205,11 @@ def extract_pdf_document(raw: bytes) -> dict:
     for chunk in inflated_chunks:
         _harvest(chunk)
     title_m = _TITLE_RE.search(raw)
-    title = _decode_pdf_string(title_m.group(1)) if title_m else ""
+    title = ""
+    if title_m:
+        title = (_decode_pdf_string(title_m.group(1))
+                 if title_m.group(1) is not None
+                 else _decode_hex_string(title_m.group(2)))
     n_pages = len(_PAGE_RE.findall(raw))
     text = "\n".join(texts)
     out = {

@@ -343,6 +343,44 @@ def test_pdf_routing():
     assert json.loads(rec2["extraction_json"])["approximation_level"] == 2
 
 
+def test_pdf_string_forms():
+    """Round 7 depth: hex strings (<hex> Tj, odd digit zero-padded),
+    the ' and " move-and-show operators, one level of balanced
+    unescaped parens, mixed literal+hex TJ arrays, UTF-16BE BOM
+    titles, and no spurious corrupt count from the 'endstream'
+    suffix re-matching the stream keyword."""
+    import zlib
+
+    from exstruct_spark.kernels.pdf import extract_pdf_document
+
+    content = (b"BT (Hello (nested) world) Tj "
+               b"<48656C6C6F20686578> Tj "
+               b"(line one) ' "
+               b"1 2 (quoted show) \" "
+               b"[(arr ) <2068657821>] TJ "
+               b"<486> Tj ET")
+    pdf = (b"%PDF-1.4\n1 0 obj\n"
+           b"<< /Length 99 /Filter /FlateDecode >>\nstream\n"
+           + zlib.compress(content) + b"\nendstream\nendobj\n"
+           b"2 0 obj\n<< /Title <FEFF00480069> /Type /Page >>\nendobj\n"
+           b"%%EOF")
+    out = extract_pdf_document(pdf)
+    # harvest order is per operator family (literals, hex, arrays) —
+    # a bag-of-text recovery, not a layout engine
+    assert out["text"].splitlines() == [
+        "Hello (nested) world", "line one", "quoted show",
+        "Hello hex", "H`", "arr  hex!"]  # <486> pads to 0x48 0x60
+    assert out["title"] == "Hi"          # UTF-16BE BOM hex title
+    assert out["n_pages"] == 1 and out["approximation_level"] == 1
+    # endstream must not re-match as a stream keyword (corrupt stays 0)
+    assert out["stream_stats"] == {
+        "inflated": 1, "corrupt": 0, "truncated": 0}
+
+    # UTF-16BE literal string via escapes decodes through the BOM path
+    lit = (b"%PDF-1.4\nBT (\xfe\xff\x00H\x00i) Tj ET\n%%EOF")
+    assert extract_pdf_document(lit)["text"] == "Hi"
+
+
 def test_pdf_flatedecode_streams():
     """VERDICT r6 #3 done-criterion: FlateDecode content streams inflate
     and yield real text through the G6 route; corrupt streams skip and
