@@ -369,6 +369,12 @@ def _sibling_pos(node: Node, cache: dict):
         fam = {}
         per_tag: dict = {}
         sibs = parent.element_children()
+        if parent.tag == "table":
+            # browsers re-parent loose <tr>s into an implied <tbody>,
+            # so caption/colgroup/col never count as row siblings —
+            # without this, a <caption> flips zebra parity vs a browser
+            sibs = [ch for ch in sibs
+                    if ch.tag not in ("caption", "colgroup", "col")]
         for i, ch in enumerate(sibs):
             t = per_tag.get(ch.tag, 0) + 1
             per_tag[ch.tag] = t

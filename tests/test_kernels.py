@@ -2154,6 +2154,16 @@ def test_css_structural_pseudo_classes():
     tr = row.find_first("tr")
     assert cell_background(spec.effective_attrs(tr)) == "FF0000"
 
+    # implied-tbody re-parenting: a <caption>/<colgroup> never counts
+    # as a row sibling, so zebra parity matches a browser
+    cap = resolver("tr:nth-child(even) { background: #EEF }")
+    doc3 = parse_html(
+        "<table><caption>c</caption><tr><td>1</td></tr>"
+        "<tr><td>2</td></tr><tr><td>3</td></tr></table>")
+    trs3 = [n for n in doc3.iter() if n.tag == "tr"]
+    assert [cell_background(cap.effective_attrs(t)) for t in trs3] == [
+        None, "EEEEFF", None]
+
     # --- zebra twin identity through the full extractor --------------
     def page(body, head=""):
         return (f"<html><head>{head}</head><body>{body}"
