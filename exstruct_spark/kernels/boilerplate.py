@@ -23,7 +23,7 @@ Rules (deterministic, config-driven — thresholds in ``ExtractOptions``):
 from __future__ import annotations
 
 from exstruct_spark.config import ExtractOptions
-from exstruct_spark.kernels.dom import Node
+from exstruct_spark.kernels.dom import RENDER_INERT, Node, is_hidden
 
 _BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside"})
 _BLOCK_TAGS = frozenset(
@@ -49,7 +49,14 @@ def _collect_blocks(node: Node, out: list) -> None:
     while stack:
         n = stack.pop()
         if not first:
-            if n.tag in _SKIP_SUBTREES:
+            if n.tag in _SKIP_SUBTREES or n.tag in RENDER_INERT:
+                continue
+            # a hidden container hides its whole subtree from rendering
+            # (cookie banners, modals, a/b-test variants) — its text is
+            # not page content.  Attr/inline check only on the descent
+            # (cheap); class-resolved display:none is applied to block
+            # nodes by the caller when a resolver exists.
+            if n.attrs and is_hidden(n.attrs):
                 continue
             if n.tag in _BLOCK_TAGS:
                 out.append(n)  # block content is atomic
@@ -69,8 +76,11 @@ def _content_root(root: Node) -> Node:
     return body if body is not None else root
 
 
-def extract_main_text(root: Node, opts: ExtractOptions) -> str:
-    """DOM -> main text, one kept block per line."""
+def extract_main_text(root: Node, opts: ExtractOptions,
+                      css=None) -> str:
+    """DOM -> main text, one kept block per line.  ``css`` (a
+    kernels/css.py StyleResolver) lets class-declared ``display:none``
+    blocks (``.hidden``-style banners) drop like their inline twins."""
     content_root = _content_root(root)
     blocks: list = []
     _collect_blocks(content_root, blocks)
@@ -78,6 +88,10 @@ def extract_main_text(root: Node, opts: ExtractOptions) -> str:
     kept: list = []
     decisions: list = []  # (node, text, is_content)
     for blk in blocks:
+        if css is not None and css and is_hidden(
+                css.effective_attrs(blk)):
+            decisions.append((blk, "", False))
+            continue
         text = blk.text_content()
         if not text:
             decisions.append((blk, text, False))

@@ -65,11 +65,13 @@ MAX_RULES = 2_048         # parsed (selector, decls) pairs kept
 _COMMENT_RE = re.compile(r"/\*.*?(?:\*/|$)", re.S)
 
 # the properties the downstream kernels evaluate: border visibility
-# (borders.py _BORDER_PROP_RE) and background color (colors.py
-# _STYLE_BG_RE) — everything else is dropped at parse time
+# (borders.py _BORDER_PROP_RE), background color (colors.py
+# _STYLE_BG_RE) and display (dom.is_hidden — class-declared
+# ``.hidden { display: none }`` is the standard way real pages hide
+# banners/modals/rows) — everything else is dropped at parse time
 _KEPT_PROP_RE = re.compile(
     r"^(?:border(?:-(?:top|right|bottom|left))?(?:-(?:width|style))?"
-    r"|background(?:-color)?)$"
+    r"|background(?:-color)?|display)$"
 )
 
 # one compound simple selector: optional tag, then any run of

@@ -25,6 +25,25 @@ VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
 RAW_TEXT_SKIP = frozenset({"script", "style", "template", "noscript"})
+# containers whose CONTENT a browser never renders (script/style hold
+# raw text, not elements, so pruning descent matters only for these)
+RENDER_INERT = frozenset({"template", "noscript"})
+_DISPLAY_RE = re.compile(r"display\s*:\s*([a-zA-Z-]+)")
+
+
+def is_hidden(attrs: dict) -> bool:
+    """True when attrs hide the element from rendering: the ``hidden``
+    attribute, or a ``display:none`` as the LAST display declaration of
+    the (possibly class-rule-merged) style string — last-wins, so a
+    later ``display:table-row`` un-hides."""
+    if "hidden" in attrs:
+        return True
+    style = attrs.get("style")
+    if style and "display" in style:
+        decls = _DISPLAY_RE.findall(style)
+        if decls and decls[-1].lower() == "none":
+            return True
+    return False
 BLOCK_ELEMENTS = frozenset(
     (
         "address article aside blockquote body caption dd details dialog div dl dt "
@@ -108,6 +127,26 @@ class Node:
     def iter(self) -> Iterator["Node"]:
         """Pre-order traversal including self (document order)."""
         return iter(self._subtree())
+
+    def iter_rendered(self) -> Iterator["Node"]:
+        """Pre-order traversal that yields inert containers
+        (``<template>``/``<noscript>``) themselves but never DESCENDS
+        into them — a browser never renders their content, so their
+        markup must not feed the artifact collectors (tables, links,
+        charts, structured data)."""
+        stack = [self]
+        pop = stack.pop
+        push = stack.append
+        while stack:
+            node = pop()
+            yield node
+            if node.tag in RENDER_INERT:
+                continue
+            children = node.children
+            for i in range(len(children) - 1, -1, -1):
+                c = children[i]
+                if type(c) is Node:
+                    push(c)
 
     def find_all(self, *tags: str) -> list:
         if len(tags) == 1:

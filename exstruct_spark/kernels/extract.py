@@ -33,6 +33,7 @@ from exstruct_spark.kernels.css import build_resolver, rules_from_sheets
 from exstruct_spark.kernels.dom import (
     Node,
     decode_html_bytes,
+    is_hidden,
     parse_html,
     strip_tags_text,
 )
@@ -151,6 +152,23 @@ def _best_image_src(im, picture_srcsets: Optional[list]) -> str:
         if lazy:
             return lazy
     return src
+
+
+_HIDDEN_WALK_CAP = 32  # ancestor probes per table (caps-not-crashes)
+
+
+def _node_or_ancestor_hidden(node: Node, css) -> bool:
+    """True when the node or any ancestor is hidden from rendering
+    (``hidden`` attr / ``display:none``, class rules resolved) — the
+    visibility contract a browser applies to the whole subtree."""
+    n = node
+    for _ in range(_HIDDEN_WALK_CAP):
+        if n is None or n.tag == "#document":
+            return False
+        if is_hidden(css.effective_attrs(n) if css else n.attrs):
+            return True
+        n = n.parent
+    return False
 
 
 _DEFAULT_PORTS = {"http": ":80", "https": ":443"}
@@ -357,7 +375,9 @@ def extract_document(
             # twin — extract_table dispatches on the node)
             table_like: list = []
             get_bucket = groups.get
-            for doc_idx, n in enumerate(root.iter()):
+            # rendered walk: <template>/<noscript> subtrees are inert
+            # in a browser, so their markup never feeds the collectors
+            for doc_idx, n in enumerate(root.iter_rendered()):
                 bucket = get_bucket(n.tag)
                 if bucket is not None:
                     # anchors keep their document-order index: it is the
@@ -393,7 +413,6 @@ def extract_document(
             )
             if title:
                 extraction["title"] = title
-            main_text = extract_main_text(root, opts)
 
             # class-rule resolution (kernels/css.py): same-document
             # <style> blocks feed the border/color kernels — the web
@@ -409,6 +428,10 @@ def extract_document(
                 if external_css is not None and len(external_css)
                 else None,
             )
+
+            # resolver built BEFORE the main-text pass so class-
+            # declared display:none blocks drop like inline ones
+            main_text = extract_main_text(root, opts, css)
 
             # <base href>: the FIRST base with an href wins (HTML spec);
             # resolved once, shared by stylesheet + link resolution
@@ -428,6 +451,11 @@ def extract_document(
                     for t in fig.find_all("table"):
                         fig_of_table[id(t)] = id(fig)
                 for t_node in table_like:
+                    # a hidden table (attr, inline, or class-resolved
+                    # display:none on itself or an ancestor) is not
+                    # rendered — the browser-visible contract
+                    if _node_or_ancestor_hidden(t_node, css):
+                        continue
                     art = extract_table(
                         t_node, len(tables), opts.detection, opts.alpha_keys,
                         css,

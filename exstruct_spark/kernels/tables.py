@@ -30,7 +30,7 @@ from exstruct_spark.kernels.a1 import col_index_to_alpha, make_range
 from exstruct_spark.kernels.clusters import merge_rectangles, nonempty_clusters
 from exstruct_spark.kernels.coerce import coerce_scalar
 from exstruct_spark.kernels.colors import cell_background
-from exstruct_spark.kernels.dom import Node
+from exstruct_spark.kernels.dom import Node, is_hidden
 
 
 def _int_attr(node: Node, name: str, default: int = 1) -> int:
@@ -61,7 +61,15 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
     occupied: set = set()
     truncated = False
 
-    trs = table.find_all("tr")
+    # hidden rows are not rendered: later rows shift up, exactly as a
+    # browser lays the table out (hidden attr / display:none, class
+    # rules resolved — filtered BEFORE the row cap).  The effective
+    # attrs are computed once here and reused for the row paint below.
+    trs = []
+    for tr in table.find_all("tr"):
+        eff = css.effective_attrs(tr) if css else tr.attrs
+        if not is_hidden(eff):
+            trs.append((tr, eff))
     if len(trs) > cfg.max_rows:
         trs = trs[: cfg.max_rows]
         truncated = True
@@ -92,18 +100,23 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
     empty_run = 0
     n_rows_scanned = 0
     span_floor = -1  # deepest row still covered by an active rowspan
-    for r, tr in enumerate(trs):
+    for r, (tr, tr_eff) in enumerate(trs):
         n_rows_scanned = r + 1
         row_had_content = False
         # row-level paint (tr:nth-child zebra rules, <tr bgcolor>):
         # cells with no background of their own inherit the row's —
         # exactly what a browser renders
-        row_bg = cell_background(
-            css.effective_attrs(tr) if css else tr.attrs)
+        row_bg = cell_background(tr_eff)
         c = 0
         for cell in tr.element_children():
             if cell.tag not in ("td", "th"):
                 continue
+            # class-resolved style (kernels/css.py) falls back to the
+            # bare attrs when no <style> rules exist — the common case
+            # stays an identity read
+            eff_attrs = css.effective_attrs(cell) if css else cell.attrs
+            if eff_attrs and is_hidden(eff_attrs):
+                continue  # display:none cell: later cells shift left
             while (r, c) in occupied:
                 c += 1
             if c >= cfg.max_cols:
@@ -117,10 +130,6 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
                 row_had_content = True
             if cell.tag == "th":
                 th_cells.add((r, c))
-            # class-resolved style (kernels/css.py) falls back to the
-            # bare attrs when no <style> rules exist — the common case
-            # stays an identity read
-            eff_attrs = css.effective_attrs(cell) if css else cell.attrs
             if eff_attrs or row_bg or col_bg:
                 color = (cell_background(eff_attrs) or row_bg
                          or (col_bg[c] if c < len(col_bg) else None))
@@ -292,7 +301,9 @@ def _grid_from_aria(table: Node, cfg: DetectionConfig, css=None):
             yield n
             stack.extend(reversed(n.element_children()))
 
-    rows_nodes = [n for n in pruned_walk(table) if role_of(n) == "row"]
+    rows_nodes = [n for n in pruned_walk(table) if role_of(n) == "row"
+                  and not is_hidden(
+                      css.effective_attrs(n) if css else n.attrs)]
     if len(rows_nodes) > cfg.max_rows:
         rows_nodes = rows_nodes[: cfg.max_rows]
         truncated = True

@@ -2206,6 +2206,60 @@ def test_css_structural_pseudo_classes():
     assert painted_rows and all(r % 2 == 0 for r in painted_rows)
 
 
+def test_rendered_visibility_contract():
+    """Round 7: the extractor sees what a browser RENDERS — template/
+    noscript subtrees are inert (no text, no tables, no links from
+    them), hidden/display:none content drops (attr, inline, and
+    class-declared .hidden via the resolver), hidden table rows shift
+    later rows up, hidden cells shift left, and a later display
+    override un-hides (last-wins)."""
+    import json
+
+    from exstruct_spark.golden import extract_document
+
+    html = ("<html><head><style>.gone{display:none}</style></head><body>"
+            "<p>This is the visible article text with plenty of words "
+            "to keep around.</p>"
+            "<template><p>template markup must never appear anywhere "
+            "in the output</p>"
+            "<table><tr><td>t1</td><td>t2</td></tr></table>"
+            "<a href='/tpl'>tpl</a></template>"
+            "<div hidden><p>hidden attribute text must never appear "
+            "in the output</p></div>"
+            "<p style='display:none'>inline display-none text must "
+            "never appear</p>"
+            "<p class='gone'>class-hidden banner text must never "
+            "appear in output</p>"
+            "<p style='display:none;display:block'>later display "
+            "override keeps this text visible in the page</p>"
+            "<table><tr><td>a</td><td>1</td></tr>"
+            "<tr hidden><td>secret</td><td>2</td></tr>"
+            "<tr class='gone'><td>classgone</td><td>3</td></tr>"
+            "<tr><td>b</td><td style='display:none'>shifted</td>"
+            "<td>4</td></tr></table>"
+            "<table hidden><tr><td>h1</td><td>h2</td></tr></table>"
+            "<div class='gone'><table><tr><td>x</td><td>9</td></tr>"
+            "</table></div>"
+            "</body></html>").encode()
+    rec = extract_document("http://t/vis", html)
+    txt = rec["main_text"]
+    assert "visible article text" in txt
+    assert "override keeps this text" in txt
+    for banned in ("template markup", "hidden attribute", "display-none",
+                   "class-hidden"):
+        assert banned not in txt
+    ex = json.loads(rec["extraction_json"])
+    # exactly ONE table survives: visible rows only, hidden row/cell
+    # positions re-flowed like a browser lays them out
+    assert len(ex["tables"]) == 1
+    t = ex["tables"][0]
+    assert t["range"] == "A1:B2"
+    assert t["rows"] == [{"r": 1, "c": {"0": "a", "1": 1}},
+                         {"r": 2, "c": {"0": "b", "1": 4}}]
+    # template links never reach links_map
+    assert "/tpl" not in json.dumps(ex.get("links_map", {}))
+
+
 def test_colgroup_column_paint():
     """Round 7: <colgroup>/<col> column backgrounds (span-expanded,
     class-rule-resolvable) inherit to cells under the browser's paint
