@@ -641,10 +641,17 @@ def detect_grid_candidates(
     """
     out: list = []
     claimed: set = set()
-    for node in root.iter():
+    # rendered walk: template/noscript content never becomes a grid
+    for node in root.iter_rendered():
         if node.tag not in ("div", "section"):
             continue
         if id(node) in claimed:
+            continue
+        if is_hidden(css.effective_attrs(node) if css else node.attrs):
+            # a hidden container hides its whole subtree (browser
+            # visibility contract) — nothing inside is a grid either
+            for inner in node.iter():
+                claimed.add(id(inner))
             continue
         if (node.attrs.get("role") or "").strip().lower() in (
             "table", "grid",

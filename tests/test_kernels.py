@@ -2259,6 +2259,22 @@ def test_rendered_visibility_contract():
     # template links never reach links_map
     assert "/tpl" not in json.dumps(ex.get("links_map", {}))
 
+    # heuristic div-grids obey the same contract: a hidden container or
+    # a template subtree never yields a grid candidate
+    grid = "".join(
+        "<div>" + "".join(
+            f"<div style='border:1px solid #888'>{r * 3 + c}</div>"
+            for c in range(3)) + "</div>"
+        for r in range(4))
+    html2 = (f"<html><body>"
+             f"<div style='display:none'><div>{grid}</div></div>"
+             f"<template><div>{grid}</div></template>"
+             f"<div>{grid}</div></body></html>").encode()
+    ex2 = json.loads(extract_document(
+        "http://t/hg", html2)["extraction_json"])
+    grids = [t for t in ex2["tables"] if t.get("kind") == "grid"]
+    assert len(grids) == 1 and grids[0]["range"] == "A1:C4"
+
 
 def test_colgroup_column_paint():
     """Round 7: <colgroup>/<col> column backgrounds (span-expanded,
