@@ -66,7 +66,18 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
     # rules resolved — filtered BEFORE the row cap).  The effective
     # attrs are computed once here and reused for the row paint below.
     trs = []
+    hidden_groups: dict = {}
     for tr in table.find_all("tr"):
+        parent = tr.parent
+        if parent is not None and parent.tag in ("thead", "tbody",
+                                                 "tfoot"):
+            key = id(parent)
+            if key not in hidden_groups:
+                hidden_groups[key] = is_hidden(
+                    css.effective_attrs(parent) if css
+                    else parent.attrs)
+            if hidden_groups[key]:
+                continue  # a hidden rowgroup hides all its rows
         eff = css.effective_attrs(tr) if css else tr.attrs
         if not is_hidden(eff):
             trs.append((tr, eff))
@@ -100,13 +111,30 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
     empty_run = 0
     n_rows_scanned = 0
     span_floor = -1  # deepest row still covered by an active rowspan
+    # rowgroup paint (thead/tbody/tfoot backgrounds — the standard way
+    # real tables style their header band) sits between row and column
+    # in the browser's paint order; memoized per group element
+    group_bg_cache: dict = {}
+
+    def _group_bg(tr: Node):
+        parent = tr.parent
+        if parent is None or parent.tag not in ("thead", "tbody",
+                                                "tfoot"):
+            return None
+        key = id(parent)
+        if key not in group_bg_cache:
+            group_bg_cache[key] = cell_background(
+                css.effective_attrs(parent) if css else parent.attrs)
+        return group_bg_cache[key]
+
     for r, (tr, tr_eff) in enumerate(trs):
         n_rows_scanned = r + 1
         row_had_content = False
         # row-level paint (tr:nth-child zebra rules, <tr bgcolor>):
         # cells with no background of their own inherit the row's —
-        # exactly what a browser renders
-        row_bg = cell_background(tr_eff)
+        # exactly what a browser renders; rowgroup paint is the next
+        # layer down
+        row_bg = cell_background(tr_eff) or _group_bg(tr)
         c = 0
         for cell in tr.element_children():
             if cell.tag not in ("td", "th"):

@@ -2275,6 +2275,18 @@ def test_rendered_visibility_contract():
     grids = [t for t in ex2["tables"] if t.get("kind") == "grid"]
     assert len(grids) == 1 and grids[0]["range"] == "A1:C4"
 
+    # rowgroup layer: thead paint inherits to header cells (the
+    # standard header-band idiom) and a hidden tbody hides its rows
+    html3 = ("<html><head><style>thead{background:#333}</style></head>"
+             "<body><table><thead><tr><th>k</th><th>v</th></tr></thead>"
+             "<tbody><tr><td>a</td><td>1</td></tr></tbody>"
+             "<tbody hidden><tr><td>x</td><td>9</td></tr></tbody>"
+             "</table></body></html>").encode()
+    t3 = json.loads(extract_document(
+        "http://t/rg", html3)["extraction_json"])["tables"][0]
+    assert t3["range"] == "A1:B2"
+    assert t3["colors_map"] == {"333333": [[1, 0], [1, 1]]}
+
 
 def test_colgroup_column_paint():
     """Round 7: <colgroup>/<col> column backgrounds (span-expanded,
