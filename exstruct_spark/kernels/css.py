@@ -40,8 +40,9 @@ This is deliberately NOT a CSS engine.  The contract:
     string is consulted before the attribute fallback by the existing
     ``cell_background`` — the real cascade's priority order;
   * only the properties the downstream predicates read are kept
-    (``border*``, ``background``, ``background-color``) so merged style
-    strings stay small and matching stays cheap;
+    (``border*``, ``background``, ``background-color``, ``display``
+    for the rendered-visibility contract) so merged style strings stay
+    small and matching stays cheap;
   * caps-not-crashes: CSS text and rule counts are capped, oversized
     sheets are truncated (prefix kept) rather than failing the page.
 
@@ -141,6 +142,7 @@ def _parse_pseudo(token: str):
     if ab is None:
         return None
     return kind[0], ab[0], ab[1], kind[1]
+
 
 MAX_CHAIN = 4        # compounds per selector; longer chains are skipped
 _MATCH_DEPTH = 32    # ancestor-walk bound per descendant step
@@ -475,7 +477,7 @@ class StyleResolver:
     def __init__(self, style_nodes: list, extra_rules: list = None):
         budget = MAX_CSS_BYTES
         rules: list = []
-        # external-sheet rules (corpus join, jobs/css_join.py) cascade
+        # external-sheet rules (corpus join, engine.attach_external_css) cascade
         # BELOW same-document <style> rules: prepended so document order
         # ranks them earlier at equal specificity — the real cascade's
         # order for linked sheets appearing before inline <style>
@@ -587,7 +589,7 @@ def build_resolver(style_nodes: Optional[list],
     and every ``effective_attrs`` call is an identity return).
 
     ``extra_rules`` carries pre-parsed rules from EXTERNAL stylesheets
-    resolved by the corpus join (jobs/css_join.py) — they cascade below
+    resolved by the corpus join (engine.attach_external_css) — they cascade below
     same-document ``<style>`` rules at equal specificity."""
     if not style_nodes and not extra_rules:
         return _EMPTY_RESOLVER
