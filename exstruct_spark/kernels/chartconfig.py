@@ -215,9 +215,51 @@ def find_config_objects(script_text: str) -> list:
             if not ch.isspace():
                 prev = ch
             i += 1
+        if found is None:
+            # variable indirection — `const cfg = {...}; new Chart(ctx,
+            # cfg)` is the other common real-page shape: resolve the
+            # call's LAST identifier argument to its object-literal
+            # assignment in the same script (nearest one above the call)
+            found = _resolve_ident_config(
+                script_text, m.end(), i, want_first, m.start())
         if found is not None:
             out.append(found)
     return out
+
+
+# reserved words that can appear as arguments but never name a config
+_NON_CONFIG_IDENTS = frozenset({
+    "document", "window", "this", "true", "false", "null", "undefined",
+    "new", "function", "getElementById", "querySelector", "ctx",
+    "canvas", "getContext",
+})
+
+
+def _resolve_ident_config(s: str, args_start: int, args_end: int,
+                          want_first: bool, call_pos: int):
+    """Config passed by NAME: pick the first (``setOption``) or last
+    identifier argument of the call span, then return the balanced
+    object of the nearest ``ident = {...}`` assignment ABOVE the call
+    (falling back to the first one anywhere — `var` hoisting).  None
+    when the identifier or its object assignment cannot be found."""
+    args = s[args_start:args_end]
+    idents = [t for t in _IDENT_RE.findall(args)
+              if t not in _NON_CONFIG_IDENTS]
+    if not idents:
+        return None
+    name = idents[0] if want_first else idents[-1]
+    assign_re = re.compile(
+        r"\b" + re.escape(name) + r"\s*=\s*\{")
+    best = None
+    for am in assign_re.finditer(s):
+        if am.start() < call_pos:
+            best = am          # nearest assignment above the call
+        elif best is None:
+            best = am          # hoisted declaration below: first wins
+            break
+    if best is None:
+        return None
+    return _extract_balanced(s, best.end() - 1)
 
 
 def _skip_function_value(s: str, i: int, prev=None) -> int:

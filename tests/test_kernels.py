@@ -1330,6 +1330,51 @@ def test_chartconfig_never_hangs_and_lexes_regex_literals():
     assert find_config_objects("new Chart(c, )") == []
 
 
+def test_chartconfig_variable_indirection():
+    """Round 7: `const cfg = {...}; new Chart(ctx, cfg)` — the other
+    common real-page shape — resolves the identifier to its object
+    assignment (nearest above the call; hoisted var below as
+    fallback).  A function-call argument must NOT resolve, and a
+    literal argument still wins unchanged."""
+    import json
+
+    from exstruct_spark.golden import extract_document
+
+    def charts(script):
+        html = (f"<html><body><canvas id='c'></canvas>"
+                f"<script>{script}</script></body></html>").encode()
+        return json.loads(extract_document(
+            "http://t/ci", html)["extraction_json"]).get("charts")
+
+    got = charts("const cfg = {type: 'bar', data: {labels: ['a','b'], "
+                 "datasets: [{label: 's1', data: [1,2]}]}};"
+                 "new Chart(document.getElementById('c'), cfg);")
+    assert got[0]["chart_type"] == "Column"
+    assert got[0]["series"][0]["name"] == "s1"
+
+    # assignment after the call (var hoisting)
+    got2 = charts("new Chart(ctx, chartConfig);"
+                  "var chartConfig = {type: 'line', data: {labels: "
+                  "['x'], datasets: [{label: 'v', data: [3]}]}};")
+    assert got2[0]["chart_type"] == "Line"
+
+    # ECharts setOption by name takes the FIRST identifier
+    got3 = charts("var option = {series: [{name: 'q', type: 'pie', "
+                  "data: [{name:'a', value:1},{name:'b', value:2}]}]};"
+                  "myChart.setOption(option, opts);")
+    assert got3[0]["chart_type"] == "Pie"
+
+    # a function-call argument is not a config name
+    assert charts("new Chart(ctx, buildConfig());") is None
+
+    # two charts, each resolving its own nearest assignment
+    got4 = charts("var a = {type:'bar', data:{labels:['l'], datasets:"
+                  "[{label:'one', data:[1]}]}}; new Chart(x, a);"
+                  "var a = {type:'pie', data:{labels:['m'], datasets:"
+                  "[{label:'two', data:[2]}]}}; new Chart(y, a);")
+    assert [c["chart_type"] for c in got4] == ["Column", "Pie"]
+
+
 def test_chartconfig_setoption_takes_first_argument():
     """ECharts setOption(option, {notMerge: true}) — the config is the
     FIRST argument (review r3: the last-object rule dropped every ECharts
