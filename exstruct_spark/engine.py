@@ -96,6 +96,10 @@ _BASE_HREF_RE = "(?i)<base\\b[^>]*?\\bhref\\s*=\\s*[\"']?([^\"'\\s>]+)"
 _HREF_RE = "(?i)\\bhref\\s*=\\s*[\"']?([^\"'\\s>]+)"
 _REL_STYLESHEET_RE = "(?i)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bstylesheet\\b"
 _CSS_URL_RE = r"(?i)\.css([?#].*)?$"
+# @import url("x.css") / @import "x.css" — permissive single-group scan
+# (the inner join against corpus sheets drops any false positive)
+_CSS_IMPORT_RE = r"(?i)@import\s+(?:url\(\s*)?[\"']?([^\"'()\s;]+)"
+_MAX_IMPORTS_PER_SHEET = 8
 
 
 def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
@@ -168,6 +172,9 @@ def attach_external_css(
     of pages and heavily shared); pass False to let AQE pick the
     strategy for a css-heavy corpus.
     """
+    import pandas as pd  # noqa: F811 (kernel import pattern)
+    from pyspark.sql.functions import pandas_udf
+
     refs = harvest_stylesheet_refs(pages)
     if css_docs is None:
         css_docs = pages.where(F.col("url").rlike(_CSS_URL_RE))
@@ -176,14 +183,59 @@ def attach_external_css(
         F.col("html").cast("string").alias("css_text"),
     )
     right = F.broadcast(sheets) if broadcast_css else sheets
+    joined = refs.join(right, "css_url", "inner")
+
+    # ONE level of @import chasing: real sheets routinely import a base/
+    # theme sheet that is itself in the corpus.  Imported sheets order
+    # immediately BEFORE their importer (CSS applies @import rules ahead
+    # of the importing sheet's own), capped per sheet; a second import
+    # level is deliberately not chased (documented bound, not a loop).
+    @pandas_udf("string")
+    def _resolve_import(sheet_url: pd.Series,
+                        href: pd.Series) -> pd.Series:
+        from urllib.parse import urljoin
+
+        out = []
+        for u, h in zip(sheet_url, href):
+            try:
+                out.append(urljoin(u or "", h or "") or None)
+            except ValueError:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    imports = (
+        joined.select(
+            "url", "link_order", "css_url",
+            F.posexplode(
+                F.slice(
+                    F.regexp_extract_all(
+                        F.col("css_text"), F.lit(_CSS_IMPORT_RE), 1),
+                    1, _MAX_IMPORTS_PER_SHEET)
+            ).alias("imp_pos", "imp_href"),
+        )
+        .where(F.col("imp_href") != "")
+        .select(
+            "url", "link_order", "imp_pos",
+            _resolve_import("css_url", "imp_href").alias("css_url"),
+        )
+        .where(F.col("css_url").isNotNull())
+        .join(right, "css_url", "inner")
+        .select("url", "link_order",
+                F.lit(0).alias("tier"), "imp_pos", "css_text")
+    )
+    direct = joined.select(
+        "url", "link_order",
+        F.lit(1).alias("tier"), F.lit(0).alias("imp_pos"), "css_text")
     per_page = (
-        refs.join(right, "css_url", "inner")
+        direct.unionByName(imports)
         .groupBy("url")
         .agg(
             F.array_sort(
                 F.collect_list(
                     F.struct(
                         F.col("link_order").alias("o"),
+                        F.col("tier").alias("g"),
+                        F.col("imp_pos").alias("p"),
                         F.col("css_text").alias("t"),
                     )
                 )

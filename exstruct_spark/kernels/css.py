@@ -337,8 +337,13 @@ MAX_EXTERNAL_SHEETS = 8  # per document, in link order
 def rules_from_sheets(sheets) -> list:
     """External stylesheet texts (corpus join, link order) -> parsed
     rules under the same byte/rule caps as same-document ``<style>``
-    blocks.  Returns [] for None/empty input (the common case)."""
-    if not sheets:
+    blocks.  Returns [] for None/empty input (the common case).
+
+    Length test, not truthiness: the Arrow batch hands the joined
+    ``external_css`` column over as a numpy array per row, and a
+    MULTI-element numpy array raises on ``bool()`` (a single-element
+    one does not — which is why a one-sheet test can't catch this)."""
+    if sheets is None or len(sheets) == 0:
         return []
     budget = MAX_CSS_BYTES
     rules: list = []

@@ -662,6 +662,29 @@ def test_external_css_corpus_join(spark):
     # missing sheet: degrades to no external rules, page still extracts
     assert recs["https://other.example/miss"]["status"] == "ok"
 
+    # ONE level of @import chasing (round 7): the imported sheet's
+    # zebra rule applies, and the importer's rules outrank the
+    # imported sheet's at equal specificity (import ranks earlier).
+    # Also covers the multi-sheet Arrow row (a 2-element numpy array
+    # used to raise on bool() in rules_from_sheets).
+    page2 = ("<html><head><link rel='stylesheet' href='/theme.css'>"
+             "</head><body><table id='zt'><tr><th>k</th><th>v</th>"
+             "</tr><tr><td>a</td><td>1</td></tr>"
+             "<tr><td>b</td><td>2</td></tr></table>"
+             "</body></html>").encode()
+    theme = b"@import url('base.css');\n#zt th { background: #222 }"
+    base = (b"#zt tr:nth-child(even) { background-color: #EEF }\n"
+            b"#zt th { background: #999 }")
+    rows2 = [("http://s.example/page", page2),
+             ("http://s.example/theme.css", theme),
+             ("http://s.example/base.css", base)]
+    pages2 = spark.createDataFrame(rows2, "url string, html binary")
+    rec2 = {r["url"]: r for r in extract_stage(
+        attach_external_css(pages2), use_external_css=True).collect()}
+    ex2 = json.loads(rec2["http://s.example/page"]["extraction_json"])
+    assert ex2["tables"][0]["colors_map"] == {
+        "222222": [[1, 0], [1, 1]], "EEEEFF": [[2, 0], [2, 1]]}
+
     # plan audit: broadcast hash join on the css side, no cartesian
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
