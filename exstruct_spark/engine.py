@@ -139,8 +139,14 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
             F.regexp_extract_all(html_s, F.lit(_LINK_TAG_RE), 0)
         ).alias("link_order", "tag"),
     )
+    # print-only sheets never style the rendered page (kernel parity:
+    # _stylesheet_refs applies the same media filter)
+    _media_print = r"(?i)\bmedia\s*=\s*[\"']?[^\"'>]*\bprint\b"
+    _media_screen = r"(?i)\bmedia\s*=\s*[\"']?[^\"'>]*\b(screen|all)\b"
     refs = (
         tags.where(F.col("tag").rlike(_REL_STYLESHEET_RE))
+        .where(~F.col("tag").rlike(_media_print)
+               | F.col("tag").rlike(_media_screen))
         .select(
             "url", "base_href", "link_order",
             F.regexp_extract("tag", _HREF_RE, 1).alias("href"),

@@ -248,6 +248,12 @@ def _stylesheet_refs(link_nodes: list, base_url: str) -> list:
         attrs = ln.attrs
         rel = (attrs.get("rel") or "").strip().lower()
         if "stylesheet" in rel.split():
+            # a print-only sheet never styles the rendered page — skip
+            # unless the media list also names screen/all
+            media = (attrs.get("media") or "").lower()
+            if "print" in media and not (
+                    "screen" in media or "all" in media):
+                continue
             href = (attrs.get("href") or "").strip()
             if not href:
                 continue

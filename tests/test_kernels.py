@@ -2333,6 +2333,27 @@ def test_rendered_visibility_contract():
     assert t3["colors_map"] == {"333333": [[1, 0], [1, 1]]}
 
 
+def test_stylesheet_media_print_filter():
+    """Round 7: a print-only stylesheet never styles the rendered page
+    — both the kernel's stylesheets field and the Spark harvest skip
+    media='print' links unless the media list also names screen/all."""
+    import json
+
+    from exstruct_spark.golden import extract_document
+
+    html = ("<html><head>"
+            "<link rel='stylesheet' href='/screen.css'>"
+            "<link rel='stylesheet' media='print' href='/print.css'>"
+            "<link rel='stylesheet' media='screen, print' "
+            "href='/both.css'></head><body>"
+            "<p>Enough visible words for a content block here.</p>"
+            "</body></html>").encode()
+    ex = json.loads(extract_document(
+        "http://t/m", html)["extraction_json"])
+    assert ex["stylesheets"] == ["http://t/screen.css",
+                                 "http://t/both.css"]
+
+
 def test_colgroup_column_paint():
     """Round 7: <colgroup>/<col> column backgrounds (span-expanded,
     class-rule-resolvable) inherit to cells under the browser's paint
