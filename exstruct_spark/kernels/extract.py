@@ -646,6 +646,15 @@ def extract_document(
                 if entities:
                     extraction["structured_data"] = entities
                 page_meta = from_meta_tags(groups["meta"], groups["link"])
+                # the document's DECLARED language (<html lang>) — the
+                # cheap complement to content-based doc_langid for a
+                # curation pipeline; author-declared, so page_meta is
+                # its home alongside og/twitter/canonical
+                html_el = root.find_first("html")
+                if html_el is not None:
+                    lang = (html_el.attrs.get("lang") or "").strip()
+                    if lang and len(lang) <= 35:  # BCP 47 length bound
+                        page_meta.setdefault("lang", lang)
                 if page_meta:
                     extraction["page_meta"] = page_meta
                 alternates = from_link_alternates(groups["link"])

@@ -2664,6 +2664,12 @@ def test_structured_data_harvesting():
                               "offers": "Sale"}
     assert by_type2["Offer"]["props"] == {"name": "Sale",
                                           "price": "19.99"}
+    # the declared <html lang> joins page_meta (curation signal)
+    lang_html = b"<html lang='de-AT'><body><p>x</p></body></html>"
+    rec_l = extract_document("http://t/lang", lang_html)
+    pm = json.loads(rec_l["extraction_json"])["page_meta"]
+    assert pm["lang"] == "de-AT"
+
     # untyped-with-typeof-"" degenerate: stable record, never a crash
     from exstruct_spark.kernels.structured import from_rdfa
     deg = from_rdfa(parse_html("<div typeof=''><span property='a'>x"
