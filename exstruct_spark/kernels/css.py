@@ -491,6 +491,12 @@ class StyleResolver:
         for sn in style_nodes:
             if budget <= 0 or len(rules) >= MAX_RULES:
                 break
+            # a print-only <style> never styles the rendered page
+            # (same media filter as stylesheet links)
+            media = (sn.attrs.get("media") or "").lower()
+            if "print" in media and not ("screen" in media
+                                         or "all" in media):
+                continue
             text = _style_text(sn)[:budget]
             budget -= len(text)
             rules.extend(parse_css_rules(text)[: MAX_RULES - len(rules)])

@@ -2353,6 +2353,17 @@ def test_stylesheet_media_print_filter():
     assert ex["stylesheets"] == ["http://t/screen.css",
                                  "http://t/both.css"]
 
+    # print-only <style> blocks are skipped by the resolver the same
+    # way; screen/all (or no media) blocks apply
+    html2 = ("<html><head>"
+             "<style media='print'>td { background: #F00 }</style>"
+             "<style media='screen'>td { background: #0F0 }</style>"
+             "</head><body><table><tr><td>x</td><td>y</td></tr>"
+             "</table></body></html>").encode()
+    t2 = json.loads(extract_document(
+        "http://t/mp", html2)["extraction_json"])["tables"][0]
+    assert t2["colors_map"] == {"00FF00": [[1, 0], [1, 1]]}
+
 
 def test_colgroup_column_paint():
     """Round 7: <colgroup>/<col> column backgrounds (span-expanded,
