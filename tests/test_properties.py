@@ -85,6 +85,29 @@ def test_normalize_color_total(s):
     assert normalize_color(s) == v  # deterministic
 
 
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_css_rules_and_pseudo_matching_total(css_text):
+    """parse_css_rules is total over arbitrary text, and every rule it
+    emits can be matched against a small DOM without raising —
+    including the round-7 pseudo-class surface (An+B arithmetic,
+    sibling indexing) and the merged-attrs path."""
+    from exstruct_spark.kernels.css import StyleResolver, parse_css_rules
+    from exstruct_spark.kernels.dom import parse_html
+
+    rules = parse_css_rules(css_text)
+    assert isinstance(rules, list)
+    root = parse_html(
+        "<style>" + css_text.replace("<", " ") + "</style>"
+        "<table><caption>c</caption><tr><td class='a b'>1</td>"
+        "<td id='x'>2</td></tr><tr><td>3</td></tr></table>"
+        "<ul><li>i</li><li class='a'>j</li></ul>")
+    res = StyleResolver(root.find_all("style"))
+    for n in root.iter():
+        attrs = res.effective_attrs(n)
+        assert isinstance(attrs, dict)
+
+
 @given(st.text(max_size=40))
 @settings(max_examples=300, deadline=None)
 def test_parse_css_length_total(s):
