@@ -591,9 +591,14 @@ class ExtractionJob:
         them mis-attributed to this run's metrics."""
         todo = staged.where(F.col("url_bucket").isin(wave_buckets))
         # url_bucket rides through the Arrow batch (passthrough) — no
-        # re-hash, no re-join to recover the sink partition key
+        # re-hash, no re-join to recover the sink partition key.
+        # A staged external_css column (attach_external_css ran on the
+        # full corpus BEFORE staging — the join must see page and sheet
+        # regardless of bucket) is auto-detected and ridden in; patch
+        # refreshes reuse the staged sheets unchanged.
         extracted = extract_stage(
-            todo, self.opts, passthrough=("url_bucket",)
+            todo, self.opts, passthrough=("url_bucket",),
+            use_external_css="external_css" in staged.columns,
         ).withColumn("input_snapshot", F.lit(input_snapshot))
         self.io.write(
             extracted, self.output_dir, "overwrite",

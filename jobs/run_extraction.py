@@ -61,6 +61,11 @@ def main() -> None:
                          "directly (use when the source is already "
                          "partition-pruned on the bucket key or cheap to "
                          "re-scan)")
+    ap.add_argument("--external-css", action="store_true",
+                    help="resolve <link rel=stylesheet> against the "
+                         "corpus's own CSS documents (pages-joins-sheets "
+                         "broadcast equi-join) BEFORE staging, so "
+                         "class-styled tables detect like inline ones")
     ap.add_argument("--master", default=None,
                     help="override master (default: whatever spark-submit set)")
     ap.add_argument("--export-yaml", default=None, metavar="DIR",
@@ -94,6 +99,11 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.input)
         snapshot = args.input
+
+    if args.external_css:
+        from exstruct_spark.engine import attach_external_css
+
+        pages = attach_external_css(pages)
 
     job = ExtractionJob(
         spark,
