@@ -60,6 +60,12 @@ TOOLS = [
                 "html": {"type": "string"},
                 "mode": {"type": "string",
                          "enum": ["light", "standard", "verbose"]},
+                "external_css": {
+                    "type": "array", "items": {"type": "string"},
+                    "description": "Stylesheet texts the document links "
+                                   "(link order); rules cascade below "
+                                   "same-document <style> blocks, as the "
+                                   "corpus join does at scale."},
             },
             "required": ["html"],
         },
@@ -260,10 +266,16 @@ def _call_extract_html(args: dict) -> dict:
 
     opts = (ExtractOptions.from_mode(args["mode"])
             if args.get("mode") else ExtractOptions())
+    ext = args.get("external_css")
+    if ext is not None and not (
+            isinstance(ext, list)
+            and all(isinstance(t, str) for t in ext)):
+        raise ValueError("external_css must be an array of strings")
     rec = extract_document(
         args.get("url") or "mcp://document",
         (args.get("html") or "").encode("utf-8"),
         opts,
+        external_css=ext,
     )
     return {
         "status": rec["status"],

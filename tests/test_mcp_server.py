@@ -102,6 +102,33 @@ def test_mcp_extract_render_and_range_roundtrip():
     assert "no table" in out3[0]["result"]["content"][0]["text"]
 
 
+def test_mcp_extract_html_external_css():
+    """Round 7: extract_html accepts external stylesheet texts — rules
+    cascade below same-document <style>, matching the corpus join; a
+    non-array value is an in-band tool error."""
+    html = ("<html><body><table id='zt'>"
+            "<tr><th>k</th><th>v</th></tr>"
+            "<tr><td>a</td><td>1</td></tr>"
+            "<tr><td>b</td><td>2</td></tr></table></body></html>")
+    sheets = ["#zt tr:nth-child(even) { background-color: #EEF }",
+              "#zt th { background: #222 }"]
+    out = _rpc_session([
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+         "params": {"name": "extract_html",
+                    "arguments": {"url": "mcp://x", "html": html,
+                                  "external_css": sheets}}},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+         "params": {"name": "extract_html",
+                    "arguments": {"html": html,
+                                  "external_css": "not-a-list"}}},
+    ])
+    ex = json.loads(out[0]["result"]["content"][0]["text"])
+    cm = ex["extraction"]["tables"][0]["colors_map"]
+    assert cm == {"222222": [[1, 0], [1, 1]],
+                  "EEEEFF": [[2, 0], [2, 1]]}
+    assert out[1]["result"]["isError"] is True
+
+
 def test_mcp_media_probe_real_decode():
     """media_probe decodes a real PNG through the server: genuine
     dimensions and pixel statistics come back over the protocol."""
