@@ -530,13 +530,46 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
         raw_series = [raw_series]
     if not isinstance(raw_series, list) or not raw_series:
         return None
+    # modern ECharts dataset API: series carry no data; dataset.source
+    # is a row-major table — first row is the header when it is
+    # non-numeric (ECharts' sourceHeader auto-detect), column 0 the
+    # category labels, column k+1 the k-th series (default
+    # seriesLayoutBy: 'column').  encode/seriesLayoutBy overrides are
+    # out of the declared subset.
+    ds_header: list = []
+    ds_cols: list = []
+    ds_labels: list = []
+    dataset = cfg.get("dataset")
+    if isinstance(dataset, dict):
+        src = dataset.get("source")
+        rows = [r for r in src if isinstance(r, list)] \
+            if isinstance(src, list) else []
+        if rows:
+            first = rows[0]
+            has_header = all(
+                not isinstance(v, (int, float)) or isinstance(v, bool)
+                for v in first[1:]) and len(first) > 1
+            body = rows[1:] if has_header else rows
+            ds_header = [str(v) for v in first] if has_header else []
+            ds_labels = [str(r[0]) for r in body if r]
+            width = max((len(r) for r in body), default=0)
+            ds_cols = [
+                _numeric([r[c] if c < len(r) else None for r in body])
+                for c in range(1, width)
+            ]
     series = []
     stype = None
     for k, s in enumerate(raw_series):
         if not isinstance(s, dict):
             continue
         stype = stype or s.get("type")
-        series.append((str(s.get("name") or f"s{k}"), _numeric(s.get("data"))))
+        data = _numeric(s.get("data"))
+        name = s.get("name")
+        if not data and k < len(ds_cols):
+            data = ds_cols[k]
+            if name is None and k + 1 < len(ds_header):
+                name = ds_header[k + 1]
+        series.append((str(name or f"s{k}"), data))
     if not series:
         return None
     # cfg['chart']['type'] is the HIGHCHARTS-only location — there 'bar'
@@ -563,6 +596,8 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
                     if not isinstance(x, (dict, list))
                 ]
                 break
+    if not labels and ds_labels:
+        labels = ds_labels  # dataset column 0 = category labels
     return {
         "chart_type": _norm_type(
             stype,

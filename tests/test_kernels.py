@@ -1330,6 +1330,42 @@ def test_chartconfig_never_hangs_and_lexes_regex_literals():
     assert find_config_objects("new Chart(c, )") == []
 
 
+def test_chartconfig_echarts_dataset_api():
+    """Round 7: the modern ECharts dataset API — series without data
+    map to dataset.source columns (header row names them, column 0 is
+    the labels, sourceHeader auto-detected); explicit series data
+    still wins; headerless numeric sources have no names/labels row."""
+    import json
+
+    from exstruct_spark.golden import extract_document
+
+    def charts(script):
+        html = (f"<html><body><div id='c'></div>"
+                f"<script>{script}</script></body></html>").encode()
+        return json.loads(extract_document(
+            "http://t/ds", html)["extraction_json"]).get("charts")
+
+    c = charts("var option = {dataset: {source: ["
+               "['product','2015','2016'],"
+               "['Matcha',43.3,85.8],['Milk Tea',83.1,73.4]]},"
+               "xAxis: {type: 'category'}, "
+               "series: [{type: 'bar'},{type: 'bar'}]};"
+               "myChart.setOption(option);")[0]
+    assert [sr["name"] for sr in c["series"]] == ["2015", "2016"]
+    assert [sr["n_points"] for sr in c["series"]] == [2, 2]
+    assert c["y_axis_range"] == [43.3, 85.8] and c["n_labels"] == 2
+
+    c2 = charts("myChart.setOption({dataset: {source: [[1, 10],"
+                "[2, 20]]}, series: [{type: 'line'}]});")[0]
+    assert c2["series"][0]["n_points"] == 2   # headerless: all rows
+
+    c3 = charts("myChart.setOption({dataset: {source: [['x','a'],"
+                "[1, 99]]}, series: [{type: 'line', name: 'own', "
+                "data: [5, 6, 7]}]});")[0]
+    assert c3["series"][0] == {"name": "own", "y_range": "A1:C1",
+                               "n_points": 3}
+
+
 def test_chartconfig_variable_indirection():
     """Round 7: `const cfg = {...}; new Chart(ctx, cfg)` — the other
     common real-page shape — resolves the identifier to its object
