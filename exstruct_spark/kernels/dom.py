@@ -133,7 +133,21 @@ class Node:
         (``<template>``/``<noscript>``) themselves but never DESCENDS
         into them — a browser never renders their content, so their
         markup must not feed the artifact collectors (tables, links,
-        charts, structured data)."""
+        charts, structured data).
+
+        Indexed trees use the prebuilt doc list with an index jump past
+        each inert subtree (the hot extraction walk instead inlines the
+        same skip as an integer guard over ``iter()`` — a generator
+        resume per node costs real throughput at corpus scale)."""
+        dl = self.doc_nodes
+        if dl is not None:
+            i = self.i0
+            i1 = self.i1
+            while i < i1:
+                node = dl[i]
+                yield node
+                i = node.i1 if node.tag in RENDER_INERT else i + 1
+            return
         stack = [self]
         pop = stack.pop
         push = stack.append

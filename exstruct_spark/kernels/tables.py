@@ -670,7 +670,17 @@ def detect_grid_candidates(
     out: list = []
     claimed: set = set()
     # rendered walk: template/noscript content never becomes a grid
-    for node in root.iter_rendered():
+    # (same integer skip guard as the extraction walk — keeps the
+    # iteration on the C-fast prebuilt doc list for indexed trees)
+    base = root.i0
+    skip_until = -1
+    for pos, node in enumerate(root.iter()):
+        if pos < skip_until:
+            continue
+        if node.tag in ("template", "noscript") \
+                and node.i1 - base > pos:
+            skip_until = node.i1 - base
+            continue
         if node.tag not in ("div", "section"):
             continue
         if id(node) in claimed:
