@@ -947,6 +947,59 @@ def _find_gviz_tables(script_text: str) -> list:
     return out
 
 
+# the imperative DataTable idiom: new google.visualization.DataTable()
+# + receiver.addColumn(type, label) + receiver.addRows([[...], ...]) —
+# the other common Google Charts data shape besides arrayToDataTable
+_GVIZ_ADDCOL_RE = re.compile(r"\b(\w+)\s*\.\s*addColumn\s*\(\s*")
+_GVIZ_ADDROWS_RE = re.compile(r"\b(\w+)\s*\.\s*addRows\s*\(\s*")
+_MAX_GVIZ_COLS = 64
+
+
+def _find_gviz_datatables(script_text: str) -> list:
+    """Imperative-API DataTables -> (rows_with_header, offset) pairs.
+
+    Columns accumulate per RECEIVER variable in document order (only
+    addColumn calls BEFORE the addRows call count — receiver reuse
+    across two charts keys each chart to its own preceding columns);
+    the synthesized header row is each column's label (falling back to
+    the type string), matching the shape ``_from_gviz`` already
+    normalizes.  addColumn({label, type}) object form supported."""
+    s = script_text or ""
+    cols: list = []  # (pos, receiver, header_cell)
+    for m in _GVIZ_ADDCOL_RE.finditer(s):
+        val, j = parse_js_value(s, m.end())
+        cell = None
+        if isinstance(val, dict):
+            cell = val.get("label") or val.get("type")
+        elif isinstance(val, str):
+            cell = val
+            k = j
+            while k < len(s) and s[k].isspace():
+                k += 1
+            if k < len(s) and s[k] == ",":
+                k += 1
+                while k < len(s) and s[k].isspace():
+                    k += 1
+                label, _ = parse_js_value(s, k)
+                if isinstance(label, str) and label:
+                    cell = label
+        if cell is not None:
+            cols.append((m.start(), m.group(1), str(cell)))
+    if not cols:
+        return []
+    out = []
+    for m in _GVIZ_ADDROWS_RE.finditer(s):
+        recv = m.group(1)
+        header = [c for p, r, c in cols
+                  if r == recv and p < m.start()][:_MAX_GVIZ_COLS]
+        if len(header) < 2:
+            continue
+        rows, _j = parse_js_value(s, m.end())
+        if isinstance(rows, list) and rows:
+            out.append(([header] + rows, m.start()))
+    return out
+
+
 def _gviz_cell(v, prefer_formatted: bool = False):
     """One DataTable cell -> a plain value: Google Charts object cells
     carry {v: value, f: formatted} (data) or {label, type} (header).
@@ -1093,6 +1146,11 @@ def charts_from_script(script_text: str) -> list:
     for rows, no_header, pos in _find_gviz_tables(script_text):
         chart_type, title = _gviz_context(script_text, pos)
         chart = _from_gviz(rows, chart_type, title, no_header)
+        if chart is not None:
+            out.append(chart)
+    for rows, pos in _find_gviz_datatables(script_text):
+        chart_type, title = _gviz_context(script_text, pos)
+        chart = _from_gviz(rows, chart_type, title, no_header=False)
         if chart is not None:
             out.append(chart)
     return out

@@ -1366,6 +1366,38 @@ def test_chartconfig_echarts_dataset_api():
                                "n_points": 3}
 
 
+def test_chartconfig_gviz_datatable_api():
+    """Round 7: the imperative Google Charts DataTable idiom —
+    addColumn(type, label) + addRows([...]) — normalizes like
+    arrayToDataTable; receiver reuse keys each addRows to its own
+    preceding columns; object-form addColumn({label}) supported."""
+    import json
+
+    from exstruct_spark.golden import extract_document
+
+    def charts(script):
+        html = (f"<html><body><div id='c'></div>"
+                f"<script>{script}</script></body></html>").encode()
+        return json.loads(extract_document(
+            "http://t/gdt", html)["extraction_json"]).get("charts")
+
+    got = charts(
+        "var data = new google.visualization.DataTable();"
+        "data.addColumn('string', 'Year');"
+        "data.addColumn({type: 'number', label: 'Sales'});"
+        "data.addColumn('number');"
+        "data.addRows([['2019', 1000, 400], ['2020', 1170, 460]]);"
+        "var chart = new google.visualization.BarChart(x);"
+        "chart.draw(data, {title: 'Perf'});")
+    c = got[0]
+    assert c["chart_type"] == "Bar" and c["title"] == "Perf"
+    assert [sr["name"] for sr in c["series"]] == ["Sales", "number"]
+    assert c["y_axis_range"] == [400.0, 1170.0]
+
+    # a lone addRows with <2 columns, or no addColumn, yields nothing
+    assert charts("d.addRows([[1, 2]]);") is None
+
+
 def test_chartconfig_variable_indirection():
     """Round 7: `const cfg = {...}; new Chart(ctx, cfg)` — the other
     common real-page shape — resolves the identifier to its object
