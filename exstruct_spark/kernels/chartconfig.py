@@ -43,6 +43,7 @@ from typing import Optional
 
 _MARKER_RE = re.compile(
     r"new\s+Chart\s*\(|\.setOption\s*\(|Highcharts\s*\.\s*chart\s*\("
+    r"|\.highcharts\s*\("  # jQuery plugin form: config is the FIRST arg
 )
 
 # Plotly's config is an ARRAY of trace objects (not a single {...}), so
@@ -164,7 +165,8 @@ def find_config_objects(script_text: str) -> list:
     second argument is notMerge/lazyUpdate settings)."""
     out = []
     for m in _MARKER_RE.finditer(script_text or ""):
-        want_first = "setOption" in m.group(0)
+        marker = m.group(0)
+        want_first = "setOption" in marker or "highcharts" in marker
         i = m.end()
         n = len(script_text)
         depth = 0

@@ -1366,6 +1366,28 @@ def test_chartconfig_echarts_dataset_api():
                                "n_points": 3}
 
 
+def test_chartconfig_jquery_highcharts_form():
+    """Round 7: the jQuery plugin form $('#c').highcharts({...}) —
+    config is the FIRST argument; the Highcharts chart.type block
+    still maps 'bar' to horizontal; the no-arg getter form yields
+    nothing."""
+    import json
+
+    from exstruct_spark.golden import extract_document
+
+    html = ("<html><body><div id='c'></div><script>"
+            "$('#c').highcharts({chart: {type: 'bar'}, "
+            "title: {text: 'T'}, xAxis: {categories: ['a','b']}, "
+            "series: [{name: 'S', data: [3, 4]}]});"
+            "var g = $('#x').highcharts();"
+            "</script></body></html>").encode()
+    out = json.loads(extract_document(
+        "http://t/jq", html)["extraction_json"])["charts"]
+    assert len(out) == 1
+    assert out[0]["chart_type"] == "Bar" and out[0]["title"] == "T"
+    assert out[0]["series"][0]["name"] == "S"
+
+
 def test_chartconfig_gviz_datatable_api():
     """Round 7: the imperative Google Charts DataTable idiom —
     addColumn(type, label) + addRows([...]) — normalizes like
