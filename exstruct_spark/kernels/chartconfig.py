@@ -498,10 +498,23 @@ def _from_chartjs(cfg: dict) -> Optional[dict]:
     )
     title = ""
     opts = cfg.get("options")
+    y_title = ""
     if isinstance(opts, dict):
         plugins = opts.get("plugins")
         if isinstance(plugins, dict) and isinstance(plugins.get("title"), dict):
             title = str(plugins["title"].get("text") or "")
+        # y-axis title: v3 scales.y.title.text; v2 yAxes[0].scaleLabel
+        scales = opts.get("scales")
+        if isinstance(scales, dict):
+            y = scales.get("y")
+            if isinstance(y, dict) and isinstance(y.get("title"), dict):
+                y_title = str(y["title"].get("text") or "")
+            yaxes = scales.get("yAxes")
+            if not y_title and isinstance(yaxes, list) and yaxes \
+                    and isinstance(yaxes[0], dict):
+                sl = yaxes[0].get("scaleLabel")
+                if isinstance(sl, dict):
+                    y_title = str(sl.get("labelString") or "")
     series = []
     for k, ds in enumerate(datasets):
         if not isinstance(ds, dict):
@@ -514,12 +527,15 @@ def _from_chartjs(cfg: dict) -> Optional[dict]:
     labels = [
         str(x) for x in data.get("labels") or [] if not isinstance(x, (dict, list))
     ]
-    return {
+    out = {
         "chart_type": _norm_type(cfg.get("type"), horizontal),
         "title": title,
         "labels": labels,
         "series": series,
     }
+    if y_title:
+        out["y_axis_title"] = y_title
+    return out
 
 
 def _from_echarts(cfg: dict) -> Optional[dict]:
@@ -600,7 +616,17 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
                 break
     if not labels and ds_labels:
         labels = ds_labels  # dataset column 0 = category labels
-    return {
+    y_title = ""
+    yaxis = cfg.get("yAxis")
+    if isinstance(yaxis, list) and yaxis:
+        yaxis = yaxis[0]
+    if isinstance(yaxis, dict):
+        # ECharts names the axis; Highcharts titles it
+        if isinstance(yaxis.get("name"), str):
+            y_title = yaxis["name"]
+        elif isinstance(yaxis.get("title"), dict):
+            y_title = str(yaxis["title"].get("text") or "")
+    out = {
         "chart_type": _norm_type(
             stype,
             horizontal=(
@@ -611,6 +637,9 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
         "labels": labels,
         "series": series,
     }
+    if y_title:
+        out["y_axis_title"] = y_title
+    return out
 
 
 def _find_plotly_calls(script_text: str) -> list:
@@ -716,12 +745,20 @@ def _from_plotly(traces: list, layout: dict) -> Optional[dict]:
         title = str(raw_title.get("text") or "")
     elif isinstance(raw_title, str):
         title = raw_title
-    return {
+    out = {
         "chart_type": _norm_type(stype, horizontal=horizontal),
         "title": title,
         "labels": labels,
         "series": series,
     }
+    yaxis = layout.get("yaxis")
+    if isinstance(yaxis, dict):
+        yt = yaxis.get("title")
+        if isinstance(yt, dict):
+            yt = yt.get("text")
+        if isinstance(yt, str) and yt:
+            out["y_axis_title"] = yt
+    return out
 
 
 # Vega-Lite (FIFTH dialect, VERDICT r5 #5): the spec is pure JSON — no

@@ -58,6 +58,8 @@ def _records_from_scripts(script_nodes, start_idx: int, table_art) -> list:
                 "title": parsed["title"],
                 "config_source": "script",
             }
+            if parsed.get("y_axis_title"):
+                chart["y_axis_title"] = parsed["y_axis_title"]
             if all_vals:
                 chart["y_axis_range"] = [min(all_vals), max(all_vals)]
             grid_ranges = (

@@ -1366,6 +1366,46 @@ def test_chartconfig_echarts_dataset_api():
                                "n_points": 3}
 
 
+def test_chartconfig_y_axis_titles():
+    """Round 7: y_axis_title (reference Chart model field) extracted
+    from every dialect's axis-title location — Chart.js v3
+    scales.y.title.text and v2 yAxes[0].scaleLabel.labelString,
+    Highcharts yAxis.title.text, ECharts yAxis.name, Plotly
+    layout.yaxis.title."""
+    import json
+
+    from exstruct_spark.golden import extract_document
+
+    def chart(script):
+        html = (f"<html><body><canvas id='c'></canvas>"
+                f"<script>{script}</script></body></html>").encode()
+        return json.loads(extract_document(
+            "http://t/ax", html)["extraction_json"])["charts"][0]
+
+    assert chart(
+        "new Chart(x, {type:'line', data:{labels:['a'], datasets:"
+        "[{label:'d', data:[1]}]}, options:{scales:{y:{title:"
+        "{display:true, text:'Revenue'}}}}});")["y_axis_title"]         == "Revenue"
+    assert chart(
+        "new Chart(x, {type:'bar', data:{labels:['a'], datasets:"
+        "[{label:'d', data:[1]}]}, options:{scales:{yAxes:"
+        "[{scaleLabel:{labelString:'Count'}}]}}});")["y_axis_title"]         == "Count"
+    assert chart(
+        "Highcharts.chart('c', {yAxis: {title: {text: 'Units'}}, "
+        "series: [{name:'S', data:[1,2]}]});")["y_axis_title"]         == "Units"
+    assert chart(
+        "myChart.setOption({yAxis: {type:'value', name:'kWh'}, "
+        "xAxis:{data:['a']}, series:[{type:'line', data:[5]}]});"
+        )["y_axis_title"] == "kWh"
+    assert chart(
+        "Plotly.newPlot('c', [{y: [1,2], name: 'T'}], "
+        "{yaxis: {title: {text: 'Load'}}});")["y_axis_title"] == "Load"
+    # absent axis title: key absent, not empty
+    assert "y_axis_title" not in chart(
+        "new Chart(x, {type:'line', data:{labels:['a'], "
+        "datasets:[{label:'d', data:[1]}]}});")
+
+
 def test_chartconfig_jquery_highcharts_form():
     """Round 7: the jQuery plugin form $('#c').highcharts({...}) —
     config is the FIRST argument; the Highcharts chart.type block
