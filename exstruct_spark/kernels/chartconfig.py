@@ -25,12 +25,16 @@ This module is that tokenizer, transplanted to the web shape:
     skipped, never crashed on;
   * ``charts_from_script``: normalize six config dialects — Chart.js
     ``{type, data:{labels, datasets:[{label, data}]}}``, ECharts/
-    Highcharts ``{title, xAxis, series:[{name, type, data}]}``, Plotly
-    trace arrays, Vega-Lite JSON specs (``vegaEmbed`` calls or
-    ``application/json`` blocks), and Google Charts
-    ``arrayToDataTable`` row tables — into the engine's intermediate
-    chart shape {chart_type, title, labels, series: [(name,
-    [values])]}.
+    Highcharts ``{title, xAxis, series:[{name, type, data}]}`` (incl.
+    the modern ECharts ``dataset.source`` table and the jQuery
+    ``$(sel).highcharts(cfg)`` form), Plotly trace arrays, Vega-Lite
+    JSON specs (``vegaEmbed`` calls or ``application/json`` blocks),
+    and Google Charts — BOTH ``arrayToDataTable`` row tables and the
+    imperative ``addColumn``/``addRows`` DataTable idiom — into the
+    engine's intermediate chart shape {chart_type, title, labels,
+    series: [(name, [values])], y_axis_title?}.  Configs passed by
+    VARIABLE (``const cfg = {...}; new Chart(ctx, cfg)``) resolve to
+    their object-literal assignment.
 
 Pure Python, no Spark: runs inside the single mapInPandas extraction
 stage like every other kernel.
