@@ -928,12 +928,22 @@ def _from_vegalite(spec: dict) -> Optional[dict]:
     title = spec.get("title")
     if isinstance(title, dict):
         title = title.get("text")
-    return {
+    out = {
         "chart_type": chart_type,
         "title": str(title or ""),
         "labels": labels,
         "series": series,
     }
+    # the value channel's explicit axis title (encoding.y.title or the
+    # horizontal twin); the field name alone is a series name, not an
+    # axis title — leave absent then
+    val_ch = ("theta" if chart_type == "Pie"
+              else ("x" if horizontal else "y"))
+    vd = enc.get(val_ch)
+    if isinstance(vd, dict) and isinstance(vd.get("title"), str) \
+            and vd["title"]:
+        out["y_axis_title"] = vd["title"]
+    return out
 
 
 # Google Charts (SIXTH dialect): the data is a row-major array fed to
@@ -1131,6 +1141,7 @@ def _gviz_context(script_text: str, from_pos: int = 0):
     if chart_type is None:
         chart_type = "Unknown"
     title = ""
+    y_title = ""
     draws = list(re.finditer(r"\.\s*draw\s*\(", s, ))
     following = [m for m in draws if m.start() >= from_pos]
     for m in (following or draws):
@@ -1150,9 +1161,13 @@ def _gviz_context(script_text: str, from_pos: int = 0):
                 continue
             if depth == 0 and ch == "{":
                 opts, _j = parse_js_value(s, i)
-                if isinstance(opts, dict) and isinstance(
-                        opts.get("title"), str):
-                    title = opts["title"]
+                if isinstance(opts, dict):
+                    if isinstance(opts.get("title"), str):
+                        title = opts["title"]
+                    vaxis = opts.get("vAxis")
+                    if isinstance(vaxis, dict) and isinstance(
+                            vaxis.get("title"), str):
+                        y_title = vaxis["title"]
                 break
             if ch == "(":
                 depth += 1
@@ -1164,7 +1179,7 @@ def _gviz_context(script_text: str, from_pos: int = 0):
             i += 1
         if title:
             break
-    return chart_type, title
+    return chart_type, title, y_title
 
 
 def charts_from_script(script_text: str) -> list:
@@ -1187,13 +1202,17 @@ def charts_from_script(script_text: str) -> list:
         if chart is not None:
             out.append(chart)
     for rows, no_header, pos in _find_gviz_tables(script_text):
-        chart_type, title = _gviz_context(script_text, pos)
+        chart_type, title, y_title = _gviz_context(script_text, pos)
         chart = _from_gviz(rows, chart_type, title, no_header)
         if chart is not None:
+            if y_title:
+                chart["y_axis_title"] = y_title
             out.append(chart)
     for rows, pos in _find_gviz_datatables(script_text):
-        chart_type, title = _gviz_context(script_text, pos)
+        chart_type, title, y_title = _gviz_context(script_text, pos)
         chart = _from_gviz(rows, chart_type, title, no_header=False)
         if chart is not None:
+            if y_title:
+                chart["y_axis_title"] = y_title
             out.append(chart)
     return out

@@ -1405,6 +1405,19 @@ def test_chartconfig_y_axis_titles():
         "new Chart(x, {type:'line', data:{labels:['a'], "
         "datasets:[{label:'d', data:[1]}]}});")
 
+    # gviz vAxis.title and Vega-Lite encoding.y.title complete the set
+    assert chart(
+        "var data = google.visualization.arrayToDataTable("
+        "[['Y','S'],['a',1],['b',2]]);"
+        "var ch = new google.visualization.ColumnChart(x);"
+        "ch.draw(data, {title: 'T', vAxis: {title: 'Widgets'}});"
+        )["y_axis_title"] == "Widgets"
+    assert chart(
+        "vegaEmbed('#c', {mark: 'bar', encoding: {x: {field: 'cat', "
+        "type: 'nominal'}, y: {field: 'val', type: 'quantitative', "
+        "title: 'Amount'}}, data: {values: [{cat:'a', val:1},"
+        "{cat:'b', val:2}]}});")["y_axis_title"] == "Amount"
+
 
 def test_chartconfig_jquery_highcharts_form():
     """Round 7: the jQuery plugin form $('#c').highcharts({...}) —
