@@ -120,10 +120,20 @@ def main() -> None:
     # one-time costs, not throughput (same discipline as scaling_bench)
     extract_stage(pages_on_disk.limit(cpus * 64), repartition_to=cpus * 2).count()
 
-    t0 = time.monotonic()
-    extracted = extract_stage(pages_on_disk, repartition_to=cpus * 2)
-    n_ok = extracted.where(F.col("status").isNotNull()).count()
-    t_extract = time.monotonic() - t0
+    # throughput = best of 3 full passes.  Round-7 change (BENCH/BASELINE.md
+    # 'bench window calibration'): two consecutive single-shot passes on an
+    # IDLE host (load 0.04, control 1.05 vs 1.02 ms/doc) measured 2.97 s vs
+    # 2.20 s — ±35% one-shot scheduler noise that no control gauge can
+    # divide out.  Throughput is a capability number; min-of-N is the
+    # standard estimator for it under asymmetric (delay-only) noise.
+    t_extract = None
+    n_ok = 0
+    for _ in range(3):
+        t0 = time.monotonic()
+        extracted = extract_stage(pages_on_disk, repartition_to=cpus * 2)
+        n_ok = extracted.where(F.col("status").isNotNull()).count()
+        dt = time.monotonic() - t0
+        t_extract = dt if t_extract is None or dt < t_extract else t_extract
     timings["extract_pages"] = round(t_extract, 3)
     docs_per_sec = round(n_ok / t_extract, 2) if t_extract > 0 else 0.0
 
