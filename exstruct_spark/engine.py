@@ -139,14 +139,27 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
             F.regexp_extract_all(html_s, F.lit(_LINK_TAG_RE), 0)
         ).alias("link_order", "tag"),
     )
-    # print-only sheets never style the rendered page (kernel parity:
-    # _stylesheet_refs applies the same media filter)
-    _media_print = r"(?i)\bmedia\s*=\s*[\"']?[^\"'>]*\bprint\b"
-    _media_screen = r"(?i)\bmedia\s*=\s*[\"']?[^\"'>]*\b(screen|all)\b"
+    # Non-screen sheets never style the rendered page (kernel parity:
+    # _stylesheet_refs applies css.media_applies_on_screen).  Drop a
+    # link only when EVERY comma-separated media query names print as
+    # its (optionally "only"-prefixed) type — "not print", "screen",
+    # condition-only and mixed lists all survive (r7 review fix: the
+    # old \bprint\b substring test dropped media="not print" sheets,
+    # which DO apply on screen).
+    _pq = r"(?:only\s+)?print\b[^,{q}]*"   # one non-applying query
+    _dq = _pq.format(q='"')
+    _sq = _pq.format(q="'")
+    _uq = r"print[^,\s>'\"]*"              # unquoted: one space-free token
+    _media_print_only = (
+        r"(?i)\bmedia\s*=\s*(?:"
+        r'"\s*' + _dq + r"(?:\s*,\s*" + _dq + r')*\s*"'
+        r"|'\s*" + _sq + r"(?:\s*,\s*" + _sq + r")*\s*'"
+        r"|" + _uq + r"(?:," + _uq + r")*(?=[\s>])"
+        r")"
+    )
     refs = (
         tags.where(F.col("tag").rlike(_REL_STYLESHEET_RE))
-        .where(~F.col("tag").rlike(_media_print)
-               | F.col("tag").rlike(_media_screen))
+        .where(~F.col("tag").rlike(_media_print_only))
         .select(
             "url", "base_href", "link_order",
             F.regexp_extract("tag", _HREF_RE, 1).alias("href"),

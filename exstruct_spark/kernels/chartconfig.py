@@ -1005,6 +1005,12 @@ def _find_gviz_tables(script_text: str) -> list:
 # the other common Google Charts data shape besides arrayToDataTable
 _GVIZ_ADDCOL_RE = re.compile(r"\b(\w+)\s*\.\s*addColumn\s*\(\s*")
 _GVIZ_ADDROWS_RE = re.compile(r"\b(\w+)\s*\.\s*addRows\s*\(\s*")
+# a fresh DataTable assigned to the same variable starts a NEW column
+# set for that receiver (r7 review finding: without this, chart 2's
+# header inherited chart 1's columns on receiver reuse)
+_GVIZ_NEWDT_RE = re.compile(
+    r"\b(\w+)\s*=\s*new\s+google\s*\.\s*visualization\s*\.\s*"
+    r"DataTable\s*\(")
 _MAX_GVIZ_COLS = 64
 
 
@@ -1040,11 +1046,18 @@ def _find_gviz_datatables(script_text: str) -> list:
             cols.append((m.start(), m.group(1), str(cell)))
     if not cols:
         return []
+    resets = [(m.start(), m.group(1))
+              for m in _GVIZ_NEWDT_RE.finditer(s)]
     out = []
     for m in _GVIZ_ADDROWS_RE.finditer(s):
         recv = m.group(1)
+        # columns count from the receiver's LAST re-construction before
+        # this addRows — a reused variable never inherits a previous
+        # chart's columns
+        floor = max((p for p, r in resets
+                     if r == recv and p < m.start()), default=-1)
         header = [c for p, r, c in cols
-                  if r == recv and p < m.start()][:_MAX_GVIZ_COLS]
+                  if r == recv and floor < p < m.start()][:_MAX_GVIZ_COLS]
         if len(header) < 2:
             continue
         rows, _j = parse_js_value(s, m.end())
@@ -1144,7 +1157,11 @@ def _gviz_context(script_text: str, from_pos: int = 0):
     y_title = ""
     draws = list(re.finditer(r"\.\s*draw\s*\(", s, ))
     following = [m for m in draws if m.start() >= from_pos]
-    for m in (following or draws):
+    # ONLY the nearest following draw belongs to this chart: scanning
+    # further draws until a title appears let chart A inherit chart B's
+    # title/vAxis when A's own draw had none (r7 review finding).  The
+    # whole-script walk remains only as the no-following-draw fallback.
+    for m in (following[:1] or draws):
         i = m.end()
         n = len(s)
         depth = 0

@@ -54,6 +54,7 @@ unchanged.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from typing import Optional
 
@@ -64,6 +65,50 @@ MAX_CSS_BYTES = 262_144   # per document, across all <style> blocks
 MAX_RULES = 2_048         # parsed (selector, decls) pairs kept
 
 _COMMENT_RE = re.compile(r"/\*.*?(?:\*/|$)", re.S)
+
+# media types that never apply to the rendered (screen) page.  The
+# obsolete CSS2 types are listed because spec says an unrecognised
+# type evaluates to not-all, i.e. also never applies.
+_NON_SCREEN_TYPES = frozenset((
+    "print", "speech", "aural", "braille", "embossed", "handheld",
+    "projection", "tty", "tv",
+))
+_MEDIA_TYPE_RE = re.compile(r"[a-z][a-z-]*")
+
+
+def media_applies_on_screen(media: Optional[str]) -> bool:
+    """True when a ``media`` attribute/list applies to the rendered page.
+
+    Browser semantics, not substring matching (r7 review finding: the
+    old ``"print" in media`` test dropped ``media="not print"`` sheets,
+    which DO apply on screen).  A comma list applies if ANY query does;
+    a query applies unless its (optionally ``only``-prefixed) media
+    type is a non-screen type — with ``not`` inverting that.  Condition
+    -only queries (``(max-width: ...)``) are treated as applying: the
+    extractor renders at no particular viewport, so a conditional rule
+    is kept rather than silently dropped.
+    """
+    if not media or not media.strip():
+        return True
+    for q in media.split(","):
+        tok = q.strip().lower()
+        if not tok:
+            continue
+        neg = tok.startswith("not ")
+        if neg:
+            tok = tok[4:].lstrip()
+        if tok.startswith("only "):
+            tok = tok[5:].lstrip()
+        m = _MEDIA_TYPE_RE.match(tok)
+        base = m.group(0) if m else None
+        if base in _NON_SCREEN_TYPES:
+            applies = neg            # "not print" applies on screen
+        else:
+            # screen / all / condition-only / unknown-but-negated
+            applies = not neg
+        if applies:
+            return True
+    return False
 
 # the properties the downstream kernels evaluate: border visibility
 # (borders.py _BORDER_PROP_RE), background color (colors.py
@@ -333,6 +378,26 @@ def parse_css_rules(css: str) -> list:
 
 MAX_EXTERNAL_SHEETS = 8  # per document, in link order
 
+# Process-persistent parse memo for external sheets: a crawl slice has
+# thousands of pages linking the SAME framework stylesheet, and the
+# corpus join hands the identical text to every row — without this the
+# multi-KB parse repeats per document inside the hot mapInPandas stage
+# (r7 review finding).  Keyed by (len, md5) of the truncated chunk;
+# values are the parsed rule lists, which downstream only reads.
+_SHEET_MEMO: dict = {}
+_SHEET_MEMO_CAP = 256
+
+
+def _parse_sheet_cached(chunk: str) -> list:
+    key = (len(chunk), hashlib.md5(chunk.encode("utf-8", "ignore")).digest())
+    hit = _SHEET_MEMO.get(key)
+    if hit is None:
+        hit = parse_css_rules(chunk)
+        if len(_SHEET_MEMO) >= _SHEET_MEMO_CAP:  # FIFO-ish bound
+            _SHEET_MEMO.pop(next(iter(_SHEET_MEMO)))
+        _SHEET_MEMO[key] = hit
+    return hit
+
 
 def rules_from_sheets(sheets) -> list:
     """External stylesheet texts (corpus join, link order) -> parsed
@@ -354,7 +419,7 @@ def rules_from_sheets(sheets) -> list:
             continue  # a None/empty sheet must not drop later ones
         chunk = text[:budget]
         budget -= len(chunk)
-        rules.extend(parse_css_rules(chunk)[: MAX_RULES - len(rules)])
+        rules.extend(_parse_sheet_cached(chunk)[: MAX_RULES - len(rules)])
     return rules
 
 
@@ -376,26 +441,62 @@ def _sibling_pos(node: Node, cache: dict):
     fam = cache.get(pk)
     if fam is None:
         fam = {}
-        per_tag: dict = {}
         sibs = parent.element_children()
         if parent.tag == "table":
-            # browsers re-parent loose <tr>s into an implied <tbody>,
-            # so caption/colgroup/col never count as row siblings —
-            # without this, a <caption> flips zebra parity vs a browser
+            # Browsers re-parent each RUN of loose <tr>s into its own
+            # implied <tbody>: caption/colgroup/col never count as row
+            # siblings, thead/tfoot/tbody are section boundaries (NOT
+            # siblings of a loose tr — r7 review finding: a <thead>
+            # before loose rows must not shift zebra parity), and a
+            # loose tr's nth-child position counts only within its run.
             sibs = [ch for ch in sibs
                     if ch.tag not in ("caption", "colgroup", "col")]
-        for i, ch in enumerate(sibs):
-            t = per_tag.get(ch.tag, 0) + 1
-            per_tag[ch.tag] = t
-            fam[id(ch)] = (i + 1, t)
-        total = len(sibs)
-        fam["__totals__"] = (total, per_tag)
+            slot = 0
+            top_tag: dict = {}
+            sections: list = []   # (child, slot, pos_of_type)
+            runs: list = []       # lists of consecutive loose children
+            run = None
+            for ch in sibs:
+                if ch.tag in ("thead", "tbody", "tfoot"):
+                    run = None
+                    slot += 1
+                    t = top_tag.get(ch.tag, 0) + 1
+                    top_tag[ch.tag] = t
+                    sections.append((ch, slot, t))
+                else:
+                    if run is None:
+                        run = []
+                        runs.append(run)
+                        slot += 1   # the implied tbody occupies a slot
+                        top_tag["tbody"] = top_tag.get("tbody", 0) + 1
+                    run.append(ch)
+            for ch, s, t in sections:
+                fam[id(ch)] = (s, slot, t, top_tag.get(ch.tag, 1))
+            for run in runs:
+                per_tag: dict = {}
+                tmp = []
+                for i, ch in enumerate(run):
+                    t = per_tag.get(ch.tag, 0) + 1
+                    per_tag[ch.tag] = t
+                    tmp.append((ch, i + 1, t))
+                n = len(run)
+                for ch, p, t in tmp:
+                    fam[id(ch)] = (p, n, t, per_tag.get(ch.tag, 1))
+        else:
+            per_tag = {}
+            tmp = []
+            for i, ch in enumerate(sibs):
+                t = per_tag.get(ch.tag, 0) + 1
+                per_tag[ch.tag] = t
+                tmp.append((ch, i + 1, t))
+            total = len(sibs)
+            for ch, p, t in tmp:
+                fam[id(ch)] = (p, total, t, per_tag.get(ch.tag, 1))
         cache[pk] = fam
     ent = fam.get(id(node))
     if ent is None:  # not an element child of its parent (defensive)
         return 1, 1, 1, 1
-    total, per_tag = fam["__totals__"]
-    return ent[0], total, ent[1], per_tag.get(node.tag, 1)
+    return ent
 
 
 def _nth_hit(a: int, b: int, pos: int) -> bool:
@@ -481,25 +582,29 @@ class StyleResolver:
 
     def __init__(self, style_nodes: list, extra_rules: list = None):
         budget = MAX_CSS_BYTES
+        # same-document <style> rules are parsed FIRST so the MAX_RULES
+        # cap can never let a rule-heavy external sheet evict them
+        # (r7 review finding: prepending external rules before capping
+        # inverted cascade priority under the cap)
+        own: list = []
+        for sn in style_nodes:
+            if budget <= 0 or len(own) >= MAX_RULES:
+                break
+            # a non-screen <style media=...> never styles the rendered
+            # page (same media semantics as stylesheet links)
+            if not media_applies_on_screen(sn.attrs.get("media")):
+                continue
+            text = _style_text(sn)[:budget]
+            budget -= len(text)
+            own.extend(parse_css_rules(text)[: MAX_RULES - len(own)])
         rules: list = []
         # external-sheet rules (corpus join, engine.attach_external_css) cascade
         # BELOW same-document <style> rules: prepended so document order
         # ranks them earlier at equal specificity — the real cascade's
         # order for linked sheets appearing before inline <style>
         if extra_rules:
-            rules.extend(extra_rules[:MAX_RULES])
-        for sn in style_nodes:
-            if budget <= 0 or len(rules) >= MAX_RULES:
-                break
-            # a print-only <style> never styles the rendered page
-            # (same media filter as stylesheet links)
-            media = (sn.attrs.get("media") or "").lower()
-            if "print" in media and not ("screen" in media
-                                         or "all" in media):
-                continue
-            text = _style_text(sn)[:budget]
-            budget -= len(text)
-            rules.extend(parse_css_rules(text)[: MAX_RULES - len(rules)])
+            rules.extend(extra_rules[: MAX_RULES - len(own)])
+        rules.extend(own)
         self.rules = rules
         # index each rule under its RIGHTMOST compound's most selective
         # key (id > class > tag): a node only needs to probe its own

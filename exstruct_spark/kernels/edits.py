@@ -760,6 +760,14 @@ def op_set_style(html: str, table: int, r1: int, c1: int,
     _tspan, rows, layout = _grid_layout(html, table)
     if r2 >= len(rows):
         raise ValueError("style rectangle exceeds table rows")
+    # a rowspan reaching INTO the rectangle from an origin row above r1
+    # also splits it — same top-crossing check as draw_grid_border
+    # (r7 review finding: origin-row iteration alone silently left the
+    # entered grid positions unstyled instead of rejecting the op)
+    for r in range(r1):
+        for _cs, gc, rs, cl in layout[r]:
+            if (r + rs - 1 >= r1 and gc <= c2 and gc + cl - 1 >= c1):
+                raise ValueError("style rectangle splits a merged cell")
     edits: list = []
     hit = False
     for r in range(r1, r2 + 1):
@@ -946,8 +954,13 @@ def op_create_chart(html: str, table: int, chart_type: str,
     cfg: dict = {"type": ct, "data": {"labels": labels,
                                       "datasets": datasets}}
     if title is not None:
+        # raw title, not HTML-escaped: script content is raw text (never
+        # entity-decoded), so escaping here broke the documented
+        # extract(create_chart(doc)) round-trip for '&'/'<' titles
+        # (r7 review finding) — script-safety is handled below by the
+        # JSON-level "</" escape instead
         cfg["options"] = {"plugins": {"title": {
-            "display": True, "text": _escape(str(title))}}}
+            "display": True, "text": str(title)}}}
     cid = f"chart-t{table}-{r1}-{c1}"
     anchor_attr = ""
     if anchor is not None:
@@ -955,10 +968,15 @@ def op_create_chart(html: str, table: int, chart_type: str,
                 anchor.replace(":", "")):
             raise ValueError("bad anchor")
         anchor_attr = f' data-anchor="{anchor}"'
+    # "</" -> "<\/" (a JSON no-op escape that parses back identical):
+    # any cell text containing "</script>" would otherwise terminate
+    # the script element early and corrupt the document (r7 review
+    # finding — labels and dataset names are page-derived text)
+    cfg_js = _json.dumps(cfg).replace("</", "<\\/")
     snippet = (
         f'<canvas id="{cid}"{anchor_attr}></canvas>'
         f'<script>new Chart(document.getElementById("{cid}"), '
-        f"{_json.dumps(cfg)});</script>"
+        f"{cfg_js});</script>"
     )
     at = tspan[1]
     return html[:at] + snippet + html[at:]

@@ -29,7 +29,9 @@ from exstruct_spark.config import ExtractOptions
 from exstruct_spark.kernels.areas import area_views, auto_areas
 from exstruct_spark.kernels.boilerplate import extract_main_text
 from exstruct_spark.kernels.charts import extract_charts
-from exstruct_spark.kernels.css import build_resolver, rules_from_sheets
+from exstruct_spark.kernels.css import (
+    build_resolver, media_applies_on_screen, rules_from_sheets,
+)
 from exstruct_spark.kernels.dom import (
     Node,
     decode_html_bytes,
@@ -248,11 +250,9 @@ def _stylesheet_refs(link_nodes: list, base_url: str) -> list:
         attrs = ln.attrs
         rel = (attrs.get("rel") or "").strip().lower()
         if "stylesheet" in rel.split():
-            # a print-only sheet never styles the rendered page — skip
-            # unless the media list also names screen/all
-            media = (attrs.get("media") or "").lower()
-            if "print" in media and not (
-                    "screen" in media or "all" in media):
+            # a non-screen sheet (media="print", …) never styles the
+            # rendered page; media="not print" DOES (r7 review fix)
+            if not media_applies_on_screen(attrs.get("media")):
                 continue
             href = (attrs.get("href") or "").strip()
             if not href:

@@ -121,7 +121,7 @@ _STREAM_RE = re.compile(rb"(?<!end)stream\r?\n")
 _DICT_WINDOW = 512  # bytes of object dict inspected before 'stream'
 
 
-def _iter_flate_streams(raw: bytes):
+def _iter_flate_streams(raw: bytes, stats: dict = None):
     """Yield the COMPRESSED payload of each /FlateDecode stream.
 
     The object dictionary is inspected as a bounded byte window before
@@ -129,13 +129,24 @@ def _iter_flate_streams(raw: bytes):
     /Length indirections, object streams and xref recovery belong to a
     real PDF library).  ``endstream`` search is forward from the data
     start; a missing terminator consumes to end-of-file (bounded by the
-    inflate caps, not by trusting /Length)."""
-    for n, m in enumerate(_STREAM_RE.finditer(raw)):
-        if n >= MAX_STREAMS:
-            break
+    inflate caps, not by trusting /Length).
+
+    MAX_STREAMS counts FLATE candidates only (r7 review finding: the
+    old cap counted every ``stream`` keyword, so an image-heavy PDF
+    could exhaust it on DCTDecode streams and silently drop the text
+    streams that followed); candidates beyond the cap are counted into
+    ``stats["skipped_over_cap"]`` — the no-silent-caps rule."""
+    n = 0
+    for m in _STREAM_RE.finditer(raw):
         head = raw[max(0, m.start() - _DICT_WINDOW) : m.start()]
         if b"/FlateDecode" not in head:
             continue
+        if n >= MAX_STREAMS:
+            if stats is not None:
+                stats["skipped_over_cap"] = (
+                    stats.get("skipped_over_cap", 0) + 1)
+            continue
+        n += 1
         data_start = m.end()
         end = raw.find(b"endstream", data_start)
         if end == -1:
@@ -148,27 +159,25 @@ def _inflate_streams(raw: bytes):
     and counted; over-cap output is truncated and counted — the
     no-silent-caps rule applied to decompression."""
     chunks: list = []
-    inflated = corrupt = truncated = 0
+    stats = {"inflated": 0, "corrupt": 0, "truncated": 0}
     budget = MAX_INFLATED_TOTAL
-    for payload in _iter_flate_streams(raw):
+    for payload in _iter_flate_streams(raw, stats):
         if budget <= 0:
-            truncated += 1
+            stats["truncated"] += 1
             continue
         d = zlib.decompressobj()
         try:
             out = d.decompress(payload, min(MAX_INFLATED_PER_STREAM, budget))
         except zlib.error:
-            corrupt += 1
+            stats["corrupt"] += 1
             continue
         if d.unconsumed_tail:
-            truncated += 1  # bomb guard: output cap hit mid-stream
+            stats["truncated"] += 1  # bomb guard: output cap hit mid-stream
         budget -= len(out)
         if out:
             chunks.append(out)
-            inflated += 1
-    return chunks, {
-        "inflated": inflated, "corrupt": corrupt, "truncated": truncated,
-    }
+            stats["inflated"] += 1
+    return chunks, stats
 
 
 def extract_pdf_document(raw: bytes) -> dict:

@@ -3529,3 +3529,244 @@ def test_cell_edit_wave3_design_ops():
         _, stx = apply_ops(html, [
             {"op": "restore_design_snapshot", "design_snapshot": bad}])
         assert stx == ["skipped"]
+
+
+# ---------------------------------------------------------------------------
+# round-7 self-review regression pins
+# ---------------------------------------------------------------------------
+
+def test_media_applies_on_screen_semantics():
+    """r7 review: browser media semantics, not substring matching —
+    media='not print' DOES apply on screen; 'print and (color)' does
+    not; comma lists apply when ANY query does."""
+    from exstruct_spark.kernels.css import media_applies_on_screen as m
+
+    for media in (None, "", "  ", "screen", "all", "not print",
+                  "only screen and (max-width: 600px)",
+                  "(max-width: 600px)", "print, screen",
+                  "screen, print", "not print, print"):
+        assert m(media), media
+    for media in ("print", "only print", "PRINT", "speech",
+                  "print and (color)", "print,print", "not screen",
+                  "not all"):
+        assert not m(media), media
+
+    # end-to-end: the 'not print' sheet is harvested, the print-
+    # conditional one is not
+    from exstruct_spark.golden import extract_document
+    html = ("<html><head>"
+            "<link rel='stylesheet' media='not print' href='/np.css'>"
+            "<link rel='stylesheet' media='print and (color)' "
+            "href='/pc.css'></head><body>"
+            "<p>Enough visible words for a content block here.</p>"
+            "</body></html>").encode()
+    ex = json.loads(extract_document(
+        "http://t/np", html)["extraction_json"])
+    assert ex["stylesheets"] == ["http://t/np.css"]
+
+    # a <style media='not print'> block applies too
+    html2 = ("<html><head>"
+             "<style media='not print'>td { background: #0F0 }</style>"
+             "</head><body><table><tr><td>x</td><td>y</td></tr>"
+             "</table></body></html>").encode()
+    t2 = json.loads(extract_document(
+        "http://t/np2", html2)["extraction_json"])["tables"][0]
+    assert t2["colors_map"] == {"00FF00": [[1, 0], [1, 1]]}
+
+
+def test_zebra_parity_thead_with_loose_rows():
+    """r7 review: browsers re-parent loose <tr>s into an implied
+    <tbody>, so a <thead> must not shift their nth-child parity — the
+    SECOND loose row is the even one."""
+    from exstruct_spark.golden import extract_document
+    html = ("<html><head><style>"
+            "tr:nth-child(even) td { background: #EEEEEE }"
+            "</style></head><body><table>"
+            "<thead><tr><td>h1</td><td>h2</td></tr></thead>"
+            "<tr><td>r1a</td><td>r1b</td></tr>"
+            "<tr><td>r2a</td><td>r2b</td></tr>"
+            "</table></body></html>").encode()
+    t = json.loads(extract_document(
+        "http://t/zebra", html)["extraction_json"])["tables"][0]
+    # the SECOND loose row (grid row 3: thead=1, r1=2, r2=3) carries
+    # the stripe — under the old sibling counting the thead shifted
+    # parity and r1 (grid row 2) was striped instead
+    assert t["colors_map"] == {"EEEEEE": [[3, 0], [3, 1]]}
+
+    # last-child counts within the run: the final loose row matches
+    from exstruct_spark.kernels.dom import parse_html as _ph
+    from exstruct_spark.kernels.css import build_resolver
+    root = _ph("<html><head><style>tr:last-child{background:#ABCDEF}"
+               "</style></head><body><table>"
+               "<tr><td>a</td></tr><tr><td>b</td></tr>"
+               "<tfoot><tr><td>f</td></tr></tfoot></table></body></html>")
+    styles = []
+    def walk(n):
+        for c in n.element_children():
+            if c.tag == "style":
+                styles.append(c)
+            walk(c)
+    walk(root)
+    res = build_resolver(styles)
+    trs = []
+    def wtr(n):
+        for c in n.element_children():
+            if c.tag == "tr":
+                trs.append(c)
+            wtr(c)
+    wtr(root)
+    got = [(res.effective_attrs(tr).get("style") or "") for tr in trs]
+    # loose run: [a, b] -> b is last-child of its implied tbody;
+    # tfoot's tr is the only child of tfoot -> also last-child
+    assert got == ["", "background:#ABCDEF", "background:#ABCDEF"]
+
+
+def test_external_rules_never_evict_style_rules():
+    """r7 review: a rule-heavy external sheet must not push same-
+    document <style> rules past the MAX_RULES cap (that would invert
+    cascade priority under the cap)."""
+    from exstruct_spark.kernels.css import (
+        MAX_RULES, StyleResolver, parse_css_rules)
+    from exstruct_spark.kernels.dom import parse_html as _ph
+
+    big_css = "".join(
+        f".f{i} {{ background: #0000{i % 10}0 }}" for i in range(MAX_RULES + 50)
+    )
+    extra = parse_css_rules(big_css)[:MAX_RULES]
+    root = _ph("<html><head><style>td { background: #FF0000 }</style>"
+               "</head><body></body></html>")
+    styles = []
+    def walk(n):
+        for c in n.element_children():
+            if c.tag == "style":
+                styles.append(c)
+            walk(c)
+    walk(root)
+    res = StyleResolver(styles, extra_rules=extra)
+    assert len(res.rules) <= MAX_RULES
+    # the same-document rule survived, at the END (highest doc-order)
+    decls = res.rules[-1][1]
+    assert ("background", "#FF0000") in [
+        (p, v) for p, v in decls], decls
+
+
+def test_external_sheet_parse_memo():
+    """r7 review: identical external sheet text parses once per
+    process, not once per document row."""
+    from exstruct_spark.kernels.css import _parse_sheet_cached
+
+    text = ".a { border: 1px solid #000 } .b { background: #FFF }"
+    first = _parse_sheet_cached(text)
+    again = _parse_sheet_cached(text)
+    assert first is again  # memo hit, not a re-parse
+    assert _parse_sheet_cached(text + " ") is not first
+
+
+def test_gviz_receiver_reuse_resets_columns():
+    """r7 review: 'data = new google.visualization.DataTable()' starts
+    a NEW column set — the second chart must not inherit the first
+    chart's addColumn calls."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+    s = """
+    var data = new google.visualization.DataTable();
+    data.addColumn('string', 'Month'); data.addColumn('number', 'Sales');
+    data.addRows([['Jan', 1], ['Feb', 2]]);
+    var c1 = new google.visualization.BarChart(e1);
+    c1.draw(data, {title: 'Sales'});
+    data = new google.visualization.DataTable();
+    data.addColumn('string', 'City'); data.addColumn('number', 'Pop');
+    data.addRows([['NY', 8], ['LA', 4]]);
+    var c2 = new google.visualization.PieChart(e2);
+    c2.draw(data, {title: 'Population'});
+    """
+    charts = charts_from_script(s)
+    names = [[n for n, _ in ch["series"]] for ch in charts]
+    assert names == [["Sales"], ["Pop"]], names
+
+
+def test_gviz_context_nearest_draw_only():
+    """r7 review: a chart whose own draw() has no title must NOT
+    inherit the next chart's title/vAxis."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+    s = """
+    var dataA = google.visualization.arrayToDataTable([['M','Units'],['Jan',1]]);
+    var a = new google.visualization.ColumnChart(e1);
+    a.draw(dataA, {vAxis: {title: 'Units'}});
+    var dataB = google.visualization.arrayToDataTable([['M','USD'],['Jan',9]]);
+    var b = new google.visualization.LineChart(e2);
+    b.draw(dataB, {title: 'Revenue', vAxis: {title: 'USD'}});
+    """
+    charts = charts_from_script(s)
+    assert [ch["title"] for ch in charts] == ["", "Revenue"]
+    assert [ch.get("y_axis_title") for ch in charts] == ["Units", "USD"]
+
+
+def test_set_style_rejects_top_crossing_rowspan():
+    """r7 review: a rowspan entering the style rectangle from ABOVE
+    splits it — the op must skip (raise), not silently leave the
+    entered positions unstyled."""
+    from exstruct_spark.kernels.edits import apply_ops
+    html = ("<html><body><table>"
+            "<tr><td rowspan='3'>tall</td><td>a</td></tr>"
+            "<tr><td>b</td></tr>"
+            "<tr><td>c</td></tr>"
+            "</table></body></html>")
+    out, statuses = apply_ops(html, [
+        {"op": "set_style", "table": 0, "r1": 1, "c1": 0, "r2": 2,
+         "c2": 1, "bold": True},
+    ])
+    assert statuses == ["skipped"]
+    assert out == html
+    # the same range NOT crossing the merged cell applies
+    _, ok = apply_ops(html, [
+        {"op": "set_style", "table": 0, "r1": 1, "c1": 1, "r2": 2,
+         "c2": 1, "bold": True},
+    ])
+    assert ok == ["applied"]
+
+
+def test_create_chart_hostile_text_roundtrip():
+    """r7 review: cell text containing '</script>' must not break out
+    of the injected script, and a '&'/'<' title must round-trip raw
+    (script content is never entity-decoded)."""
+    from exstruct_spark.kernels.edits import apply_ops
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+    import re as _re
+    html = ("<html><body><table>"
+            "<tr><td>M</td><td>V</td></tr>"
+            "<tr><td>&lt;/script&gt;</td><td>1</td></tr>"
+            "<tr><td>Feb</td><td>2</td></tr>"
+            "</table></body></html>")
+    out, statuses = apply_ops(html, [
+        {"op": "create_chart", "table": 0, "r1": 0, "c1": 0, "r2": 2,
+         "c2": 1, "chart_type": "bar", "title": "P&L <2024>"},
+    ])
+    assert statuses == ["applied"]
+    assert out.count("<script>") == 1 and out.count("</script>") == 1
+    script = _re.search(r"<script>(.*?)</script>", out, _re.S).group(1)
+    charts = charts_from_script(script)
+    assert charts and charts[0]["title"] == "P&L <2024>"
+    assert charts[0]["labels"][0] == "</script>"
+
+
+def test_pdf_flate_cap_counts_only_flate_streams():
+    """r7 review: MAX_STREAMS counts FlateDecode candidates only — an
+    image-heavy PDF keeps its text streams; flate candidates beyond
+    the cap are ledgered, never silently dropped."""
+    import zlib as _zlib
+    from exstruct_spark.kernels.pdf import (
+        MAX_STREAMS, _inflate_streams, extract_pdf_document)
+
+    text_stream = _zlib.compress(b"BT (recovered text) Tj ET")
+    image = (b"<< /Filter /DCTDecode /Length 4 >>\nstream\n\xff\xd8\xff\xd9\n"
+             b"endstream\n")
+    flate = (b"<< /Filter /FlateDecode >>\nstream\n" + text_stream +
+             b"\nendstream\n")
+    pdf = b"%PDF-1.4\n" + image * (MAX_STREAMS + 10) + flate + b"%%EOF"
+    doc = extract_pdf_document(pdf)
+    assert "recovered text" in doc["text"]
+
+    over = b"%PDF-1.4\n" + flate * (MAX_STREAMS + 3) + b"%%EOF"
+    chunks, stats = _inflate_streams(over)
+    assert stats["inflated"] == MAX_STREAMS
+    assert stats["skipped_over_cap"] == 3

@@ -690,3 +690,28 @@ def test_external_css_corpus_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_harvest_media_filter_matches_kernel(spark):
+    """r7 review: the Spark-side link harvest drops a sheet only when
+    EVERY media query is print-typed — same semantics as the kernel's
+    media_applies_on_screen (media='not print' sheets survive)."""
+    from exstruct_spark.engine import harvest_stylesheet_refs
+    from exstruct_spark.kernels.css import media_applies_on_screen
+
+    medias = ["print", "only print", "not print", "screen", "all",
+              "print, screen", "screen, print", "print,print",
+              "print and (color)", "(max-width: 600px)", None]
+    rows = []
+    for i, media in enumerate(medias):
+        attr = f" media='{media}'" if media is not None else ""
+        rows.append((
+            f"https://m.example/p{i}",
+            (f"<html><head><link rel='stylesheet'{attr} "
+             f"href='/s{i}.css'></head><body>x</body></html>").encode()))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    kept = {r["url"] for r in harvest_stylesheet_refs(pages).collect()}
+    expect = {f"https://m.example/p{i}"
+              for i, media in enumerate(medias)
+              if media_applies_on_screen(media)}
+    assert kept == expect
