@@ -139,27 +139,16 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
             F.regexp_extract_all(html_s, F.lit(_LINK_TAG_RE), 0)
         ).alias("link_order", "tag"),
     )
-    # Non-screen sheets never style the rendered page (kernel parity:
-    # _stylesheet_refs applies css.media_applies_on_screen).  Drop a
-    # link only when EVERY comma-separated media query names print as
-    # its (optionally "only"-prefixed) type — "not print", "screen",
-    # condition-only and mixed lists all survive (r7 review fix: the
-    # old \bprint\b substring test dropped media="not print" sheets,
-    # which DO apply on screen).
-    _pq = r"(?:only\s+)?print\b[^,{q}]*"   # one non-applying query
-    _dq = _pq.format(q='"')
-    _sq = _pq.format(q="'")
-    _uq = r"print[^,\s>'\"]*"              # unquoted: one space-free token
-    _media_print_only = (
-        r"(?i)\bmedia\s*=\s*(?:"
-        r'"\s*' + _dq + r"(?:\s*,\s*" + _dq + r')*\s*"'
-        r"|'\s*" + _sq + r"(?:\s*,\s*" + _sq + r")*\s*'"
-        r"|" + _uq + r"(?:," + _uq + r")*(?=[\s>])"
-        r")"
-    )
+    # NO media filtering here, by design (r7 second-pass finding): a
+    # regex over raw tag text cannot reliably parse attributes (it
+    # matched inside data-media=/title= values), and a false NEGATIVE
+    # at harvest time would silently drop a sheet the page needs.  The
+    # harvest stays a pure over-approximation; the kernel's
+    # _stylesheet_refs (real attribute parse + media_applies_on_screen)
+    # is the single authority — extract_document applies a joined sheet
+    # only when its URL is on that authoritative list.
     refs = (
         tags.where(F.col("tag").rlike(_REL_STYLESHEET_RE))
-        .where(~F.col("tag").rlike(_media_print_only))
         .select(
             "url", "base_href", "link_order",
             F.regexp_extract("tag", _HREF_RE, 1).alias("href"),
@@ -182,7 +171,10 @@ def attach_external_css(
     css_docs: Optional[DataFrame] = None,
     broadcast_css: bool = True,
 ) -> DataFrame:
-    """pages (url, html, ...) -> same + ``external_css array<string>``.
+    """pages (url, html, ...) -> same + ``external_css
+    array<struct<u: string, t: string>>`` — per entry the LINK's
+    resolved URL and the sheet text (imports carry their importer's
+    link URL).
 
     ``css_docs``: the corpus's stylesheet documents as (url, html) — by
     default derived from ``pages`` itself by url shape (``*.css``).
@@ -202,7 +194,8 @@ def attach_external_css(
         F.col("html").cast("string").alias("css_text"),
     )
     right = F.broadcast(sheets) if broadcast_css else sheets
-    joined = refs.join(right, "css_url", "inner")
+    joined = (refs.join(right, "css_url", "inner")
+              .withColumn("link_url", F.col("css_url")))
 
     # ONE level of @import chasing: real sheets routinely import a base/
     # theme sheet that is itself in the corpus.  Imported sheets order
@@ -224,7 +217,7 @@ def attach_external_css(
 
     imports = (
         joined.select(
-            "url", "link_order", "css_url",
+            "url", "link_order", "css_url", "link_url",
             F.posexplode(
                 F.slice(
                     F.regexp_extract_all(
@@ -234,17 +227,22 @@ def attach_external_css(
         )
         .where(F.col("imp_href") != "")
         .select(
-            "url", "link_order", "imp_pos",
+            "url", "link_order", "imp_pos", "link_url",
             _resolve_import("css_url", "imp_href").alias("css_url"),
         )
         .where(F.col("css_url").isNotNull())
         .join(right, "css_url", "inner")
-        .select("url", "link_order",
+        .select("url", "link_order", "link_url",
                 F.lit(0).alias("tier"), "imp_pos", "css_text")
     )
     direct = joined.select(
-        "url", "link_order",
+        "url", "link_order", "link_url",
         F.lit(1).alias("tier"), F.lit(0).alias("imp_pos"), "css_text")
+    # each entry carries the LINK's resolved URL (imports carry their
+    # importer's link URL) so the kernel can align entries against its
+    # own authoritative _stylesheet_refs list — the harvest being
+    # permissive is then safe: a sheet the kernel's media/attribute
+    # parse rejects is joined but never applied
     per_page = (
         direct.unionByName(imports)
         .groupBy("url")
@@ -255,6 +253,7 @@ def attach_external_css(
                         F.col("link_order").alias("o"),
                         F.col("tier").alias("g"),
                         F.col("imp_pos").alias("p"),
+                        F.col("link_url").alias("u"),
                         F.col("css_text").alias("t"),
                     )
                 )
@@ -262,7 +261,8 @@ def attach_external_css(
         )
         .select(
             "url",
-            F.expr("transform(ordered, s -> s.t)").alias("external_css"),
+            F.expr("transform(ordered, s -> struct(s.u as u, s.t as t))"
+                   ).alias("external_css"),
         )
     )
     return pages.join(per_page, "url", "left")

@@ -990,8 +990,16 @@ def _find_gviz_tables(script_text: str) -> list:
                         re.match(r"\s*,\s*true\b", tail))
                     # the call offset keys the per-chart context
                     # association (ADVICE r6: a script building several
-                    # charts must not label them all from the first)
-                    out.append((rows, no_header, m.start()))
+                    # charts must not label them all from the first);
+                    # the assigned VARIABLE (when the call is a plain
+                    # assignment) lets _gviz_context bind this table to
+                    # the draw(<var>) call that actually consumes it
+                    am = re.search(
+                        r"(\w+)\s*=\s*google\s*\.\s*visualization"
+                        r"\s*\.\s*$",
+                        s[max(0, m.start() - 120) : m.start()])
+                    out.append((rows, no_header, m.start(),
+                                am.group(1) if am else None))
                 break
             if ch == ")":
                 break
@@ -1062,7 +1070,7 @@ def _find_gviz_datatables(script_text: str) -> list:
             continue
         rows, _j = parse_js_value(s, m.end())
         if isinstance(rows, list) and rows:
-            out.append(([header] + rows, m.start()))
+            out.append(([header] + rows, m.start(), recv))
     return out
 
 
@@ -1125,18 +1133,22 @@ def _from_gviz(rows: list, chart_type: str, title: str,
     }
 
 
-def _gviz_context(script_text: str, from_pos: int = 0):
-    """(chart_type, title) from the constructor name and the draw
-    call's OPTIONS OBJECT — the title must come from the parsed second
-    argument of ``chart.draw(data, options)``, not a whole-script
-    regex, or an hAxis/vAxis sub-title (or another dialect's title)
-    appearing earlier wins (third-review finding).
+def _gviz_context(script_text: str, from_pos: int = 0,
+                  data_var: str = None):
+    """(chart_type, title, y_title) from the constructor name and the
+    draw call's OPTIONS OBJECT — the title must come from the parsed
+    second argument of ``chart.draw(data, options)``, not a
+    whole-script regex, or an hAxis/vAxis sub-title (or another
+    dialect's title) appearing earlier wins (third-review finding).
 
-    ``from_pos``: offset of the arrayToDataTable call this context is
-    for — the NEAREST FOLLOWING chart constructor and draw() win, so a
-    script building several charts labels each with its own
-    type/title (ADVICE r6); when nothing follows (data built after the
-    constructor), the whole-script search is the fallback."""
+    ``data_var``: the variable holding this data table (assignment
+    target / addRows receiver).  The draw whose FIRST ARGUMENT is that
+    variable is this chart's draw wherever it appears — position is
+    only the tiebreak/fallback (r7 second-pass finding: pure
+    nearest-following-draw bound a table to another chart's draw when
+    script order interleaved).  With a draw chosen by variable, the
+    chart TYPE prefers the constructor assigned to that draw's
+    receiver; otherwise the nearest following chart constructor."""
     s = script_text or ""
 
     def _ctor_from(pos):
@@ -1148,20 +1160,42 @@ def _gviz_context(script_text: str, from_pos: int = 0):
                 return mapped
         return None
 
-    chart_type = _ctor_from(from_pos)
+    title = ""
+    y_title = ""
+    # receiver optional: `charts[0].draw(...)` must still count as a
+    # draw even though no simple identifier precedes the dot
+    draws = list(re.finditer(
+        r"(?:\b(\w+)\s*)?\.\s*draw\s*\(\s*(\w+)?", s))
+    chosen = None
+    if data_var:
+        mine = [m for m in draws if m.group(2) == data_var]
+        after = [m for m in mine if m.start() >= from_pos]
+        if after or mine:
+            chosen = (after or mine)[:1]
+    if chosen is None:
+        following = [m for m in draws if m.start() >= from_pos]
+        # ONLY the nearest following draw can belong to this chart:
+        # scanning further draws until a title appears let chart A
+        # inherit chart B's title/vAxis (r7 review finding).  The
+        # whole-script walk remains only as the no-following fallback.
+        chosen = following[:1] or draws
+
+    chart_type = None
+    if chosen and data_var and chosen[0].group(1):
+        recv = chosen[0].group(1)
+        rm = re.search(
+            r"\b" + re.escape(recv) +
+            r"\s*=\s*new\s+google\s*\.\s*(?:visualization|charts)"
+            r"\s*\.\s*(\w+)", s)
+        if rm:
+            chart_type = _GVIZ_TYPES.get(rm.group(1).lower())
+    if chart_type is None:
+        chart_type = _ctor_from(from_pos)
     if chart_type is None and from_pos:
         chart_type = _ctor_from(0)
     if chart_type is None:
         chart_type = "Unknown"
-    title = ""
-    y_title = ""
-    draws = list(re.finditer(r"\.\s*draw\s*\(", s, ))
-    following = [m for m in draws if m.start() >= from_pos]
-    # ONLY the nearest following draw belongs to this chart: scanning
-    # further draws until a title appears let chart A inherit chart B's
-    # title/vAxis when A's own draw had none (r7 review finding).  The
-    # whole-script walk remains only as the no-following-draw fallback.
-    for m in (following[:1] or draws):
+    for m in chosen:
         i = m.end()
         n = len(s)
         depth = 0
@@ -1218,15 +1252,15 @@ def charts_from_script(script_text: str) -> list:
         chart = _from_vegalite(spec)
         if chart is not None:
             out.append(chart)
-    for rows, no_header, pos in _find_gviz_tables(script_text):
-        chart_type, title, y_title = _gviz_context(script_text, pos)
+    for rows, no_header, pos, var in _find_gviz_tables(script_text):
+        chart_type, title, y_title = _gviz_context(script_text, pos, var)
         chart = _from_gviz(rows, chart_type, title, no_header)
         if chart is not None:
             if y_title:
                 chart["y_axis_title"] = y_title
             out.append(chart)
-    for rows, pos in _find_gviz_datatables(script_text):
-        chart_type, title, y_title = _gviz_context(script_text, pos)
+    for rows, pos, recv in _find_gviz_datatables(script_text):
+        chart_type, title, y_title = _gviz_context(script_text, pos, recv)
         chart = _from_gviz(rows, chart_type, title, no_header=False)
         if chart is not None:
             if y_title:

@@ -101,10 +101,17 @@ def media_applies_on_screen(media: Optional[str]) -> bool:
             tok = tok[5:].lstrip()
         m = _MEDIA_TYPE_RE.match(tok)
         base = m.group(0) if m else None
-        if base in _NON_SCREEN_TYPES:
+        if base is None:
+            # condition-only query ("(max-width: …)"), negated or not:
+            # the extractor renders at no particular viewport, so
+            # viewport-conditional rules are always kept (r7 second-
+            # pass finding: "not (max-width: 600px)" — the standard
+            # desktop-only form — must not be dropped)
+            applies = True
+        elif base in _NON_SCREEN_TYPES:
             applies = neg            # "not print" applies on screen
         else:
-            # screen / all / condition-only / unknown-but-negated
+            # screen / all / unknown type
             applies = not neg
         if applies:
             return True

@@ -266,6 +266,29 @@ def _stylesheet_refs(link_nodes: list, base_url: str) -> list:
     return out
 
 
+def _admitted_sheets(external_css, sheets: list) -> list:
+    """Corpus-joined entries -> the sheet TEXTS this page actually
+    applies, in join order.
+
+    Entries are ``{u: link_url, t: text}`` structs (Arrow hands them
+    over as dicts): a text is admitted only when its link URL is on
+    ``sheets`` — the kernel's authoritative applicable list
+    (_stylesheet_refs: real attribute parse, media semantics, caps).
+    The Spark-side harvest is a pure over-approximation, so a sheet it
+    wrongly kept (unparseable media attr, data-media= false match) is
+    joined but never applied.  Plain-string entries (direct kernel
+    calls, pre-join tests) carry no URL and are admitted as-is."""
+    allowed = set(sheets or ())
+    out: list = []
+    for e in external_css:
+        if isinstance(e, dict):
+            if e.get("u") in allowed and e.get("t"):
+                out.append(e["t"])
+        elif isinstance(e, str):
+            out.append(e)
+    return out
+
+
 def _links_map(anchors: list, base_url: str = "", absolutize: bool = False,
                normalize: bool = False) -> dict:
     """href -> POSITIONS over content links: the true inverted-index shape
@@ -303,11 +326,15 @@ def extract_document(
     main_text, extraction_json, text_sha256, json_sha256, n_tables,
     n_shapes, n_arrows, n_charts, n_lists, n_links, bytes_in, truncated.
 
-    ``external_css``: optional list of stylesheet TEXTS for this page
-    (link order), resolved by the corpus join (engine.attach_external_css
-    — the crawl contains most linked CSS files as its own documents).
-    They feed the same StyleResolver as same-document ``<style>`` blocks,
-    cascading below them at equal specificity.
+    ``external_css``: optional corpus-joined stylesheets for this page
+    (link order), from engine.attach_external_css — the crawl contains
+    most linked CSS files as its own documents.  Entries are
+    ``{u: link_url, t: text}`` structs; only entries whose link URL is
+    on the page's own applicable-stylesheet list (_stylesheet_refs —
+    the single media/attribute authority) are applied, feeding the same
+    StyleResolver as same-document ``<style>`` blocks and cascading
+    below them at equal specificity.  Plain-string entries (direct
+    kernel calls) are applied unconditionally.
     """
     raw = html_bytes or b""
     bytes_in = len(raw)
@@ -430,6 +457,23 @@ def extract_document(
             if title:
                 extraction["title"] = title
 
+            # <base href>: the FIRST base with an href wins (HTML spec);
+            # resolved once, shared by stylesheet + link resolution
+            effective_base = url
+            for b in groups["base"]:
+                b_href = (b.attrs.get("href") or "").strip()
+                if b_href:
+                    effective_base = urljoin(url, b_href)
+                    break
+
+            # the AUTHORITATIVE applicable-stylesheet list (real
+            # attribute parse + media_applies_on_screen) — computed
+            # before the resolver so corpus-joined sheets are applied
+            # only when this list admits them: the Spark-side harvest
+            # is a deliberate over-approximation (r7 second-pass
+            # finding — a regex over tag text cannot parse attributes)
+            sheets = _stylesheet_refs(groups["link"], effective_base)
+
             # class-rule resolution (kernels/css.py): same-document
             # <style> blocks feed the border/color kernels — the web
             # twin of the reference's indirect-styling resolution
@@ -440,7 +484,8 @@ def extract_document(
             # the kernel as numpy arrays, whose bool() is ambiguous)
             css = build_resolver(
                 groups["style"],
-                rules_from_sheets(external_css)
+                rules_from_sheets(
+                    _admitted_sheets(external_css, sheets))
                 if external_css is not None and len(external_css)
                 else None,
             )
@@ -448,15 +493,6 @@ def extract_document(
             # resolver built BEFORE the main-text pass so class-
             # declared display:none blocks drop like inline ones
             main_text = extract_main_text(root, opts, css)
-
-            # <base href>: the FIRST base with an href wins (HTML spec);
-            # resolved once, shared by stylesheet + link resolution
-            effective_base = url
-            for b in groups["base"]:
-                b_href = (b.attrs.get("href") or "").strip()
-                if b_href:
-                    effective_base = urljoin(url, b_href)
-                    break
 
             if opts.include_tables:
                 tables = []
@@ -670,8 +706,7 @@ def extract_document(
                 alternates = from_link_alternates(groups["link"])
                 if alternates:
                     extraction["alternates"] = alternates
-                sheets = _stylesheet_refs(groups["link"], effective_base)
-                if sheets:
+                if sheets:  # computed once, before the resolver
                     extraction["stylesheets"] = sheets
 
             if opts.include_sections:

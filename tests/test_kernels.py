@@ -3543,8 +3543,8 @@ def test_media_applies_on_screen_semantics():
 
     for media in (None, "", "  ", "screen", "all", "not print",
                   "only screen and (max-width: 600px)",
-                  "(max-width: 600px)", "print, screen",
-                  "screen, print", "not print, print"):
+                  "(max-width: 600px)", "not (max-width: 600px)",
+                  "print, screen", "screen, print", "not print, print"):
         assert m(media), media
     for media in ("print", "only print", "PRINT", "speech",
                   "print and (color)", "print,print", "not screen",

@@ -692,26 +692,59 @@ def test_external_css_corpus_join(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_harvest_media_filter_matches_kernel(spark):
-    """r7 review: the Spark-side link harvest drops a sheet only when
-    EVERY media query is print-typed — same semantics as the kernel's
-    media_applies_on_screen (media='not print' sheets survive)."""
-    from exstruct_spark.engine import harvest_stylesheet_refs
-    from exstruct_spark.kernels.css import media_applies_on_screen
+def test_external_css_media_authority(spark):
+    """r7 second-pass review: the Spark-side harvest is a pure
+    over-approximation (NO media filtering — a regex over tag text
+    can't parse attributes); the kernel's _stylesheet_refs is the
+    single authority.  A print-only external sheet is joined but never
+    APPLIED; a 'not print' sheet is applied; a sheet referenced from a
+    data-media=print link (hostile to regex filters) is applied too."""
+    import json
 
-    medias = ["print", "only print", "not print", "screen", "all",
-              "print, screen", "screen, print", "print,print",
-              "print and (color)", "(max-width: 600px)", None]
-    rows = []
-    for i, media in enumerate(medias):
-        attr = f" media='{media}'" if media is not None else ""
-        rows.append((
-            f"https://m.example/p{i}",
-            (f"<html><head><link rel='stylesheet'{attr} "
-             f"href='/s{i}.css'></head><body>x</body></html>").encode()))
+    from exstruct_spark.engine import attach_external_css
+
+    css = b"td { background-color: #FF0000 }"
+    good_css = b"td { background-color: #00FF00 }"
+    rows = [
+        # print-only link: sheet joined, must NOT style the page
+        ("https://a.example/print",
+         (b"<html><head>"
+          b"<link rel='stylesheet' media='print' href='/p.css'>"
+          b"</head><body><table><tr><td>x</td><td>y</td></tr>"
+          b"</table></body></html>")),
+        ("https://a.example/p.css", css),
+        # 'not print' link: sheet MUST style the page
+        ("https://b.example/np",
+         (b"<html><head>"
+          b"<link rel='stylesheet' media='not print' href='/n.css'>"
+          b"</head><body><table><tr><td>x</td><td>y</td></tr>"
+          b"</table></body></html>")),
+        ("https://b.example/n.css", good_css),
+        # data-media=print is NOT a media attribute: sheet applies
+        ("https://c.example/dm",
+         (b"<html><head>"
+          b"<link rel='stylesheet' data-media='print' href='/d.css'>"
+          b"</head><body><table><tr><td>x</td><td>y</td></tr>"
+          b"</table></body></html>")),
+        ("https://c.example/d.css", good_css),
+    ]
     pages = spark.createDataFrame(rows, "url string, html binary")
-    kept = {r["url"] for r in harvest_stylesheet_refs(pages).collect()}
-    expect = {f"https://m.example/p{i}"
-              for i, media in enumerate(medias)
-              if media_applies_on_screen(media)}
-    assert kept == expect
+    out = extract_stage(attach_external_css(pages),
+                        use_external_css=True)
+    recs = {r["url"]: json.loads(r["extraction_json"])
+            for r in out.collect() if r["url"].startswith("https://")
+            and not r["url"].endswith(".css")}
+
+    def colors(url):
+        ts = recs[url].get("tables") or []
+        return ts[0].get("colors_map") if ts else None
+
+    assert colors("https://a.example/print") is None
+    assert colors("https://b.example/np") == {
+        "00FF00": [[1, 0], [1, 1]]}
+    assert colors("https://c.example/dm") == {
+        "00FF00": [[1, 0], [1, 1]]}
+    # the authoritative stylesheets field matches what was applied
+    assert "stylesheets" not in recs["https://a.example/print"]
+    assert recs["https://b.example/np"]["stylesheets"] == [
+        "https://b.example/n.css"]
