@@ -132,9 +132,19 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
         return pd.Series(out, dtype=object)
 
     html_s = F.col("html").cast("string")
+    # Comments stripped BEFORE base extraction: a commented-out
+    # <base href> would shift every resolved css_url off the join key
+    # the kernel computes from its DOM (which never sees comments) —
+    # with the kernel as the apply-time authority, a wrong join key
+    # silently loses the page's styling (third-pass review finding).
+    # Only the base ride the stripped text (one extra scan): commented
+    # LINKS merely over-harvest, which the kernel's admit filter
+    # already makes safe, so they keep the single-scan path.
     tags = pages.select(
         "url",
-        F.regexp_extract(html_s, _BASE_HREF_RE, 1).alias("base_href"),
+        F.regexp_extract(
+            F.regexp_replace(html_s, r"(?s)<!--.*?-->", ""),
+            _BASE_HREF_RE, 1).alias("base_href"),
         F.posexplode(
             F.regexp_extract_all(html_s, F.lit(_LINK_TAG_RE), 0)
         ).alias("link_order", "tag"),

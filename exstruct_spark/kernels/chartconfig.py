@@ -994,9 +994,13 @@ def _find_gviz_tables(script_text: str) -> list:
                     # the assigned VARIABLE (when the call is a plain
                     # assignment) lets _gviz_context bind this table to
                     # the draw(<var>) call that actually consumes it
+                    # (?<![\w.$]): a PROPERTY assignment (cfg.data = …)
+                    # must not capture the property name as a variable
+                    # — it would bind this table to an unrelated
+                    # draw(data) call (third-pass review finding)
                     am = re.search(
-                        r"(\w+)\s*=\s*google\s*\.\s*visualization"
-                        r"\s*\.\s*$",
+                        r"(?<![\w.$])(\w+)\s*=\s*google\s*\."
+                        r"\s*visualization\s*\.\s*$",
                         s[max(0, m.start() - 120) : m.start()])
                     out.append((rows, no_header, m.start(),
                                 am.group(1) if am else None))
@@ -1183,10 +1187,18 @@ def _gviz_context(script_text: str, from_pos: int = 0,
     chart_type = None
     if chosen and data_var and chosen[0].group(1):
         recv = chosen[0].group(1)
-        rm = re.search(
-            r"\b" + re.escape(recv) +
-            r"\s*=\s*new\s+google\s*\.\s*(?:visualization|charts)"
-            r"\s*\.\s*(\w+)", s)
+        # the LAST constructor assigned to the receiver BEFORE its draw
+        # wins — a reassigned variable (chart = new PieChart; …;
+        # chart = new ColumnChart) must not keep its first type
+        # (third-pass review finding)
+        rm = None
+        for cand in re.finditer(
+                r"(?<![\w.$])" + re.escape(recv) +
+                r"\s*=\s*new\s+google\s*\.\s*(?:visualization|charts)"
+                r"\s*\.\s*(\w+)", s):
+            if cand.start() >= chosen[0].start():
+                break
+            rm = cand
         if rm:
             chart_type = _GVIZ_TYPES.get(rm.group(1).lower())
     if chart_type is None:

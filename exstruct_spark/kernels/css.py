@@ -91,7 +91,10 @@ def media_applies_on_screen(media: Optional[str]) -> bool:
     if not media or not media.strip():
         return True
     for q in media.split(","):
-        tok = q.strip().lower()
+        # any HTML whitespace (tab/newline) separates keywords — a
+        # literal-space prefix test would read "not\tscreen" as an
+        # unknown type and wrongly keep it (third-pass review finding)
+        tok = " ".join(q.lower().split())
         if not tok:
             continue
         neg = tok.startswith("not ")

@@ -471,8 +471,15 @@ def extract_document(
             # before the resolver so corpus-joined sheets are applied
             # only when this list admits them: the Spark-side harvest
             # is a deliberate over-approximation (r7 second-pass
-            # finding — a regex over tag text cannot parse attributes)
-            sheets = _stylesheet_refs(groups["link"], effective_base)
+            # finding — a regex over tag text cannot parse attributes).
+            # Skipped when nothing consumes it (no joined sheets, no
+            # structured-metadata output) — the hot path stays free.
+            sheets = (
+                _stylesheet_refs(groups["link"], effective_base)
+                if ((external_css is not None and len(external_css))
+                    or opts.include_structured)
+                else []
+            )
 
             # class-rule resolution (kernels/css.py): same-document
             # <style> blocks feed the border/color kernels — the web

@@ -3770,3 +3770,60 @@ def test_pdf_flate_cap_counts_only_flate_streams():
     chunks, stats = _inflate_streams(over)
     assert stats["inflated"] == MAX_STREAMS
     assert stats["skipped_over_cap"] == 3
+
+
+def test_gviz_draw_binding_interleaved_and_reassigned():
+    """r7 third-pass review pins: (a) a table built before another
+    chart's draw still binds to ITS OWN draw by variable; (b) a
+    property assignment (cfg.data = …) must not capture 'data' as the
+    variable; (c) a reassigned receiver takes the LAST constructor
+    before its draw."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    # (a) interleaved: dataB assigned before chart A draws
+    s = """
+    var dataA = google.visualization.arrayToDataTable([['M','U'],['J',1]]);
+    var dataB = google.visualization.arrayToDataTable([['M','$'],['J',9]]);
+    var a = new google.visualization.ColumnChart(e1);
+    a.draw(dataA, {});
+    var b = new google.visualization.LineChart(e2);
+    b.draw(dataB, {title: 'Revenue', vAxis: {title: 'USD'}});
+    """
+    got = [(c["chart_type"], c["title"]) for c in charts_from_script(s)]
+    assert got == [("Column", ""), ("Line", "Revenue")], got
+
+    # (b) property assignment: no false variable capture
+    s2 = """
+    cfg.data = google.visualization.arrayToDataTable([['M','A'],['x',1]]);
+    var c1 = new google.visualization.ColumnChart(e1);
+    c1.draw(cfg.data, {title:'Mine'});
+    var data = google.visualization.arrayToDataTable([['M','B'],['y',2]]);
+    var c2 = new google.visualization.PieChart(e2);
+    c2.draw(data, {title:'Other'});
+    """
+    got = [(c["chart_type"], c["title"]) for c in charts_from_script(s2)]
+    assert got == [("Column", "Mine"), ("Pie", "Other")], got
+
+    # (c) receiver reassignment: last ctor before the draw wins
+    s3 = """
+    var data = google.visualization.arrayToDataTable([['M','A'],['x',1]]);
+    var chart = new google.visualization.PieChart(p);
+    chart.draw(data, {title:'First'});
+    var data2 = google.visualization.arrayToDataTable([['M','B'],['y',2]]);
+    chart = new google.visualization.ColumnChart(c);
+    chart.draw(data2, {title:'Second'});
+    """
+    got = [(c["chart_type"], c["title"]) for c in charts_from_script(s3)]
+    assert got == [("Pie", "First"), ("Column", "Second")], got
+
+
+def test_media_query_html_whitespace():
+    """r7 third-pass review: any HTML whitespace separates media
+    keywords — 'not\\tscreen' / 'not\\nprint' parse like their
+    space-separated forms."""
+    from exstruct_spark.kernels.css import media_applies_on_screen as m
+    assert not m("not\tscreen")
+    assert not m("not\nscreen")
+    assert m("not\tprint")
+    assert m("only\nscreen")
+    assert not m("only\tprint")

@@ -748,3 +748,33 @@ def test_external_css_media_authority(spark):
     assert "stylesheets" not in recs["https://a.example/print"]
     assert recs["https://b.example/np"]["stylesheets"] == [
         "https://b.example/n.css"]
+
+
+def test_harvest_ignores_commented_base(spark):
+    """r7 third-pass review: a commented-out <base href> must not
+    shift the harvest's resolved css_url off the kernel's join key —
+    the kernel's DOM never sees comments, and a diverged key would
+    silently lose the page's styling."""
+    import json
+
+    from exstruct_spark.engine import attach_external_css
+
+    rows = [
+        ("https://site.example/a/page",
+         (b"<html><head>"
+          b"<!-- <base href='https://cdn.example/'> -->"
+          b"<link rel='stylesheet' href='s.css'>"
+          b"</head><body><table><tr><td>x</td><td>y</td></tr>"
+          b"</table></body></html>")),
+        ("https://site.example/a/s.css",
+         b"td { background-color: #00FF00 }"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = extract_stage(attach_external_css(pages),
+                        use_external_css=True)
+    rec = {r["url"]: r for r in out.collect()}[
+        "https://site.example/a/page"]
+    ex = json.loads(rec["extraction_json"])
+    assert ex["stylesheets"] == ["https://site.example/a/s.css"]
+    assert ex["tables"][0]["colors_map"] == {
+        "00FF00": [[1, 0], [1, 1]]}
