@@ -117,34 +117,45 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
     import pandas as pd  # noqa: F811 (kernel import pattern)
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
-    def _resolve(page_url: pd.Series, base_href: pd.Series,
-                 href: pd.Series) -> pd.Series:
+    @pandas_udf("array<string>")
+    def _resolve_candidates(page_url: pd.Series, base_stripped: pd.Series,
+                            base_raw: pd.Series,
+                            href: pd.Series) -> pd.Series:
         from urllib.parse import urljoin
 
         out = []
-        for u, b, h in zip(page_url, base_href, href):
-            try:
-                base = urljoin(u or "", b) if b else (u or "")
-                out.append(urljoin(base, h or ""))
-            except ValueError:
-                out.append(None)
+        for u, bs, br, h in zip(page_url, base_stripped, base_raw, href):
+            cands: list = []
+            for b in (bs, br, None):
+                try:
+                    base = urljoin(u or "", b) if b else (u or "")
+                    r = urljoin(base, h or "")
+                except ValueError:
+                    continue
+                if r and r not in cands:
+                    cands.append(r)
+            out.append(cands or None)
         return pd.Series(out, dtype=object)
 
     html_s = F.col("html").cast("string")
-    # Comments stripped BEFORE base extraction: a commented-out
-    # <base href> would shift every resolved css_url off the join key
-    # the kernel computes from its DOM (which never sees comments) —
-    # with the kernel as the apply-time authority, a wrong join key
-    # silently loses the page's styling (third-pass review finding).
-    # Only the base ride the stripped text (one extra scan): commented
-    # LINKS merely over-harvest, which the kernel's admit filter
-    # already makes safe, so they keep the single-scan path.
+    # BASE RESOLUTION CANDIDATES, not one guess (fourth-pass review
+    # finding): a regex cannot reproduce the DOM's comment/raw-text
+    # rules, and with the kernel as the apply-time authority a wrong
+    # join key silently loses the page's styling.  So every link is
+    # resolved under ALL THREE base interpretations — comment-stripped
+    # (mirroring dom.py's unterminated-comment-to-EOF rule), raw
+    # (covers a real <base> that the strip wrongly ate, e.g. '<!--'
+    # inside script text), and no-base — and each distinct result
+    # becomes a candidate join key.  Whichever matches the kernel's
+    # authoritative list is admitted; the extras are phantom join rows
+    # the admit filter discards.  Same design as the missing media
+    # filter: the harvest may over-include, it must never miss.
     tags = pages.select(
         "url",
         F.regexp_extract(
-            F.regexp_replace(html_s, r"(?s)<!--.*?-->", ""),
-            _BASE_HREF_RE, 1).alias("base_href"),
+            F.regexp_replace(html_s, r"(?s)<!--.*?(?:-->|$)", ""),
+            _BASE_HREF_RE, 1).alias("base_stripped"),
+        F.regexp_extract(html_s, _BASE_HREF_RE, 1).alias("base_raw"),
         F.posexplode(
             F.regexp_extract_all(html_s, F.lit(_LINK_TAG_RE), 0)
         ).alias("link_order", "tag"),
@@ -160,13 +171,16 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
     refs = (
         tags.where(F.col("tag").rlike(_REL_STYLESHEET_RE))
         .select(
-            "url", "base_href", "link_order",
+            "url", "base_stripped", "base_raw", "link_order",
             F.regexp_extract("tag", _HREF_RE, 1).alias("href"),
         )
         .where(F.col("href") != "")
         .select(
             "url", "link_order",
-            _resolve("url", "base_href", "href").alias("css_url"),
+            F.explode(
+                _resolve_candidates(
+                    "url", "base_stripped", "base_raw", "href")
+            ).alias("css_url"),
         )
         .where(F.col("css_url").isNotNull())
     )

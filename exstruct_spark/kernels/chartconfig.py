@@ -1191,9 +1191,13 @@ def _gviz_context(script_text: str, from_pos: int = 0,
         # wins — a reassigned variable (chart = new PieChart; …;
         # chart = new ColumnChart) must not keep its first type
         # (third-pass review finding)
+        # the receiver may be a PROPERTY (this.a.draw -> recv 'a'), so
+        # the assignment search allows an optional dotted prefix while
+        # still requiring recv to be a complete segment (fourth-pass
+        # review finding: a bare lookbehind rejected 'this.a = new …')
         rm = None
         for cand in re.finditer(
-                r"(?<![\w.$])" + re.escape(recv) +
+                r"(?<![\w$])(?:[\w$]+\s*\.\s*)*" + re.escape(recv) +
                 r"\s*=\s*new\s+google\s*\.\s*(?:visualization|charts)"
                 r"\s*\.\s*(\w+)", s):
             if cand.start() >= chosen[0].start():

@@ -3827,3 +3827,19 @@ def test_media_query_html_whitespace():
     assert m("not\tprint")
     assert m("only\nscreen")
     assert not m("only\tprint")
+
+
+def test_gviz_property_receiver_types():
+    """r7 fourth-pass review: property receivers (this.a = new …;
+    this.a.draw(data)) must still bind their own constructor type."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+    s = """
+    var dataA = google.visualization.arrayToDataTable([['M','A'],['x',1]]);
+    var dataB = google.visualization.arrayToDataTable([['M','B'],['y',2]]);
+    this.a = new google.visualization.ColumnChart(e1);
+    this.b = new google.visualization.LineChart(e2);
+    this.a.draw(dataA, {title:'A'});
+    this.b.draw(dataB, {title:'B'});
+    """
+    got = [(c["chart_type"], c["title"]) for c in charts_from_script(s)]
+    assert got == [("Column", "A"), ("Line", "B")], got

@@ -778,3 +778,53 @@ def test_harvest_ignores_commented_base(spark):
     assert ex["stylesheets"] == ["https://site.example/a/s.css"]
     assert ex["tables"][0]["colors_map"] == {
         "00FF00": [[1, 0], [1, 1]]}
+
+
+def test_harvest_base_candidates_cover_dom_divergence(spark):
+    """r7 fourth-pass review: the harvest resolves every link under
+    comment-stripped, raw and no-base interpretations, so the join key
+    always includes the kernel's DOM resolution — (a) an UNTERMINATED
+    comment hiding a base (DOM: comment-to-EOF), (b) '<!--' inside
+    script raw text followed by a REAL base (DOM honors the base, a
+    naive strip would eat it)."""
+    import json
+
+    from exstruct_spark.engine import attach_external_css
+
+    rows = [
+        # (a) unterminated comment at the tail hiding a base: the DOM
+        # comments it to EOF, so the kernel resolves against the page
+        # URL — the harvest's stripped candidate must agree
+        ("https://u.example/a/page",
+         (b"<html><head>"
+          b"<link rel='stylesheet' href='s.css'>"
+          b"</head><body><table><tr><td>x</td><td>y</td></tr>"
+          b"</table></body></html>"
+          b"<!-- <base href='https://cdn.example/'>")),
+        ("https://u.example/a/s.css",
+         b"td { background-color: #00FF00 }"),
+        # (b) '<!--' in script text, real base after it: kernel
+        # honors the base
+        ("https://v.example/b/page",
+         (b"<html><head>"
+          b"<script>var x = 1 <!-- 2;</script>"
+          b"<base href='https://vcdn.example/css/'>"
+          b"<link rel='stylesheet' href='t.css'>"
+          b"</head><body><table><tr><td>x</td><td>y</td></tr>"
+          b"</table></body><!-- tail --></html>")),
+        ("https://vcdn.example/css/t.css",
+         b"td { background-color: #0000FF }"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = extract_stage(attach_external_css(pages),
+                        use_external_css=True)
+    recs = {r["url"]: json.loads(r["extraction_json"])
+            for r in out.collect()}
+    a = recs["https://u.example/a/page"]
+    assert a["stylesheets"] == ["https://u.example/a/s.css"]
+    assert a["tables"][0]["colors_map"] == {
+        "00FF00": [[1, 0], [1, 1]]}
+    b = recs["https://v.example/b/page"]
+    assert b["stylesheets"] == ["https://vcdn.example/css/t.css"]
+    assert b["tables"][0]["colors_map"] == {
+        "0000FF": [[1, 0], [1, 1]]}
