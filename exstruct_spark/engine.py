@@ -119,17 +119,24 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
 
     @pandas_udf("array<string>")
     def _resolve_candidates(page_url: pd.Series, base_stripped: pd.Series,
-                            base_raw: pd.Series,
+                            base_noscript: pd.Series, base_raw: pd.Series,
                             href: pd.Series) -> pd.Series:
+        from html import unescape
         from urllib.parse import urljoin
 
         out = []
-        for u, bs, br, h in zip(page_url, base_stripped, base_raw, href):
+        for u, bs, bn, br, h in zip(page_url, base_stripped,
+                                    base_noscript, base_raw, href):
+            # entity-decode like the kernel's attr parser (dom.py
+            # _parse_attrs) — href="s.css?a=1&amp;b=2" must produce
+            # the decoded join key (fifth-pass finding)
+            h = unescape(h or "")
             cands: list = []
-            for b in (bs, br, None):
+            for b in (bs, bn, br, None):
                 try:
+                    b = unescape(b) if b else b
                     base = urljoin(u or "", b) if b else (u or "")
-                    r = urljoin(base, h or "")
+                    r = urljoin(base, h)
                 except ValueError:
                     continue
                 if r and r not in cands:
@@ -138,23 +145,33 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
         return pd.Series(out, dtype=object)
 
     html_s = F.col("html").cast("string")
-    # BASE RESOLUTION CANDIDATES, not one guess (fourth-pass review
-    # finding): a regex cannot reproduce the DOM's comment/raw-text
-    # rules, and with the kernel as the apply-time authority a wrong
-    # join key silently loses the page's styling.  So every link is
-    # resolved under ALL THREE base interpretations — comment-stripped
-    # (mirroring dom.py's unterminated-comment-to-EOF rule), raw
-    # (covers a real <base> that the strip wrongly ate, e.g. '<!--'
-    # inside script text), and no-base — and each distinct result
-    # becomes a candidate join key.  Whichever matches the kernel's
-    # authoritative list is admitted; the extras are phantom join rows
-    # the admit filter discards.  Same design as the missing media
-    # filter: the harvest may over-include, it must never miss.
+    # BASE RESOLUTION CANDIDATES, not one guess (fourth/fifth-pass
+    # review findings): a regex cannot reproduce the DOM's
+    # comment/raw-text rules, and with the kernel as the apply-time
+    # authority a wrong join key silently loses the page's styling.
+    # So every link is resolved under FOUR base interpretations —
+    # comment-stripped (mirroring dom.py's unterminated-comment-to-EOF
+    # rule), script/style-then-comment-stripped (a fake '<base' string
+    # inside script raw text must not shadow the document's real base),
+    # raw (covers a real <base> the strips wrongly ate), and no-base —
+    # and each distinct result becomes a candidate join key.  Whichever
+    # matches the kernel's authoritative list is admitted; the extras
+    # are phantom join rows the admit filter discards (and the kernel
+    # orders admitted sheets by ITS list, so phantom link_order
+    # collisions cannot perturb the cascade).  Same design as the
+    # missing media filter: the harvest may over-include, never miss.
+    _comment_re = r"(?s)<!--.*?(?:-->|$)"
+    _rawtext_re = r"(?is)<(script|style)\b.*?(?:</\1\s*>|$)"
     tags = pages.select(
         "url",
         F.regexp_extract(
-            F.regexp_replace(html_s, r"(?s)<!--.*?(?:-->|$)", ""),
+            F.regexp_replace(html_s, _comment_re, ""),
             _BASE_HREF_RE, 1).alias("base_stripped"),
+        F.regexp_extract(
+            F.regexp_replace(
+                F.regexp_replace(html_s, _rawtext_re, ""),
+                _comment_re, ""),
+            _BASE_HREF_RE, 1).alias("base_noscript"),
         F.regexp_extract(html_s, _BASE_HREF_RE, 1).alias("base_raw"),
         F.posexplode(
             F.regexp_extract_all(html_s, F.lit(_LINK_TAG_RE), 0)
@@ -168,18 +185,29 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
     # _stylesheet_refs (real attribute parse + media_applies_on_screen)
     # is the single authority — extract_document applies a joined sheet
     # only when its URL is on that authoritative list.
+    # quote-aware href: a quoted value may contain spaces (the bare
+    # [^\s>]+ form truncated 'a b.css' at the space — fifth-pass
+    # finding); entity decoding happens in the resolve UDF
+    _href_q = F.nullif(F.regexp_extract(
+        "tag", "(?i)\\bhref\\s*=\\s*\"([^\"]*)\"", 1), F.lit(""))
+    _href_s = F.nullif(F.regexp_extract(
+        "tag", "(?i)\\bhref\\s*=\\s*'([^']*)'", 1), F.lit(""))
+    _href_u = F.nullif(F.regexp_extract(
+        "tag", "(?i)\\bhref\\s*=\\s*([^\\s>\"']+)", 1), F.lit(""))
     refs = (
         tags.where(F.col("tag").rlike(_REL_STYLESHEET_RE))
         .select(
-            "url", "base_stripped", "base_raw", "link_order",
-            F.regexp_extract("tag", _HREF_RE, 1).alias("href"),
+            "url", "base_stripped", "base_noscript", "base_raw",
+            "link_order",
+            F.coalesce(_href_q, _href_s, _href_u).alias("href"),
         )
-        .where(F.col("href") != "")
+        .where(F.col("href").isNotNull())
         .select(
             "url", "link_order",
             F.explode(
                 _resolve_candidates(
-                    "url", "base_stripped", "base_raw", "href")
+                    "url", "base_stripped", "base_noscript",
+                    "base_raw", "href")
             ).alias("css_url"),
         )
         .where(F.col("css_url").isNotNull())

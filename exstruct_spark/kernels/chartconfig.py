@@ -1167,9 +1167,14 @@ def _gviz_context(script_text: str, from_pos: int = 0,
     title = ""
     y_title = ""
     # receiver optional: `charts[0].draw(...)` must still count as a
-    # draw even though no simple identifier precedes the dot
+    # draw even though no simple identifier precedes the dot.  The
+    # FULL dotted path is captured (this.a.draw -> 'this.a') so the
+    # constructor search can match the exact receiver — last-segment
+    # matching bound a chart to another object's same-named property
+    # (fifth-pass review finding)
     draws = list(re.finditer(
-        r"(?:\b(\w+)\s*)?\.\s*draw\s*\(\s*(\w+)?", s))
+        r"(?:(?<![\w$.])((?:[\w$]+\s*\.\s*)*[\w$]+)\s*)?"
+        r"\.\s*draw\s*\(\s*(\w+)?", s))
     chosen = None
     if data_var:
         mine = [m for m in draws if m.group(2) == data_var]
@@ -1191,13 +1196,16 @@ def _gviz_context(script_text: str, from_pos: int = 0,
         # wins — a reassigned variable (chart = new PieChart; …;
         # chart = new ColumnChart) must not keep its first type
         # (third-pass review finding)
-        # the receiver may be a PROPERTY (this.a.draw -> recv 'a'), so
-        # the assignment search allows an optional dotted prefix while
-        # still requiring recv to be a complete segment (fourth-pass
-        # review finding: a bare lookbehind rejected 'this.a = new …')
+        # the receiver is the FULL dotted path (this.a.draw -> recv
+        # 'this.a'): the assignment search matches that exact path —
+        # last-segment matching let `other.chart = new PieChart`
+        # rebind `this.chart` (fifth-pass review finding); the LAST
+        # assignment before the draw wins (reassigned receivers)
+        recv_re = r"\s*\.\s*".join(
+            re.escape(seg.strip()) for seg in recv.split("."))
         rm = None
         for cand in re.finditer(
-                r"(?<![\w$])(?:[\w$]+\s*\.\s*)*" + re.escape(recv) +
+                r"(?<![\w$.])" + recv_re +
                 r"\s*=\s*new\s+google\s*\.\s*(?:visualization|charts)"
                 r"\s*\.\s*(\w+)", s):
             if cand.start() >= chosen[0].start():

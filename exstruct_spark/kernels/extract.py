@@ -277,16 +277,24 @@ def _admitted_sheets(external_css, sheets: list) -> list:
     The Spark-side harvest is a pure over-approximation, so a sheet it
     wrongly kept (unparseable media attr, data-media= false match) is
     joined but never applied.  Plain-string entries (direct kernel
-    calls, pre-join tests) carry no URL and are admitted as-is."""
-    allowed = set(sheets or ())
-    out: list = []
-    for e in external_css:
+    calls, pre-join tests) carry no URL and are admitted as-is.
+
+    ORDER comes from ``sheets`` (the kernel's document-order list),
+    with array position as the secondary key (keeps a link's @imports
+    before the importing sheet): harvest candidate collisions can
+    perturb the join-side link_order, so it is never trusted for the
+    cascade (r7 fifth-pass finding)."""
+    allowed = {u: i for i, u in enumerate(sheets or ())}
+    entries: list = []
+    for pos, e in enumerate(external_css):
         if isinstance(e, dict):
-            if e.get("u") in allowed and e.get("t"):
-                out.append(e["t"])
+            i = allowed.get(e.get("u"))
+            if i is not None and e.get("t"):
+                entries.append((i, pos, e["t"]))
         elif isinstance(e, str):
-            out.append(e)
-    return out
+            entries.append((len(allowed), pos, e))
+    entries.sort(key=lambda x: (x[0], x[1]))
+    return [t for _i, _p, t in entries]
 
 
 def _links_map(anchors: list, base_url: str = "", absolutize: bool = False,

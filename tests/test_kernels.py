@@ -3843,3 +3843,45 @@ def test_gviz_property_receiver_types():
     """
     got = [(c["chart_type"], c["title"]) for c in charts_from_script(s)]
     assert got == [("Column", "A"), ("Line", "B")], got
+
+
+def test_gviz_dotted_receiver_disambiguation():
+    """r7 fifth-pass review: `other.chart = new PieChart` must not
+    rebind `this.chart`'s type — the constructor search matches the
+    draw's FULL dotted receiver path."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+    s = """
+    var d1 = google.visualization.arrayToDataTable([['M','A'],['x',1]]);
+    var d2 = google.visualization.arrayToDataTable([['M','B'],['y',2]]);
+    this.chart = new google.visualization.ColumnChart(e1);
+    other.chart = new google.visualization.PieChart(e2);
+    other.chart.draw(d2, {title:'O'});
+    this.chart.draw(d1, {title:'T'});
+    """
+    got = [(c["chart_type"], c["title"]) for c in charts_from_script(s)]
+    assert got == [("Column", "T"), ("Pie", "O")], got
+
+
+def test_admitted_sheets_document_order():
+    """r7 fifth-pass review: admitted external sheets are ordered by
+    the kernel's own document-order list, never by join-side array
+    position (phantom candidate collisions can perturb the latter)."""
+    from exstruct_spark.kernels.extract import _admitted_sheets
+
+    ext = [
+        {"u": "https://s/b.css", "t": "B"},
+        {"u": "https://s/a.css", "t": "A"},
+        {"u": "https://s/phantom.css", "t": "X"},  # not on the list
+    ]
+    sheets = ["https://s/a.css", "https://s/b.css"]
+    assert _admitted_sheets(ext, sheets) == ["A", "B"]
+    # same-URL multiplicity (e.g. an @import entry before its
+    # importer) keeps array order within the URL
+    ext2 = [
+        {"u": "https://s/a.css", "t": "imported"},
+        {"u": "https://s/a.css", "t": "importer"},
+    ]
+    assert _admitted_sheets(ext2, ["https://s/a.css"]) == [
+        "imported", "importer"]
+    # legacy plain strings order after listed sheets, as given
+    assert _admitted_sheets(["x", "y"], []) == ["x", "y"]

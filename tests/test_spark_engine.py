@@ -828,3 +828,48 @@ def test_harvest_base_candidates_cover_dom_divergence(spark):
     assert b["stylesheets"] == ["https://vcdn.example/css/t.css"]
     assert b["tables"][0]["colors_map"] == {
         "0000FF": [[1, 0], [1, 1]]}
+
+
+def test_harvest_entity_decode_and_script_base(spark):
+    """r7 fifth-pass review pins: (a) href entities decode like the
+    kernel's attr parser (&amp; query strings join); (b) a fake
+    '<base' inside script raw text must not shadow the document's
+    real <base> for the join key."""
+    import json
+
+    from exstruct_spark.engine import attach_external_css
+
+    rows = [
+        # (a) &amp; in the href
+        ("https://e.example/p",
+         (b"<html><head>"
+          b"<link rel='stylesheet' href='s.css?a=1&amp;b=2'>"
+          b"</head><body><table><tr><td>x</td><td>y</td></tr>"
+          b"</table></body></html>")),
+        ("https://e.example/s.css?a=1&b=2",
+         b"td { background-color: #00FF00 }"),
+        # (b) fake base inside script text, real base after it
+        ("https://f.example/p",
+         (b"<html><head>"
+          b"<script>document.write(\"<base href='https://fake/'>\")"
+          b"</script>"
+          b"<base href='https://realcdn.example/css/'>"
+          b"<link rel='stylesheet' href='t.css'>"
+          b"</head><body><table><tr><td>x</td><td>y</td></tr>"
+          b"</table></body></html>")),
+        ("https://realcdn.example/css/t.css",
+         b"td { background-color: #0000FF }"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = extract_stage(attach_external_css(pages),
+                        use_external_css=True)
+    recs = {r["url"]: json.loads(r["extraction_json"])
+            for r in out.collect()}
+    a = recs["https://e.example/p"]
+    assert a["stylesheets"] == ["https://e.example/s.css?a=1&b=2"]
+    assert a["tables"][0]["colors_map"] == {
+        "00FF00": [[1, 0], [1, 1]]}
+    b = recs["https://f.example/p"]
+    assert b["stylesheets"] == ["https://realcdn.example/css/t.css"]
+    assert b["tables"][0]["colors_map"] == {
+        "0000FF": [[1, 0], [1, 1]]}
