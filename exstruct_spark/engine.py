@@ -91,9 +91,11 @@ def default_session(
 # left join keys on url — the same key extract_stage repartitions by, so
 # AQE/exchange reuse co-locates it.
 
-_LINK_TAG_RE = r"(?i)<link\b[^>]*>"
-_BASE_HREF_RE = "(?i)<base\\b[^>]*?\\bhref\\s*=\\s*[\"']?([^\"'\\s>]+)"
-_HREF_RE = "(?i)\\bhref\\s*=\\s*[\"']?([^\"'\\s>]+)"
+# quote-aware tag capture, mirroring dom._TOKEN_RE's attr alternation:
+# a quoted '>' inside an attribute must not truncate the tag, or the
+# harvest's href parse diverges from the kernel's
+_LINK_TAG_RE = r"(?i)<link\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+_BASE_TAG_RE = r"(?i)<base\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
 _REL_STYLESHEET_RE = "(?i)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bstylesheet\\b"
 _CSS_URL_RE = r"(?i)\.css([?#].*)?$"
 # @import url("x.css") / @import "x.css" — permissive single-group scan
@@ -118,23 +120,48 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
-    def _resolve_candidates(page_url: pd.Series, base_stripped: pd.Series,
-                            base_noscript: pd.Series, base_raw: pd.Series,
-                            href: pd.Series) -> pd.Series:
-        from html import unescape
+    def _resolve_candidates(page_url: pd.Series, bt_stripped: pd.Series,
+                            bt_noscript: pd.Series, bt_raw: pd.Series,
+                            link_tag: pd.Series) -> pd.Series:
+        import re as _re
         from urllib.parse import urljoin
 
+        # the KERNEL's attr parser does the attribute work (sixth-pass
+        # review lesson: every harvest-side re-implementation of attr
+        # parsing — quoting, entities, data-href false matches —
+        # diverged from the kernel in some corner; importing the same
+        # function makes parity structural)
+        from exstruct_spark.kernels.dom import _parse_attrs
+
+        _name_re = _re.compile(r"^<[a-zA-Z][a-zA-Z0-9:-]*")
+
+        def _attrs(tag_text):
+            t = _name_re.sub("", tag_text or "").rstrip(">")
+            # a self-close slash glued to an unquoted value
+            # (href=x/>) is the tokenizer's group, not value text
+            if t.endswith("/"):
+                t = t[:-1]
+            return _parse_attrs(t)
+
+        def _first_base(tag_list):
+            # kernel rule: the FIRST <base> WITH a non-empty href wins
+            for t in (tag_list if tag_list is not None else ()):
+                h = (_attrs(t).get("href") or "").strip()
+                if h:
+                    return h
+            return None
+
         out = []
-        for u, bs, bn, br, h in zip(page_url, base_stripped,
-                                    base_noscript, base_raw, href):
-            # entity-decode like the kernel's attr parser (dom.py
-            # _parse_attrs) — href="s.css?a=1&amp;b=2" must produce
-            # the decoded join key (fifth-pass finding)
-            h = unescape(h or "")
+        for u, b1, b2, b3, tag in zip(page_url, bt_stripped,
+                                      bt_noscript, bt_raw, link_tag):
+            h = (_attrs(tag).get("href") or "").strip()
+            if not h:
+                out.append(None)
+                continue
             cands: list = []
-            for b in (bs, bn, br, None):
+            for b in (_first_base(b1), _first_base(b2),
+                      _first_base(b3), None):
                 try:
-                    b = unescape(b) if b else b
                     base = urljoin(u or "", b) if b else (u or "")
                     r = urljoin(base, h)
                 except ValueError:
@@ -152,27 +179,35 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
     # So every link is resolved under FOUR base interpretations —
     # comment-stripped (mirroring dom.py's unterminated-comment-to-EOF
     # rule), script/style-then-comment-stripped (a fake '<base' string
-    # inside script raw text must not shadow the document's real base),
-    # raw (covers a real <base> the strips wrongly ate), and no-base —
-    # and each distinct result becomes a candidate join key.  Whichever
-    # matches the kernel's authoritative list is admitted; the extras
-    # are phantom join rows the admit filter discards (and the kernel
-    # orders admitted sheets by ITS list, so phantom link_order
-    # collisions cannot perturb the cascade).  Same design as the
-    # missing media filter: the harvest may over-include, never miss.
+    # inside script raw text must not shadow the document's real base;
+    # close-tag rule mirrors dom's  </script\b ), raw (covers a real
+    # <base> the strips wrongly ate), and no-base — and each distinct
+    # result becomes a candidate join key.  Whichever matches the
+    # kernel's authoritative list is admitted; the extras are phantom
+    # join rows the admit filter discards (and the kernel orders
+    # admitted sheets by ITS list, so phantom link_order collisions
+    # cannot perturb the cascade).  Same design as the missing media
+    # filter: the harvest may over-include, never miss.  Base TAGS
+    # (not href values) ship to the UDF so the kernel attr parser
+    # reads them; first-8 cap bounds a hostile page.
     _comment_re = r"(?s)<!--.*?(?:-->|$)"
-    _rawtext_re = r"(?is)<(script|style)\b.*?(?:</\1\s*>|$)"
+    _rawtext_re = r"(?is)<(script|style)\b.*?(?:</\1\b|$)"
+
+    def _base_tags(col):
+        return F.slice(
+            F.regexp_extract_all(col, F.lit(_BASE_TAG_RE), 0), 1, 8)
+
     tags = pages.select(
         "url",
-        F.regexp_extract(
-            F.regexp_replace(html_s, _comment_re, ""),
-            _BASE_HREF_RE, 1).alias("base_stripped"),
-        F.regexp_extract(
+        _base_tags(
+            F.regexp_replace(html_s, _comment_re, "")
+        ).alias("bt_stripped"),
+        _base_tags(
             F.regexp_replace(
                 F.regexp_replace(html_s, _rawtext_re, ""),
-                _comment_re, ""),
-            _BASE_HREF_RE, 1).alias("base_noscript"),
-        F.regexp_extract(html_s, _BASE_HREF_RE, 1).alias("base_raw"),
+                _comment_re, "")
+        ).alias("bt_noscript"),
+        _base_tags(html_s).alias("bt_raw"),
         F.posexplode(
             F.regexp_extract_all(html_s, F.lit(_LINK_TAG_RE), 0)
         ).alias("link_order", "tag"),
@@ -185,29 +220,14 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
     # _stylesheet_refs (real attribute parse + media_applies_on_screen)
     # is the single authority — extract_document applies a joined sheet
     # only when its URL is on that authoritative list.
-    # quote-aware href: a quoted value may contain spaces (the bare
-    # [^\s>]+ form truncated 'a b.css' at the space — fifth-pass
-    # finding); entity decoding happens in the resolve UDF
-    _href_q = F.nullif(F.regexp_extract(
-        "tag", "(?i)\\bhref\\s*=\\s*\"([^\"]*)\"", 1), F.lit(""))
-    _href_s = F.nullif(F.regexp_extract(
-        "tag", "(?i)\\bhref\\s*=\\s*'([^']*)'", 1), F.lit(""))
-    _href_u = F.nullif(F.regexp_extract(
-        "tag", "(?i)\\bhref\\s*=\\s*([^\\s>\"']+)", 1), F.lit(""))
     refs = (
         tags.where(F.col("tag").rlike(_REL_STYLESHEET_RE))
-        .select(
-            "url", "base_stripped", "base_noscript", "base_raw",
-            "link_order",
-            F.coalesce(_href_q, _href_s, _href_u).alias("href"),
-        )
-        .where(F.col("href").isNotNull())
         .select(
             "url", "link_order",
             F.explode(
                 _resolve_candidates(
-                    "url", "base_stripped", "base_noscript",
-                    "base_raw", "href")
+                    "url", "bt_stripped", "bt_noscript",
+                    "bt_raw", "tag")
             ).alias("css_url"),
         )
         .where(F.col("css_url").isNotNull())

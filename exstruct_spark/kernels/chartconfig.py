@@ -1200,12 +1200,17 @@ def _gviz_context(script_text: str, from_pos: int = 0,
         # 'this.a'): the assignment search matches that exact path —
         # last-segment matching let `other.chart = new PieChart`
         # rebind `this.chart` (fifth-pass review finding); the LAST
-        # assignment before the draw wins (reassigned receivers)
-        recv_re = r"\s*\.\s*".join(
-            re.escape(seg.strip()) for seg in recv.split("."))
+        # assignment before the draw wins (reassigned receivers).
+        # `window.` is the same binding as the bare global (sixth-pass
+        # finding: `window.c2 = new …; c2.draw(…)`), so it is optional
+        # on both sides of the comparison.
+        segs = [seg.strip() for seg in recv.split(".")]
+        if segs[0] == "window" and len(segs) > 1:
+            segs = segs[1:]
+        recv_re = r"\s*\.\s*".join(re.escape(seg) for seg in segs)
         rm = None
         for cand in re.finditer(
-                r"(?<![\w$.])" + recv_re +
+                r"(?<![\w$.])(?:window\s*\.\s*)?" + recv_re +
                 r"\s*=\s*new\s+google\s*\.\s*(?:visualization|charts)"
                 r"\s*\.\s*(\w+)", s):
             if cand.start() >= chosen[0].start():

@@ -3885,3 +3885,25 @@ def test_admitted_sheets_document_order():
         "imported", "importer"]
     # legacy plain strings order after listed sheets, as given
     assert _admitted_sheets(["x", "y"], []) == ["x", "y"]
+
+
+def test_gviz_window_alias_receiver():
+    """r7 sixth-pass review: `window.c = new …Chart` and bare `c` are
+    the same binding — the constructor search treats the window.
+    prefix as optional on both sides."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+    s = """
+    window.c1 = new google.visualization.ColumnChart(e1);
+    window.c2 = new google.visualization.PieChart(e2);
+    var d2 = google.visualization.arrayToDataTable([['M','B'],['y',2]]);
+    c2.draw(d2, {title:'B'});
+    """
+    got = [(c["chart_type"], c["title"]) for c in charts_from_script(s)]
+    assert got == [("Pie", "B")], got
+    s2 = """
+    var c2 = new google.visualization.PieChart(e2);
+    var d2 = google.visualization.arrayToDataTable([['M','B'],['y',2]]);
+    window.c2.draw(d2, {title:'B'});
+    """
+    got = [(c["chart_type"], c["title"]) for c in charts_from_script(s2)]
+    assert got == [("Pie", "B")], got

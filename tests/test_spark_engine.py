@@ -873,3 +873,58 @@ def test_harvest_entity_decode_and_script_base(spark):
     assert b["stylesheets"] == ["https://realcdn.example/css/t.css"]
     assert b["tables"][0]["colors_map"] == {
         "0000FF": [[1, 0], [1, 1]]}
+
+
+def test_harvest_attr_parity_with_kernel(spark):
+    """r7 sixth-pass review pins: the harvest parses tags with the
+    KERNEL's attr parser, so (a) data-href does not shadow href, (b) a
+    quoted href inside another attribute's value is not extracted,
+    (c) a quoted base href with a space resolves un-truncated, (d) a
+    non-standard close like '</script x>' ends raw text where the DOM
+    tokenizer does."""
+    import json
+
+    from exstruct_spark.engine import attach_external_css
+
+    rows = [
+        # (a)+(b): decoys before/around the real href
+        ("https://g.example/p",
+         (b"<html><head>"
+          b"<link rel=\"stylesheet\" data-href=\"decoy1.css\" "
+          b"href='real.css' data-x='see href=\"decoy2.css\" there'>"
+          b"</head><body><table><tr><td>x</td><td>y</td></tr>"
+          b"</table></body></html>")),
+        ("https://g.example/real.css",
+         b"td { background-color: #00FF00 }"),
+        # (c): quoted base href containing a space
+        ("https://h.example/p",
+         (b"<html><head>"
+          b"<base href=\"https://hcdn.example/my dir/\">"
+          b"<link rel='stylesheet' href='t.css'>"
+          b"</head><body><table><tr><td>x</td><td>y</td></tr>"
+          b"</table></body></html>")),
+        ("https://hcdn.example/my dir/t.css",
+         b"td { background-color: #0000FF }"),
+        # (d): '</script x>' closes the script for the DOM; the fake
+        # base inside the script must not shadow the real one
+        ("https://i.example/p",
+         (b"<html><head>"
+          b"<script>var s = \"<base href='https://fake/'>\" </script x>"
+          b"<base href='https://icdn.example/css/'>"
+          b"<link rel='stylesheet' href='u.css'>"
+          b"</head><body><table><tr><td>x</td><td>y</td></tr>"
+          b"</table></body></html>")),
+        ("https://icdn.example/css/u.css",
+         b"td { background-color: #FF8800 }"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = extract_stage(attach_external_css(pages),
+                        use_external_css=True)
+    recs = {r["url"]: json.loads(r["extraction_json"])
+            for r in out.collect()}
+    assert recs["https://g.example/p"]["tables"][0]["colors_map"] == {
+        "00FF00": [[1, 0], [1, 1]]}
+    assert recs["https://h.example/p"]["tables"][0]["colors_map"] == {
+        "0000FF": [[1, 0], [1, 1]]}
+    assert recs["https://i.example/p"]["tables"][0]["colors_map"] == {
+        "FF8800": [[1, 0], [1, 1]]}
