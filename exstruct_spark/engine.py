@@ -104,6 +104,57 @@ _CSS_IMPORT_RE = r"(?i)@import\s+(?:url\(\s*)?[\"']?([^\"'()\s;]+)"
 _MAX_IMPORTS_PER_SHEET = 8
 
 
+_TAG_NAME_RE = None  # lazily-compiled in _attrs_of_tag (worker-side)
+
+
+def _attrs_of_tag(tag_text: str) -> dict:
+    """Attribute dict of one captured tag, via the KERNEL's attr
+    parser (sixth-pass review lesson: every harvest-side
+    re-implementation of attribute parsing diverged from the kernel in
+    some corner — quoting, entities, data-* false matches; importing
+    the same function makes parity structural)."""
+    global _TAG_NAME_RE
+    import re as _re
+
+    from exstruct_spark.kernels.dom import _parse_attrs
+
+    if _TAG_NAME_RE is None:
+        _TAG_NAME_RE = _re.compile(r"^<[a-zA-Z][a-zA-Z0-9:-]*")
+    t = _TAG_NAME_RE.sub("", tag_text or "").rstrip(">")
+    # a self-close slash glued to an unquoted value (href=x/>) is the
+    # tokenizer's group, not value text
+    if t.endswith("/"):
+        t = t[:-1]
+    return _parse_attrs(t)
+
+
+def _first_base_href(tag_list) -> Optional[str]:
+    """Kernel rule: the FIRST <base> WITH a non-empty href wins."""
+    for t in (tag_list if tag_list is not None else ()):
+        h = (_attrs_of_tag(t).get("href") or "").strip()
+        if h:
+            return h
+    return None
+
+
+def _candidate_urls(page_url, bases, href) -> Optional[list]:
+    """href resolved under each base interpretation + no-base —
+    distinct, order-preserving.  Shared by the link and style-import
+    harvest UDFs."""
+    from urllib.parse import urljoin
+
+    cands: list = []
+    for b in (*bases, None):
+        try:
+            base = urljoin(page_url or "", b) if b else (page_url or "")
+            r = urljoin(base, href)
+        except ValueError:
+            continue
+        if r and r not in cands:
+            cands.append(r)
+    return cands or None
+
+
 def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
     """Pass-1 harvest: pages -> (url, link_order, css_url).
 
@@ -123,52 +174,35 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
     def _resolve_candidates(page_url: pd.Series, bt_stripped: pd.Series,
                             bt_noscript: pd.Series, bt_raw: pd.Series,
                             link_tag: pd.Series) -> pd.Series:
-        import re as _re
-        from urllib.parse import urljoin
-
-        # the KERNEL's attr parser does the attribute work (sixth-pass
-        # review lesson: every harvest-side re-implementation of attr
-        # parsing — quoting, entities, data-href false matches —
-        # diverged from the kernel in some corner; importing the same
-        # function makes parity structural)
-        from exstruct_spark.kernels.dom import _parse_attrs
-
-        _name_re = _re.compile(r"^<[a-zA-Z][a-zA-Z0-9:-]*")
-
-        def _attrs(tag_text):
-            t = _name_re.sub("", tag_text or "").rstrip(">")
-            # a self-close slash glued to an unquoted value
-            # (href=x/>) is the tokenizer's group, not value text
-            if t.endswith("/"):
-                t = t[:-1]
-            return _parse_attrs(t)
-
-        def _first_base(tag_list):
-            # kernel rule: the FIRST <base> WITH a non-empty href wins
-            for t in (tag_list if tag_list is not None else ()):
-                h = (_attrs(t).get("href") or "").strip()
-                if h:
-                    return h
-            return None
-
         out = []
         for u, b1, b2, b3, tag in zip(page_url, bt_stripped,
                                       bt_noscript, bt_raw, link_tag):
-            h = (_attrs(tag).get("href") or "").strip()
+            h = (_attrs_of_tag(tag).get("href") or "").strip()
             if not h:
                 out.append(None)
                 continue
-            cands: list = []
-            for b in (_first_base(b1), _first_base(b2),
-                      _first_base(b3), None):
-                try:
-                    base = urljoin(u or "", b) if b else (u or "")
-                    r = urljoin(base, h)
-                except ValueError:
-                    continue
-                if r and r not in cands:
-                    cands.append(r)
-            out.append(cands or None)
+            out.append(_candidate_urls(
+                u, (_first_base_href(b1), _first_base_href(b2),
+                    _first_base_href(b3)), h))
+        return pd.Series(out, dtype=object)
+
+    @pandas_udf("array<string>")
+    def _resolve_import_candidates(
+            page_url: pd.Series, bt_stripped: pd.Series,
+            bt_noscript: pd.Series, bt_raw: pd.Series,
+            href: pd.Series) -> pd.Series:
+        # style-block @import targets are raw CSS text — NO entity
+        # decoding (the DOM stores raw-text content verbatim)
+        out = []
+        for u, b1, b2, b3, h in zip(page_url, bt_stripped,
+                                    bt_noscript, bt_raw, href):
+            h = (h or "").strip()
+            if not h:
+                out.append(None)
+                continue
+            out.append(_candidate_urls(
+                u, (_first_base_href(b1), _first_base_href(b2),
+                    _first_base_href(b3)), h))
         return pd.Series(out, dtype=object)
 
     html_s = F.col("html").cast("string")
@@ -232,6 +266,57 @@ def harvest_stylesheet_refs(pages: DataFrame) -> DataFrame:
         )
         .where(F.col("css_url").isNotNull())
     )
+    # inline <style> @import targets (the legacy-theme idiom): style
+    # BLOCKS captured with the raw-text close rule (</style\b, like
+    # dom._RAW_CLOSE_RE), their @import hrefs harvested permissively
+    # (the kernel's strict top-of-sheet + media rule decides what
+    # actually applies); link_order offset keeps these keys after the
+    # page's links for the dedup min() — the kernel orders the cascade
+    # from its own list regardless.
+    _style_block_re = (r"(?is)<style\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+                       r".*?(?:</style\b|$)")
+    style_imports = (
+        pages.select(
+            "url",
+            _base_tags(
+                F.regexp_replace(html_s, _comment_re, "")
+            ).alias("bt_stripped"),
+            _base_tags(
+                F.regexp_replace(
+                    F.regexp_replace(html_s, _rawtext_re, ""),
+                    _comment_re, "")
+            ).alias("bt_noscript"),
+            _base_tags(html_s).alias("bt_raw"),
+            F.posexplode(
+                F.slice(
+                    F.regexp_extract_all(
+                        html_s, F.lit(_style_block_re), 0),
+                    1, 8)
+            ).alias("style_pos", "block"),
+        )
+        .select(
+            "url", "bt_stripped", "bt_noscript", "bt_raw", "style_pos",
+            F.posexplode(
+                F.slice(
+                    F.regexp_extract_all(
+                        F.col("block"), F.lit(_CSS_IMPORT_RE), 1),
+                    1, _MAX_IMPORTS_PER_SHEET)
+            ).alias("imp_pos", "imp_href"),
+        )
+        .where(F.col("imp_href") != "")
+        .select(
+            "url",
+            (F.lit(100_000) + F.col("style_pos") * 100
+             + F.col("imp_pos")).alias("link_order"),
+            F.explode(
+                _resolve_import_candidates(
+                    "url", "bt_stripped", "bt_noscript",
+                    "bt_raw", "imp_href")
+            ).alias("css_url"),
+        )
+        .where(F.col("css_url").isNotNull())
+    )
+    refs = refs.unionByName(style_imports)
     # same sheet linked twice: keep the first position (kernel parity)
     return refs.groupBy("url", "css_url").agg(
         F.min("link_order").alias("link_order")

@@ -19,6 +19,7 @@ core/pipeline.py:1097-1193, dev-docs "do not take down the process").
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from typing import Optional
 from urllib.parse import urljoin
@@ -239,11 +240,53 @@ def normalize_url(href: str) -> str:
 _MAX_STYLESHEET_REFS = 16  # per document, link order
 
 
-def _stylesheet_refs(link_nodes: list, base_url: str) -> list:
-    """Resolved ``<link rel=stylesheet href>`` URLs in document order —
-    the per-page key set the external-CSS corpus join
-    (engine.attach_external_css) resolves against.  Deduplicated
-    first-wins; capped (caps-not-crashes)."""
+# @import is only valid at the TOP of a sheet (after optional @charset
+# and @layer STATEMENTS); browsers ignore it after any other rule, so
+# the kernel applies the strict prefix rule — the Spark-side harvest
+# stays permissive (over-include is safe under the kernel authority)
+_IMPORT_PRELUDE_RE = re.compile(
+    r"(?is)\s*(?:@charset\s+[^;]*;|@layer\s+[^;{]*;)")
+_IMPORT_STMT_RE = re.compile(
+    r"(?is)\s*@import\s+(?:url\(\s*)?[\"']?"
+    r"([^\"'()\s;]+)[\"']?\s*\)?([^;]*);")
+_CSS_COMMENT_RE = re.compile(r"/\*.*?(?:\*/|$)", re.S)
+_MAX_IMPORT_SCAN = 4096  # bytes of sheet prefix scanned for @import
+
+
+def _style_import_hrefs(style_text: str) -> list:
+    """Top-of-sheet ``@import`` targets of one ``<style>`` block, in
+    order, honoring each import's media tail (``@import url(x) print;``
+    never applies on screen)."""
+    text = _CSS_COMMENT_RE.sub("", style_text[:_MAX_IMPORT_SCAN])
+    out: list = []
+    pos = 0
+    while True:
+        m = _IMPORT_PRELUDE_RE.match(text, pos)
+        if m is not None:
+            pos = m.end()
+            continue
+        m = _IMPORT_STMT_RE.match(text, pos)
+        if m is None:
+            break
+        pos = m.end()
+        if not media_applies_on_screen(m.group(2)):
+            continue
+        href = m.group(1).strip()
+        if href:
+            out.append(href)
+    return out
+
+
+def _stylesheet_refs(link_nodes: list, base_url: str,
+                     style_nodes: list = ()) -> list:
+    """Resolved external-stylesheet URLs in document order — the
+    per-page key set the external-CSS corpus join
+    (engine.attach_external_css) resolves against: ``<link
+    rel=stylesheet href>`` targets first, then top-of-sheet ``@import``
+    targets of inline ``<style>`` blocks (the legacy-theme idiom —
+    their rules cascade with the other external sheets, the documented
+    below-<style> approximation).  Deduplicated first-wins; capped
+    (caps-not-crashes)."""
     out: list = []
     seen: set = set()
     for ln in link_nodes:
@@ -262,7 +305,18 @@ def _stylesheet_refs(link_nodes: list, base_url: str) -> list:
                 seen.add(resolved)
                 out.append(resolved)
                 if len(out) >= _MAX_STYLESHEET_REFS:
-                    break
+                    return out
+    for sn in style_nodes:
+        if not media_applies_on_screen(sn.attrs.get("media")):
+            continue
+        text = "".join(c for c in sn.children if type(c) is str)
+        for href in _style_import_hrefs(text):
+            resolved = urljoin(base_url, href)
+            if resolved not in seen:
+                seen.add(resolved)
+                out.append(resolved)
+                if len(out) >= _MAX_STYLESHEET_REFS:
+                    return out
     return out
 
 
@@ -483,7 +537,8 @@ def extract_document(
             # Skipped when nothing consumes it (no joined sheets, no
             # structured-metadata output) — the hot path stays free.
             sheets = (
-                _stylesheet_refs(groups["link"], effective_base)
+                _stylesheet_refs(groups["link"], effective_base,
+                                 groups["style"])
                 if ((external_css is not None and len(external_css))
                     or opts.include_structured)
                 else []

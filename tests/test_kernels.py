@@ -3907,3 +3907,40 @@ def test_gviz_window_alias_receiver():
     """
     got = [(c["chart_type"], c["title"]) for c in charts_from_script(s2)]
     assert got == [("Pie", "B")], got
+
+
+def test_style_import_refs_strict_prefix_and_media():
+    """Round 7 late: inline <style> @import targets join the page's
+    applicable-stylesheet list under the browser's STRICT top-of-sheet
+    rule (ignored after any other rule) and per-import media tails;
+    print-only <style> blocks contribute nothing."""
+    from exstruct_spark.kernels.extract import (
+        _style_import_hrefs, _stylesheet_refs)
+
+    assert _style_import_hrefs(
+        "@import url(a.css); @import 'b.css' screen; "
+        "td{x:y} @import url(c.css);") == ["a.css", "b.css"]
+    assert _style_import_hrefs(
+        '@charset "utf-8"; @layer base; @import url(a.css);'
+    ) == ["a.css"]
+    assert _style_import_hrefs("td{c:d} @import url(a.css);") == []
+    assert _style_import_hrefs(
+        "/* c */ @import url(a.css) print; "
+        "@import url(b.css) not print;") == ["b.css"]
+
+    from exstruct_spark.kernels.dom import parse_html as _ph
+    root = _ph("<html><head><link rel=stylesheet href='l.css'>"
+               "<style>@import url(s.css);</style>"
+               "<style media=print>@import url(p.css);</style>"
+               "</head><body></body></html>")
+    links, styles = [], []
+    def walk(n):
+        for c in n.element_children():
+            if c.tag == "link":
+                links.append(c)
+            if c.tag == "style":
+                styles.append(c)
+            walk(c)
+    walk(root)
+    assert _stylesheet_refs(links, "http://t/x/", styles) == [
+        "http://t/x/l.css", "http://t/x/s.css"]

@@ -928,3 +928,38 @@ def test_harvest_attr_parity_with_kernel(spark):
         "0000FF": [[1, 0], [1, 1]]}
     assert recs["https://i.example/p"]["tables"][0]["colors_map"] == {
         "FF8800": [[1, 0], [1, 1]]}
+
+
+def test_inline_style_import_corpus_join(spark):
+    """Round 7 late: a border/fill signal reachable ONLY through an
+    inline <style> @import of a corpus CSS document detects like its
+    inline twin; an @import after a rule (browser-ignored) and a
+    print-media @import do NOT apply."""
+    import json
+
+    from exstruct_spark.engine import attach_external_css
+
+    rows = [
+        ("https://j.example/p",
+         (b"<html><head><style>"
+          b"@import url('theme.css');"
+          b"@import url('printonly.css') print;"
+          b"</style>"
+          b"<style>td{color:#000} @import url('late.css');</style>"
+          b"</head><body><table><tr><td>x</td><td>y</td></tr>"
+          b"</table></body></html>")),
+        ("https://j.example/theme.css",
+         b"td { background-color: #00FF00 }"),
+        ("https://j.example/printonly.css",
+         b"td { background-color: #FF0000 }"),
+        ("https://j.example/late.css",
+         b"td { background-color: #123456 }"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = extract_stage(attach_external_css(pages),
+                        use_external_css=True)
+    rec = {r["url"]: r for r in out.collect()}["https://j.example/p"]
+    ex = json.loads(rec["extraction_json"])
+    assert ex["stylesheets"] == ["https://j.example/theme.css"]
+    assert ex["tables"][0]["colors_map"] == {
+        "00FF00": [[1, 0], [1, 1]]}
