@@ -17,23 +17,28 @@ This is deliberately NOT a CSS engine.  The contract:
     extractor never fetches anything, it stays a pure function of its
     inputs).  External rules cascade below same-document rules at
     equal specificity, matching real link-before-style page layout;
-  * simple selectors: ``tag``, ``.class``, ``#id`` and compounds
-    (``td.cell``, ``.a.b``, ``table#prices``), chained by descendant
-    and child combinators (``table.pricing td``, ``.data > tr > td``)
-    up to ``MAX_CHAIN`` compounds — the dominant real-web idiom for
-    styling table cells (VERDICT r6 Missing #1) — plus the STRUCTURAL
-    pseudo-classes (``:nth-child``/``:nth-of-type`` with full An+B,
-    ``:first/last/only-child``, their ``-of-type`` twins and
-    ``nth-last`` variants): ``tr:nth-child(even)`` zebra striping is
-    the standard way real tables acquire row backgrounds.  All other
-    pseudo-classes/elements (state-dependent ``:hover`` etc.),
-    attribute selectors, sibling combinators (``+``/``~``) and
-    over-long chains are SKIPPED — deterministic under-match, never a
-    guess;
+  * simple selectors: ``tag``, ``.class``, ``#id``, attribute
+    selectors (``[disabled]``, ``[align=center]`` and the full
+    ``~= |= ^= $= *=`` operator set with the ``i`` case flag) and
+    compounds (``td.cell``, ``td[align].x``, ``table#prices``),
+    chained by descendant, child AND sibling combinators
+    (``table.pricing td``, ``.data > tr > td``, ``tr + tr`` — THE
+    canonical row-divider idiom — and ``h2 ~ table``) up to
+    ``MAX_CHAIN`` compounds (VERDICT r6 Missing #1) — plus the
+    STRUCTURAL pseudo-classes (``:nth-child``/``:nth-of-type`` with
+    full An+B, ``:first/last/only-child``, their ``-of-type`` twins
+    and ``nth-last`` variants — ``tr:nth-child(even)`` zebra striping
+    is the standard way real tables acquire row backgrounds) and
+    single-compound ``:not(...)`` (Selectors 3 scope, no nesting).
+    All other pseudo-classes/elements (state-dependent ``:hover``
+    etc.), quoted ``]`` inside attr values, and over-long chains are
+    SKIPPED — deterministic under-match, never a guess;
   * cascade order is (specificity, document order) — standard
-    ``(#ids, .classes, tags)`` counting, no ``!important`` arithmetic
-    (annotations are stripped; real pages that depend on !important
-    inversions degrade deterministically);
+    ``(#ids, .classes, tags)`` counting with attribute selectors and
+    pseudo-classes in the class bucket and ``:not`` counting its
+    argument, no ``!important`` arithmetic (annotations are stripped;
+    real pages that depend on !important inversions degrade
+    deterministically);
   * inline ``style`` attributes beat class rules per property (in every
     browser inline style outranks stylesheet rules), and class rules
     beat presentational hints (``bgcolor=``) because the merged style
@@ -130,17 +135,47 @@ _KEPT_PROP_RE = re.compile(
     r"|background(?:-color)?|display)$"
 )
 
-# one compound simple selector: optional tag, then any run of
-# .class / #id segments, then any run of pseudo-class tokens (only the
-# STRUCTURAL pseudo-classes below are understood — anything else in the
-# pseudo run, or an attribute selector, makes the fullmatch fail and
-# the compound is skipped)
-_COMPOUND_SEL_RE = re.compile(
-    r"([a-zA-Z][a-zA-Z0-9-]*|\*)?((?:[.#][-\w]+)*)"
-    r"((?:::?[a-zA-Z-]+(?:\([^()]*\))?)*)$"
+# one compound simple selector: optional tag/universal, then any run
+# of .class / #id / [attr…] / :pseudo segments in any order (CSS allows
+# interleaving: ``td[align].x:first-child``).  Only the STRUCTURAL
+# pseudo-classes plus :not are understood — any other pseudo, or a
+# segment the grammar can't cover, makes the compound parse fail and
+# the whole selector is skipped (deterministic under-match).
+_SEG_RE = re.compile(
+    r"[.#][-\w]+"
+    r"|\[[^\]]*\]"
+    r"|::?[a-zA-Z-]+(?:\([^()]*\))?"
 )
-_SEL_PART_RE = re.compile(r"[.#][-\w]+")
-_PSEUDO_PART_RE = re.compile(r"::?[a-zA-Z-]+(?:\([^()]*\))?")
+_TAG_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9-]*|\*")
+
+# [name] / [name=value] with the full CSS attribute-match operator set
+# and the optional case flag; value may be quoted (either quote) or a
+# bare token.  A quoted ']' inside the value is NOT covered (the _SEG_RE
+# span ends at the first ']') — such selectors skip, never mis-match.
+_ATTR_SEL_RE = re.compile(
+    r"^\[\s*([a-zA-Z_][\w.:-]*)\s*"
+    r"(?:([~|^$*]?=)\s*(\"[^\"]*\"|'[^']*'|[^\]\"'\s]*)\s*([iIsS])?\s*)?\]$"
+)
+
+
+def _parse_attr_sel(txt: str):
+    """One ``[...]`` segment -> (name, op, value, ci) or None.
+
+    ``op`` is None for bare presence (``[disabled]``); ``ci`` is True
+    only for an explicit ``i`` flag (attribute VALUES stay
+    case-sensitive by default; names are lowercased to match the DOM
+    parser's lowercased attr keys)."""
+    m = _ATTR_SEL_RE.match(txt)
+    if m is None:
+        return None
+    name = m.group(1).lower()
+    op = m.group(2)
+    if op is None:
+        return name, None, "", False
+    val = m.group(3) or ""
+    if len(val) >= 2 and val[0] in "\"'" and val[-1] == val[0]:
+        val = val[1:-1]
+    return name, op, val, (m.group(4) or "").lower() == "i"
 
 # An+B micro-grammar for :nth-child()/:nth-of-type() arguments
 # (whitespace already stripped inside parens by _parse_selector)
@@ -150,8 +185,10 @@ _NTH_RE = re.compile(r"^(?:([+-]?\d*)n([+-]\d+)?|([+-]?\d+))$",
 
 def _parse_nth(arg: str):
     """``odd`` / ``even`` / ``5`` / ``2n+1`` / ``-n+3`` -> (a, b)
-    of the CSS An+B position grammar, or None if unsupported."""
-    arg = arg.strip().lower()
+    of the CSS An+B position grammar, or None if unsupported.
+    Internal whitespace ("2n + 1") is collapsed here — the selector
+    scanner keeps paren contents verbatim."""
+    arg = re.sub(r"\s+", "", arg.lower())
     if arg == "odd":
         return 2, 1
     if arg == "even":
@@ -168,17 +205,26 @@ def _parse_nth(arg: str):
     return a, int(m.group(2) or 0)
 
 
-def _parse_pseudo(token: str):
+def _parse_pseudo(token: str, allow_not: bool = True):
     """One ``:name`` / ``:name(arg)`` token -> ("child"|"type", a, b,
     from_end) for the structural pseudo-classes (the zebra-striping
     family — ``tr:nth-child(even)`` is THE standard way real tables get
-    row backgrounds), or None for everything else (``:hover``,
+    row backgrounds), ("not", compound, None, None) for a supported
+    ``:not(simple-compound)`` (one compound, no combinators, no nested
+    :not — Selectors 3 scope), or None for everything else (``:hover``,
     ``::before``, ...) — those compounds are skipped whole."""
     if token.startswith("::"):
         return None  # pseudo-ELEMENT: never a style carrier we read
     name, _, arg = token[1:].partition("(")
     name = name.lower()
     arg = arg[:-1] if arg.endswith(")") else arg
+    if name == "not":
+        if not allow_not:
+            return None  # nested :not: skipped
+        inner = _parse_compound(arg.strip(), allow_not=False)
+        if inner is None:
+            return None
+        return "not", inner, None, None
     base = {"first-child": ("child", 0, 1, False),
             "last-child": ("child", 0, 1, True),
             "first-of-type": ("type", 0, 1, False),
@@ -200,86 +246,170 @@ def _parse_pseudo(token: str):
 
 
 MAX_CHAIN = 4        # compounds per selector; longer chains are skipped
-_MATCH_DEPTH = 32    # ancestor-walk bound per descendant step
-
-# normalize child combinators so whitespace-splitting yields one token
-# per (combinator, compound) step: "a > b" / "a>b" -> "a >b"
-_CHILD_COMB_RE = re.compile(r"\s*>\s*")
+_MATCH_DEPTH = 32    # ancestor/sibling-walk bound per combinator step
 
 
-def _parse_compound(part: str):
-    """One compound token -> (tag, classes, id, pseudos) or None if
-    unsupported (attribute selector, or any pseudo outside the
-    structural family)."""
-    m = _COMPOUND_SEL_RE.fullmatch(part)
-    if m is None:
-        return None  # attribute selector / malformed: skipped
-    tag = (m.group(1) or "").lower()
-    if tag == "*":
-        tag = ""  # universal: matches any tag
+def _split_selector(sel: str):
+    """Selector text -> [(comb, compound_text), ...] with comb in
+    ``' >+~'`` (the first entry's comb is ' ' and unused), or None for
+    malformed input (leading/trailing/doubled combinator, unterminated
+    quote/bracket/paren).  A character scan, quote- and bracket-aware,
+    so a quoted attr value containing spaces or combinator characters
+    (``[title="a > b"]``) can never break tokenization the way a
+    whitespace split would."""
+    parts: list = []
+    buf: list = []
+    comb = " "
+    pend = None   # explicit combinator seen since the last compound
+    ws = False    # whitespace seen since the last compound char
+    quote = None
+    brack = paren = 0
+    for ch in sel:
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if brack or paren:
+            buf.append(ch)
+            if ch in "\"'":
+                quote = ch
+            elif ch == "[":
+                brack += 1
+            elif ch == "]":
+                brack = max(0, brack - 1)
+            elif ch == "(":
+                paren += 1
+            elif ch == ")":
+                paren = max(0, paren - 1)
+            continue
+        if ch.isspace():
+            ws = True
+            continue
+        if ch in ">+~":
+            if not buf and not parts:
+                return None  # leading combinator
+            if pend is not None:
+                return None  # "a > > b"
+            pend = ch
+            continue
+        if buf and (pend is not None or ws):
+            parts.append((comb, "".join(buf)))
+            comb = pend or " "
+            buf = []
+        pend = None
+        ws = False
+        buf.append(ch)
+        if ch in "\"'":
+            quote = ch
+        elif ch == "[":
+            brack = 1
+        elif ch == "(":
+            paren = 1
+    if quote is not None or brack or paren or pend is not None or not buf:
+        return None
+    parts.append((comb, "".join(buf)))
+    return parts
+
+
+def _parse_compound(part: str, allow_not: bool = True):
+    """One compound token -> (tag, classes, id, pseudos, attrsels) or
+    None if unsupported (a pseudo outside the structural/:not family,
+    or any syntax the segment grammar doesn't cover)."""
+    if not part:
+        return None
+    tag = ""
+    rest = part
+    m = _TAG_RE.match(part)
+    if m is not None:
+        tag = m.group(0).lower()
+        rest = part[m.end():]
+        if tag == "*":
+            tag = ""  # universal: matches any tag
     classes: list = []
     sel_id: Optional[str] = None
-    for seg in _SEL_PART_RE.findall(m.group(2)):
-        if seg[0] == ".":
-            classes.append(seg[1:])
-        else:
-            sel_id = seg[1:]  # last #id wins within the compound
     pseudos: list = []
-    for tok in _PSEUDO_PART_RE.findall(m.group(3)):
-        parsed = _parse_pseudo(tok)
-        if parsed is None:
-            return None  # non-structural pseudo: skip the compound
-        pseudos.append(parsed)
-    if not tag and not classes and not sel_id and not pseudos:
+    attrsels: list = []
+    pos = 0
+    for seg in _SEG_RE.finditer(rest):
+        if seg.start() != pos:
+            return None  # uncovered syntax between segments: skip
+        pos = seg.end()
+        txt = seg.group(0)
+        c0 = txt[0]
+        if c0 == ".":
+            classes.append(txt[1:])
+        elif c0 == "#":
+            sel_id = txt[1:]  # last #id wins within the compound
+        elif c0 == "[":
+            asel = _parse_attr_sel(txt)
+            if asel is None:
+                return None
+            attrsels.append(asel)
+        else:
+            parsed = _parse_pseudo(txt, allow_not)
+            if parsed is None:
+                return None  # unsupported pseudo: skip the compound
+            pseudos.append(parsed)
+    if pos != len(rest):
         return None
-    return tag or None, tuple(classes), sel_id, tuple(pseudos)
+    if not tag and not classes and sel_id is None \
+            and not pseudos and not attrsels:
+        return None
+    return tag or None, tuple(classes), sel_id, tuple(pseudos), \
+        tuple(attrsels)
+
+
+def _compound_spec(comp):
+    """Standard specificity triple of one compound: #ids, then
+    classes+attrsels+pseudo-classes, then tags.  ``:not`` itself adds
+    nothing; its argument's counts do (CSS spec)."""
+    tag, classes, sel_id, pseudos, attrsels = comp
+    ids = 1 if sel_id is not None else 0
+    cls = len(classes) + len(attrsels)
+    tags = 1 if tag is not None else 0
+    for p in pseudos:
+        if p[0] == "not":
+            s = _compound_spec(p[1])
+            ids += s[0]
+            cls += s[1]
+            tags += s[2]
+        else:
+            cls += 1
+    return ids, cls, tags
 
 
 def _parse_selector(sel: str):
     """One comma-branch -> (chain, combinators, specificity) or None.
 
-    ``chain`` is a tuple of (tag, classes, id) compounds left-to-right;
-    ``combinators[i]`` is the combinator (' ' descendant or '>' child)
-    between ``chain[i]`` and ``chain[i+1]``; ``specificity`` is the
-    standard (#ids, .classes, tags) count over the whole chain.
-    Sibling combinators (+/~), pseudo/attr compounds and chains longer
+    ``chain`` is a tuple of (tag, classes, id, pseudos, attrsels)
+    compounds left-to-right; ``combinators[i]`` is the combinator
+    (' ' descendant, '>' child, '+' adjacent sibling, '~' general
+    sibling) between ``chain[i]`` and ``chain[i+1]``; ``specificity``
+    is the standard (#ids, .classes, tags) count over the whole chain
+    (attribute selectors and pseudo-classes count as classes; :not
+    counts its argument).  Unsupported compounds and chains longer
     than ``MAX_CHAIN`` return None (skipped — deterministic
     under-match, never a guess).
     """
-    sel = sel.strip()
-    # strip whitespace INSIDE functional-pseudo parens first so token
-    # splitting can't break ":nth-child(2n + 1)", and run the sibling-
-    # combinator rejection on the paren-masked text so the '+' of an
-    # An+B argument doesn't misfire as a combinator
-    sel = re.sub(r"\([^()]*\)",
-                 lambda m: re.sub(r"\s+", "", m.group(0)), sel)
-    masked = re.sub(r"\([^()]*\)", "()", sel)
-    if not sel or "+" in masked or "~" in masked:
-        return None
-    tokens = _CHILD_COMB_RE.sub(" >", sel).split()
-    if not tokens or len(tokens) > MAX_CHAIN:
+    parts = _split_selector(sel.strip())
+    if parts is None or len(parts) > MAX_CHAIN:
         return None
     chain: list = []
     combs: list = []
-    for i, tok in enumerate(tokens):
-        comb = " "
-        if tok.startswith(">"):
-            if i == 0:
-                return None  # leading combinator: invalid selector
-            comb = ">"
-            tok = tok[1:]
-            if not tok:
-                return None  # "a > > b" or trailing combinator
+    for i, (comb, tok) in enumerate(parts):
         if i:
             combs.append(comb)
         parsed = _parse_compound(tok)
         if parsed is None:
             return None
         chain.append(parsed)
-    ids = sum(1 for _, _, sid, _ in chain if sid is not None)
-    # pseudo-CLASSES count in the class bucket (CSS specificity rules)
-    classes = sum(len(cls) + len(ps) for _, cls, _, ps in chain)
-    tags = sum(1 for tag, _, _, _ in chain if tag is not None)
+    ids = classes = tags = 0
+    for comp in chain:
+        s = _compound_spec(comp)
+        ids += s[0]
+        classes += s[1]
+        tags += s[2]
     return tuple(chain), tuple(combs), (ids, classes, tags)
 
 
@@ -518,8 +648,38 @@ def _nth_hit(a: int, b: int, pos: int) -> bool:
     return diff <= 0 and (-diff) % (-a) == 0
 
 
+def _attrsel_matches(asel, attrs: dict) -> bool:
+    """One parsed attribute selector against a node's attrs.  Boolean
+    attributes are stored as None by the DOM parser — present for
+    ``[attr]``, empty-string for value operators (browser semantics:
+    ``<td hidden>`` matches ``[hidden=""]``)."""
+    name, op, val, ci = asel
+    if name not in attrs:
+        return False
+    if op is None:
+        return True
+    actual = attrs.get(name) or ""
+    if ci:
+        actual = actual.lower()
+        val = val.lower()
+    if op == "=":
+        return actual == val
+    if op == "~=":
+        # an empty or whitespace-containing word can never match (spec)
+        return bool(val) and val.split() == [val] and val in actual.split()
+    if op == "|=":
+        return actual == val or actual.startswith(val + "-")
+    if op == "^=":
+        return bool(val) and actual.startswith(val)
+    if op == "$=":
+        return bool(val) and actual.endswith(val)
+    if op == "*=":
+        return bool(val) and val in actual
+    return False
+
+
 def _compound_matches(comp, node: Node, cache: dict) -> bool:
-    tag, classes, sel_id, pseudos = comp
+    tag, classes, sel_id, pseudos, attrsels = comp
     if tag is not None and node.tag != tag:
         return False
     attrs = node.attrs
@@ -531,9 +691,18 @@ def _compound_matches(comp, node: Node, cache: dict) -> bool:
             return False
         if not set(cls.split()).issuperset(classes):
             return False
+    for asel in attrsels:
+        if not _attrsel_matches(asel, attrs):
+            return False
     if pseudos:
-        pos, count, pos_t, count_t = _sibling_pos(node, cache)
+        pos = None  # lazy: :not-only compounds never need sibling info
         for kind, a, b, from_end in pseudos:
+            if kind == "not":
+                if _compound_matches(a, node, cache):
+                    return False
+                continue
+            if pos is None:
+                pos, count, pos_t, count_t = _sibling_pos(node, cache)
             p, c = (pos, count) if kind == "child" else (pos_t, count_t)
             if from_end is None:  # only-child / only-of-type
                 ok = c == 1
@@ -546,26 +715,94 @@ def _compound_matches(comp, node: Node, cache: dict) -> bool:
     return True
 
 
-def _match_left(chain, combs, i: int, anc, cache: dict) -> bool:
-    """Right-to-left chain match: ``chain[i]`` must match an ancestor
-    starting at ``anc`` under ``combs[i]`` ('>' = exactly ``anc``,
-    ' ' = any ancestor, with backtracking for mixed chains like
-    ``a > b c``).  Recursion depth <= MAX_CHAIN; the descendant walk is
-    bounded by ``_MATCH_DEPTH`` per step (caps-not-crashes)."""
+def _prev_siblings(node: Node, cache: dict) -> list:
+    """Previous ELEMENT siblings of ``node``, nearest first, under the
+    SAME implied-tbody family model as ``_sibling_pos`` (so ``tr + tr``
+    parity agrees with :nth-child parity: a loose <tr>'s siblings are
+    only the rows of its run; among a table's top-level slots an
+    implied tbody appears as None — a slot no compound can match).
+    Memoized per parent in ``cache`` under a ("sib", id) key that can't
+    collide with the int keys ``_sibling_pos`` uses."""
+    parent = node.parent
+    if parent is None:
+        return []
+    key = ("sib", id(parent))
+    order = cache.get(key)
+    if order is None:
+        order = {}
+        sibs = parent.element_children()
+        if parent.tag == "table":
+            fams: list = []
+            top: list = []
+            run = None
+            for ch in sibs:
+                if ch.tag in ("caption", "colgroup", "col"):
+                    continue
+                if ch.tag in ("thead", "tbody", "tfoot"):
+                    run = None
+                    top.append(ch)
+                else:
+                    if run is None:
+                        run = []
+                        fams.append(run)
+                        top.append(None)  # the implied-tbody slot
+                    run.append(ch)
+            fams.append(top)
+            for fam_list in fams:
+                for idx, ch in enumerate(fam_list):
+                    if ch is not None:
+                        order[id(ch)] = (fam_list, idx)
+        else:
+            for idx, ch in enumerate(sibs):
+                order[id(ch)] = (sibs, idx)
+        cache[key] = order
+    ent = order.get(id(node))
+    if ent is None:  # not an element child of its parent (defensive)
+        return []
+    fam_list, idx = ent
+    return [fam_list[j] for j in range(idx - 1, -1, -1)]
+
+
+def _match_left(chain, combs, i: int, node, cache: dict) -> bool:
+    """Right-to-left chain match: ``node`` is the element ``chain[i+1]``
+    matched; ``combs[i]`` decides where ``chain[i]`` may match ('>' =
+    node's parent exactly, ' ' = any ancestor, '+' = the immediately
+    preceding element sibling, '~' = any preceding element sibling —
+    the ' '/'~' walks backtrack for mixed chains like ``a > b c``).
+    Recursion depth <= MAX_CHAIN; each walk is bounded by
+    ``_MATCH_DEPTH`` steps (caps-not-crashes)."""
     if i < 0:
         return True
     comb = combs[i]
     if comb == ">":
+        anc = node.parent
         if anc is None or anc.tag == "#document":
             return False
         if not _compound_matches(chain[i], anc, cache):
             return False
-        return _match_left(chain, combs, i - 1, anc.parent, cache)
+        return _match_left(chain, combs, i - 1, anc, cache)
+    if comb == "+":
+        prev = _prev_siblings(node, cache)
+        if not prev or prev[0] is None:
+            return False
+        if not _compound_matches(chain[i], prev[0], cache):
+            return False
+        return _match_left(chain, combs, i - 1, prev[0], cache)
+    if comb == "~":
+        for steps, sib in enumerate(_prev_siblings(node, cache)):
+            if steps >= _MATCH_DEPTH:
+                return False
+            if sib is not None and _compound_matches(chain[i], sib, cache):
+                # greedy try, backtrack to earlier siblings on failure
+                if _match_left(chain, combs, i - 1, sib, cache):
+                    return True
+        return False
+    anc = node.parent
     steps = 0
     while anc is not None and anc.tag != "#document":
         if _compound_matches(chain[i], anc, cache):
             # greedy try, backtrack to higher ancestors on failure
-            if _match_left(chain, combs, i - 1, anc.parent, cache):
+            if _match_left(chain, combs, i - 1, anc, cache):
                 return True
         anc = anc.parent
         steps += 1
@@ -623,7 +860,7 @@ class StyleResolver:
         by_class: dict = {}
         by_tag: dict = {}
         for order, ((chain, combs, spec), decls) in enumerate(rules):
-            tag, classes, sel_id, _ps = chain[-1]
+            tag, classes, sel_id, _ps, _as = chain[-1]
             entry = (spec, order, chain, combs, decls)
             if sel_id is not None:
                 by_id.setdefault(sel_id, []).append(entry)
@@ -671,7 +908,7 @@ class StyleResolver:
             if _compound_matches(entry[2][-1], node, cache)
             and (len(entry[2]) == 1
                  or _match_left(entry[2], entry[3], len(entry[2]) - 2,
-                                node.parent, cache))
+                                node, cache))
         ]
         if not matched:
             return None

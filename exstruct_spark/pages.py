@@ -454,6 +454,30 @@ def _striped_table(rng: random.Random, lang: str) -> str:
     )
 
 
+def _divider_table(rng: random.Random, lang: str) -> str:
+    """Sibling-combinator / attribute-selector table (round 7): the row
+    dividers exist ONLY through ``tr + tr { border-top }`` — THE
+    canonical real-web row-divider idiom — and the numeric column's
+    fill only through ``td[align=right]``; a ``:not(.total)`` rule
+    proves negation does not over-match.  No per-row classes, no
+    inline styles."""
+    n_rows = 4 + rng.randint(0, 2)
+    rows = "".join(
+        f"<tr><td>item {r}</td>"
+        f"<td align='right'>{rng.randint(1, 999)}</td></tr>"
+        for r in range(n_rows)
+    )
+    return (
+        "<style>#dv tr + tr { border-top: 1px solid #666 } "
+        "#dv td[align=right] { background-color: #F5F5DC } "
+        "#dv tr:not(.total) td { border-bottom: 1px dotted #CCC }"
+        "</style>"
+        f"<table id='dv'><tr><th>item</th><th>amount</th></tr>{rows}"
+        f"<tr class='total'><td>total</td>"
+        f"<td align='right'>{rng.randint(100, 9999)}</td></tr></table>"
+    )
+
+
 def _structured_article(rng: random.Random, lang: str) -> str:
     """schema.org structured data (round 6): a JSON-LD Article with a
     nested author entity plus a microdata Product — the author-declared
@@ -616,6 +640,7 @@ RICH_ARCHETYPES = [
     "script_chart", "bordered_grid", "highcharts_chart", "aria_grid",
     "plotly_chart", "styled_grid", "responsive_gallery", "vegalite_chart",
     "gviz_chart", "structured_article", "styled_grid_descendant", "striped_table",
+    "divider_table",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -634,6 +659,7 @@ _RICH_BUILDERS = {
     "structured_article": _structured_article,
     "styled_grid_descendant": _styled_grid_descendant,
     "striped_table": _striped_table,
+    "divider_table": _divider_table,
 }
 
 

@@ -2072,7 +2072,7 @@ def test_css_rule_parsing_and_precedence():
       .d:hover { background: green }   /* non-structural pseudo: skipped */
       .e { color: green }              /* no kept props: dropped */
       .f { border: 1px solid !important }
-      ul + p { background: red }       /* sibling comb: skipped */
+      ul + p { background: red }       /* adjacent sibling: kept */
       a b c d e { background: red }    /* chain > MAX_CHAIN: skipped */
       tr:nth-child(2n + 1) { background: gray }  /* structural: kept */
     """)
@@ -2080,21 +2080,23 @@ def test_css_rule_parsing_and_precedence():
         (chain, combs, spec, [p for p, _ in decls])
         for (chain, combs, spec), decls in rules
     ] == [
-        (((None, ("a",), None, ()),), (), (0, 1, 0),
+        (((None, ("a",), None, (), ()),), (), (0, 1, 0),
          ["background-color"]),
-        ((("td", ("b",), None, ()),), (), (0, 1, 1), ["background"]),
-        (((None, (), "x", ()),), (), (1, 0, 0), ["background"]),
-        ((("div", (), None, ()), (None, ("c",), None, ())), (">",),
-         (0, 1, 1), ["background"]),
-        (((None, ("f",), None, ()),), (), (0, 1, 0), ["border"]),
-        ((("tr", (), None, (("child", 2, 1, False),)),), (),
+        ((("td", ("b",), None, (), ()),), (), (0, 1, 1), ["background"]),
+        (((None, (), "x", (), ()),), (), (1, 0, 0), ["background"]),
+        ((("div", (), None, (), ()), (None, ("c",), None, (), ())),
+         (">",), (0, 1, 1), ["background"]),
+        (((None, ("f",), None, (), ()),), (), (0, 1, 0), ["border"]),
+        ((("ul", (), None, (), ()), ("p", (), None, (), ())), ("+",),
+         (0, 0, 2), ["background"]),
+        ((("tr", (), None, (("child", 2, 1, False),), ()),), (),
          (0, 1, 1), ["background"]),
     ]
     # a stray unpaired quote inside a block is a literal, not an
     # everything-swallowing string (third-review finding)
     r = parse_css_rules(
         "@media screen { a::after { content: it's } } p { background: red }")
-    assert len(r) == 1 and r[0][0][0] == (("p", (), None, ()),)
+    assert len(r) == 1 and r[0][0][0] == (("p", (), None, (), ()),)
     assert rules[4][1] == [("border", "1px solid")]  # !important stripped
 
     def cell(html):
@@ -2392,6 +2394,155 @@ def test_css_structural_pseudo_classes():
     zt = [t for t in ex["tables"] if t.get("colors_map")][0]
     painted_rows = {pos[0] for pos in zt["colors_map"]["DDEEFF"]}
     assert painted_rows and all(r % 2 == 0 for r in painted_rows)
+
+
+def test_css_sibling_attr_not_selectors():
+    """Round 7 (continuation): sibling combinators (``tr + tr`` is THE
+    canonical row-divider idiom), the full attribute-selector operator
+    set, and single-compound ``:not`` — each proven at the resolver
+    grain, then the divider_table archetype end-to-end against its
+    inline twin."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.kernels.colors import cell_background
+    from exstruct_spark.kernels.css import StyleResolver, parse_css_rules
+    from exstruct_spark.kernels.dom import parse_html
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    def resolver(css_text):
+        root = parse_html(f"<style>{css_text}</style>")
+        return StyleResolver(root.find_all("style"))
+
+    # --- attribute-selector operator set -----------------------------
+    ops = resolver(
+        "[disabled] { background: red }"
+        "td[align=right] { background: blue }"
+        "a[href^='https:'] { background: lime }"
+        "img[src$=\".png\"] { background: yellow }"
+        "div[class~=note] { background: navy }"
+        "p[lang|=en] { background: teal }"
+        "span[title*='mid dle'] { background: olive }"
+        "b[data-x='UP' i] { background: maroon }")
+    doc = parse_html(
+        "<table><tr><td align='right'>1</td><td>2</td></tr></table>"
+        "<input disabled><a href='https://x.example/'>l</a>"
+        "<a href='http://x.example/'>m</a>"
+        "<img src='pic.png'><img src='pic.jpg'>"
+        "<div class='a note b'>n</div><div class='notes'>o</div>"
+        "<p lang='en-GB'>p</p><p lang='fr'>q</p>"
+        "<span title='has mid dle part'>s</span>"
+        "<b data-x='up'>B</b>")
+
+    def bg(tag, idx=0):
+        nodes = [n for n in doc.iter() if n.tag == tag]
+        return cell_background(ops.effective_attrs(nodes[idx]))
+
+    assert bg("input") == "FF0000"          # bare presence, None value
+    assert bg("td", 0) == "0000FF" and bg("td", 1) is None
+    assert bg("a", 0) == "00FF00" and bg("a", 1) is None   # ^=
+    assert bg("img", 0) == "FFFF00" and bg("img", 1) is None  # $=
+    assert bg("div", 0) == "000080" and bg("div", 1) is None  # ~= word
+    assert bg("p", 0) == "008080" and bg("p", 1) is None    # |= prefix
+    assert bg("span") == "808000"           # *= quoted value w/ space
+    assert bg("b") == "800000"              # i flag: case-insensitive
+    # attr selector counts as a class in specificity: [align] beats tag
+    spec = resolver("td[align] { background: red } td { background: blue }")
+    td = parse_html("<table><tr><td align='c'>v</td></tr></table>"
+                    ).find_first("td")
+    assert cell_background(spec.effective_attrs(td)) == "FF0000"
+
+    # --- sibling combinators over the implied-tbody family -----------
+    sib = resolver("tr + tr { border-top: 1px solid #666 }"
+                   "th ~ th { background: #EEE }")
+    t = parse_html(
+        "<table><caption>c</caption>"
+        "<thead><tr><th>h1</th><th>h2</th><th>h3</th></tr></thead>"
+        "<tr><td>1</td></tr><tr><td>2</td></tr><tr><td>3</td></tr>"
+        "</table>")
+    trs = [n for n in t.iter() if n.tag == "tr"]
+    # the thead row has no previous sibling; the FIRST loose row's
+    # previous top-level slot is the thead section (a tr can't match a
+    # thead), later loose rows get the divider
+    assert "border-top" not in (sib.effective_attrs(trs[0]).get("style")
+                                or "")
+    assert "border-top" not in (sib.effective_attrs(trs[1]).get("style")
+                                or "")
+    assert "border-top" in sib.effective_attrs(trs[2])["style"]
+    assert "border-top" in sib.effective_attrs(trs[3])["style"]
+    ths = [n for n in t.iter() if n.tag == "th"]
+    assert sib.effective_attrs(ths[0]) is ths[0].attrs
+    assert cell_background(sib.effective_attrs(ths[1])) == "EEEEEE"
+    assert cell_background(sib.effective_attrs(ths[2])) == "EEEEEE"
+    # '+' continues the chain from the SIBLING (h2 + table: the table
+    # right after a heading, not any table)
+    after = resolver("h2 + table td { background: red }")
+    d2 = parse_html("<h2>t</h2><table><tr><td>a</td></tr></table>"
+                    "<table><tr><td>b</td></tr></table>")
+    tds2 = [n for n in d2.iter() if n.tag == "td"]
+    assert cell_background(after.effective_attrs(tds2[0])) == "FF0000"
+    assert after.effective_attrs(tds2[1]) is tds2[1].attrs
+
+    # --- :not --------------------------------------------------------
+    neg = resolver("tr:not(.total) { background: #FED }"
+                   "td:not([align]) { border-left: 1px solid }")
+    t3 = parse_html("<table><tr><td align='right'>1</td><td>2</td></tr>"
+                    "<tr class='total'><td>3</td></tr></table>")
+    trs3 = [n for n in t3.iter() if n.tag == "tr"]
+    assert cell_background(neg.effective_attrs(trs3[0])) == "FFEEDD"
+    assert cell_background(neg.effective_attrs(trs3[1])) is None
+    tds3 = [n for n in t3.iter() if n.tag == "td"]
+    assert "border-left" not in (neg.effective_attrs(tds3[0]).get("style")
+                                 or "")
+    assert "border-left" in neg.effective_attrs(tds3[1])["style"]
+    # nested :not is skipped whole, never guessed
+    assert parse_css_rules(":not(:not(a)) { background: red }") == []
+
+    # --- tokenizer survives quoted combinator/space values -----------
+    q = parse_css_rules("td[title=\"a > b\"] { background: red }")
+    assert len(q) == 1
+    (chain, combs, _spec), _decls = q[0]
+    assert len(chain) == 1 and combs == ()
+    assert chain[0][4] == (("title", "=", "a > b", False),)
+
+    # --- divider twin identity through the full extractor ------------
+    def page(body, head=""):
+        return (f"<html><head>{head}</head><body>{body}"
+                "</body></html>").encode()
+
+    rows = [("a", 10), ("b", 20), ("c", 30)]
+    plain = ("<table><tr><th>k</th><th>v</th></tr>" + "".join(
+        f"<tr><td>{k}</td><td align='right'>{v}</td></tr>"
+        for k, v in rows) + "</table>")
+    # tr + tr matches EVERY row with a previous sibling — the header is
+    # the first data row's sibling, so all three data rows divide
+    divider = ' style="border-top:1px solid #666"'
+    inline = ("<table><tr><th>k</th><th>v</th></tr>" + "".join(
+        ("<tr" + divider + ">"
+         f"<td>{k}</td>"
+         f"<td align='right' style='background-color:#F5F5DC'>{v}</td>"
+         "</tr>")
+        for k, v in rows) + "</table>")
+    rec_s = extract_document("http://t/d", page(
+        plain, head="<style>tr + tr { border-top: 1px solid #666 } "
+                    "td[align=right] { background-color: #F5F5DC }"
+                    "</style>"))
+    rec_i = extract_document("http://t/d", page(inline))
+    ts = json.loads(rec_s["extraction_json"])["tables"]
+    ti = json.loads(rec_i["extraction_json"])["tables"]
+    assert ts == ti
+    assert ts[0]["colors_map"] == {"F5F5DC": [[2, 1], [3, 1], [4, 1]]}
+
+    # --- archetype end-to-end ----------------------------------------
+    i = RICH_ARCHETYPES.index("divider_table")
+    pg = build_rich_page(i)
+    assert pg["archetype"] == "divider_table"
+    rec = extract_document(pg["url"], pg["html"], ExtractOptions())
+    ex = json.loads(rec["extraction_json"])
+    dv = [tb for tb in ex["tables"] if tb.get("colors_map")][0]
+    painted = dv["colors_map"]["F5F5DC"]
+    # every painted cell is in the amount column (col 1), rows 2..n
+    assert painted and all(pos[1] == 1 and pos[0] >= 2 for pos in painted)
 
 
 def test_rendered_visibility_contract():
