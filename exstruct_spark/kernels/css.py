@@ -456,12 +456,18 @@ def parse_css_rules(css: str) -> list:
     """CSS text -> [((chain, combinators, specificity), decls), ...] in
     document order (see ``_parse_selector`` for the selector triple).
 
-    A linear brace scan: at-rules (``@media`` etc.) are skipped whole
-    (their nested blocks too) rather than descended into — conditional
-    rules are environment-dependent and this resolver is deterministic
-    by contract.  Braces inside quoted strings are not tracked (the kept
-    property values never contain them in practice; a pathological sheet
-    degrades to fewer rules, never to a crash).
+    A linear brace scan.  ``@media`` blocks whose prelude applies on
+    screen (``media_applies_on_screen`` — the same policy the
+    ``media=`` attribute gets: screen/all/conditional queries apply,
+    print-family doesn't) and ``@supports`` blocks (the kept properties
+    are universally supported) are DESCENDED into by flattening: their
+    inner rules join the stream in document order, which is exactly the
+    cascade position a browser gives them.  All other block at-rules
+    (``@keyframes``, ``@font-face``, ``@page``, ...) are skipped whole
+    — those never contribute element style.  Braces inside quoted
+    strings are not tracked (the kept property values never contain
+    them in practice; a pathological sheet degrades to fewer rules,
+    never to a crash).
     """
     css = _COMMENT_RE.sub(" ", css[:MAX_CSS_BYTES])
     rules: list = []
@@ -471,6 +477,11 @@ def parse_css_rules(css: str) -> list:
             i += 1
         if i >= n:
             break
+        if css[i] == "}":
+            # closing brace of a flattened @media/@supports block (or a
+            # stray close in malformed CSS): structural only, step over
+            i += 1
+            continue
         if css[i] == "@":
             # statement at-rules (@import/@charset/@namespace) end at
             # ';' with NO block — treating them as block at-rules used
@@ -479,6 +490,16 @@ def parse_css_rules(css: str) -> list:
             # misroute on the quoted ';' (second-review finding)
             kind, pos = _find_unquoted(css, i, n, ";{")
             if kind != "{":
+                i = pos + 1
+                continue
+            prelude = css[i:pos].strip()
+            kw = prelude[1:].split(None, 1)
+            name = (kw[0] if kw else "").lower()
+            cond = kw[1] if len(kw) > 1 else ""
+            if name == "supports" or (
+                    name == "media" and media_applies_on_screen(cond)):
+                # applying conditional block: flatten — continue the
+                # scan INSIDE it; its closing '}' is stepped over above
                 i = pos + 1
                 continue
             depth, j = 1, pos + 1

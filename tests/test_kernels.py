@@ -2498,6 +2498,24 @@ def test_css_sibling_attr_not_selectors():
     # nested :not is skipped whole, never guessed
     assert parse_css_rules(":not(:not(a)) { background: red }") == []
 
+    # --- @media/@supports descent (flattened, document order) --------
+    flat = parse_css_rules(
+        ".a { background: red }"
+        "@media screen { .b { background: blue } }"
+        "@media print { .c { background: white } }"   # print: skipped
+        "@media (min-width: 600px) { @media screen and (max-width: 900px)"
+        " { .d { border: 1px solid } } }"             # nested: flattened
+        "@supports (display: grid) { .e { background: lime } }"
+        "@keyframes spin { from { background: red } }"  # skipped whole
+        ".f { background: gray }")
+    names = [chain[0][1][0] for (chain, _c, _s), _d in flat]
+    assert names == ["a", "b", "d", "e", "f"]
+    # a screen @media rule really styles elements end-to-end
+    mq = resolver("@media screen { tr + tr { border-top: 1px solid } }")
+    t4 = parse_html("<table><tr><td>1</td></tr><tr><td>2</td></tr></table>")
+    trs4 = [nn for nn in t4.iter() if nn.tag == "tr"]
+    assert "border-top" in mq.effective_attrs(trs4[1])["style"]
+
     # --- tokenizer survives quoted combinator/space values -----------
     q = parse_css_rules("td[title=\"a > b\"] { background: red }")
     assert len(q) == 1
