@@ -36,9 +36,10 @@ This is deliberately NOT a CSS engine.  The contract:
   * cascade order is (specificity, document order) — standard
     ``(#ids, .classes, tags)`` counting with attribute selectors and
     pseudo-classes in the class bucket and ``:not`` counting its
-    argument, no ``!important`` arithmetic (annotations are stripped;
-    real pages that depend on !important inversions degrade
-    deterministically);
+    argument — with real ``!important`` priority: an important
+    declaration beats every normal one including inline style, and
+    inline important beats rule important (the author-origin levels of
+    the CSS cascade);
   * inline ``style`` attributes beat class rules per property (in every
     browser inline style outranks stylesheet rules), and class rules
     beat presentational hints (``bgcolor=``) because the merged style
@@ -413,21 +414,26 @@ def _parse_selector(sel: str):
     return tuple(chain), tuple(combs), (ids, classes, tags)
 
 
+_IMPORTANT_RE = re.compile(r"!\s*important\s*$", re.IGNORECASE)
+
+
 def _parse_decls(body: str) -> list:
-    """Declaration block body -> ordered [(prop, value)] of kept props."""
+    """Declaration block body -> ordered [(prop, value, important)] of
+    kept props.  ``important`` feeds real priority arithmetic in
+    ``effective_attrs``: an important declaration beats every normal
+    one, including inline style — the Bootstrap-utility-class pattern
+    (``.bg-warning { background-color: #fcf8e3 !important }``) that
+    real pages rely on to override inline styling."""
     decls: list = []
     for decl in body.split(";"):
         prop, sep, val = decl.partition(":")
         if not sep:
             continue
         prop = prop.strip().lower()
+        val, imp = _IMPORTANT_RE.subn(" ", val)
         val = val.strip()
-        # drop priority annotations; last-wins stays document order
-        # (no !important arithmetic — part of the declared contract)
-        if val.lower().endswith("!important"):
-            val = val[: -len("!important")].rstrip()
         if val and _KEPT_PROP_RE.match(prop):
-            decls.append((prop, val))
+            decls.append((prop, val, bool(imp)))
     return decls
 
 
@@ -838,10 +844,11 @@ class StyleResolver:
     ``effective_attrs(node)`` returns the node's attrs unchanged when no
     rule matches (the overwhelmingly common case — identity, zero
     allocation), else a shallow copy whose ``style`` value is the merged
-    declaration string: matched rules in cascade order — ascending
-    (specificity, document order) — then the element's own inline
-    declarations, each property re-inserted at the end on update so
-    string order equals last-set order — which is exactly the order the
+    declaration string: matched NORMAL declarations in cascade order —
+    ascending (specificity, document order) — then inline normals, then
+    ``!important`` declarations (rules, then inline) — each property
+    re-inserted at the end on update so string order equals
+    priority-then-last-set order — which is exactly the order the
     existing ``cell_background`` / border predicates resolve.
     """
 
@@ -945,19 +952,30 @@ class StyleResolver:
         matched = self._matches(node)
         if matched is None:
             return attrs
+        # two priority levels, both last-set-goes-last within the level:
+        # normal rules < inline normal < !important rules < inline
+        # !important (the author-origin cascade; the merged string ends
+        # with the winners because downstream predicates read last-wins)
         merged: dict = {}
+        important: dict = {}
         for entry in matched:
-            for prop, val in entry[4]:
-                merged.pop(prop, None)  # re-insert: last-set goes last
-                merged[prop] = val
+            for prop, val, imp in entry[4]:
+                tgt = important if imp else merged
+                tgt.pop(prop, None)  # re-insert: last-set goes last
+                tgt[prop] = val
         inline = attrs.get("style")
         if inline:
             for decl in inline.split(";"):
                 prop, sep, val = decl.partition(":")
                 if sep:
                     prop = prop.strip().lower()
-                    merged.pop(prop, None)
-                    merged[prop] = val.strip()
+                    val, imp = _IMPORTANT_RE.subn(" ", val)
+                    tgt = important if imp else merged
+                    tgt.pop(prop, None)
+                    tgt[prop] = val.strip()
+        for prop, val in important.items():
+            merged.pop(prop, None)
+            merged[prop] = val
         out = dict(attrs)
         out["style"] = ";".join(f"{p}:{v}" for p, v in merged.items())
         return out

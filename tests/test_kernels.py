@@ -2077,7 +2077,7 @@ def test_css_rule_parsing_and_precedence():
       tr:nth-child(2n + 1) { background: gray }  /* structural: kept */
     """)
     assert [
-        (chain, combs, spec, [p for p, _ in decls])
+        (chain, combs, spec, [p for p, _v, _i in decls])
         for (chain, combs, spec), decls in rules
     ] == [
         (((None, ("a",), None, (), ()),), (), (0, 1, 0),
@@ -2097,7 +2097,7 @@ def test_css_rule_parsing_and_precedence():
     r = parse_css_rules(
         "@media screen { a::after { content: it's } } p { background: red }")
     assert len(r) == 1 and r[0][0][0] == (("p", (), None, (), ()),)
-    assert rules[4][1] == [("border", "1px solid")]  # !important stripped
+    assert rules[4][1] == [("border", "1px solid", True)]  # important flag
 
     def cell(html):
         return parse_html(html).find_first("td")
@@ -2515,6 +2515,25 @@ def test_css_sibling_attr_not_selectors():
     t4 = parse_html("<table><tr><td>1</td></tr><tr><td>2</td></tr></table>")
     trs4 = [nn for nn in t4.iter() if nn.tag == "tr"]
     assert "border-top" in mq.effective_attrs(trs4[1])["style"]
+
+    # --- !important priority (author-origin cascade levels) ----------
+    imp = resolver(".warn { background-color: #FCF8E3 !important }"
+                   "#big td { background: red }")
+    d5 = parse_html("<table id='big'><tr>"
+                    "<td class='warn' style='background: navy'>a</td>"
+                    "<td style='background: navy !important'>b</td>"
+                    "</tr></table>")
+    tds5 = [nn for nn in d5.iter() if nn.tag == "td"]
+    # rule important beats inline normal AND the higher-specificity
+    # normal #id rule
+    assert cell_background(imp.effective_attrs(tds5[0])) == "FCF8E3"
+    # inline important beats rule normal (and would beat rule important)
+    assert cell_background(imp.effective_attrs(tds5[1])) == "000080"
+    imp2 = resolver("td { background: lime !important }")
+    d6 = parse_html("<table><tr><td style='background: red !important'>"
+                    "x</td></tr></table>")
+    td6 = d6.find_first("td")
+    assert cell_background(imp2.effective_attrs(td6)) == "FF0000"
 
     # --- tokenizer survives quoted combinator/space values -----------
     q = parse_css_rules("td[title=\"a > b\"] { background: red }")
@@ -3816,7 +3835,7 @@ def test_external_rules_never_evict_style_rules():
     # the same-document rule survived, at the END (highest doc-order)
     decls = res.rules[-1][1]
     assert ("background", "#FF0000") in [
-        (p, v) for p, v in decls], decls
+        (p, v) for p, v, _imp in decls], decls
 
 
 def test_external_sheet_parse_memo():
