@@ -12,26 +12,31 @@ one, and marks the result as an approximation:
     ``[(s1) <s2>] TJ`` arrays — PDF string escapes decoded, one level
     of balanced unescaped parens accepted, odd hex digits zero-padded,
     and a UTF-16BE BOM selecting UTF-16 (non-Latin titles/text);
-  * FlateDecode content streams (VERDICT r6 #3): ``stream…endstream``
-    blocks whose object dictionary declares ``/FlateDecode`` are
-    zlib-inflated (stdlib) under per-stream/per-document output caps —
-    nearly every real PDF since 1.2 compresses its streams, so without
-    this the route is metadata-only on the overwhelming majority of
-    crawl PDFs — then the same Tj/TJ harvest runs over the inflated
-    bytes.  Corrupt streams are skipped, decompression bombs are
-    truncated at the cap, and both are COUNTED in the result's
-    ``stream_stats`` (the no-silent-caps discipline);
+  * compressed content streams (VERDICT r6 #3): ``stream…endstream``
+    blocks whose object dictionary declares a fully-supported filter
+    pipeline — ``/FlateDecode`` (zlib, stdlib), ``/LZWDecode`` (PDF
+    TIFF-style LZW with EarlyChange, implemented below), and the
+    ``/ASCII85Decode`` / ``/ASCIIHexDecode`` transport wrappers,
+    singly or chained (``[/ASCII85Decode /FlateDecode]`` is the
+    classic pre-binary-transport generator output) — are decoded
+    under per-stream/per-document output caps, then the same Tj/TJ
+    harvest runs over the decoded bytes.  Corrupt streams are
+    skipped, decompression bombs are truncated at the cap, and both
+    are COUNTED in the result's ``stream_stats`` (the no-silent-caps
+    discipline); predictor-filtered streams (/Predictor >= 2 — xref
+    and object-stream plumbing, not text) are counted and skipped;
   * document metadata from the /Info dictionary (Title, Author) when
     stored as plain literal strings;
   * page count from ``/Type /Page`` occurrences.
 
-Streams with other filters (DCT, LZW, crypt) still yield no text -> the
+Streams with other filters (DCT, JPX, crypt) still yield no text -> the
 document degrades to metadata-only with ``approximation_level`` marking
 it, never failing the job (fallback-not-fail, core/pipeline.py:1097).
 """
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 
@@ -120,26 +125,150 @@ MAX_INFLATED_TOTAL = 1 << 24        # 16 MiB per document
 _STREAM_RE = re.compile(rb"(?<!end)stream\r?\n")
 _DICT_WINDOW = 512  # bytes of object dict inspected before 'stream'
 
+# /Filter value: a single name or an array of names (a filter CHAIN,
+# applied left to right — "[/ASCII85Decode /FlateDecode]" is the
+# classic pre-binary-transport generator output)
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\[\]]*\]|/[A-Za-z0-9]+)")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
 
-def _iter_flate_streams(raw: bytes, stats: dict = None):
-    """Yield the COMPRESSED payload of each /FlateDecode stream.
+# supported filters, including the spec's inline-image abbreviations
+_FILTER_ALIASES = {
+    b"FlateDecode": "flate", b"Fl": "flate",
+    b"LZWDecode": "lzw", b"LZW": "lzw",
+    b"ASCII85Decode": "a85", b"A85": "a85",
+    b"ASCIIHexDecode": "ahx", b"AHx": "ahx",
+}
+
+
+def _lzw_decode(data: bytes, max_out: int):
+    """PDF LZWDecode (spec 7.4.4): TIFF-style MSB-first variable-width
+    codes 9→12 bits, Clear=256, EOD=257, EarlyChange=1 (the default —
+    the code width bumps one code early).  -> (bytes, truncated) or
+    None on a corrupt code stream."""
+    out = bytearray()
+    table: dict = {}
+    prev = None
+    bitbuf = nbits = 0
+    width = 9
+    next_code = 258
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (bitbuf >> nbits) & ((1 << width) - 1)
+            if code == 256:  # Clear
+                table = {}
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out), False
+            if code < 256:
+                entry = bytes((code,))
+            elif code in table:
+                entry = table[code]
+            elif prev is not None and code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None  # corrupt: code ahead of the table
+            out += entry
+            if len(out) >= max_out:
+                return bytes(out[:max_out]), True
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code + 1 >= (1 << width) and width < 12:
+                    width += 1  # EarlyChange=1
+            prev = entry
+    return bytes(out), False  # missing EOD: accept what decoded
+
+
+def _decode_stream(payload: bytes, filters: list, cap: int):
+    """Apply a supported filter chain -> (bytes, truncated) or None on
+    corruption.  Every stage is bounded by ``cap`` (bomb guard)."""
+    data = payload
+    truncated = False
+    for f in filters:
+        if f == "ahx":
+            end = data.find(b">")
+            body = data[:end] if end != -1 else data
+            compact = bytes(c for c in body if c not in b" \t\r\n\x0c\x00")
+            if len(compact) % 2:
+                compact += b"0"
+            try:
+                data = bytes.fromhex(compact.decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
+                return None
+        elif f == "a85":
+            tpos = data.find(b"~>")
+            body = data[:tpos] if tpos != -1 else data
+            try:
+                data = base64.a85decode(bytes(body),
+                                        ignorechars=b" \t\r\n\x0b\x0c")
+            except ValueError:
+                return None
+        elif f == "flate":
+            d = zlib.decompressobj()
+            try:
+                data = d.decompress(data, cap)
+            except zlib.error:
+                return None
+            if d.unconsumed_tail:
+                truncated = True  # bomb guard: output cap hit mid-stream
+        else:  # lzw
+            res = _lzw_decode(data, cap)
+            if res is None:
+                return None
+            data, t = res
+            truncated = truncated or t
+        if len(data) > cap:
+            data = data[:cap]
+            truncated = True
+    return data, truncated
+
+
+def _iter_decodable_streams(raw: bytes, stats: dict = None):
+    """Yield (payload, filters) for each stream whose ENTIRE declared
+    filter pipeline is supported (flate/lzw/a85/ahx) — image and crypt
+    filters are never text candidates and are skipped silently, as are
+    predictor-filtered streams (/Predictor >= 2 is xref/object-stream
+    plumbing; counted into ``stats["predictor_skipped"]``).
 
     The object dictionary is inspected as a bounded byte window before
     the ``stream`` keyword (a full PDF object parser is out of scope —
-    /Length indirections, object streams and xref recovery belong to a
-    real PDF library).  ``endstream`` search is forward from the data
-    start; a missing terminator consumes to end-of-file (bounded by the
-    inflate caps, not by trusting /Length).
+    /Length indirections and xref recovery belong to a real PDF
+    library); the LAST /Filter in the window is the one nearest this
+    stream's dict.  ``endstream`` search is forward from the data
+    start; a missing terminator consumes to end-of-file (bounded by
+    the decode caps, not by trusting /Length).
 
-    MAX_STREAMS counts FLATE candidates only (r7 review finding: the
-    old cap counted every ``stream`` keyword, so an image-heavy PDF
-    could exhaust it on DCTDecode streams and silently drop the text
-    streams that followed); candidates beyond the cap are counted into
-    ``stats["skipped_over_cap"]`` — the no-silent-caps rule."""
+    MAX_STREAMS counts supported candidates only (r7 review finding:
+    the old cap counted every ``stream`` keyword, so an image-heavy
+    PDF could exhaust it on DCTDecode streams and silently drop the
+    text streams that followed); candidates beyond the cap are counted
+    into ``stats["skipped_over_cap"]`` — the no-silent-caps rule."""
     n = 0
     for m in _STREAM_RE.finditer(raw):
         head = raw[max(0, m.start() - _DICT_WINDOW) : m.start()]
-        if b"/FlateDecode" not in head:
+        fm = None
+        for fm in _FILTER_RE.finditer(head):
+            pass  # keep the last match in the window
+        if fm is None:
+            continue
+        filters = [_FILTER_ALIASES.get(nm)
+                   for nm in _NAME_RE.findall(fm.group(1))]
+        if not filters or any(f is None for f in filters):
+            continue  # image/crypt filter somewhere in the chain
+        pm = None
+        for pm in _PREDICTOR_RE.finditer(head):
+            pass
+        if pm is not None and pm.group(1) != b"1":
+            if stats is not None:
+                stats["predictor_skipped"] = (
+                    stats.get("predictor_skipped", 0) + 1)
             continue
         if n >= MAX_STREAMS:
             if stats is not None:
@@ -151,32 +280,32 @@ def _iter_flate_streams(raw: bytes, stats: dict = None):
         end = raw.find(b"endstream", data_start)
         if end == -1:
             end = len(raw)
-        yield raw[data_start:end].rstrip(b"\r\n")
+        yield raw[data_start:end].rstrip(b"\r\n"), filters
 
 
-def _inflate_streams(raw: bytes):
-    """-> (inflated_chunks, stats dict).  Corrupt streams are skipped
+def _decode_text_streams(raw: bytes):
+    """-> (decoded_chunks, stats dict).  Corrupt streams are skipped
     and counted; over-cap output is truncated and counted — the
     no-silent-caps rule applied to decompression."""
     chunks: list = []
-    stats = {"inflated": 0, "corrupt": 0, "truncated": 0}
+    stats = {"decoded": 0, "corrupt": 0, "truncated": 0}
     budget = MAX_INFLATED_TOTAL
-    for payload in _iter_flate_streams(raw, stats):
+    for payload, filters in _iter_decodable_streams(raw, stats):
         if budget <= 0:
             stats["truncated"] += 1
             continue
-        d = zlib.decompressobj()
-        try:
-            out = d.decompress(payload, min(MAX_INFLATED_PER_STREAM, budget))
-        except zlib.error:
+        res = _decode_stream(payload, filters,
+                             min(MAX_INFLATED_PER_STREAM, budget))
+        if res is None:
             stats["corrupt"] += 1
             continue
-        if d.unconsumed_tail:
-            stats["truncated"] += 1  # bomb guard: output cap hit mid-stream
+        out, truncated = res
+        if truncated:
+            stats["truncated"] += 1
         budget -= len(out)
         if out:
             chunks.append(out)
-            stats["inflated"] += 1
+            stats["decoded"] += 1
     return chunks, stats
 
 
@@ -184,8 +313,8 @@ def extract_pdf_document(raw: bytes) -> dict:
     """PDF bytes -> {text, title, n_pages, approximation_level}.
 
     approximation_level: 1 if any text operators were recovered
-    (directly or from inflated FlateDecode streams), 2 if only
-    structure/metadata.  ``stream_stats`` counts inflated/corrupt/
+    (directly or from decoded flate/lzw/a85/ahx streams), 2 if only
+    structure/metadata.  ``stream_stats`` counts decoded/corrupt/
     truncated streams (present only when any stream was seen).
     """
     texts: list = []
@@ -210,8 +339,8 @@ def extract_pdf_document(raw: bytes) -> dict:
                 texts.append(joined)
 
     _harvest(raw)
-    inflated_chunks, stream_stats = _inflate_streams(raw)
-    for chunk in inflated_chunks:
+    decoded_chunks, stream_stats = _decode_text_streams(raw)
+    for chunk in decoded_chunks:
         _harvest(chunk)
     title_m = _TITLE_RE.search(raw)
     title = ""

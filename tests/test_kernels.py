@@ -374,7 +374,7 @@ def test_pdf_string_forms():
     assert out["n_pages"] == 1 and out["approximation_level"] == 1
     # endstream must not re-match as a stream keyword (corrupt stays 0)
     assert out["stream_stats"] == {
-        "inflated": 1, "corrupt": 0, "truncated": 0}
+        "decoded": 1, "corrupt": 0, "truncated": 0}
 
     # UTF-16BE literal string via escapes decodes through the BOM path
     lit = (b"%PDF-1.4\nBT (\xfe\xff\x00H\x00i) Tj ET\n%%EOF")
@@ -420,7 +420,7 @@ def test_pdf_flatedecode_streams():
     d = extract_pdf_document(flate_pdf(good, bad))
     assert "still here" in d["text"]
     assert d["stream_stats"] == {
-        "inflated": 1, "corrupt": 1, "truncated": 0}
+        "decoded": 1, "corrupt": 1, "truncated": 0}
 
     # decompression bomb: truncated at the per-stream cap, counted,
     # and the recoverable prefix text still harvests
@@ -3943,7 +3943,7 @@ def test_pdf_flate_cap_counts_only_flate_streams():
     the cap are ledgered, never silently dropped."""
     import zlib as _zlib
     from exstruct_spark.kernels.pdf import (
-        MAX_STREAMS, _inflate_streams, extract_pdf_document)
+        MAX_STREAMS, _decode_text_streams, extract_pdf_document)
 
     text_stream = _zlib.compress(b"BT (recovered text) Tj ET")
     image = (b"<< /Filter /DCTDecode /Length 4 >>\nstream\n\xff\xd8\xff\xd9\n"
@@ -3955,9 +3955,124 @@ def test_pdf_flate_cap_counts_only_flate_streams():
     assert "recovered text" in doc["text"]
 
     over = b"%PDF-1.4\n" + flate * (MAX_STREAMS + 3) + b"%%EOF"
-    chunks, stats = _inflate_streams(over)
-    assert stats["inflated"] == MAX_STREAMS
+    chunks, stats = _decode_text_streams(over)
+    assert stats["decoded"] == MAX_STREAMS
     assert stats["skipped_over_cap"] == 3
+
+
+def test_pdf_lzw_ascii_filters_and_chains():
+    """Round 7 (continuation): LZWDecode, ASCII85Decode and
+    ASCIIHexDecode streams — singly and CHAINED
+    ([/ASCII85Decode /FlateDecode], the classic pre-binary-transport
+    generator output) — all feed the same text harvest; predictor
+    streams are counted + skipped; a corrupt LZW code stream degrades
+    like a corrupt flate one."""
+    import base64 as _b64
+    import zlib as _zlib
+
+    from exstruct_spark.kernels.pdf import (
+        _lzw_decode, extract_pdf_document)
+
+    def lzw_encode(data: bytes) -> bytes:
+        """Classic greedy LZW code stream; widths assigned by replaying
+        the DECODER's early-change schedule (pdfminer/pdf.js timing:
+        bump after the table add that makes next_code+1 == 2^width), so
+        the fixture exercises exactly the schedule the kernel decodes."""
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        codes = [256]
+        w = b""
+        for ch in data:
+            c = bytes([ch])
+            if w + c in table:
+                w += c
+                continue
+            codes.append(table[w])
+            table[w + c] = next_code
+            next_code += 1
+            w = c
+        if w:
+            codes.append(table[w])
+        codes.append(257)
+        # decoder-replay width assignment: the decoder adds one table
+        # entry per code from the SECOND real code onward and bumps
+        # width right after the add
+        widths = []
+        next_code, width = 258, 9
+        seen_first = False
+        for code in codes:
+            widths.append(width)
+            if code == 256:
+                next_code, width, seen_first = 258, 9, False
+            elif code != 257:
+                if seen_first:
+                    next_code += 1
+                    if next_code + 1 >= (1 << width) and width < 12:
+                        width += 1
+                seen_first = True
+        buf = n = 0
+        out = bytearray()
+        for code, wd in zip(codes, widths):
+            buf = (buf << wd) | code
+            n += wd
+            while n >= 8:
+                n -= 8
+                out.append((buf >> n) & 0xFF)
+        if n:
+            out.append((buf << (8 - n)) & 0xFF)
+        return bytes(out)
+
+    # round-trip sanity at the decoder grain: short (single-width) and
+    # long (crosses the 9->10 bit boundary) plus the KwKwK case
+    short = b"BT (lzw text recovered) Tj ET"
+    assert _lzw_decode(lzw_encode(short), 1 << 20) == (short, False)
+    kwk = b"aaabbbaaabbbaaa" * 3
+    assert _lzw_decode(lzw_encode(kwk), 1 << 20) == (kwk, False)
+    import random as _random
+    rng = _random.Random(7)
+    longdata = bytes(rng.randrange(0, 8) for _ in range(6000))
+    assert _lzw_decode(lzw_encode(longdata), 1 << 20) == (longdata, False)
+    # corrupt: a code far ahead of the table
+    bad = bytes([0x80, 0x40, 0xFF, 0xFF, 0xFF])
+    assert _lzw_decode(bad, 1 << 20) is None
+
+    def pdf_with(body: bytes, filt: bytes, extra: bytes = b"") -> bytes:
+        return (b"%PDF-1.4\n1 0 obj << /Length " +
+                str(len(body)).encode() + b" /Filter " + filt + extra +
+                b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF")
+
+    # LZW stream end-to-end
+    d = extract_pdf_document(pdf_with(
+        lzw_encode(b"BT (via lzw) Tj ET"), b"/LZWDecode"))
+    assert "via lzw" in d["text"]
+    assert d["stream_stats"] == {"decoded": 1, "corrupt": 0,
+                                 "truncated": 0}
+
+    # ASCIIHex and ASCII85 wrappers, single and chained with flate
+    hex_body = b"BT (hex wrapped) Tj ET".hex().encode() + b">"
+    d = extract_pdf_document(pdf_with(hex_body, b"/ASCIIHexDecode"))
+    assert "hex wrapped" in d["text"]
+    a85_body = _b64.a85encode(
+        _zlib.compress(b"BT (a85 flate chain) Tj ET")) + b"~>"
+    d = extract_pdf_document(pdf_with(
+        a85_body, b"[/ASCII85Decode /FlateDecode]"))
+    assert "a85 flate chain" in d["text"]
+    # abbreviated inline-image names work too
+    d = extract_pdf_document(pdf_with(
+        _b64.a85encode(b"BT (abbrev) Tj ET") + b"~>", b"/A85"))
+    assert "abbrev" in d["text"]
+
+    # predictor streams: skipped + ledgered, never mis-decoded
+    pred = _zlib.compress(b"\x00" * 40)
+    d = extract_pdf_document(pdf_with(
+        pred, b"/FlateDecode",
+        extra=b" /DecodeParms << /Predictor 12 /Columns 4 >>"))
+    assert d["stream_stats"]["predictor_skipped"] == 1
+    assert d["stream_stats"]["decoded"] == 0
+
+    # corrupt LZW counts like corrupt flate
+    d = extract_pdf_document(pdf_with(bad, b"/LZWDecode"))
+    assert d["stream_stats"]["corrupt"] == 1
 
 
 def test_gviz_draw_binding_interleaved_and_reassigned():
