@@ -131,6 +131,7 @@ _DICT_WINDOW = 512  # bytes of object dict inspected before 'stream'
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\[\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_OBJ_HDR_RE = re.compile(rb"\d+\s+\d+\s+obj\b")
 
 # supported filters, including the spec's inline-image abbreviations
 _FILTER_ALIASES = {
@@ -253,6 +254,15 @@ def _iter_decodable_streams(raw: bytes, stats: dict = None):
     n = 0
     for m in _STREAM_RE.finditer(raw):
         head = raw[max(0, m.start() - _DICT_WINDOW) : m.start()]
+        # scope the window to THIS stream's object: a previous object's
+        # /Filter must not leak onto a filterless stream.  The boundary
+        # is the full 'N G obj' header (a bare 'obj' substring could
+        # sit inside a literal string and wrongly trim a real /Filter)
+        ob = None
+        for ob in _OBJ_HDR_RE.finditer(head):
+            pass
+        if ob is not None:
+            head = head[ob.end():]
         fm = None
         for fm in _FILTER_RE.finditer(head):
             pass  # keep the last match in the window

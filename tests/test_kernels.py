@@ -4074,6 +4074,19 @@ def test_pdf_lzw_ascii_filters_and_chains():
     d = extract_pdf_document(pdf_with(bad, b"/LZWDecode"))
     assert d["stream_stats"]["corrupt"] == 1
 
+    # a previous object's /Filter must not leak onto a filterless
+    # stream that follows it (object-header window scoping)
+    leak = (b"%PDF-1.4\n"
+            b"1 0 obj << /Filter /FlateDecode /Length 5 >>\nstream\n"
+            + _zlib.compress(b"BT (compressed ok) Tj ET")
+            + b"\nendstream\nendobj\n"
+            b"2 0 obj << /Length 20 >>\nstream\n"
+            b"BT (plain stream) Tj ET\nendstream\nendobj\n%%EOF")
+    d = extract_pdf_document(leak)
+    assert "compressed ok" in d["text"] and "plain stream" in d["text"]
+    assert d["stream_stats"]["corrupt"] == 0  # the plain stream never
+    # entered the decoder as a phantom flate candidate
+
 
 def test_gviz_draw_binding_interleaved_and_reassigned():
     """r7 third-pass review pins: (a) a table built before another
