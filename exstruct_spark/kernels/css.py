@@ -28,8 +28,10 @@ This is deliberately NOT a CSS engine.  The contract:
     STRUCTURAL pseudo-classes (``:nth-child``/``:nth-of-type`` with
     full An+B, ``:first/last/only-child``, their ``-of-type`` twins
     and ``nth-last`` variants — ``tr:nth-child(even)`` zebra striping
-    is the standard way real tables acquire row backgrounds) and
-    single-compound ``:not(...)`` (Selectors 3 scope, no nesting).
+    is the standard way real tables acquire row backgrounds),
+    single-compound ``:not(...)`` (Selectors 3 scope, no nesting), and
+    ``:is()``/``:where()``/``:matches()`` compound lists (max/zero
+    argument specificity per spec).
     All other pseudo-classes/elements (state-dependent ``:hover``
     etc.), quoted ``]`` inside attr values, and over-long chains are
     SKIPPED — deterministic under-match, never a guess;
@@ -226,6 +228,24 @@ def _parse_pseudo(token: str, allow_not: bool = True):
         if inner is None:
             return None
         return "not", inner, None, None
+    if name in ("is", "where", "matches"):
+        # selector LIST of compounds (the modern framework idiom
+        # ":is(td, th)"; ":matches" is the legacy alias).  Combinators
+        # inside the list are out of scope — such compounds fail to
+        # parse and the whole selector skips (under-match, never a
+        # guess).  :is counts the max argument specificity, :where zero.
+        if not allow_not:
+            return None  # no :is inside :not — keep nesting bounded
+        inners = []
+        for part in arg.split(","):
+            inner = _parse_compound(part.strip(), allow_not=False)
+            if inner is None:
+                return None
+            inners.append(inner)
+        if not inners:
+            return None
+        return ("where" if name == "where" else "is"), tuple(inners), \
+            None, None
     base = {"first-child": ("child", 0, 1, False),
             "last-child": ("child", 0, 1, True),
             "first-of-type": ("type", 0, 1, False),
@@ -375,9 +395,47 @@ def _compound_spec(comp):
             ids += s[0]
             cls += s[1]
             tags += s[2]
+        elif p[0] == "is":
+            s = max(_compound_spec(c) for c in p[1])
+            ids += s[0]
+            cls += s[1]
+            tags += s[2]
+        elif p[0] == "where":
+            pass  # :where contributes zero by definition
         else:
             cls += 1
     return ids, cls, tags
+
+
+def _split_branches(sel_text: str) -> list:
+    """Split a selector list on TOP-LEVEL commas only — a comma inside
+    ``:is(td, th)`` parens, ``[title="a,b"]`` brackets, or quotes is
+    part of its branch, not a separator."""
+    parts: list = []
+    buf: list = []
+    quote = None
+    depth = 0
+    for ch in sel_text:
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+            buf.append(ch)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return parts
 
 
 def _parse_selector(sel: str):
@@ -533,7 +591,7 @@ def parse_css_rules(css: str) -> list:
             e = n
         decls = _parse_decls(css[b + 1 : e])
         if decls:
-            for branch in sel_text.split(","):
+            for branch in _split_branches(sel_text):
                 parsed = _parse_selector(branch)
                 if parsed is not None:
                     rules.append((parsed, decls))
@@ -726,6 +784,10 @@ def _compound_matches(comp, node: Node, cache: dict) -> bool:
         for kind, a, b, from_end in pseudos:
             if kind == "not":
                 if _compound_matches(a, node, cache):
+                    return False
+                continue
+            if kind in ("is", "where"):
+                if not any(_compound_matches(c, node, cache) for c in a):
                     return False
                 continue
             if pos is None:

@@ -2498,6 +2498,35 @@ def test_css_sibling_attr_not_selectors():
     # nested :not is skipped whole, never guessed
     assert parse_css_rules(":not(:not(a)) { background: red }") == []
 
+    # --- :is()/:where() compound lists --------------------------------
+    isw = resolver(":is(td, th.x) { background: red }"
+                   ":where(li) { background: blue }")
+    d7 = parse_html("<table><tr><th class='x'>h</th><th>g</th>"
+                    "<td>1</td></tr></table><ul><li>i</li></ul>")
+    assert cell_background(isw.effective_attrs(d7.find_first("td"))) \
+        == "FF0000"
+    ths7 = [nn for nn in d7.iter() if nn.tag == "th"]
+    assert cell_background(isw.effective_attrs(ths7[0])) == "FF0000"
+    assert isw.effective_attrs(ths7[1]) is ths7[1].attrs  # th w/o .x: no
+    li7 = d7.find_first("li")
+    assert cell_background(isw.effective_attrs(li7)) == "0000FF"
+    # :is takes MAX arg specificity (beats a plain class rule written
+    # later); :where takes zero (loses to a later tag rule)
+    sp = resolver(":is(#z, td) { background: red }"
+                  ".y { background: blue }"
+                  ":where(.k) { background: lime }"
+                  "em { background: navy }")
+    d8 = parse_html("<table><tr><td class='y'>v</td></tr></table>"
+                    "<em class='k'>e</em>")
+    # (1,0,0) from :is(#z, td) beats (0,1,0) of .y despite doc order
+    assert cell_background(sp.effective_attrs(d8.find_first("td"))) \
+        == "FF0000"
+    # :where = (0,0,0) loses to the later (0,0,1) tag rule
+    assert cell_background(sp.effective_attrs(d8.find_first("em"))) \
+        == "000080"
+    # combinators inside :is are out of scope: whole selector skips
+    assert parse_css_rules(":is(div td) { background: red }") == []
+
     # --- @media/@supports descent (flattened, document order) --------
     flat = parse_css_rules(
         ".a { background: red }"
