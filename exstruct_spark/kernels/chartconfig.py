@@ -48,6 +48,7 @@ from typing import Optional
 _MARKER_RE = re.compile(
     r"new\s+Chart\s*\(|\.setOption\s*\(|Highcharts\s*\.\s*chart\s*\("
     r"|\.highcharts\s*\("  # jQuery plugin form: config is the FIRST arg
+    r"|new\s+ApexCharts\s*\("  # config is the LAST (2nd) argument
 )
 
 # Plotly's config is an ARRAY of trace objects (not a single {...}), so
@@ -462,6 +463,8 @@ _TYPE_MAP = {
     # Highcharts names ('bar' there is horizontal, but it is vertical in
     # Chart.js/ECharts — the shared key keeps the majority dialect)
     "column": "Column", "spline": "Line", "areaspline": "Line",
+    # ApexCharts extras
+    "donut": "Pie", "radialbar": "Pie",
 }
 
 
@@ -552,6 +555,24 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
         raw_series = [raw_series]
     if not isinstance(raw_series, list) or not raw_series:
         return None
+    # ApexCharts markers: lowercase xaxis/yaxis keys, plotOptions, or a
+    # top-level labels list (its pie form).  Apex shares the series-list
+    # dialect but inverts Highcharts' bar semantics ('bar' is VERTICAL
+    # unless plotOptions.bar.horizontal) and puts categories under
+    # lowercase 'xaxis'.
+    apex = any(k in cfg for k in ("xaxis", "yaxis", "plotOptions")) or (
+        isinstance(cfg.get("labels"), list)
+        and all(not isinstance(v, dict) for v in raw_series))
+    apex_pie_labels: list = []
+    if apex and all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                    for v in raw_series):
+        # apex pie/donut: series is a plain numbers array, names in the
+        # top-level labels list
+        apex_pie_labels = [
+            str(x) for x in cfg.get("labels") or []
+            if not isinstance(x, (dict, list))
+        ]
+        raw_series = [{"name": None, "data": list(raw_series)}]
     # modern ECharts dataset API: series carry no data; dataset.source
     # is a row-major table — first row is the header when it is
     # non-numeric (ECharts' sourceHeader auto-detect), column 0 the
@@ -605,11 +626,13 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
     title = ""
     if isinstance(cfg.get("title"), dict):
         title = str(cfg["title"].get("text") or "")
-    labels: list = []
+    labels: list = apex_pie_labels
     xaxis = cfg.get("xAxis")
+    if xaxis is None:
+        xaxis = cfg.get("xaxis")  # ApexCharts lowercase form
     if isinstance(xaxis, list) and xaxis:
         xaxis = xaxis[0]
-    if isinstance(xaxis, dict):
+    if not labels and isinstance(xaxis, dict):
         for key in ("data", "categories"):
             if isinstance(xaxis.get(key), list):
                 labels = [
@@ -622,6 +645,8 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
         labels = ds_labels  # dataset column 0 = category labels
     y_title = ""
     yaxis = cfg.get("yAxis")
+    if yaxis is None:
+        yaxis = cfg.get("yaxis")  # ApexCharts lowercase form
     if isinstance(yaxis, list) and yaxis:
         yaxis = yaxis[0]
     if isinstance(yaxis, dict):
@@ -630,13 +655,15 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
             y_title = yaxis["name"]
         elif isinstance(yaxis.get("title"), dict):
             y_title = str(yaxis["title"].get("text") or "")
+    horizontal = highcharts_type_block and str(stype or "").lower() == "bar"
+    if apex:
+        # ApexCharts 'bar' is VERTICAL unless plotOptions.bar.horizontal
+        po = cfg.get("plotOptions")
+        bar = po.get("bar") if isinstance(po, dict) else None
+        horizontal = bool(bar.get("horizontal")) \
+            if isinstance(bar, dict) else False
     out = {
-        "chart_type": _norm_type(
-            stype,
-            horizontal=(
-                highcharts_type_block and str(stype or "").lower() == "bar"
-            ),
-        ),
+        "chart_type": _norm_type(stype, horizontal=horizontal),
         "title": title,
         "labels": labels,
         "series": series,

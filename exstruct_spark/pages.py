@@ -367,6 +367,36 @@ def _highcharts_chart(rng: random.Random, lang: str) -> str:
     )
 
 
+def _apex_chart(rng: random.Random, lang: str) -> str:
+    """ApexCharts config (round 7 continuation, seventh JS dialect):
+    ``new ApexCharts(el, options).render()`` with the dialect's marks —
+    lowercase ``xaxis.categories``/``yaxis.title.text``, ``chart.type``
+    where 'bar' is VERTICAL unless ``plotOptions.bar.horizontal`` —
+    plus the companion table the grid binder joins against."""
+    a = [rng.randint(1, 99) for _ in range(4)]
+    cats = ["Q1", "Q2", "Q3", "Q4"]
+    rows = "".join(
+        f"<tr><td>{cats[i]}</td><td>{a[i]}</td></tr>" for i in range(4)
+    )
+    return (
+        "<figure><figcaption>Quarterly units</figcaption>"
+        "<div id='ax1'></div>"
+        "<script>var options = {"
+        "chart: {type: 'bar'},"
+        "plotOptions: {bar: {horizontal: false}},"
+        "title: {text: 'Quarterly units'},"
+        f"series: [{{name: 'units', data: {a}}}],"
+        f"xaxis: {{categories: {cats}}},"
+        "yaxis: {title: {text: 'units'}}"
+        "};"
+        "var chart = new ApexCharts(document.querySelector('#ax1'),"
+        " options); chart.render();"
+        "</script>"
+        "<table><tr><th>q</th><th>units</th></tr>"
+        + rows + "</table></figure>"
+    )
+
+
 def _bordered_grid(rng: random.Random, lang: str) -> str:
     """Bordered div layout with NON-uniform rows (widths 3/5/3/1): only
     the CSS-border signal (G1) detects it — the structural child-
@@ -640,7 +670,7 @@ RICH_ARCHETYPES = [
     "script_chart", "bordered_grid", "highcharts_chart", "aria_grid",
     "plotly_chart", "styled_grid", "responsive_gallery", "vegalite_chart",
     "gviz_chart", "structured_article", "styled_grid_descendant", "striped_table",
-    "divider_table",
+    "divider_table", "apex_chart",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -660,6 +690,7 @@ _RICH_BUILDERS = {
     "styled_grid_descendant": _styled_grid_descendant,
     "striped_table": _striped_table,
     "divider_table": _divider_table,
+    "apex_chart": _apex_chart,
 }
 
 

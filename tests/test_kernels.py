@@ -2895,6 +2895,69 @@ def test_chartconfig_vegalite_dialect():
     assert all("y_range" in s for s in chart["series"])
 
 
+def test_chartconfig_apexcharts_dialect():
+    """Round 7 continuation (seventh JS dialect): ApexCharts configs —
+    lowercase xaxis/yaxis, chart.type where 'bar' is VERTICAL unless
+    plotOptions.bar.horizontal, the numeric-series + labels pie form —
+    parse through the shared series-list converter, and the apex_chart
+    archetype binds to its companion grid end-to-end."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    col = charts_from_script(
+        "var options = { chart: { type: 'bar' },"
+        " plotOptions: { bar: { horizontal: false } },"
+        " series: [{ name: 'Net', data: [44, 55] },"
+        "          { name: 'Rev', data: [76, 85] }],"
+        " xaxis: { categories: ['Feb', 'Mar'] },"
+        " yaxis: { title: { text: '$k' } },"
+        " title: { text: 'Results' } };"
+        "var chart = new ApexCharts(document.querySelector('#c'),"
+        " options); chart.render();")
+    assert col == [{
+        "chart_type": "Column", "title": "Results",
+        "labels": ["Feb", "Mar"],
+        "series": [("Net", [44.0, 55.0]), ("Rev", [76.0, 85.0])],
+        "y_axis_title": "$k"}]
+    # apex 'bar' flips to horizontal ONLY via plotOptions (Highcharts
+    # keeps its own semantics: bar == horizontal)
+    hbar = charts_from_script(
+        "new ApexCharts(el, { chart: { type: 'bar' },"
+        " plotOptions: { bar: { horizontal: true } },"
+        " series: [{ data: [400, 430] }],"
+        " xaxis: { categories: ['KR', 'CA'] } }).render();")
+    assert hbar[0]["chart_type"] == "Bar"
+    hc = charts_from_script(
+        "Highcharts.chart('c', { chart: { type: 'bar' },"
+        " series: [{ name: 'x', data: [1, 2] }],"
+        " xAxis: { categories: ['a', 'b'] } });")
+    assert hc[0]["chart_type"] == "Bar"
+    # donut: plain-number series + top-level labels
+    pie = charts_from_script(
+        "new ApexCharts(q('#d'), { chart: { type: 'donut' },"
+        " series: [44, 55, 41],"
+        " labels: ['A', 'B', 'C'] });")
+    assert pie == [{
+        "chart_type": "Pie", "title": "", "labels": ["A", "B", "C"],
+        "series": [("s0", [44.0, 55.0, 41.0])]}]
+
+    # archetype end-to-end: typed chart bound to the companion grid
+    i = RICH_ARCHETYPES.index("apex_chart")
+    page = build_rich_page(i)
+    assert page["archetype"] == "apex_chart"
+    rec = extract_document(page["url"], page["html"], ExtractOptions())
+    ex = json.loads(rec["extraction_json"])
+    chart = ex["charts"][0]
+    assert chart["chart_type"] == "Column"
+    assert chart["title"] == "Quarterly units"
+    assert chart["y_axis_title"] == "units"
+    assert [s["name"] for s in chart["series"]] == ["units"]
+    assert all("y_range" in s for s in chart["series"])
+
+
 def test_make_document_roundtrip():
     """exstruct_make twin (VERDICT r5 #6): extract(make(J)) reproduces
     J's table family — rows, merged_cells, colors_map, links, caption
