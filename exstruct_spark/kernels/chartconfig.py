@@ -555,14 +555,22 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
         raw_series = [raw_series]
     if not isinstance(raw_series, list) or not raw_series:
         return None
-    # ApexCharts markers: lowercase xaxis/yaxis keys, plotOptions, or a
-    # top-level labels list (its pie form).  Apex shares the series-list
-    # dialect but inverts Highcharts' bar semantics ('bar' is VERTICAL
-    # unless plotOptions.bar.horizontal) and puts categories under
-    # lowercase 'xaxis'.
-    apex = any(k in cfg for k in ("xaxis", "yaxis", "plotOptions")) or (
-        isinstance(cfg.get("labels"), list)
-        and all(not isinstance(v, dict) for v in raw_series))
+    # ApexCharts markers — ones Highcharts/ECharts can never carry:
+    # lowercase xaxis/yaxis keys, a top-level labels list with a
+    # plain-number series (its pie form), or plotOptions.bar.horizontal
+    # (Highcharts uses plotOptions too, but has no bar.horizontal key —
+    # plotOptions ALONE must not flip the dialect).  Apex shares the
+    # series-list dialect but inverts Highcharts' bar semantics ('bar'
+    # is VERTICAL unless plotOptions.bar.horizontal) and puts
+    # categories under lowercase 'xaxis'.
+    po = cfg.get("plotOptions")
+    po_bar = po.get("bar") if isinstance(po, dict) else None
+    apex = (
+        "xaxis" in cfg or "yaxis" in cfg
+        or (isinstance(po_bar, dict) and "horizontal" in po_bar)
+        or (isinstance(cfg.get("labels"), list)
+            and all(not isinstance(v, dict) for v in raw_series))
+    )
     apex_pie_labels: list = []
     if apex and all(isinstance(v, (int, float)) and not isinstance(v, bool)
                     for v in raw_series):
@@ -658,10 +666,8 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
     horizontal = highcharts_type_block and str(stype or "").lower() == "bar"
     if apex:
         # ApexCharts 'bar' is VERTICAL unless plotOptions.bar.horizontal
-        po = cfg.get("plotOptions")
-        bar = po.get("bar") if isinstance(po, dict) else None
-        horizontal = bool(bar.get("horizontal")) \
-            if isinstance(bar, dict) else False
+        horizontal = bool(po_bar.get("horizontal")) \
+            if isinstance(po_bar, dict) else False
     out = {
         "chart_type": _norm_type(stype, horizontal=horizontal),
         "title": title,

@@ -2935,6 +2935,15 @@ def test_chartconfig_apexcharts_dialect():
         " series: [{ name: 'x', data: [1, 2] }],"
         " xAxis: { categories: ['a', 'b'] } });")
     assert hc[0]["chart_type"] == "Bar"
+    # Highcharts uses plotOptions too — its presence alone (even a
+    # plotOptions.bar block without a 'horizontal' key) must not flip
+    # the dialect to apex semantics
+    hc2 = charts_from_script(
+        "Highcharts.chart('c', { chart: { type: 'bar' },"
+        " plotOptions: { bar: { dataLabels: { enabled: true } } },"
+        " series: [{ data: [1, 2] }],"
+        " xAxis: { categories: ['a', 'b'] } });")
+    assert hc2[0]["chart_type"] == "Bar"
     # donut: plain-number series + top-level labels
     pie = charts_from_script(
         "new ApexCharts(q('#d'), { chart: { type: 'donut' },"
