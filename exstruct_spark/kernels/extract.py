@@ -292,7 +292,12 @@ def _stylesheet_refs(link_nodes: list, base_url: str,
     for ln in link_nodes:
         attrs = ln.attrs
         rel = (attrs.get("rel") or "").strip().lower()
-        if "stylesheet" in rel.split():
+        rel_tokens = rel.split()
+        if "stylesheet" in rel_tokens:
+            # rel="alternate stylesheet" is a user-selectable theme —
+            # browsers do NOT apply it by default
+            if "alternate" in rel_tokens:
+                continue
             # a non-screen sheet (media="print", …) never styles the
             # rendered page; media="not print" DOES (r7 review fix)
             if not media_applies_on_screen(attrs.get("media")):

@@ -2713,6 +2713,18 @@ def test_stylesheet_media_print_filter():
     assert ex["stylesheets"] == ["http://t/screen.css",
                                  "http://t/both.css"]
 
+    # rel="alternate stylesheet" is a user-selectable theme: never
+    # applied (or listed) by default, like a browser
+    html_alt = ("<html><head>"
+                "<link rel='stylesheet' href='/main.css'>"
+                "<link rel='alternate stylesheet' title='dark' "
+                "href='/dark.css'></head><body>"
+                "<p>Enough visible words for a content block here.</p>"
+                "</body></html>").encode()
+    ex_alt = json.loads(extract_document(
+        "http://t/alt", html_alt)["extraction_json"])
+    assert ex_alt["stylesheets"] == ["http://t/main.css"]
+
     # print-only <style> blocks are skipped by the resolver the same
     # way; screen/all (or no media) blocks apply
     html2 = ("<html><head>"
