@@ -295,8 +295,9 @@ def _stylesheet_refs(link_nodes: list, base_url: str,
         rel_tokens = rel.split()
         if "stylesheet" in rel_tokens:
             # rel="alternate stylesheet" is a user-selectable theme —
-            # browsers do NOT apply it by default
-            if "alternate" in rel_tokens:
+            # browsers do NOT apply it by default; a disabled link is
+            # inert the same way
+            if "alternate" in rel_tokens or "disabled" in attrs:
                 continue
             # a non-screen sheet (media="print", …) never styles the
             # rendered page; media="not print" DOES (r7 review fix)

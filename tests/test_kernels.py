@@ -2718,7 +2718,9 @@ def test_stylesheet_media_print_filter():
     html_alt = ("<html><head>"
                 "<link rel='stylesheet' href='/main.css'>"
                 "<link rel='alternate stylesheet' title='dark' "
-                "href='/dark.css'></head><body>"
+                "href='/dark.css'>"
+                "<link rel='stylesheet' disabled href='/off.css'>"
+                "</head><body>"
                 "<p>Enough visible words for a content block here.</p>"
                 "</body></html>").encode()
     ex_alt = json.loads(extract_document(
