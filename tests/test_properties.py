@@ -108,6 +108,54 @@ def test_css_rules_and_pseudo_matching_total(css_text):
         assert isinstance(attrs, dict)
 
 
+_SEL_TAG = st.sampled_from(["", "td", "tr", "th", "div", "li", "em", "*"])
+_SEL_SEG = st.sampled_from([
+    ".a", ".b", "#x", "[align]", "[align=right]", "[title='a, b']",
+    "[data-x^='u']", "[class~=a]", "[lang|=en i]", ":first-child",
+    ":nth-child(2n+1)", ":last-of-type", ":not(.a)", ":not([align])",
+    ":is(td, th.b)", ":where(li)", ":hover", "::before", ":not(:hover)",
+])
+_SEL_COMB = st.sampled_from([" ", " > ", " + ", " ~ ", ">", "+", "~"])
+_SEL_COMPOUND = st.builds(
+    lambda t, segs: t + "".join(segs),
+    _SEL_TAG, st.lists(_SEL_SEG, max_size=3))
+_SEL = st.builds(
+    lambda first, rest: first + "".join(c + p for c, p in rest),
+    _SEL_COMPOUND,
+    st.lists(st.tuples(_SEL_COMB, _SEL_COMPOUND), max_size=4))
+
+
+@given(st.lists(st.tuples(_SEL, st.sampled_from(
+    ["background: red", "border-top: 1px solid", "display: none",
+     "background-color: #ABC !important"])), min_size=1, max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_css_structured_selector_fuzz(rules_src):
+    """Structured selector fuzz (round-7 continuation surface): random
+    compositions of tags, classes, ids, attribute selectors, structural
+    pseudos, :not/:is/:where and all four combinators — every parsed
+    rule must match (or not) against a real DOM without raising, the
+    merged style stays a string, and unsupported pieces skip whole."""
+    from exstruct_spark.kernels.css import StyleResolver, parse_css_rules
+    from exstruct_spark.kernels.dom import parse_html
+
+    css_text = "\n".join(f"{sel} {{ {decl} }}" for sel, decl in rules_src)
+    rules = parse_css_rules(css_text)
+    assert isinstance(rules, list)
+    root = parse_html(
+        "<table><caption>c</caption>"
+        "<thead><tr><th class='b'>h</th><th>g</th></tr></thead>"
+        "<tr><td class='a b' align='right' title='a, b'>1</td>"
+        "<td id='x' lang='en-GB'>2</td></tr><tr><td data-x='up'>3</td>"
+        "</tr></table>"
+        "<ul><li>i</li><li class='a'>j</li></ul><div><em>e</em></div>")
+    res = StyleResolver([], extra_rules=rules)
+    for n in root.iter():
+        attrs = res.effective_attrs(n)
+        assert isinstance(attrs, dict)
+        st_val = attrs.get("style")
+        assert st_val is None or isinstance(st_val, str)
+
+
 @given(st.text(max_size=40))
 @settings(max_examples=300, deadline=None)
 def test_parse_css_length_total(s):
