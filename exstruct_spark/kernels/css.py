@@ -237,7 +237,7 @@ def _parse_pseudo(token: str, allow_not: bool = True):
         if not allow_not:
             return None  # no :is inside :not — keep nesting bounded
         inners = []
-        for part in arg.split(","):
+        for part in _split_branches(arg):  # quote/bracket-aware commas
             inner = _parse_compound(part.strip(), allow_not=False)
             if inner is None:
                 return None
