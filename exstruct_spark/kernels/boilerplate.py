@@ -23,7 +23,7 @@ Rules (deterministic, config-driven — thresholds in ``ExtractOptions``):
 from __future__ import annotations
 
 from exstruct_spark.config import ExtractOptions
-from exstruct_spark.kernels.dom import RENDER_INERT, Node, is_hidden
+from exstruct_spark.kernels.dom import RENDER_INERT, Node, is_invisible
 
 _BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside"})
 _BLOCK_TAGS = frozenset(
@@ -53,10 +53,11 @@ def _collect_blocks(node: Node, out: list) -> None:
                 continue
             # a hidden container hides its whole subtree from rendering
             # (cookie banners, modals, a/b-test variants) — its text is
-            # not page content.  Attr/inline check only on the descent
+            # not page content; visibility:hidden ink-free boxes read
+            # the same for TEXT.  Attr/inline check only on the descent
             # (cheap); class-resolved display:none is applied to block
             # nodes by the caller when a resolver exists.
-            if n.attrs and is_hidden(n.attrs):
+            if n.attrs and is_invisible(n.attrs):
                 continue
             if n.tag in _BLOCK_TAGS:
                 out.append(n)  # block content is atomic
@@ -88,7 +89,7 @@ def extract_main_text(root: Node, opts: ExtractOptions,
     kept: list = []
     decisions: list = []  # (node, text, is_content)
     for blk in blocks:
-        if css is not None and css and is_hidden(
+        if css is not None and css and is_invisible(
                 css.effective_attrs(blk)):
             decisions.append((blk, "", False))
             continue

@@ -130,12 +130,13 @@ def media_applies_on_screen(media: Optional[str]) -> bool:
 
 # the properties the downstream kernels evaluate: border visibility
 # (borders.py _BORDER_PROP_RE), background color (colors.py
-# _STYLE_BG_RE) and display (dom.is_hidden — class-declared
+# _STYLE_BG_RE), display (dom.is_hidden — class-declared
 # ``.hidden { display: none }`` is the standard way real pages hide
-# banners/modals/rows) — everything else is dropped at parse time
+# banners/modals/rows) and visibility (dom.visibility_of — blank-box
+# semantics) — everything else is dropped at parse time
 _KEPT_PROP_RE = re.compile(
     r"^(?:border(?:-(?:top|right|bottom|left))?(?:-(?:width|style))?"
-    r"|background(?:-color)?|display)$"
+    r"|background(?:-color)?|display|visibility)$"
 )
 
 # one compound simple selector: optional tag/universal, then any run

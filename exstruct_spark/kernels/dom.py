@@ -44,6 +44,34 @@ def is_hidden(attrs: dict) -> bool:
         if decls and decls[-1].lower() == "none":
             return True
     return False
+
+
+_VISIBILITY_RE = re.compile(r"visibility\s*:\s*([a-zA-Z-]+)")
+
+
+def visibility_of(attrs: dict):
+    """The LAST declared visibility value (lowercased) of the (possibly
+    class-rule-merged) style string, or None.  ``hidden`` paints
+    nothing but KEEPS the layout slot (a blank cell, unlike
+    display:none's removed one); ``collapse`` on rows/row-groups
+    removes them like display:none.  Descendant ``visibility: visible``
+    reverts are out of the declared subset (deterministic over-hide on
+    that rare idiom, documented)."""
+    style = attrs.get("style")
+    if style and "visibility" in style:
+        decls = _VISIBILITY_RE.findall(style)
+        if decls:
+            return decls[-1].lower()
+    return None
+
+
+def is_invisible(attrs: dict) -> bool:
+    """True when the element renders NO ink at all — removed from
+    layout (``is_hidden``) or blank-boxed (``visibility_of`` hidden/
+    collapse).  The right predicate for TEXT collection, where a blank
+    box contributes exactly as much as a removed one: nothing."""
+    return is_hidden(attrs) or visibility_of(attrs) in (
+        "hidden", "collapse")
 BLOCK_ELEMENTS = frozenset(
     (
         "address article aside blockquote body caption dd details dialog div dl dt "

@@ -36,7 +36,7 @@ from exstruct_spark.kernels.css import (
 from exstruct_spark.kernels.dom import (
     Node,
     decode_html_bytes,
-    is_hidden,
+    is_invisible,
     parse_html,
     strip_tags_text,
 )
@@ -161,14 +161,15 @@ _HIDDEN_WALK_CAP = 32  # ancestor probes per table (caps-not-crashes)
 
 
 def _node_or_ancestor_hidden(node: Node, css) -> bool:
-    """True when the node or any ancestor is hidden from rendering
-    (``hidden`` attr / ``display:none``, class rules resolved) — the
-    visibility contract a browser applies to the whole subtree."""
+    """True when the node or any ancestor renders no ink (``hidden``
+    attr / ``display:none`` / ``visibility:hidden|collapse``, class
+    rules resolved) — the visibility contract a browser applies to the
+    whole subtree."""
     n = node
     for _ in range(_HIDDEN_WALK_CAP):
         if n is None or n.tag == "#document":
             return False
-        if is_hidden(css.effective_attrs(n) if css else n.attrs):
+        if is_invisible(css.effective_attrs(n) if css else n.attrs):
             return True
         n = n.parent
     return False

@@ -30,7 +30,7 @@ from exstruct_spark.kernels.a1 import col_index_to_alpha, make_range
 from exstruct_spark.kernels.clusters import merge_rectangles, nonempty_clusters
 from exstruct_spark.kernels.coerce import coerce_scalar
 from exstruct_spark.kernels.colors import cell_background
-from exstruct_spark.kernels.dom import Node, is_hidden
+from exstruct_spark.kernels.dom import Node, is_hidden, visibility_of
 
 
 def _int_attr(node: Node, name: str, default: int = 1) -> int:
@@ -63,24 +63,35 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
 
     # hidden rows are not rendered: later rows shift up, exactly as a
     # browser lays the table out (hidden attr / display:none, class
-    # rules resolved — filtered BEFORE the row cap).  The effective
-    # attrs are computed once here and reused for the row paint below.
+    # rules resolved — filtered BEFORE the row cap).  visibility:
+    # collapse removes rows/row-groups the same way; visibility:hidden
+    # keeps the layout slot but paints NOTHING — the row stays in the
+    # grid with every cell blank (a browser's blank-box semantics).
+    # The effective attrs are computed once here and reused for the
+    # row paint below; the bool is the row's blank flag.
     trs = []
-    hidden_groups: dict = {}
+    hidden_groups: dict = {}  # id -> (removed, blank)
     for tr in table.find_all("tr"):
+        group_blank = False
         parent = tr.parent
         if parent is not None and parent.tag in ("thead", "tbody",
                                                  "tfoot"):
             key = id(parent)
             if key not in hidden_groups:
-                hidden_groups[key] = is_hidden(
-                    css.effective_attrs(parent) if css
-                    else parent.attrs)
-            if hidden_groups[key]:
-                continue  # a hidden rowgroup hides all its rows
+                p_eff = (css.effective_attrs(parent) if css
+                         else parent.attrs)
+                p_vis = visibility_of(p_eff)
+                hidden_groups[key] = (
+                    is_hidden(p_eff) or p_vis == "collapse",
+                    p_vis == "hidden",
+                )
+            removed, group_blank = hidden_groups[key]
+            if removed:
+                continue  # a hidden/collapsed rowgroup hides its rows
         eff = css.effective_attrs(tr) if css else tr.attrs
-        if not is_hidden(eff):
-            trs.append((tr, eff))
+        vis = visibility_of(eff)
+        if not is_hidden(eff) and vis != "collapse":
+            trs.append((tr, eff, group_blank or vis == "hidden"))
     if len(trs) > cfg.max_rows:
         trs = trs[: cfg.max_rows]
         truncated = True
@@ -127,14 +138,15 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
                 css.effective_attrs(parent) if css else parent.attrs)
         return group_bg_cache[key]
 
-    for r, (tr, tr_eff) in enumerate(trs):
+    for r, (tr, tr_eff, row_blank) in enumerate(trs):
         n_rows_scanned = r + 1
         row_had_content = False
         # row-level paint (tr:nth-child zebra rules, <tr bgcolor>):
         # cells with no background of their own inherit the row's —
         # exactly what a browser renders; rowgroup paint is the next
-        # layer down
-        row_bg = cell_background(tr_eff) or _group_bg(tr)
+        # layer down.  A blank (visibility:hidden) row paints nothing.
+        row_bg = (None if row_blank
+                  else cell_background(tr_eff) or _group_bg(tr))
         c = 0
         for cell in tr.element_children():
             if cell.tag not in ("td", "th"):
@@ -145,6 +157,12 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
             eff_attrs = css.effective_attrs(cell) if css else cell.attrs
             if eff_attrs and is_hidden(eff_attrs):
                 continue  # display:none cell: later cells shift left
+            # visibility:hidden/collapse on a cell (or its row): the
+            # box KEEPS its grid slot — spans and column positions hold
+            # — but paints no text, color, or link
+            blank = row_blank or (
+                eff_attrs and visibility_of(eff_attrs) in
+                ("hidden", "collapse"))
             while (r, c) in occupied:
                 c += 1
             if c >= cfg.max_cols:
@@ -152,13 +170,13 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
                 break
             rowspan = _int_attr(cell, "rowspan")
             colspan = _int_attr(cell, "colspan")
-            text = cell.text_content()
+            text = "" if blank else cell.text_content()
             if text:
                 cells[(r, c)] = coerce_scalar(text)
                 row_had_content = True
             if cell.tag == "th":
                 th_cells.add((r, c))
-            if eff_attrs or row_bg or col_bg:
+            if not blank and (eff_attrs or row_bg or col_bg):
                 color = (cell_background(eff_attrs) or row_bg
                          or (col_bg[c] if c < len(col_bg) else None))
                 if color:
@@ -167,7 +185,7 @@ def _grid_from_table(table: Node, cfg: DetectionConfig, css=None):
                     # rows carrying only formatting must not truncate real
                     # trailing data (ADVICE r2)
                     row_had_content = True
-            if table_has_links:
+            if table_has_links and not blank:
                 a = cell.find_first("a")
                 if a is not None and a.get("href"):
                     links[(r, c)] = a.get("href")

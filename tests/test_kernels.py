@@ -2611,6 +2611,73 @@ def test_css_sibling_attr_not_selectors():
     assert painted and all(pos[1] == 1 and pos[0] >= 2 for pos in painted)
 
 
+def test_visibility_blank_box_semantics():
+    """Round 7 continuation: visibility:hidden paints NOTHING but keeps
+    the layout slot — a blank cell that holds its grid position (unlike
+    display:none's shift) — while visibility:collapse removes rows/
+    row-groups like display:none; invisible text never reaches
+    main_text; class-declared visibility resolves through the CSS
+    resolver."""
+    import json
+
+    from exstruct_spark.golden import extract_document
+
+    def tables_of(html):
+        return json.loads(extract_document(
+            "http://t/v", html.encode())["extraction_json"])["tables"]
+
+    # hidden cell: blank but occupying — column positions hold (the
+    # sparse row model expresses the blank as an absent key while 'c'
+    # KEEPS column 2; display:none would have shifted it to column 1)
+    t = tables_of(
+        "<html><body><table>"
+        "<tr><td>a</td><td style='visibility:hidden'>SECRET</td>"
+        "<td>c</td></tr>"
+        "<tr><td>d</td><td>e</td><td>f</td></tr>"
+        "</table></body></html>")[0]
+    assert t["rows"] == [
+        {"r": 1, "c": {"0": "a", "2": "c"}},
+        {"r": 2, "c": {"0": "d", "1": "e", "2": "f"}}], t["rows"]
+    assert "SECRET" not in json.dumps(t)
+
+    # collapse row: removed, later rows shift up (like display:none)
+    t2 = tables_of(
+        "<html><body><table>"
+        "<tr><td>k</td><td>v</td></tr>"
+        "<tr style='visibility:collapse'><td>gone</td><td>row</td></tr>"
+        "<tr><td>x</td><td>y</td></tr>"
+        "</table></body></html>")[0]
+    assert len(t2["rows"]) == 2 and "gone" not in json.dumps(t2)
+
+    # hidden ROW: stays in the grid, all cells blank, paints nothing
+    t3 = tables_of(
+        "<html><head><style>.ghost { visibility: hidden }</style>"
+        "</head><body><table>"
+        "<tr><td>k</td><td>v</td></tr>"
+        "<tr class='ghost' style='background:#F00'>"
+        "<td>unseen</td><td>row</td></tr>"
+        "<tr><td>x</td><td>y</td></tr>"
+        "</table></body></html>")
+    # the blank row HOLDS its slot: the next row is r=3 (collapse or
+    # display:none would have pulled it up to r=2), the blank row
+    # itself has no sparse entry
+    assert t3[0]["rows"] == [
+        {"r": 1, "c": {"0": "k", "1": "v"}},
+        {"r": 3, "c": {"0": "x", "1": "y"}}], t3[0]["rows"]
+    assert "unseen" not in json.dumps(t3[0])
+    assert not t3[0].get("colors_map")
+
+    # invisible text never reaches main_text (inline and class forms)
+    rec = extract_document("http://t/vt", (
+        "<html><head><style>.sr { visibility: hidden }</style></head>"
+        "<body><p>Visible words that form real page content here.</p>"
+        "<p style='visibility:hidden'>invisible inline words</p>"
+        "<div class='sr'>invisible class words</div>"
+        "</body></html>").encode())
+    assert "Visible words" in rec["main_text"]
+    assert "invisible" not in rec["main_text"]
+
+
 def test_rendered_visibility_contract():
     """Round 7: the extractor sees what a browser RENDERS — template/
     noscript subtrees are inert (no text, no tables, no links from

@@ -287,7 +287,7 @@ def test_charts_from_script_is_total(s):
     st.integers(min_value=2, max_value=8),
     st.binary(min_size=1, max_size=3000),
 )
-@settings(max_examples=150, deadline=4000)
+@settings(max_examples=150, deadline=15000)
 def test_gif_lzw_roundtrip_property(mcs, raw):
     """GIF LZW is a lossless pair on ANY symbol stream (symbols clamped
     to the code space): encode -> decode is the identity.  Random bytes
@@ -300,7 +300,7 @@ def test_gif_lzw_roundtrip_property(mcs, raw):
 
 
 @given(st.binary(max_size=600))
-@settings(max_examples=200, deadline=4000)
+@settings(max_examples=200, deadline=15000)
 def test_gif_decode_never_hangs_on_garbage(raw):
     """decode_gif on arbitrary bytes either raises ValueError or returns
     frames — never loops, never raises anything else (fallback-not-fail
@@ -315,7 +315,7 @@ def test_gif_decode_never_hangs_on_garbage(raw):
 
 
 @given(st.binary(max_size=400))
-@settings(max_examples=150, deadline=4000)
+@settings(max_examples=150, deadline=15000)
 def test_jpeg_decode_never_hangs_on_garbage(raw):
     """decode_jpeg on arbitrary bytes after a valid SOI either raises
     ValueError or returns an image — never loops, never raises anything
