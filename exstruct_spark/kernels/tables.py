@@ -703,9 +703,12 @@ def detect_grid_candidates(
             continue
         if id(node) in claimed:
             continue
-        if is_hidden(css.effective_attrs(node) if css else node.attrs):
+        eff = css.effective_attrs(node) if css else node.attrs
+        if is_hidden(eff) or visibility_of(eff) in ("hidden", "collapse"):
             # a hidden container hides its whole subtree (browser
-            # visibility contract) — nothing inside is a grid either
+            # visibility contract), and an ink-free visibility:hidden
+            # one paints no border/fill signal — nothing inside is a
+            # VISUAL grid either
             for inner in node.iter():
                 claimed.add(id(inner))
             continue
