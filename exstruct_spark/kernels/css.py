@@ -146,10 +146,11 @@ _KEPT_PROP_RE = re.compile(
 # segment the grammar can't cover, makes the compound parse fail and
 # the whole selector is skipped (deterministic under-match).
 _SEG_RE = re.compile(
-    r"[.#][-\w]+"
+    r"[.#](?:\\.|[-\w])+"   # \-escapes: Tailwind-style .md\:w-1\/2
     r"|\[[^\]]*\]"
     r"|::?[a-zA-Z-]+(?:\([^()]*\))?"
 )
+_IDENT_ESCAPE_RE = re.compile(r"\\(.)")
 _TAG_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9-]*|\*")
 
 # [name] / [name=value] with the full CSS attribute-match operator set
@@ -360,9 +361,12 @@ def _parse_compound(part: str, allow_not: bool = True):
         txt = seg.group(0)
         c0 = txt[0]
         if c0 == ".":
-            classes.append(txt[1:])
+            # CSS ident escapes decode to their literal char — the
+            # Tailwind idiom (.md\:border matches class="md:border")
+            classes.append(_IDENT_ESCAPE_RE.sub(r"\1", txt[1:]))
         elif c0 == "#":
-            sel_id = txt[1:]  # last #id wins within the compound
+            # last #id wins within the compound
+            sel_id = _IDENT_ESCAPE_RE.sub(r"\1", txt[1:])
         elif c0 == "[":
             asel = _parse_attr_sel(txt)
             if asel is None:

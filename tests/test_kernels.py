@@ -2527,6 +2527,15 @@ def test_css_sibling_attr_not_selectors():
     # combinators inside :is are out of scope: whole selector skips
     assert parse_css_rules(":is(div td) { background: red }") == []
 
+    # --- CSS ident escapes (the Tailwind idiom) -----------------------
+    tw = resolver(r".md\:border { border: 1px solid }"
+                  r".w-\[10px\] { background: #EEE }")
+    dtw = parse_html("<div class='md:border'>a</div>"
+                     "<div class='w-[10px]'>b</div>")
+    divs = [nn for nn in dtw.iter() if nn.tag == "div"]
+    assert "border" in tw.effective_attrs(divs[0])["style"]
+    assert cell_background(tw.effective_attrs(divs[1])) == "EEEEEE"
+
     # --- @media/@supports descent (flattened, document order) --------
     flat = parse_css_rules(
         ".a { background: red }"
