@@ -49,6 +49,7 @@ _MARKER_RE = re.compile(
     r"new\s+Chart\s*\(|\.setOption\s*\(|Highcharts\s*\.\s*chart\s*\("
     r"|\.highcharts\s*\("  # jQuery plugin form: config is the FIRST arg
     r"|new\s+ApexCharts\s*\("  # config is the LAST (2nd) argument
+    r"|AmCharts\s*\.\s*makeChart\s*\("  # ditto (div id, config)
 )
 
 # Plotly's config is an ARRAY of trace objects (not a single {...}), so
@@ -679,6 +680,74 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
     return out
 
 
+def _from_amcharts(cfg: dict) -> Optional[dict]:
+    """amCharts v3 classic (``AmCharts.makeChart(div, cfg)``): a
+    ``dataProvider`` row list with ``categoryField`` labels and a
+    ``graphs`` list naming each series' ``valueField`` — or the pie
+    form's ``titleField``/``valueField`` pair.  The big 2013-2019
+    crawl-era dialect."""
+    dp = cfg.get("dataProvider")
+    if not isinstance(dp, list) or not dp:
+        return None
+    rows = [r for r in dp if isinstance(r, dict)]
+    if not rows:
+        return None
+    title = ""
+    titles = cfg.get("titles")
+    if isinstance(titles, list) and titles and isinstance(titles[0], dict):
+        title = str(titles[0].get("text") or "")
+    ctype = str(cfg.get("type") or "").lower()
+
+    def _col(field):
+        return _numeric([r.get(field) for r in rows])
+
+    def _labels(field):
+        return [str(r.get(field) or "") for r in rows]
+
+    if ctype == "pie":
+        vf = cfg.get("valueField")
+        if not isinstance(vf, str):
+            return None
+        return {
+            "chart_type": "Pie",
+            "title": title,
+            "labels": _labels(cfg.get("titleField") or ""),
+            "series": [(str(vf), _col(vf))],
+        }
+    graphs = cfg.get("graphs")
+    if isinstance(graphs, dict):
+        graphs = [graphs]
+    if not isinstance(graphs, list) or not graphs:
+        return None
+    series = []
+    gtype = None
+    for k, g in enumerate(graphs):
+        if not isinstance(g, dict):
+            continue
+        vf = g.get("valueField")
+        if not isinstance(vf, str):
+            continue
+        gtype = gtype or g.get("type")
+        series.append((str(g.get("title") or vf), _col(vf)))
+    if not series:
+        return None
+    # serial charts default to line graphs; "column" + rotate=true is
+    # amCharts' horizontal-bar form
+    out = {
+        "chart_type": _norm_type(gtype or "line",
+                                 horizontal=bool(cfg.get("rotate"))),
+        "title": title,
+        "labels": _labels(cfg.get("categoryField") or ""),
+        "series": series,
+    }
+    axes = cfg.get("valueAxes")
+    if isinstance(axes, list) and axes and isinstance(axes[0], dict):
+        y_title = str(axes[0].get("title") or "")
+        if y_title:
+            out["y_axis_title"] = y_title
+    return out
+
+
 def _find_plotly_calls(script_text: str) -> list:
     """Every ``Plotly.newPlot/react/plot`` call -> (traces, layout)
     parsed values — the traces are the first top-level ``[...]``
@@ -1303,7 +1372,8 @@ def charts_from_script(script_text: str) -> list:
         cfg, _ = parse_js_value(obj_text)
         if not isinstance(cfg, dict):
             continue
-        chart = _from_chartjs(cfg) or _from_echarts(cfg)
+        chart = (_from_chartjs(cfg) or _from_echarts(cfg)
+                 or _from_amcharts(cfg))
         if chart is not None:
             out.append(chart)
     for traces, layout in _find_plotly_calls(script_text):

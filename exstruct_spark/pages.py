@@ -397,6 +397,35 @@ def _apex_chart(rng: random.Random, lang: str) -> str:
     )
 
 
+def _amcharts_chart(rng: random.Random, lang: str) -> str:
+    """amCharts v3 classic config (eighth JS dialect): ``AmCharts.
+    makeChart(div, cfg)`` with the dialect's marks — a dataProvider
+    row list, categoryField labels, graphs[].valueField series — plus
+    the companion table the grid binder joins against."""
+    cats = ["USA", "China", "Japan", "Germany"]
+    a = [rng.randint(100, 999) for _ in range(4)]
+    rows_json = ",".join(
+        f'{{"country": "{cats[i]}", "visits": {a[i]}}}' for i in range(4)
+    )
+    rows = "".join(
+        f"<tr><td>{cats[i]}</td><td>{a[i]}</td></tr>" for i in range(4)
+    )
+    return (
+        "<figure><figcaption>Country visits</figcaption>"
+        "<div id='am1'></div>"
+        "<script>var chart = AmCharts.makeChart('am1', {"
+        '"type": "serial", "categoryField": "country",'
+        '"titles": [{"text": "Country visits"}],'
+        '"valueAxes": [{"title": "visits"}],'
+        f'"dataProvider": [{rows_json}],'
+        '"graphs": [{"valueField": "visits", "title": "visits",'
+        ' "type": "column"}]'
+        "});</script>"
+        "<table><tr><th>country</th><th>visits</th></tr>"
+        + rows + "</table></figure>"
+    )
+
+
 def _bordered_grid(rng: random.Random, lang: str) -> str:
     """Bordered div layout with NON-uniform rows (widths 3/5/3/1): only
     the CSS-border signal (G1) detects it — the structural child-
@@ -670,7 +699,7 @@ RICH_ARCHETYPES = [
     "script_chart", "bordered_grid", "highcharts_chart", "aria_grid",
     "plotly_chart", "styled_grid", "responsive_gallery", "vegalite_chart",
     "gviz_chart", "structured_article", "styled_grid_descendant", "striped_table",
-    "divider_table", "apex_chart",
+    "divider_table", "apex_chart", "amcharts_chart",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -691,6 +720,7 @@ _RICH_BUILDERS = {
     "striped_table": _striped_table,
     "divider_table": _divider_table,
     "apex_chart": _apex_chart,
+    "amcharts_chart": _amcharts_chart,
 }
 
 

@@ -3057,6 +3057,62 @@ def test_chartconfig_apexcharts_dialect():
     assert all("y_range" in s for s in chart["series"])
 
 
+def test_chartconfig_amcharts_dialect():
+    """Round 7 continuation (eighth JS dialect): amCharts v3 classic —
+    dataProvider rows + categoryField labels + graphs[].valueField
+    series, the pie titleField/valueField form, rotate for horizontal
+    bars — and the amcharts_chart archetype end-to-end."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    serial = charts_from_script(
+        'AmCharts.makeChart("c", {"type": "serial",'
+        '"categoryField": "country",'
+        '"titles": [{"text": "Visits"}],'
+        '"valueAxes": [{"title": "n"}],'
+        '"dataProvider": [{"country": "USA", "visits": 30, "clicks": 1},'
+        '{"country": "CN", "visits": 18, "clicks": 2}],'
+        '"graphs": [{"valueField": "visits", "title": "Visits",'
+        ' "type": "column"}, {"valueField": "clicks"}]});')
+    assert serial == [{
+        "chart_type": "Column", "title": "Visits",
+        "labels": ["USA", "CN"],
+        "series": [("Visits", [30.0, 18.0]), ("clicks", [1.0, 2.0])],
+        "y_axis_title": "n"}]
+    # rotate: true is the horizontal-bar form
+    rot = charts_from_script(
+        'AmCharts.makeChart("c", {"type": "serial", "rotate": true,'
+        '"categoryField": "k",'
+        '"dataProvider": [{"k": "a", "v": 1}],'
+        '"graphs": [{"valueField": "v", "type": "column"}]});')
+    assert rot[0]["chart_type"] == "Bar"
+    # pie form: titleField/valueField at the config level
+    pie = charts_from_script(
+        'AmCharts.makeChart("p", {"type": "pie",'
+        '"titleField": "country", "valueField": "litres",'
+        '"dataProvider": [{"country": "CZ", "litres": 156.9},'
+        '{"country": "IE", "litres": 131.1}]});')
+    assert pie == [{
+        "chart_type": "Pie", "title": "", "labels": ["CZ", "IE"],
+        "series": [("litres", [156.9, 131.1])]}]
+
+    # archetype end-to-end: typed chart bound to the companion grid
+    i = RICH_ARCHETYPES.index("amcharts_chart")
+    page = build_rich_page(i)
+    assert page["archetype"] == "amcharts_chart"
+    rec = extract_document(page["url"], page["html"], ExtractOptions())
+    ex = json.loads(rec["extraction_json"])
+    chart = ex["charts"][0]
+    assert chart["chart_type"] == "Column"
+    assert chart["title"] == "Country visits"
+    assert chart["y_axis_title"] == "visits"
+    assert [s["name"] for s in chart["series"]] == ["visits"]
+    assert all("y_range" in s for s in chart["series"])
+
+
 def test_make_document_roundtrip():
     """exstruct_make twin (VERDICT r5 #6): extract(make(J)) reproduces
     J's table family — rows, merged_cells, colors_map, links, caption
