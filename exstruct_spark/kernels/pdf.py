@@ -27,7 +27,19 @@ one, and marks the result as an approximation:
     and object-stream plumbing, not text) are counted and skipped;
   * document metadata from the /Info dictionary (Title, Author) when
     stored as plain literal strings;
-  * page count from ``/Type /Page`` occurrences.
+  * page count from ``/Type /Page`` occurrences;
+  * ``/ToUnicode`` CMaps (spec 9.10.3): font objects carrying a
+    ``/ToUnicode N 0 R`` reference are joined to the CMap stream with
+    that object number, the CMap's ``bfchar``/``bfrange`` sections are
+    parsed (1- and 2-byte code units from the codespace declaration),
+    page-resource ``/Font`` dictionaries bind resource names to fonts,
+    and the text harvest tracks ``/Fname size Tf`` selections in
+    document order so each show-string decodes through ITS font's
+    mapping — the dominant real-PDF shape, where subset fonts emit
+    glyph codes that are gibberish under any fixed charset.  Unmapped
+    codes fall back to the charset approximation, corrupt CMaps are
+    skipped, and entry/font counts are capped (no-silent-caps: the
+    caps are counted in ``font_stats``).
 
 Streams with other filters (DCT, JPX, crypt) still yield no text -> the
 document degrades to metadata-only with ``approximation_level`` marking
@@ -60,7 +72,8 @@ _ESCAPES = {
 }
 
 
-def _decode_pdf_string(raw: bytes) -> str:
+def _decode_pdf_string_bytes(raw: bytes) -> bytes:
+    """Literal-string body -> raw bytes (escapes resolved, no charset)."""
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -85,7 +98,11 @@ def _decode_pdf_string(raw: bytes) -> str:
             continue
         out += ch
         i += 1
-    return _bytes_to_text(bytes(out))
+    return bytes(out)
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    return _bytes_to_text(_decode_pdf_string_bytes(raw))
 
 
 def _bytes_to_text(b: bytes) -> str:
@@ -97,21 +114,207 @@ def _bytes_to_text(b: bytes) -> str:
     return b.decode("latin-1", errors="replace")
 
 
-def _decode_hex_string(raw: bytes) -> str:
-    """``<48656C6C6F>`` hex-string body -> str (whitespace ignored, odd
-    trailing digit zero-padded per spec, BOM-aware like literals)."""
+def _hex_body_bytes(raw: bytes) -> bytes:
+    """``<4865...>`` hex-string body -> raw bytes (whitespace ignored,
+    odd trailing digit zero-padded per spec)."""
     compact = bytes(c for c in raw if not chr(c).isspace())
     if len(compact) % 2:
         compact += b"0"
     try:
-        b = bytes.fromhex(compact.decode("ascii"))
+        return bytes.fromhex(compact.decode("ascii"))
     except ValueError:
-        return ""
-    return _bytes_to_text(b)
+        return b""
+
+
+def _decode_hex_string(raw: bytes) -> str:
+    """``<48656C6C6F>`` hex-string body -> str (BOM-aware like
+    literals)."""
+    return _bytes_to_text(_hex_body_bytes(raw))
 
 
 def is_pdf(raw: bytes) -> bool:
     return raw[:5] == b"%PDF-"
+
+
+# ---------------------------------------------------------------- #
+# /ToUnicode CMaps (spec 9.10.3) — subset-font glyph codes -> text  #
+# ---------------------------------------------------------------- #
+
+MAX_CMAP_ENTRIES = 8192   # bf entries kept per CMap (caps-not-crashes)
+MAX_FONTS = 64            # font objects resolved per document
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.S)
+# bf-section items: a hex token or a [ <dst> <dst> ... ] array
+_CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+# object headers, numbered (the window after each is sliced, not
+# regex-tempered — linear on adversarial input)
+_NUM_OBJ_HDR_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_OBJ_WINDOW = 2048
+_TOUNICODE_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+# resource dict: /Font << /F1 5 0 R ... >> (one nesting level accepted)
+_RES_FONT_RE = re.compile(
+    rb"/Font\s*<<((?:[^<>]|<<[^<>]*>>)*)>>")
+_FONT_NAME_REF_RE = re.compile(rb"/([A-Za-z0-9.#_-]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _utf16be_chars(dst: bytes) -> str:
+    """bf destination hex bytes -> str (UTF-16BE per spec; a lone
+    odd byte degrades to its latin-1 char rather than vanishing)."""
+    if len(dst) % 2:
+        return dst.decode("latin-1")
+    return dst.decode("utf-16-be", errors="replace")
+
+
+def parse_tounicode_cmap(data: bytes):
+    """CMap stream bytes -> (code_width, {code:int -> str}) or None.
+
+    Code width comes from the first ``codespacerange`` entry (1 or 2
+    bytes; wider CJK codespaces are out of scope -> None), defaulting
+    to the first bf source token's width.  ``bfchar`` pairs and
+    ``bfrange`` triples (incrementing or array destination forms) fill
+    the map up to MAX_CMAP_ENTRIES; a malformed section is skipped,
+    never fatal.
+    """
+    width = None
+    cs = _CODESPACE_RE.search(data)
+    if cs:
+        toks = _CMAP_TOK_RE.findall(cs.group(1))
+        hexes = [t[0] for t in toks if t[0]]
+        if hexes:
+            width = (len(hexes[0]) + 1) // 2
+    mapping: dict = {}
+
+    def _entries(body: bytes):
+        """Tokenize a bf section body into hex strings and arrays."""
+        out = []
+        arr = None
+        for m in _CMAP_TOK_RE.finditer(body):
+            if m.group(1) is not None:
+                tok = m.group(1)
+                if arr is not None:
+                    arr.append(tok)
+                else:
+                    out.append(tok)
+            elif m.group(2):
+                arr = []
+            elif arr is not None:
+                out.append(arr)
+                arr = None
+        return out
+
+    for sec in _BFCHAR_RE.finditer(data):
+        toks = _entries(sec.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            src, dst = toks[i], toks[i + 1]
+            if isinstance(src, list) or isinstance(dst, list):
+                continue
+            if width is None:
+                width = (len(src) + 1) // 2
+            if len(mapping) >= MAX_CMAP_ENTRIES:
+                break
+            try:
+                mapping[int(src, 16)] = _utf16be_chars(
+                    _hex_body_bytes(dst))
+            except ValueError:
+                continue
+    for sec in _BFRANGE_RE.finditer(data):
+        toks = _entries(sec.group(1))
+        for i in range(0, len(toks) - 2, 3):
+            lo, hi, dst = toks[i], toks[i + 1], toks[i + 2]
+            if isinstance(lo, list) or isinstance(hi, list):
+                continue
+            if width is None:
+                width = (len(lo) + 1) // 2
+            try:
+                lo_i, hi_i = int(lo, 16), int(hi, 16)
+            except ValueError:
+                continue
+            if hi_i < lo_i:
+                continue
+            hi_i = min(hi_i, lo_i + MAX_CMAP_ENTRIES)
+            if isinstance(dst, list):
+                for k, d in enumerate(dst):
+                    if lo_i + k > hi_i or len(mapping) >= MAX_CMAP_ENTRIES:
+                        break
+                    mapping[lo_i + k] = _utf16be_chars(
+                        _hex_body_bytes(d))
+            else:
+                try:
+                    base = int(dst, 16)
+                except ValueError:
+                    continue
+                dw = max(2, ((len(dst) + 1) // 2 // 2) * 2)
+                for k in range(hi_i - lo_i + 1):
+                    if len(mapping) >= MAX_CMAP_ENTRIES:
+                        break
+                    # incrementing form: the LAST code point increments
+                    # (spec: "the last byte of the string is
+                    # incremented"); single-char destinations are the
+                    # overwhelmingly common case
+                    try:
+                        dst_b = (base + k).to_bytes(dw, "big")
+                    except OverflowError:
+                        break
+                    mapping[lo_i + k] = _utf16be_chars(dst_b)
+    if not mapping or width is None or width > 2:
+        return None
+    return width, mapping
+
+
+def _apply_cmap(b: bytes, width: int, mapping: dict) -> str:
+    """Show-string bytes -> text through a font's ToUnicode map.
+    Unmapped code units fall back to the fixed-charset approximation
+    of that unit (latin-1 / BMP code point) — a partial CMap degrades
+    to the pre-CMap behavior, never to replacement noise."""
+    out = []
+    for i in range(0, len(b), width):
+        unit = b[i : i + width]
+        code = int.from_bytes(unit, "big")
+        hit = mapping.get(code)
+        if hit is not None:
+            out.append(hit)
+        elif width == 1:
+            out.append(unit.decode("latin-1"))
+        else:
+            out.append(chr(code) if code else "")
+    return "".join(out)
+
+
+def _font_cmaps(raw: bytes, cmaps_by_obj: dict, stats: dict) -> dict:
+    """Join resource names to ToUnicode maps: resource ``/Font`` dicts
+    bind names to font object numbers; font objects bind to CMap
+    stream object numbers.  First binding per name wins (real
+    generators keep names consistent per document).  -> {name: (width,
+    map)}; fills ``stats`` with fonts_mapped / fonts_over_cap."""
+    if not cmaps_by_obj:
+        return {}
+    font_to_cmap: dict = {}
+    for m in _NUM_OBJ_HDR_RE.finditer(raw):
+        window = raw[m.end() : m.end() + _OBJ_WINDOW]
+        endpos = window.find(b"endobj")
+        if endpos != -1:
+            window = window[:endpos]
+        ref = _TOUNICODE_REF_RE.search(window)
+        if ref is None:
+            continue
+        if len(font_to_cmap) >= MAX_FONTS:
+            stats["fonts_over_cap"] = stats.get("fonts_over_cap", 0) + 1
+            continue
+        font_to_cmap.setdefault(int(m.group(1)), int(ref.group(1)))
+    out: dict = {}
+    for rm in _RES_FONT_RE.finditer(raw):
+        for nm in _FONT_NAME_REF_RE.finditer(rm.group(1)):
+            name = nm.group(1).decode("latin-1")
+            obj = int(nm.group(2))
+            cmap = cmaps_by_obj.get(font_to_cmap.get(obj))
+            if cmap is not None and name not in out:
+                out[name] = cmap
+    if out:
+        stats["fonts_mapped"] = len(out)
+    return out
 
 
 # caps-not-crashes: bound what one adversarial PDF can demand
@@ -131,7 +334,6 @@ _DICT_WINDOW = 512  # bytes of object dict inspected before 'stream'
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\[\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
-_OBJ_HDR_RE = re.compile(rb"\d+\s+\d+\s+obj\b")
 
 # supported filters, including the spec's inline-image abbreviations
 _FILTER_ALIASES = {
@@ -250,8 +452,13 @@ def _iter_decodable_streams(raw: bytes, stats: dict = None):
     the old cap counted every ``stream`` keyword, so an image-heavy
     PDF could exhaust it on DCTDecode streams and silently drop the
     text streams that followed); candidates beyond the cap are counted
-    into ``stats["skipped_over_cap"]`` — the no-silent-caps rule."""
-    n = 0
+    into ``stats["skipped_over_cap"]`` — the no-silent-caps rule.
+
+    Yields ``(obj_num, payload, filters)``; UNFILTERED streams are
+    yielded with ``filters == []`` (their bytes are already visible to
+    the whole-file harvest — callers use them only for CMap lookup)
+    under their own cap, so they cannot starve the decode cap."""
+    n = plain = 0
     for m in _STREAM_RE.finditer(raw):
         head = raw[max(0, m.start() - _DICT_WINDOW) : m.start()]
         # scope the window to THIS stream's object: a previous object's
@@ -259,14 +466,24 @@ def _iter_decodable_streams(raw: bytes, stats: dict = None):
         # is the full 'N G obj' header (a bare 'obj' substring could
         # sit inside a literal string and wrongly trim a real /Filter)
         ob = None
-        for ob in _OBJ_HDR_RE.finditer(head):
+        for ob in _NUM_OBJ_HDR_RE.finditer(head):
             pass
+        obj_num = None
         if ob is not None:
             head = head[ob.end():]
+            obj_num = int(ob.group(1))
         fm = None
         for fm in _FILTER_RE.finditer(head):
             pass  # keep the last match in the window
         if fm is None:
+            if plain >= MAX_STREAMS:
+                continue
+            plain += 1
+            data_start = m.end()
+            end = raw.find(b"endstream", data_start)
+            if end == -1:
+                end = len(raw)
+            yield obj_num, raw[data_start:end].rstrip(b"\r\n"), []
             continue
         filters = [_FILTER_ALIASES.get(nm)
                    for nm in _NAME_RE.findall(fm.group(1))]
@@ -290,17 +507,25 @@ def _iter_decodable_streams(raw: bytes, stats: dict = None):
         end = raw.find(b"endstream", data_start)
         if end == -1:
             end = len(raw)
-        yield raw[data_start:end].rstrip(b"\r\n"), filters
+        yield obj_num, raw[data_start:end].rstrip(b"\r\n"), filters
 
 
 def _decode_text_streams(raw: bytes):
-    """-> (decoded_chunks, stats dict).  Corrupt streams are skipped
-    and counted; over-cap output is truncated and counted — the
-    no-silent-caps rule applied to decompression."""
+    """-> (chunks, stats dict) where chunks are ``(obj_num, bytes,
+    was_filtered)``.  Corrupt streams are skipped and counted; over-cap
+    output is truncated and counted — the no-silent-caps rule applied
+    to decompression.  Unfiltered payloads ride along (capped slice,
+    no budget charge) so CMap streams stored uncompressed still
+    resolve; they are NOT re-harvested for text (the whole-file scan
+    already sees their bytes)."""
     chunks: list = []
     stats = {"decoded": 0, "corrupt": 0, "truncated": 0}
     budget = MAX_INFLATED_TOTAL
-    for payload, filters in _iter_decodable_streams(raw, stats):
+    for obj_num, payload, filters in _iter_decodable_streams(raw, stats):
+        if not filters:
+            chunks.append(
+                (obj_num, payload[:MAX_INFLATED_PER_STREAM], False))
+            continue
         if budget <= 0:
             stats["truncated"] += 1
             continue
@@ -314,9 +539,20 @@ def _decode_text_streams(raw: bytes):
             stats["truncated"] += 1
         budget -= len(out)
         if out:
-            chunks.append(out)
+            chunks.append((obj_num, out, True))
             stats["decoded"] += 1
     return chunks, stats
+
+
+# one pass, document order: font selection interleaves with the show
+# operators it scopes (the pre-CMap per-family scan could not know
+# which font a string was shown under)
+_CONTENT_OP_RE = re.compile(
+    rb"/([A-Za-z0-9.#_-]+)\s+[0-9.+-]+\s+Tf"        # 1: font select
+    rb"|\((" + _LIT + rb")\)\s*(?:Tj|'|\")"          # 2: literal show
+    rb"|<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")"            # 3: hex show
+    rb"|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ"               # 4: TJ array
+)
 
 
 def extract_pdf_document(raw: bytes) -> dict:
@@ -325,33 +561,50 @@ def extract_pdf_document(raw: bytes) -> dict:
     approximation_level: 1 if any text operators were recovered
     (directly or from decoded flate/lzw/a85/ahx streams), 2 if only
     structure/metadata.  ``stream_stats`` counts decoded/corrupt/
-    truncated streams (present only when any stream was seen).
+    truncated streams (present only when any stream was seen);
+    ``font_stats`` appears when any /ToUnicode CMap resolved.
     """
     texts: list = []
+    decoded_chunks, stream_stats = _decode_text_streams(raw)
+    cmaps_by_obj: dict = {}
+    for obj_num, data, _filtered in decoded_chunks:
+        if obj_num is None or (b"beginbfchar" not in data
+                               and b"beginbfrange" not in data):
+            continue
+        parsed = parse_tounicode_cmap(data)
+        if parsed is not None:
+            cmaps_by_obj[obj_num] = parsed
+    font_stats: dict = {}
+    fonts = _font_cmaps(raw, cmaps_by_obj, font_stats)
+
+    def _shown(body_bytes: bytes, active) -> str:
+        if active is not None:
+            return _apply_cmap(body_bytes, active[0], active[1])
+        return _bytes_to_text(body_bytes)
 
     def _harvest(buf: bytes) -> None:
-        for m in _TJ_RE.finditer(buf):
-            s = _decode_pdf_string(m.group(1))
+        active = None  # font state resets per content stream
+        for m in _CONTENT_OP_RE.finditer(buf):
+            if m.group(1) is not None:
+                active = fonts.get(m.group(1).decode("latin-1"))
+                continue
+            if m.group(2) is not None:
+                s = _shown(_decode_pdf_string_bytes(m.group(2)), active)
+            elif m.group(3) is not None:
+                s = _shown(_hex_body_bytes(m.group(3)), active)
+            else:
+                s = "".join(
+                    _shown(_decode_pdf_string_bytes(x.group(1)), active)
+                    if x.group(1) is not None
+                    else _shown(_hex_body_bytes(x.group(2)), active)
+                    for x in _STR_IN_ARRAY_RE.finditer(m.group(4)))
             if s.strip():
                 texts.append(s)
-        for m in _HEX_TJ_RE.finditer(buf):
-            s = _decode_hex_string(m.group(1))
-            if s.strip():
-                texts.append(s)
-        for m in _TJ_ARRAY_RE.finditer(buf):
-            parts = [
-                _decode_pdf_string(x.group(1)) if x.group(1) is not None
-                else _decode_hex_string(x.group(2))
-                for x in _STR_IN_ARRAY_RE.finditer(m.group(1))
-            ]
-            joined = "".join(parts)
-            if joined.strip():
-                texts.append(joined)
 
     _harvest(raw)
-    decoded_chunks, stream_stats = _decode_text_streams(raw)
-    for chunk in decoded_chunks:
-        _harvest(chunk)
+    for _obj, chunk, filtered in decoded_chunks:
+        if filtered:  # unfiltered bytes were already in the raw scan
+            _harvest(chunk)
     title_m = _TITLE_RE.search(raw)
     title = ""
     if title_m:
@@ -368,4 +621,6 @@ def extract_pdf_document(raw: bytes) -> dict:
     }
     if any(stream_stats.values()):
         out["stream_stats"] = stream_stats
+    if font_stats:
+        out["font_stats"] = font_stats
     return out

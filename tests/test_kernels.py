@@ -365,11 +365,12 @@ def test_pdf_string_forms():
            b"2 0 obj\n<< /Title <FEFF00480069> /Type /Page >>\nendobj\n"
            b"%%EOF")
     out = extract_pdf_document(pdf)
-    # harvest order is per operator family (literals, hex, arrays) —
-    # a bag-of-text recovery, not a layout engine
+    # harvest order is DOCUMENT order (one interleaved operator scan —
+    # the ToUnicode font tracking requires it, and it is the real
+    # reading order); still a bag-of-text recovery, not a layout engine
     assert out["text"].splitlines() == [
-        "Hello (nested) world", "line one", "quoted show",
-        "Hello hex", "H`", "arr  hex!"]  # <486> pads to 0x48 0x60
+        "Hello (nested) world", "Hello hex", "line one",
+        "quoted show", "arr  hex!", "H`"]  # <486> pads to 0x48 0x60
     assert out["title"] == "Hi"          # UTF-16BE BOM hex title
     assert out["n_pages"] == 1 and out["approximation_level"] == 1
     # endstream must not re-match as a stream keyword (corrupt stays 0)
@@ -379,6 +380,75 @@ def test_pdf_string_forms():
     # UTF-16BE literal string via escapes decodes through the BOM path
     lit = (b"%PDF-1.4\nBT (\xfe\xff\x00H\x00i) Tj ET\n%%EOF")
     assert extract_pdf_document(lit)["text"] == "Hi"
+
+
+def test_pdf_tounicode_cmaps():
+    """/ToUnicode CMaps (spec 9.10.3): subset-font glyph codes decode
+    to real text — the dominant real-PDF shape, where Tj bytes are
+    gibberish under any fixed charset.  Covers: 1-byte codespace with
+    bfchar + incrementing bfrange, a 2-byte Identity-H-style font with
+    a surrogate-pair destination, the resource-name -> font-object ->
+    CMap-stream join across a Flate-compressed content stream, font
+    state resetting per stream, and graceful degrade on corrupt CMaps
+    and unmapped names (fixed-charset fallback, never replacement
+    noise)."""
+    import zlib
+
+    from exstruct_spark.kernels.pdf import extract_pdf_document
+
+    cmap = (b"begincmap\n1 begincodespacerange\n<00> <FF>\n"
+            b"endcodespacerange\n3 beginbfchar\n<01> <0048>\n"
+            b"<02> <00E9>\n<03> <006C>\nendbfchar\n"
+            b"1 beginbfrange\n<04> <05> <006C>\nendbfrange\nendcmap")
+    content = b"BT /F1 12 Tf (\x01\x02\x03\x04) Tj <05> Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj << /Type /Page /Resources << /Font "
+           b"<< /F1 5 0 R >> >> /Contents 2 0 R >> endobj\n"
+           b"2 0 obj << /Length 1 /Filter /FlateDecode >>\nstream\n"
+           + zlib.compress(content) + b"\nendstream endobj\n"
+           b"5 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"
+           b" endobj\n"
+           b"6 0 obj << /Length 1 >>\nstream\n" + cmap
+           + b"\nendstream endobj\n%%EOF")
+    out = extract_pdf_document(pdf)
+    # bfchar maps 01->H 02->é 03->l; bfrange <04><05> base l -> l, m
+    assert out["text"] == "Héll\nm"
+    assert out["font_stats"] == {"fonts_mapped": 1}
+
+    # 2-byte codespace; bf destination may be a surrogate PAIR
+    cmap2 = (b"begincmap 1 begincodespacerange <0000> <FFFF> "
+             b"endcodespacerange 2 beginbfchar <0041> <0057> "
+             b"<0042> <D83DDE00> endbfchar endcmap")
+    pdf2 = (b"%PDF-1.4\n"
+            b"1 0 obj << /Resources << /Font << /TT0 3 0 R >> >> >>"
+            b" endobj\n"
+            b"3 0 obj << /ToUnicode 4 0 R >> endobj\n"
+            b"4 0 obj << /Length 1 >>\nstream\n" + cmap2
+            + b"\nendstream endobj\n"
+            b"BT /TT0 9 Tf <00410042> Tj ET\n%%EOF")
+    assert extract_pdf_document(pdf2)["text"] == "W\U0001F600"
+
+    # unmapped font name -> the pre-CMap fixed-charset path, unchanged
+    assert extract_pdf_document(
+        b"%PDF-1.4\nBT /F9 1 Tf (Hi) Tj ET\n%%EOF")["text"] == "Hi"
+
+    # corrupt CMap (bad hex) -> skipped, no font_stats, text survives
+    pdf4 = (b"%PDF-1.4\n1 0 obj << /Resources << /Font "
+            b"<< /F1 2 0 R >> >> >> endobj\n"
+            b"2 0 obj << /ToUnicode 9 0 R >> endobj\n"
+            b"9 0 obj << >>\nstream\nbeginbfchar <zz> <qq> endbfchar\n"
+            b"endstream endobj\nBT /F1 1 Tf (ok) Tj ET\n%%EOF")
+    r4 = extract_pdf_document(pdf4)
+    assert r4["text"] == "ok" and "font_stats" not in r4
+
+    # partial CMap: unmapped 1-byte codes keep their latin-1 identity
+    pdf5 = (b"%PDF-1.4\n1 0 obj << /Resources << /Font "
+            b"<< /F1 2 0 R >> >> >> endobj\n"
+            b"2 0 obj << /ToUnicode 9 0 R >> endobj\n"
+            b"9 0 obj << >>\nstream\nbegincmap 1 beginbfchar "
+            b"<58> <0059> endbfchar endcmap\nendstream endobj\n"
+            b"BT /F1 1 Tf (aXb) Tj ET\n%%EOF")
+    assert extract_pdf_document(pdf5)["text"] == "aYb"
 
 
 def test_pdf_flatedecode_streams():
