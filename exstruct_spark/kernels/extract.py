@@ -484,10 +484,20 @@ def extract_document(
             # a generator resume per node costs ~10% corpus throughput
             # — measured in the round-7 soak A/B)
             skip_until = -1
+            noscript_imgs: list = []
             for doc_idx, n in enumerate(root.iter()):
                 if doc_idx < skip_until:
                     continue
                 if n.tag in ("template", "noscript") and n.i1 > doc_idx:
+                    # <noscript> is inert in a rendered browser, but it
+                    # is the standard lazy-load FALLBACK carrier: real
+                    # pages ship `<img data-src=...><noscript><img
+                    # src=real></noscript>` so no-JS readers (and
+                    # crawlers) still see the image.  Harvest its <img>
+                    # nodes for the images family only — the subtree
+                    # stays out of every other collector.
+                    if n.tag == "noscript" and opts.include_images:
+                        noscript_imgs.extend(n.find_all("img"))
                     skip_until = n.i1
                     continue
                 bucket = get_bucket(n.tag)
@@ -703,7 +713,7 @@ def extract_document(
                     extraction["links_map"] = links
                 n_links = len(links)
 
-            if opts.include_images and groups["img"]:
+            if opts.include_images and (groups["img"] or noscript_imgs):
                 # image-text pair harvesting (the LAION-style multimodal
                 # curation input): every <img src> in document order with
                 # its alt text, the enclosing <figure>'s figcaption (the
@@ -752,6 +762,27 @@ def extract_document(
                         if v.isdigit():
                             entry[key] = int(v)
                     images.append(entry)
+                # noscript fallback images join AFTER the rendered ones,
+                # deduped by src: when the lazy <img data-src> already
+                # yielded the URL the noscript twin is a duplicate; when
+                # the rendered img was placeholder-only (JS-config lazy
+                # loading) the noscript copy is the ONLY carrier.
+                if noscript_imgs:
+                    seen_srcs = {e["src"] for e in images}
+                    for im in noscript_imgs:
+                        src = _best_image_src(im, None)
+                        if not src or src in seen_srcs:
+                            continue
+                        seen_srcs.add(src)
+                        entry = {"src": src, "noscript": True}
+                        alt = (im.attrs.get("alt") or "").strip()
+                        if alt:
+                            entry["alt"] = alt
+                        for attr, key in (("width", "w"), ("height", "h")):
+                            v = (im.attrs.get(attr) or "").strip()
+                            if v.isdigit():
+                                entry[key] = int(v)
+                        images.append(entry)
                 if images:
                     extraction["images"] = images
 

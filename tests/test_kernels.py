@@ -3638,6 +3638,51 @@ def test_responsive_image_harvesting():
     assert "/img/lazy-" in srcs[2]         # data-src, not the spacer
     assert images[0]["caption"] == "Skyline at dusk"
     assert images[2]["alt"] == "lazy boat"
+
+
+def test_noscript_fallback_images():
+    """<noscript> is the standard lazy-load FALLBACK carrier: its <img>
+    nodes join the images family (deduped against rendered srcs,
+    marked noscript:true) while the subtree stays inert for text,
+    links and every other collector."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+
+    html = (
+        "<html><body>"
+        # JS-config lazy loading: placeholder-only rendered img, the
+        # real URL ONLY inside noscript
+        "<img src='data:image/gif;base64,Q' class='lazy'>"
+        "<noscript><img src='/img/only-here.jpg' alt='photo' "
+        "width='640' height='480'></noscript>"
+        # classic pairing: data-src already yields the URL, the
+        # noscript twin is a duplicate and must NOT double-harvest
+        "<img src='data:image/gif;base64,Q' data-src='/img/pair.jpg'>"
+        "<noscript><img src='/img/pair.jpg'></noscript>"
+        # noscript text/links stay inert
+        "<noscript><p>enable JS</p><a href='/x'>x</a></noscript>"
+        "</body></html>"
+    )
+    rec = extract_document("u://n", html.encode(), ExtractOptions())
+    x = json.loads(rec["extraction_json"])
+    images = x["images"]
+    srcs = [im["src"] for im in images]
+    # rendered images first (placeholder kept as-is, data-src resolved),
+    # then the noscript-only carrier
+    assert "/img/pair.jpg" in srcs and srcs.count("/img/pair.jpg") == 1
+    only = [im for im in images if im["src"] == "/img/only-here.jpg"]
+    assert len(only) == 1 and only[0]["noscript"] is True
+    assert only[0]["alt"] == "photo" and only[0]["w"] == 640
+    assert "enable JS" not in rec["main_text"]
+    assert all("/x" not in k for k in x.get("links_map", {}))
+
+    # a page whose ONLY image lives in noscript still emits the family
+    solo = ("<html><body><noscript><img src='/solo.png'></noscript>"
+            "<p>text</p></body></html>")
+    rec2 = extract_document("u://s", solo.encode(), ExtractOptions())
+    x2 = json.loads(rec2["extraction_json"])
+    assert [im["src"] for im in x2["images"]] == ["/solo.png"]
     assert (images[2]["w"], images[2]["h"]) == (640, 480)
 
 
