@@ -50,6 +50,8 @@ _MARKER_RE = re.compile(
     r"|\.highcharts\s*\("  # jQuery plugin form: config is the FIRST arg
     r"|new\s+ApexCharts\s*\("  # config is the LAST (2nd) argument
     r"|AmCharts\s*\.\s*makeChart\s*\("  # ditto (div id, config)
+    r"|\b(?:c3|bb)\s*\.\s*generate\s*\("  # config is the ONLY argument
+    r"|new\s+FusionCharts\s*\("           # ditto
 )
 
 # Plotly's config is an ARRAY of trace objects (not a single {...}), so
@@ -172,7 +174,8 @@ def find_config_objects(script_text: str) -> list:
     out = []
     for m in _MARKER_RE.finditer(script_text or ""):
         marker = m.group(0)
-        want_first = "setOption" in marker or "highcharts" in marker
+        want_first = ("setOption" in marker or "highcharts" in marker
+                      or "generate" in marker or "FusionCharts" in marker)
         i = m.end()
         n = len(script_text)
         depth = 0
@@ -745,6 +748,161 @@ def _from_amcharts(cfg: dict) -> Optional[dict]:
         y_title = str(axes[0].get("title") or "")
         if y_title:
             out["y_axis_title"] = y_title
+    return out
+
+
+def _from_c3(cfg: dict) -> Optional[dict]:
+    """C3.js / billboard.js (``c3.generate({...})`` / ``bb.generate``):
+    COLUMN-oriented data — ``data.columns`` is a list of arrays whose
+    first element is the series name — or ``data.rows`` with a header
+    row.  ``data.x`` names the column carrying category labels;
+    ``axis.x.categories`` is the other label carrier.  ``axis.rotated``
+    flips bars horizontal.  billboard.js is the maintained fork with
+    the identical config shape."""
+    data = cfg.get("data")
+    if not isinstance(data, dict):
+        return None
+    pairs: list = []  # (name, raw values)
+    cols = data.get("columns")
+    rows = data.get("rows")
+    if isinstance(cols, list) and cols:
+        for col in cols:
+            if isinstance(col, list) and col and isinstance(col[0], str):
+                pairs.append((col[0], col[1:]))
+    elif isinstance(rows, list) and len(rows) >= 2 \
+            and isinstance(rows[0], list) \
+            and all(isinstance(h, str) for h in rows[0]):
+        body = [r for r in rows[1:] if isinstance(r, list)]
+        for j, name in enumerate(rows[0]):
+            pairs.append(
+                (name, [r[j] if j < len(r) else None for r in body]))
+    if not pairs:
+        return None
+    # label column: data.x designates one column as the category axis
+    labels: list = []
+    xname = data.get("x")
+    if isinstance(xname, str):
+        for k, (name, vals) in enumerate(pairs):
+            if name == xname:
+                labels = [str(v) for v in vals
+                          if not isinstance(v, (dict, list))]
+                pairs.pop(k)
+                break
+    axis = cfg.get("axis") if isinstance(cfg.get("axis"), dict) else {}
+    if not labels:
+        ax = axis.get("x")
+        if isinstance(ax, dict) and isinstance(ax.get("categories"), list):
+            labels = [str(c) for c in ax["categories"]
+                      if not isinstance(c, (dict, list))]
+    if not pairs:
+        return None
+    ctype = data.get("type")
+    if not isinstance(ctype, str):
+        types = data.get("types")
+        if isinstance(types, dict) and types:
+            ctype = next((t for t in types.values()
+                          if isinstance(t, str)), None)
+    ctype = ctype or "line"
+    title = ""
+    if isinstance(cfg.get("title"), dict):
+        title = str(cfg["title"].get("text") or "")
+    norm = _norm_type(ctype, horizontal=bool(axis.get("rotated")))
+    if norm == "Pie":
+        # pie/donut: each COLUMN is one slice (name, single value)
+        out = {
+            "chart_type": "Pie",
+            "title": title,
+            "labels": [name for name, _ in pairs],
+            "series": [("value",
+                        [(_numeric(vals) or [0.0])[0]
+                         for _, vals in pairs])],
+        }
+        return out
+    out = {
+        "chart_type": norm,
+        "title": title,
+        "labels": labels,
+        "series": [(name, _numeric(vals)) for name, vals in pairs],
+    }
+    ay = axis.get("y")
+    if isinstance(ay, dict):
+        lab = ay.get("label")
+        y_title = (str(lab.get("text") or "") if isinstance(lab, dict)
+                   else str(lab or ""))
+        if y_title:
+            out["y_axis_title"] = y_title
+    return out
+
+
+def _fc_num(v):
+    """FusionCharts carries values as STRINGS ('12') — coerce."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            return None
+    return None
+
+
+_FC_PREFIX_RE = re.compile(r"^(?:ms|stacked|scroll)+")
+_FC_SUFFIX_RE = re.compile(r"[23]d$")
+
+
+def _from_fusioncharts(cfg: dict) -> Optional[dict]:
+    """FusionCharts (``new FusionCharts({type, dataSource})``): the
+    single-series ``dataSource.data`` [{label, value}] form and the
+    multi-series ``categories``/``dataset`` [{seriesname, data}] form.
+    Type names carry ms/stacked prefixes and 2d/3d suffixes
+    (mscolumn2d, bar3d, doughnut2d); ``bar*`` is horizontal in this
+    dialect."""
+    ds = cfg.get("dataSource")
+    if not isinstance(ds, dict):
+        return None
+    meta = ds.get("chart") if isinstance(ds.get("chart"), dict) else {}
+    title = str(meta.get("caption") or "")
+    rawtype = str(cfg.get("type") or "").lower()
+    core = _FC_SUFFIX_RE.sub("", _FC_PREFIX_RE.sub("", rawtype)) or rawtype
+    horizontal = core.startswith("bar")
+    norm = _norm_type("bar" if horizontal else core,
+                      horizontal=horizontal)
+    y_title = str(meta.get("yAxisName") or meta.get("yaxisname") or "")
+
+    labels: list = []
+    series: list = []
+    data = ds.get("data")
+    dataset = ds.get("dataset")
+    if isinstance(data, list) and data:
+        pts = [d for d in data if isinstance(d, dict)]
+        labels = [str(d.get("label") or "") for d in pts]
+        vals = [_fc_num(d.get("value")) for d in pts]
+        series = [(y_title or "value",
+                   [v for v in vals if v is not None])]
+    elif isinstance(dataset, list) and dataset:
+        cats = ds.get("categories")
+        if isinstance(cats, list) and cats and isinstance(cats[0], dict):
+            cat = cats[0].get("category")
+            if isinstance(cat, list):
+                labels = [str(c.get("label") or "")
+                          for c in cat if isinstance(c, dict)]
+        for k, s in enumerate(dataset):
+            if not isinstance(s, dict) or not isinstance(
+                    s.get("data"), list):
+                continue
+            vals = [_fc_num(d.get("value")) for d in s["data"]
+                    if isinstance(d, dict)]
+            series.append((str(s.get("seriesname") or f"s{k}"),
+                           [v for v in vals if v is not None]))
+    if not series or not any(vals for _, vals in series):
+        return None
+    if norm == "Pie":
+        return {"chart_type": "Pie", "title": title, "labels": labels,
+                "series": [("value", series[0][1])]}
+    out = {"chart_type": norm, "title": title, "labels": labels,
+           "series": series}
+    if y_title:
+        out["y_axis_title"] = y_title
     return out
 
 
@@ -1373,7 +1531,8 @@ def charts_from_script(script_text: str) -> list:
         if not isinstance(cfg, dict):
             continue
         chart = (_from_chartjs(cfg) or _from_echarts(cfg)
-                 or _from_amcharts(cfg))
+                 or _from_amcharts(cfg) or _from_c3(cfg)
+                 or _from_fusioncharts(cfg))
         if chart is not None:
             out.append(chart)
     for traces, layout in _find_plotly_calls(script_text):

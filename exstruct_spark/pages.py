@@ -426,6 +426,65 @@ def _amcharts_chart(rng: random.Random, lang: str) -> str:
     )
 
 
+def _c3_chart(rng: random.Random, lang: str) -> str:
+    """C3.js / billboard.js config (ninth JS dialect): ``c3.generate``
+    with the dialect's marks — COLUMN-oriented ``data.columns`` whose
+    first element names the series, a ``data.x`` label column,
+    ``axis.y.label`` — plus the companion table the grid binder joins
+    against."""
+    a = [rng.randint(1, 99) for _ in range(3)]
+    b = [rng.randint(1, 99) for _ in range(3)]
+    cats = ["Jan", "Feb", "Mar"]
+    rows = "".join(
+        f"<tr><td>{cats[i]}</td><td>{a[i]}</td><td>{b[i]}</td></tr>"
+        for i in range(3)
+    )
+    return (
+        "<figure><figcaption>Monthly throughput</figcaption>"
+        "<div id='c3c'></div>"
+        "<script>var chart = c3.generate({"
+        "bindto: '#c3c',"
+        f"data: {{ x: 'month', columns: ["
+        f"['month', 'Jan', 'Feb', 'Mar'],"
+        f"['reads', {a[0]}, {a[1]}, {a[2]}],"
+        f"['writes', {b[0]}, {b[1]}, {b[2]}]"
+        "], type: 'bar' },"
+        "title: { text: 'Monthly throughput' },"
+        "axis: { y: { label: { text: 'ops' } } }"
+        "});</script>"
+        "<table><tr><th>month</th><th>reads</th><th>writes</th></tr>"
+        + rows + "</table></figure>"
+    )
+
+
+def _fusioncharts_chart(rng: random.Random, lang: str) -> str:
+    """FusionCharts config (tenth JS dialect): ``new FusionCharts({
+    type, dataSource})`` with the dialect's marks — STRING values,
+    caption/yAxisName in dataSource.chart, the single-series
+    [{label, value}] data form — plus the companion table."""
+    cats = ["North", "South", "East", "West"]
+    a = [rng.randint(10, 500) for _ in range(4)]
+    data_json = ",".join(
+        f'{{"label": "{cats[i]}", "value": "{a[i]}"}}' for i in range(4)
+    )
+    rows = "".join(
+        f"<tr><td>{cats[i]}</td><td>{a[i]}</td></tr>" for i in range(4)
+    )
+    return (
+        "<figure><figcaption>Regional sales</figcaption>"
+        "<div id='fc1'></div>"
+        "<script>FusionCharts.ready(function(){"
+        "var fc = new FusionCharts({"
+        "type: 'column2d', renderAt: 'fc1', width: '500',"
+        "dataSource: { chart: { caption: 'Regional sales',"
+        " yAxisName: 'units', theme: 'fusion' },"
+        f"data: [{data_json}] }}"
+        "}); fc.render(); });</script>"
+        "<table><tr><th>region</th><th>units</th></tr>"
+        + rows + "</table></figure>"
+    )
+
+
 def _bordered_grid(rng: random.Random, lang: str) -> str:
     """Bordered div layout with NON-uniform rows (widths 3/5/3/1): only
     the CSS-border signal (G1) detects it — the structural child-
@@ -699,7 +758,8 @@ RICH_ARCHETYPES = [
     "script_chart", "bordered_grid", "highcharts_chart", "aria_grid",
     "plotly_chart", "styled_grid", "responsive_gallery", "vegalite_chart",
     "gviz_chart", "structured_article", "styled_grid_descendant", "striped_table",
-    "divider_table", "apex_chart", "amcharts_chart",
+    "divider_table", "apex_chart", "amcharts_chart", "c3_chart",
+    "fusioncharts_chart",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -721,6 +781,8 @@ _RICH_BUILDERS = {
     "divider_table": _divider_table,
     "apex_chart": _apex_chart,
     "amcharts_chart": _amcharts_chart,
+    "c3_chart": _c3_chart,
+    "fusioncharts_chart": _fusioncharts_chart,
 }
 
 

@@ -3183,6 +3183,115 @@ def test_chartconfig_amcharts_dialect():
     assert all("y_range" in s for s in chart["series"])
 
 
+def test_chartconfig_c3_billboard_dialect():
+    """Ninth JS dialect: C3.js / billboard.js — COLUMN-oriented
+    data.columns with the series name leading each array, the data.x
+    label column, data.rows header form, axis.rotated horizontal bars,
+    per-column data.types, pie columns-as-slices — and the c3_chart
+    archetype end-to-end."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    full = charts_from_script(
+        "c3.generate({bindto: '#c',"
+        "data: { x: 'x', columns: [['x','a','b'],"
+        "['s1', 1, 2], ['s2', 3, 4]], type: 'bar' },"
+        "axis: { y: { label: { text: 'Y' } } },"
+        "title: { text: 'T' }});")
+    assert full == [{
+        "chart_type": "Column", "title": "T", "labels": ["a", "b"],
+        "series": [("s1", [1.0, 2.0]), ("s2", [3.0, 4.0])],
+        "y_axis_title": "Y"}]
+    # billboard.js fork: bb.generate, rows form, types dict, plain
+    # string axis.y.label, categories labels
+    bb = charts_from_script(
+        "bb.generate({data: {rows: [['A','B'],[10,20],[30,40]],"
+        "types: {A: 'line'}},"
+        "axis: {x: {categories: ['p','q']}, y: {label: 'vol'}}});")
+    assert bb == [{
+        "chart_type": "Line", "title": "", "labels": ["p", "q"],
+        "series": [("A", [10.0, 30.0]), ("B", [20.0, 40.0])],
+        "y_axis_title": "vol"}]
+    # rotated -> horizontal bars
+    rot = charts_from_script(
+        "c3.generate({data: {columns: [['v', 5]], type: 'bar'},"
+        "axis: {rotated: true}});")
+    assert rot[0]["chart_type"] == "Bar"
+    # pie/donut: each column is ONE slice
+    pie = charts_from_script(
+        "c3.generate({data: {columns: [['apples', 30], ['pears', 70]],"
+        "type: 'donut'}});")
+    assert pie == [{
+        "chart_type": "Pie", "title": "", "labels": ["apples", "pears"],
+        "series": [("value", [30.0, 70.0])]}]
+
+    i = RICH_ARCHETYPES.index("c3_chart")
+    page = build_rich_page(i)
+    assert page["archetype"] == "c3_chart"
+    rec = extract_document(page["url"], page["html"], ExtractOptions())
+    ex = json.loads(rec["extraction_json"])
+    chart = ex["charts"][0]
+    assert chart["chart_type"] == "Column"
+    assert chart["title"] == "Monthly throughput"
+    assert chart["y_axis_title"] == "ops"
+    assert [s["name"] for s in chart["series"]] == ["reads", "writes"]
+    assert all("y_range" in s for s in chart["series"])
+
+
+def test_chartconfig_fusioncharts_dialect():
+    """Tenth JS dialect: FusionCharts — new FusionCharts({type,
+    dataSource}), STRING values coerced, ms/stacked prefixes and
+    2d/3d suffixes stripped from type names, bar* horizontal in this
+    dialect, single-series [{label,value}] and multi-series
+    categories/dataset forms — and the fusioncharts_chart archetype
+    end-to-end."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    single = charts_from_script(
+        "var fc = new FusionCharts({type: 'column2d',"
+        "dataSource: {chart: {caption: 'Rev', yAxisName: 'M'},"
+        "data: [{label: 'a', value: '12'},"
+        "{label: 'b', value: '14.5'}]}});")
+    assert single == [{
+        "chart_type": "Column", "title": "Rev", "labels": ["a", "b"],
+        "series": [("M", [12.0, 14.5])], "y_axis_title": "M"}]
+    multi = charts_from_script(
+        "new FusionCharts({type: 'mscolumn3d', dataSource: {"
+        "chart: {caption: 'C'},"
+        "categories: [{category: [{label: 'x'}, {label: 'y'}]}],"
+        "dataset: [{seriesname: 'EU', data: [{value: '1'},"
+        "{value: '2'}]}, {seriesname: 'US', data: [{value: '3'},"
+        "{value: '4'}]}]}});")
+    assert multi == [{
+        "chart_type": "Column", "title": "C", "labels": ["x", "y"],
+        "series": [("EU", [1.0, 2.0]), ("US", [3.0, 4.0])]}]
+    # bar* is horizontal in FusionCharts; pie3d -> Pie
+    assert charts_from_script(
+        "new FusionCharts({type: 'bar2d', dataSource: {chart: {},"
+        "data: [{label: 'x', value: 3}]}});")[0]["chart_type"] == "Bar"
+    assert charts_from_script(
+        "new FusionCharts({type: 'doughnut2d', dataSource: {chart: {},"
+        "data: [{label: 'x', value: 3}]}});")[0]["chart_type"] == "Pie"
+
+    i = RICH_ARCHETYPES.index("fusioncharts_chart")
+    page = build_rich_page(i)
+    assert page["archetype"] == "fusioncharts_chart"
+    rec = extract_document(page["url"], page["html"], ExtractOptions())
+    ex = json.loads(rec["extraction_json"])
+    chart = ex["charts"][0]
+    assert chart["chart_type"] == "Column"
+    assert chart["title"] == "Regional sales"
+    assert chart["y_axis_title"] == "units"
+    assert all("y_range" in s for s in chart["series"])
+
+
 def test_make_document_roundtrip():
     """exstruct_make twin (VERDICT r5 #6): extract(make(J)) reproduces
     J's table family — rows, merged_cells, colors_map, links, caption
