@@ -9,7 +9,11 @@ Rules (deterministic, config-driven — thresholds in ``ExtractOptions``):
   1. blocks live under semantic content roots when present
      (<article>/<main>, else <body>);
   2. <nav>/<header>/<footer>/<aside> subtrees and high link-density
-     blocks are boilerplate;
+     blocks are boilerplate; so are subtrees whose class/id TOKENS
+     carry a negative hint (sidebar/comment/ad/cookie/...) without a
+     positive one (article/content/...) — the Readability signal:
+     authors label their boilerplate more reliably than any density
+     statistic detects it;
   3. a block is content iff link_density <= max_link_density and
      len(text) >= min_block_chars, OR it is a heading adjacent to kept
      content (headings ride along with their section);
@@ -26,6 +30,43 @@ from exstruct_spark.config import ExtractOptions
 from exstruct_spark.kernels.dom import RENDER_INERT, Node, is_invisible
 
 _BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside"})
+
+# Readability/Boilerpipe-style class/id hints: authors LABEL their
+# boilerplate ("sidebar", "comments", "ad", "cookie-banner") far more
+# reliably than any density statistic detects it.  TOKEN equality over
+# [-_ ]-split class/id values — a substring match would drop
+# "download"/"adventure" on the 'ad' token.  Positive tokens exempt
+# (Readability's +25/-25 scoring collapsed to: positive wins), so
+# "article-comments" stays IN only when the author also said article.
+_NEGATIVE_HINT_TOKENS = frozenset({
+    "ad", "ads", "advert", "advertisement", "advertising", "sponsor",
+    "sponsored", "promo", "sidebar", "comment", "comments", "footer",
+    "related", "share", "social", "banner", "cookie", "cookies",
+    "consent", "popup", "modal", "breadcrumb", "breadcrumbs", "pager",
+    "pagination", "widget", "disclaimer", "newsletter", "subscribe",
+    "menu", "nav", "navbar", "masthead", "skyscraper", "outbrain",
+    "taboola",
+})
+_POSITIVE_HINT_TOKENS = frozenset({
+    "article", "content", "main", "post", "entry", "body", "text",
+    "story", "blog",
+})
+def _hint_is_boilerplate(attrs: dict) -> bool:
+    """True when class/id tokens carry a negative hint and no positive
+    one.  Cheap fast path: most elements have no class/id at all."""
+    cls = attrs.get("class")
+    eid = attrs.get("id")
+    if not cls and not eid:
+        return False
+    raw = f"{cls or ''} {eid or ''}".lower()
+    toks = raw.replace("-", " ").replace("_", " ").split()
+    neg = False
+    for t in toks:
+        if t in _POSITIVE_HINT_TOKENS:
+            return False
+        if t in _NEGATIVE_HINT_TOKENS:
+            neg = True
+    return neg
 _BLOCK_TAGS = frozenset(
     {"p", "li", "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "dd", "dt"}
 )
@@ -57,7 +98,8 @@ def _collect_blocks(node: Node, out: list) -> None:
             # the same for TEXT.  Attr/inline check only on the descent
             # (cheap); class-resolved display:none is applied to block
             # nodes by the caller when a resolver exists.
-            if n.attrs and is_invisible(n.attrs):
+            if n.attrs and (is_invisible(n.attrs)
+                            or _hint_is_boilerplate(n.attrs)):
                 continue
             if n.tag in _BLOCK_TAGS:
                 out.append(n)  # block content is atomic

@@ -252,6 +252,39 @@ def test_main_text_strips_boilerplate():
     assert text.splitlines()[0] == "Title Words Here"  # heading rides along
 
 
+def test_main_text_class_id_hints():
+    """Readability-style class/id hints: negative TOKENS (sidebar,
+    comments, ad, cookie...) drop a subtree even when its density
+    stats pass; positive tokens (article/content/...) exempt; token
+    equality, not substring — 'adventure' must not match 'ad'."""
+    html = (
+        "<html><body><main>"
+        "<div class='sidebar'><p>Sidebar promo text long enough to "
+        "pass every density threshold easily here.</p></div>"
+        "<div id='comments-area'><p>Comment body long enough to pass "
+        "every density threshold easily here.</p></div>"
+        "<div class='article-comments'><p>Positive token keeps this "
+        "paragraph in the extracted main text.</p></div>"
+        "<p class='ad'>Advert paragraph long enough to pass the block "
+        "length threshold easily here.</p>"
+        "<p class='adventure'>Adventure paragraph stays: token split "
+        "must not substring-match ad.</p>"
+        "<div class='cookie-consent'><p>We use cookies banner text "
+        "long enough to pass the thresholds.</p></div>"
+        "<p>Real content paragraph long enough to pass the minimum "
+        "block chars threshold.</p>"
+        "</main></body></html>"
+    )
+    text = extract_main_text(parse_html(html), ExtractOptions())
+    assert "Real content" in text
+    assert "Adventure paragraph stays" in text
+    assert "Positive token keeps" in text
+    assert "Sidebar promo" not in text
+    assert "Comment body" not in text
+    assert "Advert paragraph" not in text
+    assert "cookies banner" not in text
+
+
 # --- fused extraction
 def test_extract_document_ok_and_fallback():
     page = (
