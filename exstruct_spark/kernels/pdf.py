@@ -334,6 +334,38 @@ _DICT_WINDOW = 512  # bytes of object dict inspected before 'stream'
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\[\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+# object streams (PDF 1.5 compressed-object storage): non-stream
+# objects — font dicts, resource dicts, page dicts — live INSIDE these
+_OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+MAX_OBJSTM_OBJECTS = 2048
+_INT_RE = re.compile(rb"\d+")
+
+
+def _objstm_objects(data: bytes, n: int, first: int) -> list:
+    """Decoded /ObjStm bytes -> [(obj_num, body_bytes)].  The stream
+    begins with N (objnum, offset) integer pairs; object bodies sit
+    back-to-back from /First.  Malformed tables yield fewer objects,
+    never an exception."""
+    if first <= 0 or first > len(data):
+        return []
+    nums = _INT_RE.findall(data[:first])
+    n = min(n, MAX_OBJSTM_OBJECTS, len(nums) // 2)
+    pairs = []
+    for i in range(n):
+        try:
+            pairs.append((int(nums[2 * i]), int(nums[2 * i + 1])))
+        except ValueError:
+            break
+    body_len = len(data) - first
+    out = []
+    for k, (objnum, off) in enumerate(pairs):
+        end = pairs[k + 1][1] if k + 1 < len(pairs) else body_len
+        if not (0 <= off <= end <= body_len):
+            continue
+        out.append((objnum, data[first + off : first + end]))
+    return out
 
 # supported filters, including the spec's inline-image abbreviations
 _FILTER_ALIASES = {
@@ -483,7 +515,7 @@ def _iter_decodable_streams(raw: bytes, stats: dict = None):
             end = raw.find(b"endstream", data_start)
             if end == -1:
                 end = len(raw)
-            yield obj_num, raw[data_start:end].rstrip(b"\r\n"), []
+            yield obj_num, raw[data_start:end].rstrip(b"\r\n"), [], None
             continue
         filters = [_FILTER_ALIASES.get(nm)
                    for nm in _NAME_RE.findall(fm.group(1))]
@@ -507,7 +539,14 @@ def _iter_decodable_streams(raw: bytes, stats: dict = None):
         end = raw.find(b"endstream", data_start)
         if end == -1:
             end = len(raw)
-        yield obj_num, raw[data_start:end].rstrip(b"\r\n"), filters
+        objstm = None
+        if _OBJSTM_TYPE_RE.search(head):
+            nm_ = _OBJSTM_N_RE.search(head)
+            fm_ = _OBJSTM_FIRST_RE.search(head)
+            if nm_ and fm_:
+                objstm = (int(nm_.group(1)), int(fm_.group(1)))
+        yield (obj_num, raw[data_start:end].rstrip(b"\r\n"), filters,
+               objstm)
 
 
 def _decode_text_streams(raw: bytes):
@@ -521,10 +560,12 @@ def _decode_text_streams(raw: bytes):
     chunks: list = []
     stats = {"decoded": 0, "corrupt": 0, "truncated": 0}
     budget = MAX_INFLATED_TOTAL
-    for obj_num, payload, filters in _iter_decodable_streams(raw, stats):
+    for obj_num, payload, filters, objstm in _iter_decodable_streams(
+            raw, stats):
         if not filters:
             chunks.append(
-                (obj_num, payload[:MAX_INFLATED_PER_STREAM], False))
+                (obj_num, payload[:MAX_INFLATED_PER_STREAM], False,
+                 objstm))
             continue
         if budget <= 0:
             stats["truncated"] += 1
@@ -539,7 +580,7 @@ def _decode_text_streams(raw: bytes):
             stats["truncated"] += 1
         budget -= len(out)
         if out:
-            chunks.append((obj_num, out, True))
+            chunks.append((obj_num, out, True, objstm))
             stats["decoded"] += 1
     return chunks, stats
 
@@ -567,15 +608,26 @@ def extract_pdf_document(raw: bytes) -> dict:
     texts: list = []
     decoded_chunks, stream_stats = _decode_text_streams(raw)
     cmaps_by_obj: dict = {}
-    for obj_num, data, _filtered in decoded_chunks:
+    # PDF 1.5 object streams: font dicts / resource dicts / page dicts
+    # commonly live INSIDE compressed /ObjStm containers where the raw
+    # scan cannot see them — re-materialize each as a numbered object
+    # so the same scans work unchanged
+    synth_parts: list = []
+    for obj_num, data, _filtered, objstm in decoded_chunks:
+        if objstm is not None:
+            for inner_num, body in _objstm_objects(data, *objstm):
+                synth_parts.append(
+                    b"%d 0 obj " % inner_num + body + b" endobj\n")
         if obj_num is None or (b"beginbfchar" not in data
                                and b"beginbfrange" not in data):
             continue
         parsed = parse_tounicode_cmap(data)
         if parsed is not None:
             cmaps_by_obj[obj_num] = parsed
+    synth = b"".join(synth_parts)
+    scan_buf = raw + b"\n" + synth if synth else raw
     font_stats: dict = {}
-    fonts = _font_cmaps(raw, cmaps_by_obj, font_stats)
+    fonts = _font_cmaps(scan_buf, cmaps_by_obj, font_stats)
 
     def _shown(body_bytes: bytes, active) -> str:
         if active is not None:
@@ -602,16 +654,20 @@ def extract_pdf_document(raw: bytes) -> dict:
                 texts.append(s)
 
     _harvest(raw)
-    for _obj, chunk, filtered in decoded_chunks:
-        if filtered:  # unfiltered bytes were already in the raw scan
+    for _obj, chunk, filtered, objstm in decoded_chunks:
+        if filtered and objstm is None:
+            # unfiltered bytes were already in the raw scan; ObjStm
+            # containers hold no content streams (spec 7.5.7)
             _harvest(chunk)
-    title_m = _TITLE_RE.search(raw)
+    title_m = _TITLE_RE.search(raw) or (
+        _TITLE_RE.search(synth) if synth else None)
     title = ""
     if title_m:
         title = (_decode_pdf_string(title_m.group(1))
                  if title_m.group(1) is not None
                  else _decode_hex_string(title_m.group(2)))
-    n_pages = len(_PAGE_RE.findall(raw))
+    n_pages = len(_PAGE_RE.findall(raw)) + (
+        len(_PAGE_RE.findall(synth)) if synth else 0)
     text = "\n".join(texts)
     out = {
         "text": text,

@@ -484,6 +484,52 @@ def test_pdf_tounicode_cmaps():
     assert extract_pdf_document(pdf5)["text"] == "aYb"
 
 
+def test_pdf_objstm_font_and_page_dicts():
+    """PDF 1.5 object streams (/Type /ObjStm): font dicts, resource
+    dicts and page dicts live INSIDE compressed containers on modern
+    PDFs — they are re-materialized as numbered objects so the
+    ToUnicode join and the /Type /Page count see them."""
+    import zlib
+
+    from exstruct_spark.kernels.pdf import extract_pdf_document
+
+    inner = [
+        (3, b"<< /Type /Font /ToUnicode 6 0 R >>"),
+        (4, b"<< /Type /Page /Resources << /Font << /F1 3 0 R >> >>"
+            b" /Contents 2 0 R >>"),
+    ]
+    offsets, bodies, pos = [], [], 0
+    for num, body in inner:
+        offsets.append((num, pos))
+        bodies.append(body)
+        pos += len(body)
+    header = b" ".join(b"%d %d" % p for p in offsets) + b" "
+    payload = header + b"".join(bodies)
+    cmap = (b"begincmap 1 begincodespacerange <00> <FF> "
+            b"endcodespacerange 1 beginbfchar <41> <05A0> "
+            b"endbfchar endcmap")
+    content = b"BT /F1 10 Tf (AAA) Tj ET"
+    pdf = (b"%PDF-1.5\n"
+           b"1 0 obj << /Type /ObjStm /N 2 /First "
+           + str(len(header)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n"
+           + zlib.compress(payload) + b"\nendstream endobj\n"
+           b"2 0 obj << /Length 1 /Filter /FlateDecode >>\nstream\n"
+           + zlib.compress(content) + b"\nendstream endobj\n"
+           b"6 0 obj << /Length 1 >>\nstream\n" + cmap
+           + b"\nendstream endobj\n%%EOF")
+    out = extract_pdf_document(pdf)
+    assert out["text"] == "֠֠֠"
+    assert out["font_stats"] == {"fonts_mapped": 1}
+    assert out["n_pages"] == 1
+
+    # corrupt ObjStm offset table: fewer objects, never an exception
+    bad = pdf.replace(b"/First " + str(len(header)).encode(),
+                      b"/First 99999")
+    r = extract_pdf_document(bad)
+    assert r["n_pages"] == 0 and "AAA" in r["text"]  # fallback decode
+
+
 def test_pdf_flatedecode_streams():
     """VERDICT r6 #3 done-criterion: FlateDecode content streams inflate
     and yield real text through the G6 route; corrupt streams skip and
