@@ -585,15 +585,26 @@ def _decode_text_streams(raw: bytes):
     return chunks, stats
 
 
-# one pass, document order: font selection interleaves with the show
-# operators it scopes (the pre-CMap per-family scan could not know
-# which font a string was shown under)
+# one pass, document order: font selection and text POSITIONING
+# interleave with the show operators they scope (the pre-CMap
+# per-family scan could not know which font a string was shown under,
+# and emitted every fragment as its own line — real generators emit
+# one Tj per fragment, so that output was vertical word soup)
 _CONTENT_OP_RE = re.compile(
-    rb"/([A-Za-z0-9.#_-]+)\s+[0-9.+-]+\s+Tf"        # 1: font select
-    rb"|\((" + _LIT + rb")\)\s*(?:Tj|'|\")"          # 2: literal show
-    rb"|<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")"            # 3: hex show
-    rb"|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ"               # 4: TJ array
+    rb"/([A-Za-z0-9.#_-]+)\s+[0-9.+-]+\s+Tf"         # 1: font select
+    rb"|\((" + _LIT + rb")\)\s*(Tj|'|\")"            # 2: literal, 3: op
+    rb"|<([0-9A-Fa-f\s]*)>\s*(Tj|'|\")"              # 4: hex, 5: op
+    rb"|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ"               # 6: TJ array
+    rb"|([0-9.+-]+)\s+([0-9.+-]+)\s+T[dD]\b"         # 7: tx, 8: ty
+    rb"|(?:[0-9.+-]+\s+){6}Tm\b"                     # text matrix reset
+    rb"|T\*|\bBT\b|\bET\b"                           # line adv / text obj
 )
+# TJ numeric kerning below this (thousandths of em, negative = widen)
+# is a WORD gap: generators emit word spacing as kern adjustments
+# (-250..-300 typical); intra-word kerns sit in -10..-120
+_TJ_WORD_KERN = -180.0
+_TJ_ITEM_RE = re.compile(
+    rb"\((" + _LIT + rb")\)|<([0-9A-Fa-f\s]*)>|(-?[0-9.]+)")
 
 
 def extract_pdf_document(raw: bytes) -> dict:
@@ -635,23 +646,64 @@ def extract_pdf_document(raw: bytes) -> dict:
         return _bytes_to_text(body_bytes)
 
     def _harvest(buf: bytes) -> None:
+        """LINE assembly: consecutive show fragments join (real
+        generators emit one Tj per fragment); Td/TD with a vertical
+        move, T*, Tm, BT/ET and the ' / \" move-and-show operators
+        break lines; a pure horizontal Td inserts a space; TJ kern
+        adjustments beyond the word threshold insert spaces.  Not a
+        layout engine — a reading-order heuristic (pdftotext-style)."""
         active = None  # font state resets per content stream
+        line: list = []
+
+        def _flush() -> None:
+            s = "".join(line)
+            line.clear()
+            if s.strip():
+                texts.append(s)
+
         for m in _CONTENT_OP_RE.finditer(buf):
             if m.group(1) is not None:
                 active = fonts.get(m.group(1).decode("latin-1"))
                 continue
-            if m.group(2) is not None:
-                s = _shown(_decode_pdf_string_bytes(m.group(2)), active)
-            elif m.group(3) is not None:
-                s = _shown(_hex_body_bytes(m.group(3)), active)
-            else:
-                s = "".join(
-                    _shown(_decode_pdf_string_bytes(x.group(1)), active)
-                    if x.group(1) is not None
-                    else _shown(_hex_body_bytes(x.group(2)), active)
-                    for x in _STR_IN_ARRAY_RE.finditer(m.group(4)))
-            if s.strip():
-                texts.append(s)
+            if m.group(7) is not None:  # Td/TD text positioning
+                try:
+                    tx, ty = float(m.group(7)), float(m.group(8))
+                except ValueError:
+                    tx = ty = 0.0
+                if ty != 0.0:
+                    _flush()
+                elif tx != 0.0 and line:
+                    line.append(" ")
+                continue
+            if m.group(2) is not None or m.group(4) is not None:
+                if m.group(2) is not None:
+                    op = m.group(3)
+                    s = _shown(_decode_pdf_string_bytes(m.group(2)),
+                               active)
+                else:
+                    op = m.group(5)
+                    s = _shown(_hex_body_bytes(m.group(4)), active)
+                if op != b"Tj":  # ' and " move to the next line first
+                    _flush()
+                line.append(s)
+                continue
+            if m.group(6) is not None:  # TJ array with kerning
+                for x in _TJ_ITEM_RE.finditer(m.group(6)):
+                    if x.group(1) is not None:
+                        line.append(_shown(
+                            _decode_pdf_string_bytes(x.group(1)), active))
+                    elif x.group(2) is not None:
+                        line.append(_shown(
+                            _hex_body_bytes(x.group(2)), active))
+                    else:
+                        try:
+                            if float(x.group(3)) <= _TJ_WORD_KERN:
+                                line.append(" ")
+                        except ValueError:
+                            pass
+                continue
+            _flush()  # T*, Tm, BT, ET
+        _flush()
 
     _harvest(raw)
     for _obj, chunk, filtered, objstm in decoded_chunks:

@@ -398,12 +398,12 @@ def test_pdf_string_forms():
            b"2 0 obj\n<< /Title <FEFF00480069> /Type /Page >>\nendobj\n"
            b"%%EOF")
     out = extract_pdf_document(pdf)
-    # harvest order is DOCUMENT order (one interleaved operator scan —
-    # the ToUnicode font tracking requires it, and it is the real
-    # reading order); still a bag-of-text recovery, not a layout engine
+    # document-order scan with LINE assembly: consecutive Tj fragments
+    # join into one line (real generators emit one Tj per fragment);
+    # the ' and " operators move to the next line before showing
     assert out["text"].splitlines() == [
-        "Hello (nested) world", "Hello hex", "line one",
-        "quoted show", "arr  hex!", "H`"]  # <486> pads to 0x48 0x60
+        "Hello (nested) worldHello hex", "line one",
+        "quoted showarr  hex!H`"]  # <486> pads to 0x48 0x60
     assert out["title"] == "Hi"          # UTF-16BE BOM hex title
     assert out["n_pages"] == 1 and out["approximation_level"] == 1
     # endstream must not re-match as a stream keyword (corrupt stays 0)
@@ -413,6 +413,30 @@ def test_pdf_string_forms():
     # UTF-16BE literal string via escapes decodes through the BOM path
     lit = (b"%PDF-1.4\nBT (\xfe\xff\x00H\x00i) Tj ET\n%%EOF")
     assert extract_pdf_document(lit)["text"] == "Hi"
+
+
+def test_pdf_line_assembly():
+    """Reading-order line assembly (pdftotext-style heuristic):
+    fragments split mid-word by kerning join with no separator; TJ
+    kern adjustments beyond the word threshold (-180/1000 em) insert
+    spaces; Td/TD with a vertical move, T* and Tm break lines; a pure
+    horizontal Td inserts a space."""
+    from exstruct_spark.kernels.pdf import extract_pdf_document
+
+    content = (b"BT "
+               b"[(Hel) -20 (lo) -250 (world)] TJ "  # kern: word gap
+               b"0 -14 Td (next line) Tj "           # vertical move
+               b"12 0 Td (same line) Tj "            # horizontal move
+               b"T* (after star) Tj "
+               b"1 0 0 1 72 500 Tm (after matrix) Tj "
+               b"ET")
+    out = extract_pdf_document(b"%PDF-1.4\n" + content + b"\n%%EOF")
+    assert out["text"].splitlines() == [
+        "Hello world",            # -20 intra-word, -250 word gap
+        "next line same line",    # Td(0,-14) breaks, Td(12,0) spaces
+        "after star",
+        "after matrix",
+    ]
 
 
 def test_pdf_tounicode_cmaps():
@@ -433,7 +457,7 @@ def test_pdf_tounicode_cmaps():
             b"endcodespacerange\n3 beginbfchar\n<01> <0048>\n"
             b"<02> <00E9>\n<03> <006C>\nendbfchar\n"
             b"1 beginbfrange\n<04> <05> <006C>\nendbfrange\nendcmap")
-    content = b"BT /F1 12 Tf (\x01\x02\x03\x04) Tj <05> Tj ET"
+    content = b"BT /F1 12 Tf (\x01\x02\x03\x04) Tj T* <05> Tj ET"
     pdf = (b"%PDF-1.4\n"
            b"1 0 obj << /Type /Page /Resources << /Font "
            b"<< /F1 5 0 R >> >> /Contents 2 0 R >> endobj\n"
