@@ -906,6 +906,152 @@ def _from_fusioncharts(cfg: dict) -> Optional[dict]:
     return out
 
 
+_DYGRAPH_RE = re.compile(r"new\s+Dygraph\s*\(")
+
+
+def _scan_concat_strings(s: str, i: int):
+    """``i`` at a quote char: read ``'lit' (+ 'lit')*`` -> (joined,
+    next_i).  Dygraphs pages ship their CSV as a chain of string
+    literals joined with ``+`` across source lines."""
+    parts: list = []
+    n = len(s)
+    while i < n and s[i] in "\"'`":
+        j = _scan_string(s, i)
+        parts.append(_decode_js_string(s[i + 1 : j - 1]))
+        i = j
+        k = _skip_ws(s, i)
+        if k < n and s[k] == "+":
+            k2 = _skip_ws(s, k + 1)
+            if k2 < n and s[k2] in "\"'`":
+                i = k2
+                continue
+        break
+    return "".join(parts), i
+
+
+def _find_dygraph_calls(script_text: str) -> list:
+    """Every ``new Dygraph(el, data, opts?)`` call -> (data, opts)
+    where data is either the joined CSV string or the parsed
+    array-of-arrays.  Same skipping discipline as the other finders."""
+    out = []
+    s = script_text or ""
+    n = len(s)
+    for m in _DYGRAPH_RE.finditer(s):
+        i = m.end()
+        depth = 0
+        prev = None
+        data = None
+        opts = None
+        while i < n:
+            ch = s[i]
+            if ch in "\"'`":
+                if depth == 0 and data is None:
+                    data, i = _scan_concat_strings(s, i)
+                    prev = '"'
+                    continue
+                i = _scan_string(s, i)
+                prev = '"'
+                continue
+            if ch == "/":
+                i = _slash(s, i, prev)
+                prev = "/"
+                continue
+            if (
+                ch == "f"
+                and s.startswith("function", i)
+                and not (prev and (prev.isalnum() or prev in "_$"))
+                and _IDENT_RE.match(s, i).group(0) == "function"
+            ):
+                i = max(_skip_function_value(s, i), i + 1)
+                prev = ")"
+                continue
+            if ch == "=" and s[i + 1 : i + 2] == ">":
+                i = max(_skip_function_value(s, i), i + 2)
+                prev = ")"
+                continue
+            if depth == 0 and ch == "[" and data is None:
+                data, j = parse_js_value(s, i)
+                i = max(j, i + 1)
+                prev = "]"
+                continue
+            if depth == 0 and ch == "{" and data is not None:
+                opts, j = parse_js_value(s, i)
+                i = max(j, i + 1)
+                prev = "}"
+                break
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            prev = ch if not ch.isspace() else prev
+            i += 1
+        if data is not None:
+            out.append((data, opts if isinstance(opts, dict) else {}))
+    return out
+
+
+def _from_dygraph(data, opts: dict) -> Optional[dict]:
+    """Dygraphs (time-series Line library): data is a CSV STRING whose
+    header names the x column + series, or an array-of-arrays with
+    names in ``opts.labels``.  ``title``/``ylabel`` map directly."""
+    labels: list = []
+    series_names: list = []
+    cols: list = []
+    if isinstance(data, str):
+        lines = [ln.strip() for ln in data.strip().splitlines()
+                 if ln.strip()]
+        if len(lines) < 2:
+            return None
+        header = [h.strip() for h in lines[0].split(",")]
+        if len(header) < 2:
+            return None
+        body = [ln.split(",") for ln in lines[1:]]
+        series_names = header[1:]
+        labels = [r[0].strip() for r in body if r]
+        for c in range(1, len(header)):
+            vals = []
+            for r in body:
+                if c < len(r):
+                    try:
+                        vals.append(float(r[c]))
+                    except ValueError:
+                        pass
+            cols.append(vals)
+    elif isinstance(data, list) and data:
+        rows = [r for r in data if isinstance(r, list) and r]
+        if not rows:
+            return None
+        names = opts.get("labels")
+        width = max(len(r) for r in rows)
+        if isinstance(names, list) and len(names) >= 2:
+            series_names = [str(x) for x in names[1:]]
+        else:
+            series_names = [f"s{k}" for k in range(width - 1)]
+        labels = [str(r[0]) for r in rows]
+        for c in range(1, width):
+            cols.append(_numeric([r[c] if c < len(r) else None
+                                  for r in rows]))
+    else:
+        return None
+    series = [(series_names[k] if k < len(series_names) else f"s{k}", v)
+              for k, v in enumerate(cols)]
+    series = [p for p in series if p[1]]
+    if not series:
+        return None
+    out = {
+        "chart_type": "Line",  # dygraphs draws time-series lines
+        "title": str(opts.get("title") or ""),
+        "labels": labels,
+        "series": series,
+    }
+    yl = opts.get("ylabel")
+    if isinstance(yl, str) and yl:
+        out["y_axis_title"] = yl
+    return out
+
+
 def _find_plotly_calls(script_text: str) -> list:
     """Every ``Plotly.newPlot/react/plot`` call -> (traces, layout)
     parsed values — the traces are the first top-level ``[...]``
@@ -1537,6 +1683,10 @@ def charts_from_script(script_text: str) -> list:
             out.append(chart)
     for traces, layout in _find_plotly_calls(script_text):
         chart = _from_plotly(traces, layout)
+        if chart is not None:
+            out.append(chart)
+    for data, opts in _find_dygraph_calls(script_text):
+        chart = _from_dygraph(data, opts)
         if chart is not None:
             out.append(chart)
     for spec in _find_vegalite_specs(script_text):

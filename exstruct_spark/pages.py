@@ -485,6 +485,33 @@ def _fusioncharts_chart(rng: random.Random, lang: str) -> str:
     )
 
 
+def _dygraph_chart(rng: random.Random, lang: str) -> str:
+    """Dygraphs config (eleventh JS dialect): ``new Dygraph(el, csv,
+    opts)`` with the dialect's mark — the data is a CSV STRING built
+    from '+'-joined literals — plus the companion table."""
+    a = [rng.randint(50, 90) for _ in range(3)]
+    b = [rng.randint(10, 40) for _ in range(3)]
+    dates = ["2020-01-01", "2020-01-02", "2020-01-03"]
+    rows = "".join(
+        f"<tr><td>{dates[i]}</td><td>{a[i]}</td><td>{b[i]}</td></tr>"
+        for i in range(3)
+    )
+    csv_lines = "".join(
+        f"    '{dates[i]},{a[i]},{b[i]}\\n' +\n" for i in range(3)
+    ).rstrip("+\n ")
+    return (
+        "<figure><figcaption>Station readings</figcaption>"
+        "<div id='dg1'></div>"
+        "<script>g = new Dygraph(document.getElementById('dg1'),\n"
+        "    'Date,High,Low\\n' +\n"
+        f"{csv_lines},\n"
+        "    { title: 'Station readings', ylabel: 'deg F' });"
+        "</script>"
+        "<table><tr><th>date</th><th>high</th><th>low</th></tr>"
+        + rows + "</table></figure>"
+    )
+
+
 def _bordered_grid(rng: random.Random, lang: str) -> str:
     """Bordered div layout with NON-uniform rows (widths 3/5/3/1): only
     the CSS-border signal (G1) detects it — the structural child-
@@ -759,7 +786,7 @@ RICH_ARCHETYPES = [
     "plotly_chart", "styled_grid", "responsive_gallery", "vegalite_chart",
     "gviz_chart", "structured_article", "styled_grid_descendant", "striped_table",
     "divider_table", "apex_chart", "amcharts_chart", "c3_chart",
-    "fusioncharts_chart",
+    "fusioncharts_chart", "dygraph_chart",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -783,6 +810,7 @@ _RICH_BUILDERS = {
     "amcharts_chart": _amcharts_chart,
     "c3_chart": _c3_chart,
     "fusioncharts_chart": _fusioncharts_chart,
+    "dygraph_chart": _dygraph_chart,
 }
 
 

@@ -3395,6 +3395,51 @@ def test_chartconfig_fusioncharts_dialect():
     assert all("y_range" in s for s in chart["series"])
 
 
+def test_chartconfig_dygraph_dialect():
+    """Eleventh JS dialect: Dygraphs — data is a CSV STRING ('+'-joined
+    literals) with the header naming x + series, or an array-of-arrays
+    with opts.labels; title/ylabel map directly; always Line — and the
+    dygraph_chart archetype end-to-end."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+
+    csv = charts_from_script(
+        "g = new Dygraph(document.getElementById('d'),\n"
+        "  'Date,Temp,Pressure\\n' +\n"
+        "  '2008-05-07,75,100\\n' +\n"
+        "  '2008-05-08,70,80\\n',\n"
+        "  { title: 'Weather', ylabel: 'F', legend: 'always' });")
+    assert csv == [{
+        "chart_type": "Line", "title": "Weather",
+        "labels": ["2008-05-07", "2008-05-08"],
+        "series": [("Temp", [75.0, 70.0]), ("Pressure", [100.0, 80.0])],
+        "y_axis_title": "F"}]
+    arr = charts_from_script(
+        "new Dygraph(el, [[1, 10, 5], [2, 20, 6]],"
+        " {labels: ['x', 'A', 'B']});")
+    assert arr == [{
+        "chart_type": "Line", "title": "", "labels": ["1", "2"],
+        "series": [("A", [10.0, 20.0]), ("B", [5.0, 6.0])]}]
+    # optionless call; ragged CSV rows drop the missing cells only
+    bare = charts_from_script('new Dygraph(el, "x,y\\n1,2\\n3\\n4,5\\n");')
+    assert bare[0]["series"] == [("y", [2.0, 5.0])]
+
+    i = RICH_ARCHETYPES.index("dygraph_chart")
+    page = build_rich_page(i)
+    assert page["archetype"] == "dygraph_chart"
+    rec = extract_document(page["url"], page["html"], ExtractOptions())
+    ex = json.loads(rec["extraction_json"])
+    chart = ex["charts"][0]
+    assert chart["chart_type"] == "Line"
+    assert chart["title"] == "Station readings"
+    assert chart["y_axis_title"] == "deg F"
+    assert [s["name"] for s in chart["series"]] == ["High", "Low"]
+    assert all("y_range" in s for s in chart["series"])
+
+
 def test_make_document_roundtrip():
     """exstruct_make twin (VERDICT r5 #6): extract(make(J)) reproduces
     J's table family — rows, merged_cells, colors_map, links, caption
