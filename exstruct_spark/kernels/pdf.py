@@ -7,11 +7,16 @@ deployment would plug pypdfium2/pdfminer here; this environment has no
 PDF library, so this kernel extracts only what is recoverable WITHOUT
 one, and marks the result as an approximation:
 
-  * uncompressed text-showing operators: ``(string) Tj``, the ``'`` /
-    ``"`` move-and-show variants, ``<hex> Tj`` hex strings and
-    ``[(s1) <s2>] TJ`` arrays — PDF string escapes decoded, one level
-    of balanced unescaped parens accepted, odd hex digits zero-padded,
-    and a UTF-16BE BOM selecting UTF-16 (non-Latin titles/text);
+  * text-showing operators: ``(string) Tj``, the ``'`` / ``"``
+    move-and-show variants, ``<hex> Tj`` hex strings and ``[(s1)
+    <s2>] TJ`` arrays — PDF string escapes decoded, one level of
+    balanced unescaped parens accepted, odd hex digits zero-padded,
+    and a UTF-16BE BOM selecting UTF-16 (non-Latin titles/text) —
+    assembled into READING-ORDER LINES: consecutive fragments join
+    (real generators emit one Tj per fragment), Td/TD vertical moves
+    / T* / Tm / BT / ET break lines, a pure horizontal Td inserts a
+    space, and TJ kern adjustments beyond -180/1000 em insert word
+    spaces (a pdftotext-style heuristic, not a layout engine);
   * compressed content streams (VERDICT r6 #3): ``stream…endstream``
     blocks whose object dictionary declares a fully-supported filter
     pipeline — ``/FlateDecode`` (zlib, stdlib), ``/LZWDecode`` (PDF
@@ -28,6 +33,11 @@ one, and marks the result as an approximation:
   * document metadata from the /Info dictionary (Title, Author) when
     stored as plain literal strings;
   * page count from ``/Type /Page`` occurrences;
+  * PDF 1.5 object streams (``/Type /ObjStm``): decoded containers'
+    (objnum, offset) tables are parsed and each inner object is
+    re-materialized as ``N 0 obj … endobj`` so the font join, /Title
+    and page-count scans see objects that modern writers store ONLY
+    inside compressed containers;
   * ``/ToUnicode`` CMaps (spec 9.10.3): font objects carrying a
     ``/ToUnicode N 0 R`` reference are joined to the CMap stream with
     that object number, the CMap's ``bfchar``/``bfrange`` sections are
@@ -54,14 +64,10 @@ import zlib
 
 # literal string body: escapes plus ONE level of balanced unescaped
 # parens — "(a (b) c) Tj" is legal PDF; deeper nesting degrades to a
-# shorter match, never a crash.  Text-showing operators: Tj, and the
-# ' / " move-and-show variants real writers emit for line-by-line text
+# shorter match, never a crash.  (The show-operator scan itself lives
+# in _CONTENT_OP_RE below — one interleaved pass with font selection
+# and positioning.)
 _LIT = rb"(?:[^()\\]|\\.|\((?:[^()\\]|\\.)*\))*"
-_TJ_RE = re.compile(rb"\((" + _LIT + rb")\)\s*(?:Tj|'|\")")
-_HEX_TJ_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")")
-_TJ_ARRAY_RE = re.compile(rb"\[((?:[^\[\]\\]|\\.)*)\]\s*TJ")
-_STR_IN_ARRAY_RE = re.compile(
-    rb"\((" + _LIT + rb")\)|<([0-9A-Fa-f\s]*)>")
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _TITLE_RE = re.compile(rb"/Title\s*(?:\((" + _LIT
                        + rb")\)|<([0-9A-Fa-f\s]*)>)")
