@@ -463,7 +463,7 @@ def extract_document(
                 t: []
                 for t in ("body", "title", "table", "figure", "svg", "a",
                           "script", "img", "style", "picture", "base",
-                          "meta", "link")
+                          "meta", "link", "time")
             }
             # ul/ol (and section/article) share buckets so document order
             # across kinds is preserved (outer-before-inner claiming)
@@ -799,7 +799,8 @@ def extract_document(
                 entities.extend(from_rdfa(root, rdfa_scopes))
                 if entities:
                     extraction["structured_data"] = entities
-                page_meta = from_meta_tags(groups["meta"], groups["link"])
+                page_meta = from_meta_tags(groups["meta"], groups["link"],
+                                           groups["time"])
                 # the document's DECLARED language (<html lang>) — the
                 # cheap complement to content-based doc_langid for a
                 # curation pipeline; author-declared, so page_meta is

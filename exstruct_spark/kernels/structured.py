@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import math
+import re
 
 from exstruct_spark.kernels.dom import Node
 
@@ -291,11 +292,28 @@ _META_NAMES = {"description", "keywords", "author", "robots",
 MAX_META = 32
 
 
-def from_meta_tags(meta_nodes: list, link_nodes: list) -> dict:
+# meta-refresh: "5; url=/new" (quote and case variants)
+_REFRESH_URL_RE = re.compile(r"url\s*=\s*['\"]?([^'\"\s;]+)", re.I)
+# link-rel keys a crawl pipeline navigates on: canonical (dedup
+# authority), amphtml (the AMP twin is a near-dup of the canonical —
+# a dedup join key), next/prev (pagination chains), icon
+_LINK_REL_KEYS = {"canonical": "canonical", "amphtml": "amphtml",
+                  "next": "next", "prev": "prev", "icon": "icon"}
+_FEED_TYPES = {"application/rss+xml", "application/atom+xml",
+               "application/feed+json"}
+
+
+def from_meta_tags(meta_nodes: list, link_nodes: list,
+                   time_nodes: list = ()) -> dict:
     """``<meta>``/``<link>`` head metadata -> one flat dict: OpenGraph
     (``og:*`` / ``article:*`` properties), Twitter cards, the classic
-    description/keywords/author names, and the canonical link.  First
-    occurrence wins (the browser rule for duplicated metadata);
+    description/keywords/author names, plus the CRAWL-NAVIGATION
+    signals a pipeline joins on — canonical, the AMP twin
+    (rel=amphtml), pagination (rel=next/prev), the first feed
+    alternate (rss/atom/json-feed), rel=icon, meta-refresh redirect
+    targets, and the first ``<time datetime>`` value (the common
+    publication-date carrier when og/article dates are absent).
+    First occurrence wins (the browser rule for duplicated metadata);
     key/value caps bound hostile heads."""
     out: dict = {}
     for m in meta_nodes:
@@ -304,6 +322,12 @@ def from_meta_tags(meta_nodes: list, link_nodes: list) -> dict:
         attrs = m.attrs
         content = attrs.get("content")
         if not content:
+            continue
+        equiv = (attrs.get("http-equiv") or "").strip().lower()
+        if equiv == "refresh" and "refresh" not in out:
+            um = _REFRESH_URL_RE.search(str(content))
+            if um:
+                out["refresh"] = um.group(1)[:MAX_VALUE_CHARS]
             continue
         key = (attrs.get("property") or "").strip().lower()
         if not (key.startswith("og:") or key.startswith("article:")):
@@ -315,13 +339,29 @@ def from_meta_tags(meta_nodes: list, link_nodes: list) -> dict:
             out[key] = " ".join(str(content).split())[:MAX_VALUE_CHARS]
     for ln in link_nodes:
         if len(out) >= MAX_META:
-            break  # the cap holds for the canonical insert too (ADVICE
+            break  # the cap holds for every link insert too (ADVICE
             # r6: appending after the meta loop's check could exceed
             # MAX_META by one on a hostile head)
-        rel = (ln.attrs.get("rel") or "").strip().lower()
-        href = (ln.attrs.get("href") or "").strip()
-        if rel == "canonical" and href and "canonical" not in out:
-            out["canonical"] = href[:MAX_VALUE_CHARS]
+        attrs = ln.attrs
+        rels = (attrs.get("rel") or "").strip().lower().split()
+        href = (attrs.get("href") or "").strip()
+        if not rels or not href:
+            continue
+        if "alternate" in rels:
+            ltype = (attrs.get("type") or "").strip().lower()
+            if ltype in _FEED_TYPES and "feed" not in out:
+                out["feed"] = href[:MAX_VALUE_CHARS]
+            continue  # hreflang alternates live in from_link_alternates
+        for rel in rels:
+            key = _LINK_REL_KEYS.get(rel)
+            if key and key not in out:
+                out[key] = href[:MAX_VALUE_CHARS]
+    for tn in time_nodes:
+        if len(out) >= MAX_META or "time:datetime" in out:
+            break
+        dt = (tn.attrs.get("datetime") or "").strip()
+        if dt:
+            out["time:datetime"] = dt[:MAX_VALUE_CHARS]
     return out
 
 

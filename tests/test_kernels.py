@@ -3499,6 +3499,56 @@ def test_make_document_roundtrip():
     assert "keep" in html and len(html) < 10_000
 
 
+def test_crawl_navigation_metadata():
+    """page_meta crawl-navigation signals: meta-refresh redirect
+    targets, rel=amphtml (the AMP near-dup twin — a dedup join key),
+    rel=next/prev pagination, the first feed alternate, rel=icon
+    (multi-token 'shortcut icon' too), and the first <time datetime>
+    (the publication-date carrier when og/article dates are absent).
+    hreflang alternates stay in their own family."""
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+
+    html = (
+        "<html><head>"
+        "<meta http-equiv='refresh' content=\"3; URL='/moved'\">"
+        "<link rel='canonical' href='https://ex.com/a'>"
+        "<link rel='amphtml' href='https://ex.com/a/amp'>"
+        "<link rel='next' href='/a?page=2'>"
+        "<link rel='prev' href='/a?page=0'>"
+        "<link rel='alternate' type='application/rss+xml'"
+        " href='/feed.xml'>"
+        "<link rel='alternate' type='application/atom+xml'"
+        " href='/second-feed.xml'>"
+        "<link rel='alternate' hreflang='de' href='/de/a'>"
+        "<link rel='shortcut icon' href='/favicon.ico'>"
+        "</head><body><article>"
+        "<time datetime='2021-05-04T08:00:00Z'>May 4</time>"
+        "<time datetime='2022-01-01'>later, ignored</time>"
+        "<p>Long enough content paragraph for the block threshold.</p>"
+        "</article></body></html>"
+    )
+    rec = extract_document("u://m", html.encode(), ExtractOptions())
+    x = json.loads(rec["extraction_json"])
+    pm = x["page_meta"]
+    assert pm["refresh"] == "/moved"
+    assert pm["amphtml"] == "https://ex.com/a/amp"
+    assert pm["next"] == "/a?page=2" and pm["prev"] == "/a?page=0"
+    assert pm["feed"] == "/feed.xml"          # first feed wins
+    assert pm["icon"] == "/favicon.ico"
+    assert pm["time:datetime"] == "2021-05-04T08:00:00Z"
+    assert pm["canonical"] == "https://ex.com/a"
+    # hreflang alternates keep their own family, not page_meta
+    assert x["alternates"] == [{"hreflang": "de", "href": "/de/a"}]
+    # refresh without a url= part yields no key
+    plain = extract_document(
+        "u://r", b"<head><meta http-equiv='refresh' content='30'>"
+        b"</head>", ExtractOptions())
+    assert "refresh" not in json.loads(
+        plain["extraction_json"]).get("page_meta", {})
+
+
 def test_structured_data_harvesting():
     """schema.org structured data (round 6): JSON-LD entities incl.
     nested @type objects and @graph, microdata items with the
