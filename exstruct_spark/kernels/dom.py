@@ -533,6 +533,14 @@ def decode_html_bytes(raw: bytes) -> str:
     """
     if not raw:
         return ""
+    # BOMs first: a UTF-16 page never survives the utf-8 try, and its
+    # NUL-interleaved bytes hide the meta charset from the sniff below
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", errors="replace")
+    if raw[:2] == b"\xff\xfe":
+        return raw[2:].decode("utf-16-le", errors="replace")
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:

@@ -99,6 +99,15 @@ def test_decode_html_bytes():
     assert decode_html_bytes(b"") == ""
     latin = "caf\xe9".encode("latin-1")
     assert "caf" in decode_html_bytes(latin)
+    # BOMs: UTF-16 never survives the utf-8 try and its NUL-interleaved
+    # bytes hide the meta charset from the sniff — BOM check comes first
+    s = "<p>héllo wörld</p>"
+    assert decode_html_bytes(b"\xff\xfe" + s.encode("utf-16-le")) == s
+    assert decode_html_bytes(b"\xfe\xff" + s.encode("utf-16-be")) == s
+    assert decode_html_bytes(b"\xef\xbb\xbf" + s.encode("utf-8")) == s
+    # meta-declared legacy charset still sniffs
+    sj = '<meta charset="shift_jis"><p>テスト</p>'
+    assert decode_html_bytes(sj.encode("shift_jis")) == sj
 
 
 def test_strip_tags_text():
