@@ -46,12 +46,14 @@ import re
 from typing import Optional
 
 _MARKER_RE = re.compile(
-    r"new\s+Chart\s*\(|\.setOption\s*\(|Highcharts\s*\.\s*chart\s*\("
+    r"new\s+Chart\s*\(|\.setOption\s*\("
+    r"|Highcharts\s*\.\s*(?:chart|stockChart|mapChart)\s*\("
     r"|\.highcharts\s*\("  # jQuery plugin form: config is the FIRST arg
     r"|new\s+ApexCharts\s*\("  # config is the LAST (2nd) argument
     r"|AmCharts\s*\.\s*makeChart\s*\("  # ditto (div id, config)
     r"|\b(?:c3|bb)\s*\.\s*generate\s*\("  # config is the ONLY argument
     r"|new\s+FusionCharts\s*\("           # ditto
+    r"|am4core\s*\.\s*createFromConfig\s*\("  # config is the FIRST arg
 )
 
 # Plotly's config is an ARRAY of trace objects (not a single {...}), so
@@ -175,7 +177,8 @@ def find_config_objects(script_text: str) -> list:
     for m in _MARKER_RE.finditer(script_text or ""):
         marker = m.group(0)
         want_first = ("setOption" in marker or "highcharts" in marker
-                      or "generate" in marker or "FusionCharts" in marker)
+                      or "generate" in marker or "FusionCharts" in marker
+                      or "createFromConfig" in marker)
         i = m.end()
         n = len(script_text)
         depth = 0
@@ -472,20 +475,28 @@ _TYPE_MAP = {
 }
 
 
+def _num(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
 def _numeric(values) -> list:
     out = []
     for v in values or []:
-        if isinstance(v, (int, float)) and not isinstance(v, bool):
+        if _num(v):
             out.append(float(v))
         elif isinstance(v, dict):
             # Chart.js point objects {x, y}; ECharts item objects
             # {value, name} (the pie/named-datum shape)
             for k in ("y", "value"):
-                if isinstance(v.get(k), (int, float)) and not isinstance(
-                    v.get(k), bool
-                ):
+                if _num(v.get(k)):
                     out.append(float(v[k]))
                     break
+        elif isinstance(v, list) and len(v) >= 2 \
+                and _num(v[0]) and _num(v[1]):
+            # [x, y] pair rows (Highcharts/stockChart time series,
+            # ECharts value-axis scatter/line; triples carry size in
+            # [2]) — the y value is index 1
+            out.append(float(v[1]))
     return out
 
 
@@ -627,6 +638,11 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
         series.append((str(name or f"s{k}"), data))
     if not series:
         return None
+    if not any(vals for _, vals in series):
+        # every series empty: either a placeholder config (no signal)
+        # or another dialect that happens to carry a 'series' key
+        # (amCharts v4 dataFields) — let the later parsers try it
+        return None
     # cfg['chart']['type'] is the HIGHCHARTS-only location — there 'bar'
     # means HORIZONTAL bars (Chart.js/ECharts 'bar' is vertical), so the
     # dialect is known and the orientation can be mapped correctly
@@ -673,7 +689,10 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
         horizontal = bool(po_bar.get("horizontal")) \
             if isinstance(po_bar, dict) else False
     out = {
-        "chart_type": _norm_type(stype, horizontal=horizontal),
+        # an untyped series-dialect config is the Highcharts idiom
+        # (ECharts requires series.type) — 'line' is that dialect's
+        # documented default
+        "chart_type": _norm_type(stype or "line", horizontal=horizontal),
         "title": title,
         "labels": labels,
         "series": series,
@@ -749,6 +768,81 @@ def _from_amcharts(cfg: dict) -> Optional[dict]:
         if y_title:
             out["y_axis_title"] = y_title
     return out
+
+
+def _from_amcharts4(cfg: dict) -> Optional[dict]:
+    """amCharts v4 JSON-config form (``am4core.createFromConfig(cfg,
+    div, type)``): row ``data`` + ``series[].dataFields`` naming the
+    value/category columns — ``{valueY, categoryX}`` for vertical
+    charts, ``{valueX, categoryY}`` horizontal, ``{value, category}``
+    pie.  The imperative v4 API (pushing series in code) has no config
+    object to read and stays out of scope."""
+    data = cfg.get("data")
+    series_cfg = cfg.get("series")
+    if not isinstance(data, list) or not isinstance(series_cfg, list) \
+            or not series_cfg:
+        return None
+    rows = [r for r in data if isinstance(r, dict)]
+    if not rows:
+        return None
+    title = ""
+    titles = cfg.get("titles")
+    if isinstance(titles, list) and titles and isinstance(titles[0], dict):
+        title = str(titles[0].get("text") or "")
+
+    def _col(field):
+        return [float(r[field]) for r in rows if _num(r.get(field))]
+
+    def _labels(field):
+        return [str(r.get(field) or "") for r in rows]
+
+    series = []
+    labels: list = []
+    gtype = None
+    horizontal = False
+    for k, s in enumerate(series_cfg):
+        if not isinstance(s, dict):
+            continue
+        df = s.get("dataFields")
+        if not isinstance(df, dict):
+            continue
+        stype = str(s.get("type") or "").lower()
+        if "value" in df and "category" in df or stype == "pieseries":
+            vf, cf = df.get("value"), df.get("category")
+            if not isinstance(vf, str):
+                continue
+            vals = _col(vf)
+            if not vals:
+                continue
+            return {
+                "chart_type": "Pie", "title": title,
+                "labels": _labels(cf) if isinstance(cf, str) else [],
+                "series": [(str(s.get("name") or vf), vals)],
+            }
+        vf = df.get("valueY") or df.get("valueX")
+        cf = df.get("categoryX") or df.get("categoryY")
+        if not isinstance(vf, str):
+            continue
+        if df.get("valueX") and not df.get("valueY"):
+            horizontal = True  # categoryY/valueX is the rotated form
+        gtype = gtype or stype
+        vals = _col(vf)
+        if not vals:
+            continue
+        if not labels and isinstance(cf, str):
+            labels = _labels(cf)
+        series.append((str(s.get("name") or vf), vals))
+    if not series:
+        return None
+    base = {"columnseries": "bar", "lineseries": "line",
+            "stepline series": "line", "steplineseries": "line",
+            "candlestickseries": "line"}.get(gtype, "line")
+    return {
+        "chart_type": _norm_type(base, horizontal=horizontal),
+        "title": title,
+        "labels": labels,
+        "series": series,
+    }
 
 
 def _from_c3(cfg: dict) -> Optional[dict]:
@@ -1678,7 +1772,7 @@ def charts_from_script(script_text: str) -> list:
             continue
         chart = (_from_chartjs(cfg) or _from_echarts(cfg)
                  or _from_amcharts(cfg) or _from_c3(cfg)
-                 or _from_fusioncharts(cfg))
+                 or _from_fusioncharts(cfg) or _from_amcharts4(cfg))
         if chart is not None:
             out.append(chart)
     for traces, layout in _find_plotly_calls(script_text):

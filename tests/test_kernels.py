@@ -3449,6 +3449,52 @@ def test_chartconfig_dygraph_dialect():
     assert all("y_range" in s for s in chart["series"])
 
 
+def test_chartconfig_amcharts4_stockchart_and_pairs():
+    """amCharts v4 JSON-config form (createFromConfig: data rows +
+    series[].dataFields), Highcharts stockChart/mapChart markers,
+    [x, y] pair rows yielding y values, the Highcharts untyped-series
+    line default, and empty-series placeholder rejection."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    v4 = charts_from_script(
+        "am4core.createFromConfig({"
+        "titles: [{text: 'Sales'}],"
+        "data: [{c:'a', v:1, w:9},{c:'b', v:2, w:8}],"
+        "series: [{type: 'ColumnSeries', name: 'S',"
+        " dataFields: {valueY:'v', categoryX:'c'}},"
+        "{type: 'LineSeries', dataFields: {valueY:'w', categoryX:'c'}}]"
+        "}, 'div', am4charts.XYChart);")
+    assert v4 == [{
+        "chart_type": "Column", "title": "Sales", "labels": ["a", "b"],
+        "series": [("S", [1.0, 2.0]), ("w", [9.0, 8.0])]}]
+    pie = charts_from_script(
+        "am4core.createFromConfig({data:[{c:'x',v:30},{c:'y',v:70}],"
+        "series:[{type:'PieSeries', dataFields:{value:'v',"
+        " category:'c'}}]}, 'd', am4charts.PieChart);")
+    assert pie[0]["chart_type"] == "Pie" \
+        and pie[0]["labels"] == ["x", "y"]
+    # categoryY/valueX is the rotated (horizontal bar) form
+    rot = charts_from_script(
+        "am4core.createFromConfig({data:[{c:'x',v:3}],"
+        "series:[{type:'ColumnSeries', dataFields:{valueX:'v',"
+        " categoryY:'c'}}]}, 'd', am4charts.XYChart);")
+    assert rot[0]["chart_type"] == "Bar"
+
+    # stockChart marker; [x, y] ms-timestamp pairs yield the y column;
+    # untyped Highcharts series default to Line
+    hc = charts_from_script(
+        "Highcharts.stockChart('c', {title:{text:'AAPL'},"
+        "series:[{name:'price', data:[[1609459200000, 132.7],"
+        "[1609545600000, 133.9]]}]});")
+    assert hc == [{
+        "chart_type": "Line", "title": "AAPL", "labels": [],
+        "series": [("price", [132.7, 133.9])]}]
+
+    # placeholder configs with no data anywhere emit nothing
+    assert charts_from_script(
+        "x.setOption({series: [{name: 'n'}]});") == []
+
+
 def test_make_document_roundtrip():
     """exstruct_make twin (VERDICT r5 #6): extract(make(J)) reproduces
     J's table family — rows, merged_cells, colors_map, links, caption
