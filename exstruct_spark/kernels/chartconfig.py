@@ -835,7 +835,7 @@ def _from_amcharts4(cfg: dict) -> Optional[dict]:
     if not series:
         return None
     base = {"columnseries": "bar", "lineseries": "line",
-            "stepline series": "line", "steplineseries": "line",
+            "steplineseries": "line",
             "candlestickseries": "line"}.get(gtype, "line")
     return {
         "chart_type": _norm_type(base, horizontal=horizontal),
