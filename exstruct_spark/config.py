@@ -54,6 +54,9 @@ class ExtractOptions:
     include_lists: bool = True
     include_links: bool = True
     include_images: bool = True
+    # embedded media pointers (iframe/video/audio/embed/object src) —
+    # the multimodal-curation input a video/audio pipeline mines
+    include_embeds: bool = True
     # region-scoped views (PrintAreaView analogue, reference
     # models/__init__.py:178-185,437-455) and class_map (colors_map
     # analogue, core/cells.py:277-310)
@@ -112,7 +115,7 @@ class ExtractOptions:
             base = dict(
                 include_shapes=False, include_charts=False,
                 include_lists=False, include_links=False,
-                include_images=False,
+                include_images=False, include_embeds=False,
                 include_sections=False, include_class_map=False,
                 include_structured=False,
             )

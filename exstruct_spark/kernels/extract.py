@@ -158,6 +158,7 @@ def _best_image_src(im, picture_srcsets: Optional[list]) -> str:
 
 
 _HIDDEN_WALK_CAP = 32  # ancestor probes per table (caps-not-crashes)
+MAX_EMBEDS = 64        # embedded-media pointers kept per document
 
 
 def _node_or_ancestor_hidden(node: Node, css) -> bool:
@@ -465,6 +466,10 @@ def extract_document(
                           "script", "img", "style", "picture", "base",
                           "meta", "link", "time")
             }
+            # embedded-media pointers share ONE bucket so document order
+            # across kinds is preserved (same discipline as ul/ol)
+            groups["iframe"] = groups["video"] = groups["audio"] = \
+                groups["embed"] = groups["object"] = []
             # ul/ol (and section/article) share buckets so document order
             # across kinds is preserved (outer-before-inner claiming)
             groups["ul"] = groups["ol"] = []
@@ -785,6 +790,51 @@ def extract_document(
                         images.append(entry)
                 if images:
                     extraction["images"] = images
+
+            if opts.include_embeds and groups["iframe"]:
+                # embedded-media pointers (iframe/video/audio/embed/
+                # object, one shared bucket in document order): the
+                # multimodal-curation input a video/audio pipeline
+                # mines — a youtube/vimeo iframe src IS the video URL
+                # key such a corpus joins on
+                embeds = []
+                for node in groups["iframe"]:
+                    if len(embeds) >= MAX_EMBEDS:
+                        break
+                    tag = node.tag
+                    attrs = node.attrs
+                    src = (attrs.get("data" if tag == "object" else "src")
+                           or "").strip()
+                    if not src and tag in ("video", "audio"):
+                        # <source> children carry the URL when the
+                        # media tag itself has no src
+                        for ch in node.element_children():
+                            if ch.tag == "source":
+                                src = (ch.attrs.get("src") or "").strip()
+                                if src:
+                                    break
+                    low = src.lower()
+                    if (not src or low == "about:blank"
+                            or low.startswith(("javascript:", "data:"))):
+                        continue
+                    entry = {"tag": tag, "src": src}
+                    mtype = (attrs.get("type") or "").strip()
+                    if mtype:
+                        entry["type"] = mtype[:64]
+                    title = (attrs.get("title") or "").strip()
+                    if title:
+                        entry["title"] = title[:256]
+                    if tag == "video":
+                        poster = (attrs.get("poster") or "").strip()
+                        if poster:
+                            entry["poster"] = poster
+                    for attr, key in (("width", "w"), ("height", "h")):
+                        v = (attrs.get(attr) or "").strip()
+                        if v.isdigit():
+                            entry[key] = int(v)
+                    embeds.append(entry)
+                if embeds:
+                    extraction["embeds"] = embeds
 
             if opts.include_structured:
                 # schema.org structured data: the author-DECLARED

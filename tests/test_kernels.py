@@ -3554,6 +3554,46 @@ def test_make_document_roundtrip():
     assert "keep" in html and len(html) < 10_000
 
 
+def test_embedded_media_pointers():
+    """embeds family: iframe/video/audio/embed/object srcs in one
+    document-order bucket — the multimodal-curation input a video/audio
+    pipeline mines (a youtube iframe src IS the video URL join key).
+    <source> children carry video/audio URLs; about:blank/javascript:
+    placeholders skipped; light mode excludes the family."""
+    import json
+
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+
+    html = (
+        "<html><body>"
+        "<iframe src='https://www.youtube.com/embed/xyz' title='Video'"
+        " width='560' height='315'></iframe>"
+        "<video poster='/p.jpg' width='640'>"
+        "<source src='/clip.webm' type='video/webm'>"
+        "<source src='/clip.mp4'></video>"
+        "<audio src='/pod.mp3'></audio>"
+        "<embed src='/legacy.swf' type='application/x-shockwave-flash'>"
+        "<object data='/doc.pdf' type='application/pdf'></object>"
+        "<iframe src='about:blank'></iframe>"
+        "<iframe src='javascript:void(0)'></iframe>"
+        "<p>Content paragraph long enough to pass density gates ok.</p>"
+        "</body></html>"
+    )
+    rec = extract_document("u://e", html.encode(), ExtractOptions())
+    em = json.loads(rec["extraction_json"])["embeds"]
+    assert [e["tag"] for e in em] == [
+        "iframe", "video", "audio", "embed", "object"]
+    assert em[0]["src"] == "https://www.youtube.com/embed/xyz"
+    assert em[0]["title"] == "Video" and em[0]["w"] == 560
+    assert em[1]["src"] == "/clip.webm" and em[1]["poster"] == "/p.jpg"
+    assert em[2]["src"] == "/pod.mp3"
+    assert em[4]["src"] == "/doc.pdf"
+    light = extract_document(
+        "u://e", html.encode(), ExtractOptions.from_mode("light"))
+    assert "embeds" not in json.loads(light["extraction_json"])
+
+
 def test_crawl_navigation_metadata():
     """page_meta crawl-navigation signals: meta-refresh redirect
     targets, rel=amphtml (the AMP near-dup twin — a dedup join key),
