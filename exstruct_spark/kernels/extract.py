@@ -470,9 +470,10 @@ def extract_document(
             # across kinds is preserved (same discipline as ul/ol)
             groups["iframe"] = groups["video"] = groups["audio"] = \
                 groups["embed"] = groups["object"] = []
-            # ul/ol (and section/article) share buckets so document order
-            # across kinds is preserved (outer-before-inner claiming)
-            groups["ul"] = groups["ol"] = []
+            # ul/ol/dl (and section/article) share buckets so document
+            # order across kinds is preserved (outer-before-inner
+            # claiming; dl joins the lists family as dt->dd trees)
+            groups["ul"] = groups["ol"] = groups["dl"] = []
             groups["section"] = groups["article"] = []
             class_positions: dict = {}
             micro_scopes: list = []

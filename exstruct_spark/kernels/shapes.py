@@ -286,7 +286,11 @@ def extract_nested_lists(root: Node, max_depth: int = 12, lists=None) -> list:
     Parity: _build_smartart_tree level-stack algorithm (reference
     core/shapes.py:268-291) — HTML nesting already encodes the levels, so
     the tree is read off directly; only lists with nesting depth >= 2
-    qualify (flat lists are ordinary content).
+    qualify (flat lists are ordinary content).  ``<dl>`` definition
+    lists (the spec-sheet key/value idiom) map structurally: each
+    ``<dt>`` is a level-1 node and its following ``<dd>``s are its
+    children — inherently depth 2, so a dl with any dt+dd pair
+    qualifies.
     Returns list of ``{text, nodes: [...]}`` trees.
     """
 
@@ -318,11 +322,36 @@ def extract_nested_lists(root: Node, max_depth: int = 12, lists=None) -> list:
     claimed: set = set()
     if lists is None:
         lists = root.find_all("ul", "ol")
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s).strip()
+
     for lst in lists:
         if id(lst) in claimed:
             continue
         for inner in lst.iter():
             claimed.add(id(inner))
+        if lst.tag == "dl":
+            items = []
+            cur = None
+            kids: list = []
+            for ch in lst.element_children():
+                if ch.tag == "div":  # HTML5 allows div-wrapped groups
+                    kids.extend(ch.element_children())
+                else:
+                    kids.append(ch)
+            for ch in kids:
+                if ch.tag == "dt":
+                    cur = {"text": norm(ch.text_content())}
+                    items.append(cur)
+                elif ch.tag == "dd":
+                    node = {"text": norm(ch.text_content())}
+                    if cur is None:
+                        items.append(node)  # stray dd: keep, flat
+                    else:
+                        cur.setdefault("nodes", []).append(node)
+            if any("nodes" in it for it in items):
+                trees.extend(items)
+            continue
         if depth_of(lst) < 2:
             continue
         items = [build(li, 1) for li in lst.element_children() if li.tag == "li"]

@@ -232,6 +232,35 @@ def test_flat_list_not_a_tree():
     assert extract_nested_lists(parse_html("<ul><li>a</li><li>b</li></ul>")) == []
 
 
+def test_definition_list_tree():
+    """<dl> maps structurally: each dt is a level-1 node, its following
+    dds are its children (inherently depth 2); HTML5 div-wrapped groups
+    unwrap; a dl with no dt+dd pair stays ordinary content; end-to-end
+    the dl joins the lists family in document order."""
+    import json as _json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+
+    root = parse_html(
+        "<dl><dt>CPU</dt><dd>8-core</dd><dd>3.2 GHz</dd>"
+        "<div><dt>RAM</dt><dd>32 GB</dd></div></dl>")
+    assert extract_nested_lists(root, lists=root.find_all("dl")) == [
+        {"text": "CPU", "nodes": [{"text": "8-core"},
+                                  {"text": "3.2 GHz"}]},
+        {"text": "RAM", "nodes": [{"text": "32 GB"}]},
+    ]
+    # terms without definitions carry no structure
+    bare = parse_html("<dl><dt>a</dt><dt>b</dt></dl>")
+    assert extract_nested_lists(bare, lists=bare.find_all("dl")) == []
+
+    html = ("<body><dl><dt>K</dt><dd>V</dd></dl>"
+            "<p>Content paragraph long enough for density gates.</p>"
+            "</body>")
+    rec = extract_document("u://dl", html.encode(), ExtractOptions())
+    assert _json.loads(rec["extraction_json"])["lists"] == [
+        {"text": "K", "nodes": [{"text": "V"}]}]
+
+
 # --- charts
 def test_chart_extraction():
     root = parse_html(
