@@ -606,10 +606,15 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
     ds_cols: list = []
     ds_labels: list = []
     dataset = cfg.get("dataset")
+    if isinstance(dataset, list) and dataset \
+            and isinstance(dataset[0], dict):
+        dataset = dataset[0]  # multi-dataset pages: first is default
     if isinstance(dataset, dict):
         src = dataset.get("source")
         rows = [r for r in src if isinstance(r, list)] \
             if isinstance(src, list) else []
+        obj_rows = [r for r in src if isinstance(r, dict)] \
+            if isinstance(src, list) and not rows else []
         if rows:
             first = rows[0]
             has_header = all(
@@ -623,6 +628,21 @@ def _from_echarts(cfg: dict) -> Optional[dict]:
                 _numeric([r[c] if c < len(r) else None for r in body])
                 for c in range(1, width)
             ]
+        elif obj_rows:
+            # object-row source: column order from `dimensions` when
+            # declared, else the first row's key order (ECharts' own
+            # detection); dimension 0 is the category column
+            dims = dataset.get("dimensions")
+            if not (isinstance(dims, list)
+                    and all(isinstance(d, str) for d in dims)):
+                dims = list(obj_rows[0].keys())
+            if len(dims) > 1:
+                ds_header = [str(d) for d in dims]
+                ds_labels = [str(r.get(dims[0], "")) for r in obj_rows]
+                ds_cols = [
+                    _numeric([r.get(d) for r in obj_rows])
+                    for d in dims[1:]
+                ]
     series = []
     stype = None
     for k, s in enumerate(raw_series):

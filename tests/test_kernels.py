@@ -3478,6 +3478,34 @@ def test_chartconfig_dygraph_dialect():
     assert all("y_range" in s for s in chart["series"])
 
 
+def test_chartconfig_echarts_object_row_dataset():
+    """ECharts dataset.source with OBJECT rows: column order from
+    `dimensions` when declared (dimension 0 = category), else the first
+    row's key order (ECharts' own detection); a dataset LIST uses its
+    first entry."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    dims = charts_from_script(
+        "myChart.setOption({dataset: {dimensions: ['product', 'y15',"
+        " 'y16'], source: [{product: 'Matcha', y15: 43.3, y16: 85.8},"
+        "{product: 'Milk', y15: 83.1, y16: 73.4}]},"
+        "series: [{type: 'bar'}, {type: 'bar'}]});")
+    assert dims == [{
+        "chart_type": "Column", "title": "",
+        "labels": ["Matcha", "Milk"],
+        "series": [("y15", [43.3, 83.1]), ("y16", [85.8, 73.4])]}]
+    keys = charts_from_script(
+        "c.setOption({dataset: {source: [{k:'a', v:1},{k:'b', v:2}]},"
+        "series: [{type:'line'}]});")
+    assert keys == [{
+        "chart_type": "Line", "title": "", "labels": ["a", "b"],
+        "series": [("v", [1.0, 2.0])]}]
+    lst = charts_from_script(
+        "c.setOption({dataset: [{source: [{k:'a', v:5}]}],"
+        "series: [{type:'bar'}]});")
+    assert lst[0]["series"] == [("v", [5.0])]
+
+
 def test_chartconfig_amcharts4_stockchart_and_pairs():
     """amCharts v4 JSON-config form (createFromConfig: data rows +
     series[].dataFields), Highcharts stockChart/mapChart markers,
