@@ -613,6 +613,9 @@ _TJ_ITEM_RE = re.compile(
     rb"\((" + _LIT + rb")\)|<([0-9A-Fa-f\s]*)>|(-?[0-9.]+)")
 
 
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+
+
 def extract_pdf_document(raw: bytes) -> dict:
     """PDF bytes -> {text, title, n_pages, approximation_level}.
 
@@ -621,7 +624,21 @@ def extract_pdf_document(raw: bytes) -> dict:
     structure/metadata.  ``stream_stats`` counts decoded/corrupt/
     truncated streams (present only when any stream was seen);
     ``font_stats`` appears when any /ToUnicode CMap resolved.
+
+    Encrypted PDFs (a trailer ``/Encrypt N G R`` reference): strings
+    and streams are RC4/AES ciphertext — harvesting them yields noise,
+    not text, so the document honestly degrades to structure-only
+    (``encrypted: true``, approximation_level 2).  Decryption needs a
+    real PDF library (even the empty-user-password case).
     """
+    if _ENCRYPT_RE.search(raw):
+        return {
+            "text": "",
+            "title": "",
+            "n_pages": len(_PAGE_RE.findall(raw)),
+            "approximation_level": 2,
+            "encrypted": True,
+        }
     texts: list = []
     decoded_chunks, stream_stats = _decode_text_streams(raw)
     cmaps_by_obj: dict = {}

@@ -453,6 +453,20 @@ def test_pdf_string_forms():
     assert extract_pdf_document(lit)["text"] == "Hi"
 
 
+def test_pdf_encrypted_degrades_to_structure():
+    """A trailer /Encrypt reference means strings/streams are
+    ciphertext — harvesting them yields noise, so the route degrades
+    honestly to structure-only with encrypted:true."""
+    from exstruct_spark.kernels.pdf import extract_pdf_document
+
+    pdf = (b"%PDF-1.6\n1 0 obj << /Type /Page >> endobj\n"
+           b"BT (\x8f\x02\xa9 garbage ciphertext) Tj ET\n"
+           b"trailer << /Root 2 0 R /Encrypt 7 0 R >>\n%%EOF")
+    out = extract_pdf_document(pdf)
+    assert out == {"text": "", "title": "", "n_pages": 1,
+                   "approximation_level": 2, "encrypted": True}
+
+
 def test_pdf_line_assembly():
     """Reading-order line assembly (pdftotext-style heuristic):
     fragments split mid-word by kerning join with no separator; TJ
