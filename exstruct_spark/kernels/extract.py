@@ -40,6 +40,11 @@ from exstruct_spark.kernels.dom import (
     parse_html,
     strip_tags_text,
 )
+from exstruct_spark.kernels.feeds import (
+    extract_feed,
+    feed_main_text,
+    sniff_feed_kind,
+)
 from exstruct_spark.kernels.pdf import extract_pdf_document, is_pdf
 from exstruct_spark.kernels.serialize import canonical_json, sha256_hex
 from exstruct_spark.kernels.shapes import extract_nested_lists, extract_svg_shapes
@@ -452,6 +457,36 @@ def extract_document(
         }
 
     html = decode_html_bytes(raw)
+
+    # feed/sitemap routing (the crawl's OTHER XML document kinds): the
+    # first real tag decides, so HTML pages never enter this branch
+    feed_kind = sniff_feed_kind(html) if html else None
+    if feed_kind:
+        try:
+            feed = extract_feed(parse_html(html), feed_kind)
+            extraction.update(feed)
+            main_text = unicodedata.normalize(
+                "NFC", feed_main_text(feed))
+            n_lists = len(feed.get("items", ()))
+        except Exception as exc:
+            status = "fallback"
+            fallback_reason = f"feed:{type(exc).__name__}"
+            extraction["fallback_reason"] = fallback_reason
+        extraction_json = canonical_json(extraction)
+        return {
+            "url": url,
+            "status": status,
+            "fallback_reason": fallback_reason,
+            "main_text": main_text,
+            "extraction_json": extraction_json,
+            "text_sha256": sha256_hex(main_text),
+            "json_sha256": sha256_hex(extraction_json),
+            "n_tables": 0, "n_shapes": 0, "n_arrows": 0,
+            "n_charts": 0, "n_lists": n_lists, "n_links": 0,
+            "bytes_in": bytes_in,
+            "truncated": False,
+        }
+
     if not html.strip():
         status = "fallback"
         fallback_reason = "empty_document"

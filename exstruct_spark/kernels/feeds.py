@@ -1,0 +1,191 @@
+"""RSS / Atom / sitemap extraction — the crawl's OTHER document types.
+
+A Common-Crawl-style corpus is not only HTML: syndication feeds and
+sitemaps ride the same (url, html) rows.  This is the G6
+parser-per-kind dispatch (reference ``detect_tables`` dispatcher,
+core/cells.py:1897-1943) widened with the two XML families a crawl
+pipeline actually mines — feeds carry publication dates and summaries
+(curation metadata), sitemaps carry the site's own URL inventory (a
+frontier/coverage signal).
+
+Reuses the repo's tag-soup parser: feed XML parses fine as tag soup,
+with ONE quirk handled explicitly — ``<link>`` is a VOID element in
+HTML parsing, so RSS's ``<link>https://…</link>`` URL text lands as a
+*sibling* text node of the empty link element (Atom's ``<link href>``
+is attribute-carried and unaffected).  ``_text_after_void`` reads it.
+
+Caps (no-silent-caps: counts are visible in the record):
+MAX_FEED_ITEMS items per feed, MAX_SITEMAP_URLS locs per sitemap.
+"""
+
+from __future__ import annotations
+
+import re
+
+from exstruct_spark.kernels.dom import Node, strip_tags_text
+
+MAX_FEED_ITEMS = 128
+MAX_SITEMAP_URLS = 512
+MAX_TEXT = 2048
+
+_FIRST_TAG_RE = re.compile(r"<([a-zA-Z][\w:.-]*)")
+
+
+def sniff_feed_kind(text: str):
+    """Decoded document text -> 'rss' | 'atom' | 'sitemap' |
+    'sitemapindex' | None.  The FIRST real tag decides (xml decls,
+    comments and doctypes never match the tag regex); anything else
+    first (``<html>``…) means not a feed."""
+    m = _FIRST_TAG_RE.search(text[:4096])
+    if m is None:
+        return None
+    name = m.group(1).lower()
+    if name in ("rss", "rdf:rdf"):
+        return "rss"
+    if name == "feed":
+        return "atom"
+    if name == "urlset":
+        return "sitemap"
+    if name == "sitemapindex":
+        return "sitemapindex"
+    return None
+
+
+def _text_after_void(parent: Node, tag: str) -> str:
+    """Text that FOLLOWED a void-parsed element until the next element
+    — where RSS ``<link>url</link>`` content lands under tag soup."""
+    take = False
+    parts: list = []
+    for ch in parent.children:
+        if isinstance(ch, str):
+            if take:
+                parts.append(ch)
+        else:
+            if take:
+                break
+            if ch.tag == tag:
+                take = True
+    return "".join(parts).strip()
+
+
+def _child_text(parent: Node, *tags: str) -> str:
+    """First direct child with one of ``tags`` -> its text."""
+    for ch in parent.element_children():
+        if ch.tag in tags:
+            return ch.text_content().strip()
+    return ""
+
+
+def _clean(s: str, cap: int = MAX_TEXT) -> str:
+    """Feed descriptions often carry escaped HTML that the entity
+    decode already unescaped once — strip any remaining markup."""
+    if "<" in s:
+        s = strip_tags_text(s)
+    return re.sub(r"\s+", " ", s).strip()[:cap]
+
+
+def extract_feed(root: Node, kind: str) -> dict:
+    """Parsed feed/sitemap DOM -> extraction record fields."""
+    if kind in ("sitemap", "sitemapindex"):
+        locs = []
+        for n in root.find_all("loc"):
+            if len(locs) >= MAX_SITEMAP_URLS:
+                break
+            u = n.text_content().strip()
+            if u:
+                locs.append(u[:MAX_TEXT])
+        out = {"content_type": "sitemap", "kind": kind, "urls": locs}
+        total = len(root.find_all("loc"))
+        if total > len(locs):
+            out["urls_truncated"] = total - len(locs)
+        return out
+
+    items: list = []
+    if kind == "rss":
+        feed_title = ""
+        channel = root.find_first("channel")
+        if channel is not None:
+            feed_title = _child_text(channel, "title")
+        nodes = root.find_all("item")
+        for it in nodes[:MAX_FEED_ITEMS]:
+            rec: dict = {}
+            title = _child_text(it, "title")
+            if title:
+                rec["title"] = _clean(title, 512)
+            link = _text_after_void(it, "link")
+            if link:
+                rec["link"] = link[:MAX_TEXT]
+            pub = _child_text(it, "pubdate", "dc:date")
+            if pub:
+                rec["published"] = pub[:64]
+            desc = _child_text(it, "description", "content:encoded")
+            if desc:
+                rec["summary"] = _clean(desc)
+            for enc in it.element_children():
+                if enc.tag == "enclosure":
+                    u = (enc.attrs.get("url") or "").strip()
+                    if u:
+                        rec["enclosure"] = u[:MAX_TEXT]
+                        t = (enc.attrs.get("type") or "").strip()
+                        if t:
+                            rec["enclosure_type"] = t[:64]
+                    break
+            if rec:
+                items.append(rec)
+    else:  # atom
+        feed_node = root.find_first("feed") or root
+        feed_title = _child_text(feed_node, "title")
+        nodes = root.find_all("entry")
+        for it in nodes[:MAX_FEED_ITEMS]:
+            rec = {}
+            title = _child_text(it, "title")
+            if title:
+                rec["title"] = _clean(title, 512)
+            # atom <link href> is attribute-carried; prefer
+            # rel=alternate, else the first link
+            link = ""
+            for ln in it.element_children():
+                if ln.tag != "link":
+                    continue
+                href = (ln.attrs.get("href") or "").strip()
+                if not href:
+                    continue
+                rel = (ln.attrs.get("rel") or "alternate").strip().lower()
+                if rel == "alternate":
+                    link = href
+                    break
+                link = link or href
+            if link:
+                rec["link"] = link[:MAX_TEXT]
+            pub = _child_text(it, "published", "updated")
+            if pub:
+                rec["published"] = pub[:64]
+            desc = _child_text(it, "summary", "content")
+            if desc:
+                rec["summary"] = _clean(desc)
+            if rec:
+                items.append(rec)
+
+    out = {"content_type": "feed", "kind": kind, "items": items}
+    if feed_title:
+        out["title"] = _clean(feed_title, 512)
+    if len(nodes) > len(items):
+        out["items_truncated"] = len(nodes) - len(items)
+    return out
+
+
+def feed_main_text(extraction: dict) -> str:
+    """Feed record -> main_text: the title line plus one line per item
+    ('title — summary'), so the text-side corpus ops (dedup, quality,
+    language id) see feed documents too."""
+    lines: list = []
+    title = extraction.get("title")
+    if title:
+        lines.append(title)
+    for it in extraction.get("items", ()):
+        t = it.get("title") or ""
+        s = it.get("summary") or ""
+        line = f"{t} — {s}" if t and s else (t or s)
+        if line:
+            lines.append(line)
+    return "\n".join(lines)

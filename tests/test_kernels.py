@@ -3625,6 +3625,77 @@ def test_make_document_roundtrip():
     assert "keep" in html and len(html) < 10_000
 
 
+def test_feed_and_sitemap_routes():
+    """G6 dispatch widened with the crawl's other XML kinds: RSS 2.0
+    (channel/item, void-parsed <link> URL text recovered, escaped-HTML
+    descriptions stripped, podcast enclosures), Atom (entry/link@href
+    rel=alternate preferred), urlset/sitemapindex loc inventories with
+    caps, and feed main_text for the text-side corpus ops.  The first
+    real tag decides — HTML never enters the branch."""
+    import json
+
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+    from exstruct_spark.kernels.feeds import sniff_feed_kind
+
+    rss = (b"<?xml version=\"1.0\"?>\n<!-- c -->\n"
+           b"<rss version=\"2.0\"><channel>"
+           b"<title>Example Blog</title><link>https://ex.com</link>"
+           b"<item><title>Post One</title><link>https://ex.com/1</link>"
+           b"<pubDate>Mon, 04 May 2021 08:00:00 GMT</pubDate>"
+           b"<description>&lt;p&gt;Summary &lt;b&gt;one&lt;/b&gt;"
+           b"&lt;/p&gt;</description>"
+           b"<enclosure url=\"https://ex.com/ep1.mp3\" "
+           b"type=\"audio/mpeg\" length=\"123\"/></item>"
+           b"<item><title>Post Two</title><link>https://ex.com/2</link>"
+           b"</item></channel></rss>")
+    rec = extract_document("u://feed", rss, ExtractOptions())
+    x = json.loads(rec["extraction_json"])
+    assert rec["status"] == "ok"
+    assert x["content_type"] == "feed" and x["kind"] == "rss"
+    assert x["title"] == "Example Blog"
+    assert x["items"][0] == {
+        "title": "Post One", "link": "https://ex.com/1",
+        "published": "Mon, 04 May 2021 08:00:00 GMT",
+        "summary": "Summary one",
+        "enclosure": "https://ex.com/ep1.mp3",
+        "enclosure_type": "audio/mpeg"}
+    assert x["items"][1] == {"title": "Post Two",
+                             "link": "https://ex.com/2"}
+    assert "Post One — Summary one" in rec["main_text"]
+    assert rec["n_lists"] == 2  # items ride the list counter
+
+    atom = (b"<feed xmlns=\"http://www.w3.org/2005/Atom\">"
+            b"<title>Atom Feed</title>"
+            b"<entry><title>E1</title>"
+            b"<link rel=\"self\" href=\"https://a/self\"/>"
+            b"<link rel=\"alternate\" href=\"https://a/1\"/>"
+            b"<published>2022-01-01T00:00:00Z</published>"
+            b"<summary>sum one</summary></entry></feed>")
+    xa = json.loads(extract_document(
+        "u://a", atom, ExtractOptions())["extraction_json"])
+    assert xa["kind"] == "atom" and xa["title"] == "Atom Feed"
+    assert xa["items"][0]["link"] == "https://a/1"  # alternate wins
+    assert xa["items"][0]["published"] == "2022-01-01T00:00:00Z"
+
+    sm = (b"<?xml version=\"1.0\"?><urlset>"
+          b"<url><loc>https://e/1</loc></url>"
+          b"<url><loc>https://e/2</loc></url></urlset>")
+    xs = json.loads(extract_document(
+        "u://s", sm, ExtractOptions())["extraction_json"])
+    assert xs == {"doc": "u://s", "content_type": "sitemap",
+                  "kind": "sitemap", "urls":
+                  ["https://e/1", "https://e/2"]}
+
+    # HTML (and junk) never routes as a feed
+    assert sniff_feed_kind("<!DOCTYPE html><html>") is None
+    assert sniff_feed_kind("plain text, no tags") is None
+    h = json.loads(extract_document(
+        "u://h", b"<html><body><p>hi</p></body></html>",
+        ExtractOptions())["extraction_json"])
+    assert h.get("content_type") is None
+
+
 def test_embedded_media_pointers():
     """embeds family: iframe/video/audio/embed/object srcs in one
     document-order bucket — the multimodal-curation input a video/audio
