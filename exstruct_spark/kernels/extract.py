@@ -59,6 +59,18 @@ from exstruct_spark.kernels.tables import detect_grid_candidates, extract_table
 
 _DEFAULT_OPTS = ExtractOptions()
 
+# invisible-ink characters stripped from main text (the standard
+# corpus-hygiene set): soft hyphen, zero-width space, word joiner,
+# BOM/zero-width no-break space.  ZWNJ/ZWJ (200C/200D) are KEPT — they
+# are orthographically meaningful in Persian/Arabic/Indic scripts.
+_ZERO_WIDTH_RE = re.compile("[­​⁠﻿]")
+
+
+def normalize_main_text(s: str) -> str:
+    """NFC + invisible-ink strip — one normalizer for every route
+    (HTML, PDF, feed) so text_sha256 is charset-noise-free."""
+    return unicodedata.normalize("NFC", _ZERO_WIDTH_RE.sub("", s))
+
 
 def _section_views(sections: list, table_node_ids: dict) -> list:
     """Region-scoped views: the PrintAreaView analogue (reference
@@ -436,7 +448,7 @@ def extract_document(
                 # no-silent-caps: corrupt/over-cap streams are visible
                 # in the extraction record, not just dropped
                 extraction["stream_stats"] = stats
-            main_text = unicodedata.normalize("NFC", pdf["text"])
+            main_text = normalize_main_text(pdf["text"])
         except Exception as exc:
             status = "fallback"
             fallback_reason = f"pdf:{type(exc).__name__}"
@@ -465,8 +477,7 @@ def extract_document(
         try:
             feed = extract_feed(parse_html(html), feed_kind)
             extraction.update(feed)
-            main_text = unicodedata.normalize(
-                "NFC", feed_main_text(feed))
+            main_text = normalize_main_text(feed_main_text(feed))
             n_lists = len(feed.get("items", ()))
         except Exception as exc:
             status = "fallback"
@@ -928,7 +939,7 @@ def extract_document(
             extraction["fallback_reason"] = fallback_reason or "no_main_text"
 
     # NFC-normalize so byte identity is well-defined across sources
-    main_text = unicodedata.normalize("NFC", main_text)
+    main_text = normalize_main_text(main_text)
     extraction_json = canonical_json(extraction)
     return {
         "url": url,

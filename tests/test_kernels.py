@@ -3625,6 +3625,23 @@ def test_make_document_roundtrip():
     assert "keep" in html and len(html) < 10_000
 
 
+def test_main_text_invisible_ink_stripped():
+    """Corpus hygiene: soft hyphens, zero-width spaces, word joiners
+    and BOMs are stripped from main text on every route; ZWNJ/ZWJ are
+    KEPT (orthographically meaningful in Persian/Indic scripts)."""
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+
+    html = ("<body><p>soft\u00adhyphen zero\u200bwidth "
+            "join\u200cZWNJ bom\ufeffX word\u2060joiner "
+            "long enough paragraph to be kept by the gates."
+            "</p></body>").encode()
+    t = extract_document("u://z", html, ExtractOptions())["main_text"]
+    assert "softhyphen" in t and "zerowidth" in t
+    assert "bomX" in t and "wordjoiner" in t
+    assert "join\u200cZWNJ" in t
+
+
 def test_feed_and_sitemap_routes():
     """G6 dispatch widened with the crawl's other XML kinds: RSS 2.0
     (channel/item, void-parsed <link> URL text recovered, escaped-HTML
