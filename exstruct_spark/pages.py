@@ -485,6 +485,36 @@ def _fusioncharts_chart(rng: random.Random, lang: str) -> str:
     )
 
 
+def _rss_feed(rng: random.Random, lang: str) -> str:
+    """A WHOLE RSS 2.0 document (raw-doc archetype: no HTML wrapper —
+    the first real tag must be <rss> for the G6 feed route).  Items
+    carry links, dates, escaped-HTML descriptions and one podcast
+    enclosure."""
+    n = rng.randint(3, 6)
+    items = []
+    for i in range(n):
+        t = _sentence(rng, lang, 4)
+        items.append(
+            f"<item><title>{t}</title>"
+            f"<link>https://rich.example/post/{i}</link>"
+            f"<pubDate>Mon, 0{(i % 9) + 1} Jun 2021 08:00:00 GMT"
+            f"</pubDate>"
+            f"<description>&lt;p&gt;{_sentence(rng, lang, 8)}"
+            f"&lt;/p&gt;</description>"
+            + ("<enclosure url='https://rich.example/ep.mp3'"
+               " type='audio/mpeg' length='1'/>" if i == 0 else "")
+            + "</item>")
+    return ("<?xml version='1.0' encoding='UTF-8'?>\n"
+            "<rss version='2.0'><channel>"
+            f"<title>{_sentence(rng, lang, 3)}</title>"
+            "<link>https://rich.example/</link>"
+            + "".join(items) + "</channel></rss>")
+
+
+# archetypes that ARE whole documents (no HTML wrapper)
+RAW_DOC_ARCHETYPES = frozenset({"rss_feed"})
+
+
 def _dygraph_chart(rng: random.Random, lang: str) -> str:
     """Dygraphs config (eleventh JS dialect): ``new Dygraph(el, csv,
     opts)`` with the dialect's mark — the data is a CSV STRING built
@@ -786,7 +816,7 @@ RICH_ARCHETYPES = [
     "plotly_chart", "styled_grid", "responsive_gallery", "vegalite_chart",
     "gviz_chart", "structured_article", "styled_grid_descendant", "striped_table",
     "divider_table", "apex_chart", "amcharts_chart", "c3_chart",
-    "fusioncharts_chart", "dygraph_chart",
+    "fusioncharts_chart", "dygraph_chart", "rss_feed",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -811,6 +841,7 @@ _RICH_BUILDERS = {
     "c3_chart": _c3_chart,
     "fusioncharts_chart": _fusioncharts_chart,
     "dygraph_chart": _dygraph_chart,
+    "rss_feed": _rss_feed,
 }
 
 
@@ -821,13 +852,18 @@ def build_rich_page(doc_id: int, seed: int = 42) -> dict:
     url = f"https://rich.example/{archetype}/{doc_id}"
     nav, footer = _nav_footer(rng)
     title = _sentence(rng, lang, 3)
-    html = (
-        "<!DOCTYPE html><html><head>"
-        f"<meta charset='utf-8'><title>{title}</title></head>"
-        f"<body>{nav}<main><h1>{title}</h1>"
-        f"{_paragraphs(rng, lang, 2)}{_RICH_BUILDERS[archetype](rng, lang)}"
-        f"</main>{footer}</body></html>"
-    )
+    if archetype in RAW_DOC_ARCHETYPES:
+        # whole-document archetypes (feeds): no HTML wrapper — the
+        # first real tag routes the G6 dispatch
+        html = _RICH_BUILDERS[archetype](rng, lang)
+    else:
+        html = (
+            "<!DOCTYPE html><html><head>"
+            f"<meta charset='utf-8'><title>{title}</title></head>"
+            f"<body>{nav}<main><h1>{title}</h1>"
+            f"{_paragraphs(rng, lang, 2)}{_RICH_BUILDERS[archetype](rng, lang)}"
+            f"</main>{footer}</body></html>"
+        )
     raw = html.encode("utf-8")
     ts = _EPOCH + _dt.timedelta(seconds=(doc_id * 211) % 7_776_000)
     return {

@@ -3707,6 +3707,16 @@ def test_feed_and_sitemap_routes():
     # HTML (and junk) never routes as a feed
     assert sniff_feed_kind("<!DOCTYPE html><html>") is None
     assert sniff_feed_kind("plain text, no tags") is None
+
+    # rss_feed archetype end-to-end (raw-doc archetype: no wrapper)
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+    i = RICH_ARCHETYPES.index("rss_feed")
+    page = build_rich_page(i)
+    assert page["archetype"] == "rss_feed"
+    frec = extract_document(page["url"], page["html"], ExtractOptions())
+    fx = json.loads(frec["extraction_json"])
+    assert frec["status"] == "ok" and fx["content_type"] == "feed"
+    assert fx["items"] and fx["items"][0]["enclosure"].endswith(".mp3")
     h = json.loads(extract_document(
         "u://h", b"<html><body><p>hi</p></body></html>",
         ExtractOptions())["extraction_json"])
