@@ -91,7 +91,13 @@ def _collect_blocks(node: Node, out: list) -> None:
         n = stack.pop()
         if not first:
             if n.tag in _SKIP_SUBTREES or n.tag in RENDER_INERT:
-                continue
+                # role=presentation/none tables are LAYOUT by the
+                # author's own declaration — their block content is
+                # ordinary page text, not structural table data
+                if not (n.tag == "table" and (
+                        (n.attrs.get("role") or "").strip().lower()
+                        in ("presentation", "none"))):
+                    continue
             # a hidden container hides its whole subtree from rendering
             # (cookie banners, modals, a/b-test variants) — its text is
             # not page content; visibility:hidden ink-free boxes read

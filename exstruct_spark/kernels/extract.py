@@ -557,7 +557,13 @@ def extract_document(
                     # anchors keep their document-order index: it is the
                     # position key of the links_map inverted index (A2)
                     bucket.append((doc_idx, n) if n.tag == "a" else n)
-                    if n.tag == "table":
+                    if n.tag == "table" and (
+                            (n.attrs.get("role") or "").strip().lower()
+                            not in ("presentation", "none")):
+                        # role=presentation/none is the author's own
+                        # declaration that this <table> is LAYOUT, not
+                        # data (the table-layout-era idiom) — its
+                        # content flows as ordinary text instead
                         table_like.append(n)
                 attrs = n.attrs
                 if attrs:

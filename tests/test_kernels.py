@@ -3625,6 +3625,40 @@ def test_make_document_roundtrip():
     assert "keep" in html and len(html) < 10_000
 
 
+def test_presentation_tables_are_layout():
+    """role=presentation/none is the author's own declaration that a
+    <table> is LAYOUT (the table-layout-era idiom): it never becomes a
+    data table, its block content flows as ordinary main text, and a
+    real <table> nested inside it still extracts."""
+    import json
+
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+
+    html = (
+        "<body><table role='presentation'><tr><td>"
+        "<h1>Page Title Here</h1>"
+        "<p>Layout-table era content paragraph long enough now.</p>"
+        "</td><td><table><tr><th>k</th></tr><tr><td>a</td></tr>"
+        "</table></td></tr></table>"
+        "<p>Outside paragraph long enough for density gates.</p>"
+        "</body>"
+    )
+    rec = extract_document("u://p", html.encode(), ExtractOptions())
+    x = json.loads(rec["extraction_json"])
+    assert rec["n_tables"] == 1  # only the nested REAL table
+    assert x["tables"][0]["rows"][0]["c"] == {"0": "k"}
+    assert "Layout-table era content" in rec["main_text"]
+    assert "Page Title Here" in rec["main_text"]
+    # role=none is the synonym
+    none_html = ("<body><table role='none'><tr><td>x</td></tr></table>"
+                 "<p>Paragraph long enough for the density gates."
+                 "</p></body>")
+    rec2 = extract_document("u://n", none_html.encode(),
+                            ExtractOptions())
+    assert rec2["n_tables"] == 0
+
+
 def test_main_text_invisible_ink_stripped():
     """Corpus hygiene: soft hyphens, zero-width spaces, word joiners
     and BOMs are stripped from main text on every route; ZWNJ/ZWJ are
