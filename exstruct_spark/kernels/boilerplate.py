@@ -156,7 +156,10 @@ def extract_main_text(root: Node, opts: ExtractOptions,
     # headings ride along with adjacent kept content (rule 3)
     for i, (blk, text, is_content) in enumerate(decisions):
         if is_content:
-            kept.append(text)
+            # <pre> blocks emit VERBATIM (indentation and line breaks
+            # are content in code); scoring above used collapsed text
+            kept.append(blk.preformatted_text()
+                        if blk.tag == "pre" else text)
         elif blk.tag in _HEADING_TAGS and text:
             nxt = next(
                 ((b, t, c) for b, t, c in decisions[i + 1 :] if t), None

@@ -274,6 +274,30 @@ class Node:
                 stack.append(c.children[i])
         return _WS_RE.sub(" ", "".join(parts)).strip()
 
+    def preformatted_text(self) -> str:
+        """VERBATIM text of the subtree (``<pre>``/``<code>`` blocks):
+        no whitespace collapsing — code indentation and line breaks are
+        content there, and a training corpus that collapses them ships
+        broken code.  ``<br>`` becomes a newline; script/style skipped;
+        CR/LF normalized; outer blank lines trimmed."""
+        if self.tag in RAW_TEXT_SKIP:
+            return ""
+        parts: list = []
+        stack: list = list(reversed(self.children))
+        while stack:
+            item = stack.pop()
+            if type(item) is str:
+                parts.append(item)
+                continue
+            if item.tag in RAW_TEXT_SKIP:
+                continue
+            if item.tag == "br":
+                parts.append("\n")
+            for i in range(len(item.children) - 1, -1, -1):
+                stack.append(item.children[i])
+        text = "".join(parts).replace("\r\n", "\n").replace("\r", "\n")
+        return text.strip("\n").rstrip()
+
     def get(self, name: str, default=None):
         return self.attrs.get(name, default)
 

@@ -3625,6 +3625,26 @@ def test_make_document_roundtrip():
     assert "keep" in html and len(html) < 10_000
 
 
+def test_pre_blocks_keep_formatting():
+    """<pre> blocks emit verbatim: indentation and line breaks are
+    content in code, and a training corpus that collapses them ships
+    broken code.  <br> inside pre becomes a newline; density scoring
+    still uses collapsed text."""
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+
+    html = (b"<body><p>Intro paragraph long enough to be kept by "
+            b"the density gates.</p>"
+            b"<pre>def f(x):\n    if x &gt; 0:\n        return x * 2\n"
+            b"    return None</pre>"
+            b"<pre>first long enough line<br>second long enough line"
+            b"</pre></body>")
+    t = extract_document("u://pre", html, ExtractOptions())["main_text"]
+    assert ("def f(x):\n    if x > 0:\n        return x * 2\n"
+            "    return None") in t
+    assert "first long enough line\nsecond long enough line" in t
+
+
 def test_presentation_tables_are_layout():
     """role=presentation/none is the author's own declaration that a
     <table> is LAYOUT (the table-layout-era idiom): it never becomes a
