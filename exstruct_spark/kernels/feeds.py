@@ -101,11 +101,16 @@ def extract_feed(root: Node, kind: str) -> dict:
         return out
 
     items: list = []
+    lang = ""
     if kind == "rss":
         feed_title = ""
         channel = root.find_first("channel")
         if channel is not None:
             feed_title = _child_text(channel, "title")
+            # <language>en-us</language> — the feed's own lang claim,
+            # a multilingual-curation join key
+            lang = _child_text(channel, "language",
+                               "dc:language").lower()
         nodes = root.find_all("item")
         for it in nodes[:MAX_FEED_ITEMS]:
             rec: dict = {}
@@ -121,6 +126,12 @@ def extract_feed(root: Node, kind: str) -> dict:
             desc = _child_text(it, "description", "content:encoded")
             if desc:
                 rec["summary"] = _clean(desc)
+            cats = [c.text_content().strip()
+                    for c in it.element_children()
+                    if c.tag == "category"][:8]
+            cats = [c[:64] for c in cats if c]
+            if cats:
+                rec["categories"] = cats
             for enc in it.element_children():
                 if enc.tag == "enclosure":
                     u = (enc.attrs.get("url") or "").strip()
@@ -135,6 +146,7 @@ def extract_feed(root: Node, kind: str) -> dict:
     else:  # atom
         feed_node = root.find_first("feed") or root
         feed_title = _child_text(feed_node, "title")
+        lang = (feed_node.attrs.get("xml:lang") or "").strip().lower()
         nodes = root.find_all("entry")
         for it in nodes[:MAX_FEED_ITEMS]:
             rec = {}
@@ -163,12 +175,20 @@ def extract_feed(root: Node, kind: str) -> dict:
             desc = _child_text(it, "summary", "content")
             if desc:
                 rec["summary"] = _clean(desc)
+            cats = [(c.attrs.get("term") or "").strip()
+                    for c in it.element_children()
+                    if c.tag == "category"][:8]
+            cats = [c[:64] for c in cats if c]
+            if cats:
+                rec["categories"] = cats
             if rec:
                 items.append(rec)
 
     out = {"content_type": "feed", "kind": kind, "items": items}
     if feed_title:
         out["title"] = _clean(feed_title, 512)
+    if lang:
+        out["lang"] = lang[:16]
     if len(nodes) > len(items):
         out["items_truncated"] = len(nodes) - len(items)
     return out

@@ -457,6 +457,19 @@ def extract_table(
         # ARIA tables declare their name via aria-label (the same
         # ListObject-name analogue as <caption>)
         name = (table.attrs.get("aria-label") or "").strip()
+    if not name:
+        # enclosing <figure>'s figcaption ("Table 1: ...") is the other
+        # real-web table-name idiom; bounded ancestor probe
+        anc = table.parent
+        for _ in range(3):
+            if anc is None or anc.tag == "#document":
+                break
+            if anc.tag == "figure":
+                fc = anc.find_first("figcaption")
+                if fc is not None:
+                    name = fc.text_content()
+                break
+            anc = anc.parent
     out: dict = {
         "id": index,
         # <caption> is the declared table name (the ListObject-name

@@ -3625,6 +3625,29 @@ def test_make_document_roundtrip():
     assert "keep" in html and len(html) < 10_000
 
 
+def test_figcaption_table_name_fallback():
+    """An enclosing <figure>'s figcaption ('Table 1: ...') names an
+    otherwise unnamed table; <caption> and aria-label still win."""
+    import json
+
+    from exstruct_spark.config import ExtractOptions
+    from exstruct_spark.golden import extract_document
+
+    html = (b"<figure><figcaption>Table 1: Quarterly revenue"
+            b"</figcaption><table><tr><th>q</th><th>v</th></tr>"
+            b"<tr><td>Q1</td><td>5</td></tr></table></figure>")
+    x = json.loads(extract_document(
+        "u://fc", html, ExtractOptions())["extraction_json"])
+    assert x["tables"][0]["name"] == "Table 1: Quarterly revenue"
+
+    cap = (b"<figure><figcaption>FC</figcaption><table>"
+           b"<caption>CAP</caption><tr><th>a</th></tr>"
+           b"<tr><td>1</td></tr></table></figure>")
+    x2 = json.loads(extract_document(
+        "u://c", cap, ExtractOptions())["extraction_json"])
+    assert x2["tables"][0]["name"] == "CAP"
+
+
 def test_pre_blocks_keep_formatting():
     """<pre> blocks emit verbatim: indentation and line breaks are
     content in code, and a training corpus that collapses them ships
@@ -3761,6 +3784,22 @@ def test_feed_and_sitemap_routes():
     # HTML (and junk) never routes as a feed
     assert sniff_feed_kind("<!DOCTYPE html><html>") is None
     assert sniff_feed_kind("plain text, no tags") is None
+
+    # feed language claim + item categories (curation join keys)
+    rl = (b"<rss><channel><title>T</title>"
+          b"<language>en-US</language>"
+          b"<item><title>I</title><category>Tech</category>"
+          b"<category>AI</category></item></channel></rss>")
+    xl = json.loads(extract_document(
+        "u://l", rl, ExtractOptions())["extraction_json"])
+    assert xl["lang"] == "en-us"
+    assert xl["items"][0]["categories"] == ["Tech", "AI"]
+    al = (b"<feed xml:lang='de'><title>A</title><entry><title>E"
+          b"</title><category term='News'/></entry></feed>")
+    xal = json.loads(extract_document(
+        "u://al", al, ExtractOptions())["extraction_json"])
+    assert xal["lang"] == "de"
+    assert xal["items"][0]["categories"] == ["News"]
 
     # rss_feed archetype end-to-end (raw-doc archetype: no wrapper)
     from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
