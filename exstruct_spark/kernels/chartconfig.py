@@ -54,6 +54,7 @@ _MARKER_RE = re.compile(
     r"|\b(?:c3|bb)\s*\.\s*generate\s*\("  # config is the ONLY argument
     r"|new\s+FusionCharts\s*\("           # ditto
     r"|am4core\s*\.\s*createFromConfig\s*\("  # config is the FIRST arg
+    r"|new\s+frappe\s*\.\s*Chart\s*\("  # (selector, cfg): first OBJECT
 )
 
 # Plotly's config is an ARRAY of trace objects (not a single {...}), so
@@ -178,7 +179,8 @@ def find_config_objects(script_text: str) -> list:
         marker = m.group(0)
         want_first = ("setOption" in marker or "highcharts" in marker
                       or "generate" in marker or "FusionCharts" in marker
-                      or "createFromConfig" in marker)
+                      or "createFromConfig" in marker
+                      or "frappe" in marker)
         i = m.end()
         n = len(script_text)
         depth = 0
@@ -539,7 +541,9 @@ def _from_chartjs(cfg: dict) -> Optional[dict]:
                     y_title = str(sl.get("labelString") or "")
     series = []
     for k, ds in enumerate(datasets):
-        if not isinstance(ds, dict):
+        # Chart.js datasets ALWAYS carry a `data` key — its absence
+        # means another dialect's dataset list (Frappe uses `values`)
+        if not isinstance(ds, dict) or "data" not in ds:
             continue
         series.append(
             (str(ds.get("label") or f"s{k}"), _numeric(ds.get("data")))
@@ -1017,6 +1021,111 @@ def _from_fusioncharts(cfg: dict) -> Optional[dict]:
            "series": series}
     if y_title:
         out["y_axis_title"] = y_title
+    return out
+
+
+_CHARTIST_RE = re.compile(
+    r"new\s+Chartist\s*\.\s*(Line|Bar|Pie)\s*\(")
+
+
+def _find_chartist_calls(script_text: str) -> list:
+    """``new Chartist.Bar('#sel', data, opts?)`` -> (kind, data_cfg).
+    The chart TYPE lives in the constructor name, not the config, so
+    the generic marker scan can't carry it — dedicated finder."""
+    out = []
+    s = script_text or ""
+    n = len(s)
+    for m in _CHARTIST_RE.finditer(s):
+        kind = m.group(1)
+        i = m.end()
+        depth = 0
+        prev = None
+        while i < n:
+            ch = s[i]
+            if ch in "\"'`":
+                i = _scan_string(s, i)
+                prev = '"'
+                continue
+            if ch == "/":
+                i = _slash(s, i, prev)
+                prev = "/"
+                continue
+            if depth == 0 and ch == "{":
+                cfg, _ = parse_js_value(s, i)
+                if isinstance(cfg, dict):
+                    out.append((kind, cfg))
+                break
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            prev = ch if not ch.isspace() else prev
+            i += 1
+    return out
+
+
+def _from_chartist(kind: str, cfg: dict) -> Optional[dict]:
+    """Chartist.js: ``{labels, series}`` where series is a list of
+    value ARRAYS (or {name?, data/value} objects); Pie takes a flat
+    numeric series with slice names in labels."""
+    series_raw = cfg.get("series")
+    if not isinstance(series_raw, list) or not series_raw:
+        return None
+    labels = [str(x) for x in cfg.get("labels") or []
+              if not isinstance(x, (dict, list))]
+    if kind == "Pie":
+        vals = _numeric([v.get("value") if isinstance(v, dict) else v
+                         for v in series_raw])
+        if not vals:
+            return None
+        return {"chart_type": "Pie", "title": "", "labels": labels,
+                "series": [("value", vals)]}
+    series = []
+    for k, sr in enumerate(series_raw):
+        if isinstance(sr, list):
+            series.append((f"s{k}", _numeric(sr)))
+        elif isinstance(sr, dict):
+            series.append((str(sr.get("name") or f"s{k}"),
+                           _numeric(sr.get("data"))))
+    series = [p for p in series if p[1]]
+    if not series:
+        return None
+    return {"chart_type": "Column" if kind == "Bar" else "Line",
+            "title": "", "labels": labels, "series": series}
+
+
+def _from_frappe(cfg: dict) -> Optional[dict]:
+    """Frappe Charts (``new frappe.Chart(sel, cfg)``): data.labels +
+    data.datasets[].values (the ``values`` key distinguishes it from
+    Chart.js datasets, which carry ``data``)."""
+    data = cfg.get("data")
+    if not isinstance(data, dict):
+        return None
+    datasets = data.get("datasets")
+    if not isinstance(datasets, list) or not datasets:
+        return None
+    series = []
+    for k, ds in enumerate(datasets):
+        if not isinstance(ds, dict) or "values" not in ds:
+            continue
+        vals = _numeric(ds.get("values"))
+        if vals:
+            series.append((str(ds.get("name") or f"s{k}"), vals))
+    if not series:
+        return None
+    labels = [str(x) for x in data.get("labels") or []
+              if not isinstance(x, (dict, list))]
+    ctype = str(cfg.get("type") or "line").lower()
+    if ctype in ("pie", "donut", "percentage"):
+        norm = "Pie"
+    else:
+        norm = _norm_type(ctype)
+        if norm == "Unknown":
+            norm = "Line"  # axis-mixed and heatmap degrade to Line
+    out = {"chart_type": norm, "title": str(cfg.get("title") or ""),
+           "labels": labels, "series": series}
     return out
 
 
@@ -1792,7 +1901,8 @@ def charts_from_script(script_text: str) -> list:
             continue
         chart = (_from_chartjs(cfg) or _from_echarts(cfg)
                  or _from_amcharts(cfg) or _from_c3(cfg)
-                 or _from_fusioncharts(cfg) or _from_amcharts4(cfg))
+                 or _from_fusioncharts(cfg) or _from_amcharts4(cfg)
+                 or _from_frappe(cfg))
         if chart is not None:
             out.append(chart)
     for traces, layout in _find_plotly_calls(script_text):
@@ -1801,6 +1911,10 @@ def charts_from_script(script_text: str) -> list:
             out.append(chart)
     for data, opts in _find_dygraph_calls(script_text):
         chart = _from_dygraph(data, opts)
+        if chart is not None:
+            out.append(chart)
+    for kind, cfg in _find_chartist_calls(script_text):
+        chart = _from_chartist(kind, cfg)
         if chart is not None:
             out.append(chart)
     for spec in _find_vegalite_specs(script_text):

@@ -3520,6 +3520,47 @@ def test_chartconfig_echarts_object_row_dataset():
     assert lst[0]["series"] == [("v", [5.0])]
 
 
+def test_chartconfig_chartist_and_frappe_dialects():
+    """Thirteenth + fourteenth JS families: Chartist (type in the
+    CONSTRUCTOR name — Bar/Line/Pie; series of value arrays or
+    {name, data} objects; Pie flat series + labels) and Frappe Charts
+    (data.labels + datasets[].values — `values` distinguishes it from
+    Chart.js datasets, which always carry `data`)."""
+    from exstruct_spark.kernels.chartconfig import charts_from_script
+
+    ct = charts_from_script(
+        "new Chartist.Bar('#c', {labels: ['W1','W2'],"
+        " series: [[5, 4], [3, 2]]}, {seriesBarDistance: 10});")
+    assert ct == [{
+        "chart_type": "Column", "title": "", "labels": ["W1", "W2"],
+        "series": [("s0", [5.0, 4.0]), ("s1", [3.0, 2.0])]}]
+    pie = charts_from_script(
+        "new Chartist.Pie('#p', {labels:['a','b'], series:[30,70]});")
+    assert pie[0]["chart_type"] == "Pie"
+    assert pie[0]["series"] == [("value", [30.0, 70.0])]
+    named = charts_from_script(
+        "new Chartist.Line('#l', {series: [{name: 'T',"
+        " data: [1,2]}]});")
+    assert named[0]["series"] == [("T", [1.0, 2.0])]
+
+    fr = charts_from_script(
+        "new frappe.Chart('#f', {title: 'Sales',"
+        "data: { labels: ['a','b'], datasets: [{name: 'EU',"
+        " values: [3, 7]}] }, type: 'bar'});")
+    assert fr == [{
+        "chart_type": "Column", "title": "Sales", "labels": ["a", "b"],
+        "series": [("EU", [3.0, 7.0])]}]
+    assert charts_from_script(
+        "new frappe.Chart('#x', {type:'percentage',"
+        "data:{labels:['y'],datasets:[{values:[1]}]}});"
+    )[0]["chart_type"] == "Pie"
+    # Chart.js configs (datasets with `data`) still route to chartjs
+    cj = charts_from_script(
+        "new Chart(ctx, {type: 'bar', data: {labels: ['x'],"
+        "datasets: [{label: 'L', data: [9]}]}});")
+    assert cj[0]["series"] == [("L", [9.0])]
+
+
 def test_chartconfig_amcharts4_stockchart_and_pairs():
     """amCharts v4 JSON-config form (createFromConfig: data rows +
     series[].dataFields), Highcharts stockChart/mapChart markers,
