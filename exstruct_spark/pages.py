@@ -515,6 +515,48 @@ def _rss_feed(rng: random.Random, lang: str) -> str:
 RAW_DOC_ARCHETYPES = frozenset({"rss_feed"})
 
 
+def _chartist_chart(rng: random.Random, lang: str) -> str:
+    """Chartist config (thirteenth JS dialect): the chart type lives in
+    the CONSTRUCTOR name; series are bare value arrays."""
+    a = [rng.randint(1, 60) for _ in range(4)]
+    b = [rng.randint(1, 60) for _ in range(4)]
+    weeks = ["W1", "W2", "W3", "W4"]
+    rows = "".join(
+        f"<tr><td>{weeks[i]}</td><td>{a[i]}</td><td>{b[i]}</td></tr>"
+        for i in range(4)
+    )
+    return (
+        "<figure><figcaption>Weekly visits</figcaption>"
+        "<div class='ct-chart'></div>"
+        "<script>new Chartist.Bar('.ct-chart', {"
+        f"labels: {weeks}, series: [{a}, {b}]"
+        "}, { seriesBarDistance: 10 });</script>"
+        "<table><tr><th>week</th><th>a</th><th>b</th></tr>"
+        + rows + "</table></figure>"
+    )
+
+
+def _frappe_chart(rng: random.Random, lang: str) -> str:
+    """Frappe Charts config (fourteenth JS dialect): data.labels +
+    datasets[].values (the `values` key is the dialect mark)."""
+    a = [rng.randint(5, 95) for _ in range(3)]
+    cats = ["Mon", "Tue", "Wed"]
+    rows = "".join(
+        f"<tr><td>{cats[i]}</td><td>{a[i]}</td></tr>" for i in range(3)
+    )
+    return (
+        "<figure><figcaption>Daily signups</figcaption>"
+        "<div id='fp1'></div>"
+        "<script>new frappe.Chart('#fp1', {"
+        "title: 'Daily signups',"
+        f"data: {{ labels: {cats},"
+        f" datasets: [{{ name: 'signups', values: {a} }}] }},"
+        "type: 'bar', height: 250});</script>"
+        "<table><tr><th>day</th><th>signups</th></tr>"
+        + rows + "</table></figure>"
+    )
+
+
 def _dygraph_chart(rng: random.Random, lang: str) -> str:
     """Dygraphs config (eleventh JS dialect): ``new Dygraph(el, csv,
     opts)`` with the dialect's mark — the data is a CSV STRING built
@@ -817,6 +859,7 @@ RICH_ARCHETYPES = [
     "gviz_chart", "structured_article", "styled_grid_descendant", "striped_table",
     "divider_table", "apex_chart", "amcharts_chart", "c3_chart",
     "fusioncharts_chart", "dygraph_chart", "rss_feed",
+    "chartist_chart", "frappe_chart",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -842,6 +885,8 @@ _RICH_BUILDERS = {
     "fusioncharts_chart": _fusioncharts_chart,
     "dygraph_chart": _dygraph_chart,
     "rss_feed": _rss_feed,
+    "chartist_chart": _chartist_chart,
+    "frappe_chart": _frappe_chart,
 }
 
 

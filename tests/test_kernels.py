@@ -3560,6 +3560,21 @@ def test_chartconfig_chartist_and_frappe_dialects():
         "datasets: [{label: 'L', data: [9]}]}});")
     assert cj[0]["series"] == [("L", [9.0])]
 
+    # archetypes end-to-end, grid-bound
+    import json
+
+    from exstruct_spark.golden import ExtractOptions, extract_document
+    from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
+    for name, n_series in (("chartist_chart", 2), ("frappe_chart", 1)):
+        page = build_rich_page(RICH_ARCHETYPES.index(name))
+        assert page["archetype"] == name
+        rec = extract_document(page["url"], page["html"],
+                               ExtractOptions())
+        chart = json.loads(rec["extraction_json"])["charts"][0]
+        assert chart["chart_type"] == "Column"
+        assert len(chart["series"]) == n_series
+        assert all("y_range" in s for s in chart["series"])
+
 
 def test_chartconfig_amcharts4_stockchart_and_pairs():
     """amCharts v4 JSON-config form (createFromConfig: data rows +
