@@ -448,7 +448,11 @@ def _parse_attrs(raw: str) -> dict:
     return attrs
 
 
-def _parse_html_fast(html: str) -> Node:
+def _parse_html_fast(html: str, xml_mode: bool = False) -> Node:
+    """``xml_mode`` (the feed route): XML semantics where they differ
+    from HTML5 — a trailing ``/`` in a start tag SELF-CLOSES any
+    element (HTML ignores it), and the HTML void list does not apply
+    (``<link>url</link>`` is a text container in RSS)."""
     root = Node("#document")
     doc_nodes = [root]
     add_node = doc_nodes.append
@@ -492,7 +496,11 @@ def _parse_html_fast(html: str) -> Node:
             node.parent = stack[-1]
             stack[-1].children.append(node)
             add_node(node)
-            if self_close or tag in VOID_ELEMENTS:
+            if xml_mode:
+                # XML: '<x .../>'' self-closes anything; no void list
+                if self_close or attr_raw.rstrip().endswith("/"):
+                    continue
+            elif self_close or tag in VOID_ELEMENTS:
                 continue
             if tag in _RAW_TEXT_TAGS:
                 # raw text until the matching close tag (html.parser CDATA
@@ -511,7 +519,7 @@ def _parse_html_fast(html: str) -> Node:
             stack.append(node)
         elif last == 4:
             tag = lower(m.group(4))
-            if tag in VOID_ELEMENTS:
+            if tag in VOID_ELEMENTS and not xml_mode:
                 continue
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
@@ -537,12 +545,13 @@ def _parse_html_fast(html: str) -> Node:
     return root
 
 
-def parse_html(html: str) -> Node:
+def parse_html(html: str, xml_mode: bool = False) -> Node:
     """Parse an HTML string into a ``Node`` tree.  Never raises on
     malformed markup; truly unparseable input yields an (almost) empty
-    ``#document`` the caller treats as the fallback path."""
+    ``#document`` the caller treats as the fallback path.  ``xml_mode``
+    applies XML self-closing/void semantics (the feed route)."""
     try:
-        return _parse_html_fast(html)
+        return _parse_html_fast(html, xml_mode)
     except Exception:
         return parse_html_stdlib(html)
 

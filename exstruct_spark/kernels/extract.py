@@ -475,7 +475,8 @@ def extract_document(
     feed_kind = sniff_feed_kind(html) if html else None
     if feed_kind:
         try:
-            feed = extract_feed(parse_html(html), feed_kind)
+            feed = extract_feed(parse_html(html, xml_mode=True),
+                                feed_kind)
             extraction.update(feed)
             main_text = normalize_main_text(feed_main_text(feed))
             n_lists = len(feed.get("items", ()))

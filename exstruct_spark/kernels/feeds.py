@@ -117,7 +117,10 @@ def extract_feed(root: Node, kind: str) -> dict:
             title = _child_text(it, "title")
             if title:
                 rec["title"] = _clean(title, 512)
-            link = _text_after_void(it, "link")
+            # xml_mode parses <link>url</link> as a real container; the
+            # sibling-text fallback covers HTML-parsed trees (stdlib
+            # fallback path) where link is a void element
+            link = _child_text(it, "link") or _text_after_void(it, "link")
             if link:
                 rec["link"] = link[:MAX_TEXT]
             pub = _child_text(it, "pubdate", "dc:date")
@@ -132,6 +135,9 @@ def extract_feed(root: Node, kind: str) -> dict:
             cats = [c[:64] for c in cats if c]
             if cats:
                 rec["categories"] = cats
+            author = _child_text(it, "author", "dc:creator")
+            if author:
+                rec["author"] = author[:128]
             for enc in it.element_children():
                 if enc.tag == "enclosure":
                     u = (enc.attrs.get("url") or "").strip()
@@ -181,6 +187,13 @@ def extract_feed(root: Node, kind: str) -> dict:
             cats = [c[:64] for c in cats if c]
             if cats:
                 rec["categories"] = cats
+            for au in it.element_children():
+                if au.tag == "author":
+                    name = _child_text(au, "name") or \
+                        au.text_content().strip()
+                    if name:
+                        rec["author"] = name[:128]
+                    break
             if rec:
                 items.append(rec)
 

@@ -3851,11 +3851,19 @@ def test_feed_and_sitemap_routes():
     assert xl["lang"] == "en-us"
     assert xl["items"][0]["categories"] == ["Tech", "AI"]
     al = (b"<feed xml:lang='de'><title>A</title><entry><title>E"
-          b"</title><category term='News'/></entry></feed>")
+          b"</title><category term='News'/>"
+          b"<author><name>Sam Lee</name><email>s@l</email></author>"
+          b"</entry></feed>")
     xal = json.loads(extract_document(
         "u://al", al, ExtractOptions())["extraction_json"])
     assert xal["lang"] == "de"
     assert xal["items"][0]["categories"] == ["News"]
+    assert xal["items"][0]["author"] == "Sam Lee"
+    ra = (b"<rss><channel><item><title>I</title>"
+          b"<author>a@b.c (Jo Doe)</author></item></channel></rss>")
+    assert json.loads(extract_document(
+        "u://ra", ra, ExtractOptions())["extraction_json"]
+    )["items"][0]["author"] == "a@b.c (Jo Doe)"
 
     # rss_feed archetype end-to-end (raw-doc archetype: no wrapper)
     from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
