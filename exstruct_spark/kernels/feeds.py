@@ -87,15 +87,33 @@ def _clean(s: str, cap: int = MAX_TEXT) -> str:
 def extract_feed(root: Node, kind: str) -> dict:
     """Parsed feed/sitemap DOM -> extraction record fields."""
     if kind in ("sitemap", "sitemapindex"):
+        # one record per <url>/<sitemap> entry: loc + the crawl-
+        # scheduling fields (lastmod; changefreq/priority for urlsets)
+        entries = root.find_all("url" if kind == "sitemap"
+                                else "sitemap")
         locs = []
-        for n in root.find_all("loc"):
+        for ent in entries:
             if len(locs) >= MAX_SITEMAP_URLS:
                 break
-            u = n.text_content().strip()
-            if u:
-                locs.append(u[:MAX_TEXT])
+            u = _child_text(ent, "loc")
+            if not u:
+                continue
+            rec = {"loc": u[:MAX_TEXT]}
+            lastmod = _child_text(ent, "lastmod")
+            if lastmod:
+                rec["lastmod"] = lastmod[:40]
+            if kind == "sitemap":
+                cf = _child_text(ent, "changefreq")
+                if cf:
+                    rec["changefreq"] = cf[:16]
+            locs.append(rec)
+        if not locs:
+            # tolerate entry-less soup: bare <loc> tags
+            locs = [{"loc": n.text_content().strip()[:MAX_TEXT]}
+                    for n in root.find_all("loc")[:MAX_SITEMAP_URLS]
+                    if n.text_content().strip()]
         out = {"content_type": "sitemap", "kind": kind, "urls": locs}
-        total = len(root.find_all("loc"))
+        total = len(entries) or len(root.find_all("loc"))
         if total > len(locs):
             out["urls_truncated"] = total - len(locs)
         return out

@@ -3829,13 +3829,24 @@ def test_feed_and_sitemap_routes():
     assert xa["items"][0]["published"] == "2022-01-01T00:00:00Z"
 
     sm = (b"<?xml version=\"1.0\"?><urlset>"
-          b"<url><loc>https://e/1</loc></url>"
+          b"<url><loc>https://e/1</loc>"
+          b"<lastmod>2024-01-05</lastmod>"
+          b"<changefreq>daily</changefreq></url>"
           b"<url><loc>https://e/2</loc></url></urlset>")
     xs = json.loads(extract_document(
         "u://s", sm, ExtractOptions())["extraction_json"])
     assert xs == {"doc": "u://s", "content_type": "sitemap",
-                  "kind": "sitemap", "urls":
-                  ["https://e/1", "https://e/2"]}
+                  "kind": "sitemap", "urls": [
+                      {"loc": "https://e/1", "lastmod": "2024-01-05",
+                       "changefreq": "daily"},
+                      {"loc": "https://e/2"}]}
+    smi = (b"<sitemapindex><sitemap><loc>https://e/a.xml</loc>"
+           b"<lastmod>2024-02-01</lastmod></sitemap></sitemapindex>")
+    xi = json.loads(extract_document(
+        "u://si", smi, ExtractOptions())["extraction_json"])
+    assert xi["kind"] == "sitemapindex"
+    assert xi["urls"] == [{"loc": "https://e/a.xml",
+                           "lastmod": "2024-02-01"}]
 
     # HTML (and junk) never routes as a feed
     assert sniff_feed_kind("<!DOCTYPE html><html>") is None
