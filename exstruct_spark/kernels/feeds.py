@@ -8,11 +8,12 @@ pipeline actually mines — feeds carry publication dates and summaries
 (curation metadata), sitemaps carry the site's own URL inventory (a
 frontier/coverage signal).
 
-Reuses the repo's tag-soup parser: feed XML parses fine as tag soup,
-with ONE quirk handled explicitly — ``<link>`` is a VOID element in
-HTML parsing, so RSS's ``<link>https://…</link>`` URL text lands as a
-*sibling* text node of the empty link element (Atom's ``<link href>``
-is attribute-carried and unaffected).  ``_text_after_void`` reads it.
+Parsing uses the repo's parser in ``xml_mode`` (self-closing honored
+on any element, HTML void list off — ``<link>url</link>`` is a text
+container in RSS and ``<category term=x/>`` must not swallow its
+siblings).  ``_text_after_void`` remains as the belt for the stdlib
+HTML-fallback parse path, where ``<link>`` is void and RSS link URLs
+land as sibling text.
 
 Caps (no-silent-caps: counts are visible in the record):
 MAX_FEED_ITEMS items per feed, MAX_SITEMAP_URLS locs per sitemap.
@@ -29,14 +30,16 @@ MAX_SITEMAP_URLS = 512
 MAX_TEXT = 2048
 
 _FIRST_TAG_RE = re.compile(r"<([a-zA-Z][\w:.-]*)")
+_HEAD_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 
 
 def sniff_feed_kind(text: str):
     """Decoded document text -> 'rss' | 'atom' | 'sitemap' |
-    'sitemapindex' | None.  The FIRST real tag decides (xml decls,
-    comments and doctypes never match the tag regex); anything else
-    first (``<html>``…) means not a feed."""
-    m = _FIRST_TAG_RE.search(text[:4096])
+    'sitemapindex' | None.  The FIRST real tag decides (xml decls and
+    doctypes never match the tag regex; head comments are stripped so
+    a commented-out ``<rss>`` above an HTML page cannot misroute);
+    anything else first (``<html>``…) means not a feed."""
+    m = _FIRST_TAG_RE.search(_HEAD_COMMENT_RE.sub("", text[:4096]))
     if m is None:
         return None
     name = m.group(1).lower()

@@ -3851,6 +3851,9 @@ def test_feed_and_sitemap_routes():
     # HTML (and junk) never routes as a feed
     assert sniff_feed_kind("<!DOCTYPE html><html>") is None
     assert sniff_feed_kind("plain text, no tags") is None
+    # a commented-out <rss> above an HTML page must not misroute
+    assert sniff_feed_kind("<!-- <rss v=2> --><html>") is None
+    assert sniff_feed_kind("<!-- n -->\n<?xml?><rss>") == "rss"
 
     # feed language claim + item categories (curation join keys)
     rl = (b"<rss><channel><title>T</title>"
