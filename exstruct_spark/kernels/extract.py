@@ -882,6 +882,25 @@ def extract_document(
                         poster = (attrs.get("poster") or "").strip()
                         if poster:
                             entry["poster"] = poster
+                    if tag in ("video", "audio"):
+                        # <track> subtitle/caption pointers: the
+                        # media+transcript PAIR a speech pipeline mines
+                        tracks = []
+                        for ch in node.element_children():
+                            if ch.tag != "track" or len(tracks) >= 4:
+                                continue
+                            tsrc = (ch.attrs.get("src") or "").strip()
+                            if not tsrc:
+                                continue
+                            trec = {"src": tsrc}
+                            for a, k in (("kind", "kind"),
+                                         ("srclang", "lang")):
+                                v = (ch.attrs.get(a) or "").strip()
+                                if v:
+                                    trec[k] = v[:32]
+                            tracks.append(trec)
+                        if tracks:
+                            entry["tracks"] = tracks
                     for attr, key in (("width", "w"), ("height", "h")):
                         v = (attrs.get(attr) or "").strip()
                         if v.isdigit():

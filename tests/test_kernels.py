@@ -3929,6 +3929,18 @@ def test_embedded_media_pointers():
     assert em[1]["src"] == "/clip.webm" and em[1]["poster"] == "/p.jpg"
     assert em[2]["src"] == "/pod.mp3"
     assert em[4]["src"] == "/doc.pdf"
+
+    # <track> subtitle pointers: the media+transcript pair a speech
+    # pipeline mines; capped at 4 per media element
+    th = ("<body><video src='/v.mp4'>"
+          "<track src='/v.en.vtt' kind='subtitles' srclang='en'>"
+          "<track src='/v.de.vtt' kind='subtitles' srclang='de'>"
+          "</video><p>Paragraph long enough for the gates.</p></body>")
+    te = json.loads(extract_document(
+        "u://t", th.encode(), ExtractOptions())["extraction_json"])
+    assert te["embeds"][0]["tracks"] == [
+        {"src": "/v.en.vtt", "kind": "subtitles", "lang": "en"},
+        {"src": "/v.de.vtt", "kind": "subtitles", "lang": "de"}]
     light = extract_document(
         "u://e", html.encode(), ExtractOptions.from_mode("light"))
     assert "embeds" not in json.loads(light["extraction_json"])
