@@ -511,8 +511,42 @@ def _rss_feed(rng: random.Random, lang: str) -> str:
             + "".join(items) + "</channel></rss>")
 
 
+def _atom_feed(rng: random.Random, lang: str) -> str:
+    """A WHOLE Atom document (raw-doc archetype): entries with
+    rel=alternate links, published dates, categories, authors."""
+    n = rng.randint(2, 5)
+    entries = []
+    for i in range(n):
+        entries.append(
+            f"<entry><title>{_sentence(rng, lang, 4)}</title>"
+            f"<link rel='self' href='https://rich.example/e/{i}.atom'/>"
+            f"<link rel='alternate' href='https://rich.example/e/{i}'/>"
+            f"<published>2021-0{(i % 9) + 1}-01T08:00:00Z</published>"
+            f"<category term='t{i % 3}'/>"
+            f"<author><name>Author {i % 2}</name></author>"
+            f"<summary>{_sentence(rng, lang, 7)}</summary></entry>")
+    return ("<?xml version='1.0' encoding='utf-8'?>\n"
+            "<feed xmlns='http://www.w3.org/2005/Atom' xml:lang='en'>"
+            f"<title>{_sentence(rng, lang, 3)}</title>"
+            + "".join(entries) + "</feed>")
+
+
+def _sitemap_doc(rng: random.Random, lang: str) -> str:
+    """A WHOLE urlset sitemap (raw-doc archetype): loc + lastmod +
+    changefreq entries."""
+    n = rng.randint(4, 9)
+    urls = "".join(
+        f"<url><loc>https://rich.example/page/{i}</loc>"
+        f"<lastmod>2024-0{(i % 9) + 1}-15</lastmod>"
+        f"<changefreq>{'daily' if i % 2 else 'weekly'}</changefreq>"
+        f"</url>" for i in range(n))
+    return ("<?xml version='1.0' encoding='UTF-8'?>\n"
+            "<urlset xmlns='http://www.sitemaps.org/schemas/sitemap/"
+            "0.9'>" + urls + "</urlset>")
+
+
 # archetypes that ARE whole documents (no HTML wrapper)
-RAW_DOC_ARCHETYPES = frozenset({"rss_feed"})
+RAW_DOC_ARCHETYPES = frozenset({"rss_feed", "atom_feed", "sitemap_doc"})
 
 
 def _chartist_chart(rng: random.Random, lang: str) -> str:
@@ -859,7 +893,7 @@ RICH_ARCHETYPES = [
     "gviz_chart", "structured_article", "styled_grid_descendant", "striped_table",
     "divider_table", "apex_chart", "amcharts_chart", "c3_chart",
     "fusioncharts_chart", "dygraph_chart", "rss_feed",
-    "chartist_chart", "frappe_chart",
+    "chartist_chart", "frappe_chart", "atom_feed", "sitemap_doc",
 ]
 _RICH_BUILDERS = {
     "colored_table": _colored_table,
@@ -887,6 +921,8 @@ _RICH_BUILDERS = {
     "rss_feed": _rss_feed,
     "chartist_chart": _chartist_chart,
     "frappe_chart": _frappe_chart,
+    "atom_feed": _atom_feed,
+    "sitemap_doc": _sitemap_doc,
 }
 
 

@@ -3879,7 +3879,8 @@ def test_feed_and_sitemap_routes():
         "u://ra", ra, ExtractOptions())["extraction_json"]
     )["items"][0]["author"] == "a@b.c (Jo Doe)"
 
-    # rss_feed archetype end-to-end (raw-doc archetype: no wrapper)
+    # raw-doc archetypes end-to-end (no HTML wrapper): rss, atom,
+    # sitemap each route through the dispatch at corpus volume
     from exstruct_spark.pages import RICH_ARCHETYPES, build_rich_page
     i = RICH_ARCHETYPES.index("rss_feed")
     page = build_rich_page(i)
@@ -3888,6 +3889,18 @@ def test_feed_and_sitemap_routes():
     fx = json.loads(frec["extraction_json"])
     assert frec["status"] == "ok" and fx["content_type"] == "feed"
     assert fx["items"] and fx["items"][0]["enclosure"].endswith(".mp3")
+    ap = build_rich_page(RICH_ARCHETYPES.index("atom_feed"))
+    ax2 = json.loads(extract_document(
+        ap["url"], ap["html"], ExtractOptions())["extraction_json"])
+    assert ax2["kind"] == "atom" and ax2["lang"] == "en"
+    assert ax2["items"][0]["link"].startswith("https://rich.example/e/")
+    assert ax2["items"][0]["author"].startswith("Author")
+    sp = build_rich_page(RICH_ARCHETYPES.index("sitemap_doc"))
+    sx2 = json.loads(extract_document(
+        sp["url"], sp["html"], ExtractOptions())["extraction_json"])
+    assert sx2["kind"] == "sitemap"
+    assert sx2["urls"][0]["loc"].startswith("https://rich.example/page/")
+    assert "lastmod" in sx2["urls"][0]
     h = json.loads(extract_document(
         "u://h", b"<html><body><p>hi</p></body></html>",
         ExtractOptions())["extraction_json"])
