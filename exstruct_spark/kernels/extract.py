@@ -514,9 +514,16 @@ def extract_document(
                           "meta", "link", "time")
             }
             # embedded-media pointers share ONE bucket so document order
-            # across kinds is preserved (same discipline as ul/ol)
+            # across kinds is preserved (same discipline as ul/ol).
+            # AMP components carry the SAME attribute surface as their
+            # HTML twins (src/srcset/poster/width/height), so they ride
+            # the same buckets — an AMP page's images/videos would
+            # otherwise be invisible to the families
             groups["iframe"] = groups["video"] = groups["audio"] = \
-                groups["embed"] = groups["object"] = []
+                groups["embed"] = groups["object"] = \
+                groups["amp-video"] = groups["amp-audio"] = \
+                groups["amp-iframe"] = groups["amp-youtube"] = []
+            groups["amp-img"] = groups["img"]
             # ul/ol/dl (and section/article) share buckets so document
             # order across kinds is preserved (outer-before-inner
             # claiming; dl joins the lists family as dt->dd trees)
@@ -859,7 +866,8 @@ def extract_document(
                     attrs = node.attrs
                     src = (attrs.get("data" if tag == "object" else "src")
                            or "").strip()
-                    if not src and tag in ("video", "audio"):
+                    if not src and tag in ("video", "audio",
+                                           "amp-video", "amp-audio"):
                         # <source> children carry the URL when the
                         # media tag itself has no src
                         for ch in node.element_children():
@@ -867,6 +875,13 @@ def extract_document(
                                 src = (ch.attrs.get("src") or "").strip()
                                 if src:
                                     break
+                    if not src and tag == "amp-youtube":
+                        # the component carries only the video id — the
+                        # canonical watch URL is its identity
+                        vid = (attrs.get("data-videoid") or "").strip()
+                        if vid:
+                            src = ("https://www.youtube.com/watch?v="
+                                   + vid)
                     low = src.lower()
                     if (not src or low == "about:blank"
                             or low.startswith(("javascript:", "data:"))):
@@ -878,11 +893,12 @@ def extract_document(
                     title = (attrs.get("title") or "").strip()
                     if title:
                         entry["title"] = title[:256]
-                    if tag == "video":
+                    if tag in ("video", "amp-video"):
                         poster = (attrs.get("poster") or "").strip()
                         if poster:
                             entry["poster"] = poster
-                    if tag in ("video", "audio"):
+                    if tag in ("video", "audio",
+                               "amp-video", "amp-audio"):
                         # <track> subtitle/caption pointers: the
                         # media+transcript PAIR a speech pipeline mines
                         tracks = []

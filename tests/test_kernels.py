@@ -3958,6 +3958,28 @@ def test_embedded_media_pointers():
         "u://e", html.encode(), ExtractOptions.from_mode("light"))
     assert "embeds" not in json.loads(light["extraction_json"])
 
+    # AMP components ride the same buckets (same attribute surface):
+    # an AMP page's images/videos must not be invisible
+    amp = (
+        "<html amp><body>"
+        "<amp-img src='/hero.jpg' srcset='/h-sm.jpg 400w,"
+        " /h-lg.jpg 1200w' alt='Hero' width='1200'></amp-img>"
+        "<amp-video src='/v.mp4' poster='/p.jpg'>"
+        "<source src='/v.webm'></amp-video>"
+        "<amp-youtube data-videoid='xyz9' width='480'></amp-youtube>"
+        "<amp-iframe src='https://maps.ex/embed'></amp-iframe>"
+        "<p>AMP page content long enough for density gates.</p>"
+        "</body></html>"
+    )
+    ax = json.loads(extract_document(
+        "u://amp", amp.encode(), ExtractOptions())["extraction_json"])
+    assert ax["images"][0]["src"] == "/h-lg.jpg"  # widest srcset wins
+    aem = {e["tag"]: e for e in ax["embeds"]}
+    assert aem["amp-video"]["poster"] == "/p.jpg"
+    assert aem["amp-youtube"]["src"] == \
+        "https://www.youtube.com/watch?v=xyz9"
+    assert aem["amp-iframe"]["src"] == "https://maps.ex/embed"
+
 
 def test_crawl_navigation_metadata():
     """page_meta crawl-navigation signals: meta-refresh redirect
