@@ -51,6 +51,8 @@ def sniff_feed_kind(text: str):
         return "sitemap"
     if name == "sitemapindex":
         return "sitemapindex"
+    if name == "opml":
+        return "opml"
     return None
 
 
@@ -119,6 +121,41 @@ def extract_feed(root: Node, kind: str) -> dict:
         total = len(entries) or len(root.find_all("loc"))
         if total > len(locs):
             out["urls_truncated"] = total - len(locs)
+        return out
+
+    if kind == "opml":
+        # feed-INVENTORY documents (blogrolls, podcast subscription
+        # exports): outline nodes carry xmlUrl (the feed) and htmlUrl
+        # (the site) — a feed-discovery input for the crawl frontier
+        outlines = []
+        all_nodes = root.find_all("outline")
+        title = ""
+        head = root.find_first("head")
+        if head is not None:
+            title = _child_text(head, "title")
+        for n in all_nodes:
+            if len(outlines) >= MAX_FEED_ITEMS:
+                break
+            xml_url = (n.attrs.get("xmlurl") or "").strip()
+            if not xml_url:
+                continue  # grouping outlines carry no feed
+            rec = {"xml_url": xml_url[:MAX_TEXT]}
+            label = (n.attrs.get("title") or n.attrs.get("text")
+                     or "").strip()
+            if label:
+                rec["title"] = _clean(label, 256)
+            html_url = (n.attrs.get("htmlurl") or "").strip()
+            if html_url:
+                rec["html_url"] = html_url[:MAX_TEXT]
+            outlines.append(rec)
+        out = {"content_type": "opml", "kind": "opml",
+               "outlines": outlines}
+        if title:
+            out["title"] = _clean(title, 256)
+        n_feeds = sum(1 for n in all_nodes
+                      if (n.attrs.get("xmlurl") or "").strip())
+        if n_feeds > len(outlines):
+            out["outlines_truncated"] = n_feeds - len(outlines)
         return out
 
     items: list = []
@@ -242,4 +279,8 @@ def feed_main_text(extraction: dict) -> str:
         line = f"{t} — {s}" if t and s else (t or s)
         if line:
             lines.append(line)
+    for o in extraction.get("outlines", ()):
+        t = o.get("title")
+        if t:
+            lines.append(t)
     return "\n".join(lines)

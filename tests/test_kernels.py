@@ -3855,6 +3855,24 @@ def test_feed_and_sitemap_routes():
     assert sniff_feed_kind("<!-- <rss v=2> --><html>") is None
     assert sniff_feed_kind("<!-- n -->\n<?xml?><rss>") == "rss"
 
+    # OPML feed inventories (blogrolls / podcast exports): outline
+    # xmlUrl is the feed-discovery key; grouping outlines skipped
+    opml = (b"<?xml version='1.0'?><opml version='2.0'>"
+            b"<head><title>My Feeds</title></head><body>"
+            b"<outline text='Tech'>"
+            b"<outline text='Blog A' title='Blog A' type='rss'"
+            b" xmlUrl='https://a/feed.xml' htmlUrl='https://a/'/>"
+            b"<outline text='Blog B' xmlUrl='https://b/rss'/>"
+            b"</outline></body></opml>")
+    orec = extract_document("u://o", opml, ExtractOptions())
+    ox = json.loads(orec["extraction_json"])
+    assert ox["content_type"] == "opml" and ox["title"] == "My Feeds"
+    assert ox["outlines"] == [
+        {"xml_url": "https://a/feed.xml", "title": "Blog A",
+         "html_url": "https://a/"},
+        {"xml_url": "https://b/rss", "title": "Blog B"}]
+    assert "Blog A" in orec["main_text"]
+
     # feed language claim + item categories (curation join keys)
     rl = (b"<rss><channel><title>T</title>"
           b"<language>en-US</language>"
