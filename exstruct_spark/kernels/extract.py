@@ -42,8 +42,10 @@ from exstruct_spark.kernels.dom import (
 )
 from exstruct_spark.kernels.feeds import (
     extract_feed,
+    extract_json_feed,
     feed_main_text,
     sniff_feed_kind,
+    sniff_json_feed,
 )
 from exstruct_spark.kernels.pdf import extract_pdf_document, is_pdf
 from exstruct_spark.kernels.serialize import canonical_json, sha256_hex
@@ -473,10 +475,13 @@ def extract_document(
     # feed/sitemap routing (the crawl's OTHER XML document kinds): the
     # first real tag decides, so HTML pages never enter this branch
     feed_kind = sniff_feed_kind(html) if html else None
-    if feed_kind:
+    json_feed = (not feed_kind and html
+                 and sniff_json_feed(html))
+    if feed_kind or json_feed:
         try:
-            feed = extract_feed(parse_html(html, xml_mode=True),
-                                feed_kind)
+            feed = (extract_json_feed(html) if json_feed
+                    else extract_feed(parse_html(html, xml_mode=True),
+                                      feed_kind))
             extraction.update(feed)
             main_text = normalize_main_text(feed_main_text(feed))
             n_lists = len(feed.get("items", ()))

@@ -56,6 +56,78 @@ def sniff_feed_kind(text: str):
     return None
 
 
+def sniff_json_feed(text: str) -> bool:
+    """JSON Feed documents (jsonfeed.org): a top-level JSON object
+    whose version URL names the spec.  Cheap head test — the JSON
+    parse itself is the real gate in ``extract_json_feed``."""
+    head = text[:4096].lstrip()
+    return head.startswith("{") and "jsonfeed.org/version" in head
+
+
+def extract_json_feed(text: str) -> dict:
+    """JSON Feed text -> the same feed record shape as RSS/Atom.
+    Raises on malformed JSON (the caller's fallback-not-fail wrapper
+    records the reason)."""
+    import json as _json
+
+    doc = _json.loads(text)
+    if not isinstance(doc, dict):
+        raise ValueError("json feed root is not an object")
+    items = []
+    raw_items = doc.get("items")
+    raw_items = raw_items if isinstance(raw_items, list) else []
+    for it in raw_items[:MAX_FEED_ITEMS]:
+        if not isinstance(it, dict):
+            continue
+        rec: dict = {}
+        title = it.get("title")
+        if isinstance(title, str) and title.strip():
+            rec["title"] = _clean(title, 512)
+        link = it.get("url") or it.get("external_url")
+        if isinstance(link, str) and link.strip():
+            rec["link"] = link.strip()[:MAX_TEXT]
+        pub = it.get("date_published") or it.get("date_modified")
+        if isinstance(pub, str) and pub.strip():
+            rec["published"] = pub.strip()[:64]
+        summary = (it.get("summary") or it.get("content_text")
+                   or it.get("content_html"))
+        if isinstance(summary, str) and summary.strip():
+            rec["summary"] = _clean(summary)
+        tags = it.get("tags")
+        if isinstance(tags, list):
+            cats = [str(t)[:64] for t in tags[:8]
+                    if isinstance(t, str) and t.strip()]
+            if cats:
+                rec["categories"] = cats
+        author = it.get("author") or {}
+        if isinstance(author, dict):
+            nm = author.get("name")
+            if isinstance(nm, str) and nm.strip():
+                rec["author"] = nm.strip()[:128]
+        att = it.get("attachments")
+        if isinstance(att, list):
+            for a in att:
+                if isinstance(a, dict) and isinstance(
+                        a.get("url"), str) and a["url"].strip():
+                    rec["enclosure"] = a["url"].strip()[:MAX_TEXT]
+                    mt = a.get("mime_type")
+                    if isinstance(mt, str) and mt.strip():
+                        rec["enclosure_type"] = mt.strip()[:64]
+                    break
+        if rec:
+            items.append(rec)
+    out = {"content_type": "feed", "kind": "jsonfeed", "items": items}
+    title = doc.get("title")
+    if isinstance(title, str) and title.strip():
+        out["title"] = _clean(title, 512)
+    lang = doc.get("language")
+    if isinstance(lang, str) and lang.strip():
+        out["lang"] = lang.strip().lower()[:16]
+    if len(raw_items) > len(items):
+        out["items_truncated"] = len(raw_items) - len(items)
+    return out
+
+
 def _text_after_void(parent: Node, tag: str) -> str:
     """Text that FOLLOWED a void-parsed element until the next element
     — where RSS ``<link>url</link>`` content lands under tag soup."""

@@ -3855,6 +3855,39 @@ def test_feed_and_sitemap_routes():
     assert sniff_feed_kind("<!-- <rss v=2> --><html>") is None
     assert sniff_feed_kind("<!-- n -->\n<?xml?><rss>") == "rss"
 
+    # JSON Feed (jsonfeed.org): same record shape as RSS/Atom; junk
+    # items skipped + counted; malformed JSON degrades with a reason;
+    # plain JSON never routes
+    jf = json.dumps({
+        "version": "https://jsonfeed.org/version/1.1",
+        "title": "JF Blog", "language": "en-GB",
+        "items": [
+            {"id": "1", "title": "Post", "url": "https://j/1",
+             "date_published": "2023-04-01T10:00:00Z",
+             "content_text": "Body text here", "tags": ["a", "b"],
+             "author": {"name": "Kit"},
+             "attachments": [{"url": "https://j/ep.mp3",
+                              "mime_type": "audio/mpeg"}]},
+            "junk-item",
+        ]}).encode()
+    jrec = extract_document("u://jf", jf, ExtractOptions())
+    jx = json.loads(jrec["extraction_json"])
+    assert jx["kind"] == "jsonfeed" and jx["lang"] == "en-gb"
+    assert jx["items"][0] == {
+        "title": "Post", "link": "https://j/1",
+        "published": "2023-04-01T10:00:00Z",
+        "summary": "Body text here", "categories": ["a", "b"],
+        "author": "Kit", "enclosure": "https://j/ep.mp3",
+        "enclosure_type": "audio/mpeg"}
+    assert jx["items_truncated"] == 1
+    bad = (b'{ "version": "https://jsonfeed.org/version/1",'
+           b' items: oops }')
+    r2 = extract_document("u://bad", bad, ExtractOptions())
+    assert r2["status"] == "fallback" \
+        and r2["fallback_reason"].startswith("feed:")
+    r3 = extract_document("u://p", b'{"a": 1}', ExtractOptions())
+    assert "kind" not in json.loads(r3["extraction_json"])
+
     # OPML feed inventories (blogrolls / podcast exports): outline
     # xmlUrl is the feed-discovery key; grouping outlines skipped
     opml = (b"<?xml version='1.0'?><opml version='2.0'>"
