@@ -43,9 +43,11 @@ from exstruct_spark.kernels.dom import (
 from exstruct_spark.kernels.feeds import (
     extract_feed,
     extract_json_feed,
+    extract_robots,
     feed_main_text,
     sniff_feed_kind,
     sniff_json_feed,
+    sniff_robots,
 )
 from exstruct_spark.kernels.pdf import extract_pdf_document, is_pdf
 from exstruct_spark.kernels.serialize import canonical_json, sha256_hex
@@ -477,11 +479,17 @@ def extract_document(
     feed_kind = sniff_feed_kind(html) if html else None
     json_feed = (not feed_kind and html
                  and sniff_json_feed(html))
-    if feed_kind or json_feed:
+    robots = (not feed_kind and not json_feed and html
+              and "<" not in html[:256] and sniff_robots(html))
+    if feed_kind or json_feed or robots:
         try:
-            feed = (extract_json_feed(html) if json_feed
-                    else extract_feed(parse_html(html, xml_mode=True),
-                                      feed_kind))
+            if robots:
+                feed = extract_robots(html)
+            elif json_feed:
+                feed = extract_json_feed(html)
+            else:
+                feed = extract_feed(parse_html(html, xml_mode=True),
+                                    feed_kind)
             extraction.update(feed)
             main_text = normalize_main_text(feed_main_text(feed))
             n_lists = len(feed.get("items", ()))

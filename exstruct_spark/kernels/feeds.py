@@ -56,6 +56,87 @@ def sniff_feed_kind(text: str):
     return None
 
 
+MAX_ROBOTS_GROUPS = 32
+MAX_ROBOTS_RULES = 64
+
+
+def sniff_robots(text: str) -> bool:
+    """robots.txt documents: plain text whose first non-comment,
+    non-blank line is a robots directive.  The crawl-governance input
+    — a pipeline that ignores it cannot claim polite recrawl."""
+    for line in text[:4096].splitlines():
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        key = s.split(":", 1)[0].strip().lower()
+        return key in ("user-agent", "sitemap", "disallow", "allow",
+                       "crawl-delay")
+    return False
+
+
+def extract_robots(text: str) -> dict:
+    """robots.txt -> {groups: [{agents, disallow, allow,
+    crawl_delay?}], sitemaps: [...]}.  Per REP: consecutive user-agent
+    lines open one group; rules attach to the open group; Sitemap is
+    group-independent.  Caps surfaced."""
+    groups: list = []
+    sitemaps: list = []
+    cur = None
+    last_was_agent = False
+    truncated = 0
+    for line in text.splitlines():
+        s = line.split("#", 1)[0].strip()
+        if not s or ":" not in s:
+            last_was_agent = False
+            continue
+        key, _, val = s.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "sitemap":
+            if val and len(sitemaps) < MAX_ROBOTS_RULES:
+                sitemaps.append(val[:MAX_TEXT])
+            last_was_agent = False
+            continue
+        if key == "user-agent":
+            if not val:
+                continue
+            if cur is None or not last_was_agent:
+                if len(groups) >= MAX_ROBOTS_GROUPS:
+                    truncated += 1
+                    cur = None
+                else:
+                    cur = {"agents": [], "disallow": [], "allow": []}
+                    groups.append(cur)
+            if cur is not None and len(cur["agents"]) < 16:
+                cur["agents"].append(val[:128])
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if cur is None:
+            continue  # rules before any user-agent line: ignored (REP)
+        if key in ("disallow", "allow"):
+            if len(cur[key]) < MAX_ROBOTS_RULES:
+                cur[key].append(val[:MAX_TEXT])
+            else:
+                truncated += 1
+        elif key == "crawl-delay" and "crawl_delay" not in cur:
+            try:
+                cur["crawl_delay"] = float(val)
+            except ValueError:
+                pass
+    for g in groups:
+        if not g["disallow"]:
+            del g["disallow"]
+        if not g["allow"]:
+            del g["allow"]
+    out: dict = {"content_type": "robots", "groups": groups}
+    if sitemaps:
+        out["sitemaps"] = sitemaps
+    if truncated:
+        out["rules_truncated"] = truncated
+    return out
+
+
 def sniff_json_feed(text: str) -> bool:
     """JSON Feed documents (jsonfeed.org): a top-level JSON object
     whose version URL names the spec.  Cheap head test — the JSON

@@ -3888,6 +3888,29 @@ def test_feed_and_sitemap_routes():
     r3 = extract_document("u://p", b'{"a": 1}', ExtractOptions())
     assert "kind" not in json.loads(r3["extraction_json"])
 
+    # robots.txt: the crawl-governance input — REP group semantics
+    # (consecutive user-agent lines share a group), Sitemap directives
+    # group-independent, comments stripped, crawl-delay numeric
+    rb = (b"# robots\nUser-agent: *\nDisallow: /private/\n"
+          b"Allow: /private/ok.html\nCrawl-delay: 2\n\n"
+          b"User-agent: BadBot\nUser-agent: WorseBot\nDisallow: /\n\n"
+          b"Sitemap: https://ex.com/sitemap.xml\n")
+    rrec = extract_document("u://r", rb, ExtractOptions())
+    rx = json.loads(rrec["extraction_json"])
+    assert rx["content_type"] == "robots"
+    assert rx["groups"][0] == {
+        "agents": ["*"], "disallow": ["/private/"],
+        "allow": ["/private/ok.html"], "crawl_delay": 2.0}
+    assert rx["groups"][1] == {"agents": ["BadBot", "WorseBot"],
+                               "disallow": ["/"]}
+    assert rx["sitemaps"] == ["https://ex.com/sitemap.xml"]
+    # an HTML page mentioning 'User-agent:' in text never routes
+    hh = extract_document(
+        "u://h", b"<html><body>User-agent: joke</body></html>",
+        ExtractOptions())
+    assert json.loads(hh["extraction_json"]).get(
+        "content_type") != "robots"
+
     # OPML feed inventories (blogrolls / podcast exports): outline
     # xmlUrl is the feed-discovery key; grouping outlines skipped
     opml = (b"<?xml version='1.0'?><opml version='2.0'>"
