@@ -111,9 +111,11 @@ def _collect_blocks(node: Node, out: list) -> None:
                 out.append(n)  # block content is atomic
                 continue
         first = False
-        kids = n.element_children()
-        for i in range(len(kids) - 1, -1, -1):
-            stack.append(kids[i])
+        ch = n.children
+        for i in range(len(ch) - 1, -1, -1):
+            c = ch[i]
+            if type(c) is Node:
+                stack.append(c)
 
 
 def _content_root(root: Node) -> Node:

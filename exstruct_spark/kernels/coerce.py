@@ -21,11 +21,18 @@ _INT_RE = re.compile(r"^[+-]?(?:\d{1,3}(?:,\d{3})+|\d+)$")
 _FLOAT_RE = re.compile(r"^[+-]?(?:\d{1,3}(?:,\d{3})+|\d*)\.\d+$")
 
 
+_NUM_LEAD = frozenset("+-.0123456789")
+
+
 def coerce_scalar(s: str):
     """Coerce one stripped cell string to int/float/str."""
     if not s:
         return s
     t = s.strip()
+    # fast reject: neither numeric form can start with anything else,
+    # and most cells are words (r8 — skips both regex probes for them)
+    if not t or t[0] not in _NUM_LEAD:
+        return s
     if _INT_RE.match(t):
         try:
             return int(t.replace(",", ""))

@@ -255,9 +255,16 @@ class Node:
         """
         if self.tag in RAW_TEXT_SKIP:
             return ""
+        children = self.children
+        # fast paths for the dominant leaf shapes (table cells, anchors,
+        # headings): no children, or a single text child (r8)
+        if not children:
+            return ""
+        if len(children) == 1 and type(children[0]) is str:
+            return _WS_RE.sub(" ", children[0]).strip()
         parts: list = []
         # stack holds nodes to enter and sentinel strings to emit
-        stack: list = list(reversed(self.children))
+        stack: list = list(reversed(children))
         while stack:
             item = stack.pop()
             if type(item) is str:
@@ -395,18 +402,22 @@ def parse_html_stdlib(html: str) -> Node:
 # Any exception falls back to the stdlib builder (deterministic per input).
 
 _TOKEN_RE = re.compile(
-    # alternation ordered by token frequency (text runs and start tags
-    # dominate); correctness is order-independent because the frequent
-    # alternatives cannot match at '<!'/'</' positions and vice versa,
-    # except comments/CDATA before doctype (prefix overlap, kept in order)
-    r"[^<]+"                                                  # text run
-    r"|<([a-zA-Z][a-zA-Z0-9:-]*)"                             # start tag name
-    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>"                 # attrs + self-close
+    # TAG tokens only — text runs are the GAPS between matches, emitted
+    # by slicing (r8: one finditer step per tag instead of one match()
+    # call per token halves the Python loop iterations; a stray '<'
+    # that starts no valid token simply stays inside the gap text, and
+    # the concatenated text content is unchanged).  Comments/CDATA kept
+    # before doctype (prefix overlap).
+    r"<([a-zA-Z][a-zA-Z0-9:-]*)"                              # start tag name
+    # attrs: bulk-run the plain-char class, possessive outer star (same
+    # language as the old single-char alternation — deterministic, so
+    # possessiveness cannot change any match — with ~1.2x fewer engine
+    # steps and no backtracking state)
+    r"((?:[^>\"']+|\"[^\"]*\"|'[^']*')*+)(/?)>"               # attrs + self-close
     r"|</([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>"                      # end tag
     r"|<!--.*?(?:-->|$)"               # comments (unterminated -> EOF)
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"      # CDATA blocks
-    r"|<![^>]*>?|<\?[^>]*>?"           # doctype / processing instructions
-    r"|<",                             # stray '<'
+    r"|<![^>]*>?|<\?[^>]*>?",          # doctype / processing instructions
     re.S,
 )
 _ATTR_RE = re.compile(
@@ -461,15 +472,26 @@ def _parse_html_fast(html: str, xml_mode: bool = False) -> Node:
     lower = str.lower
     pos = 0
     n = len(html)
-    match = _TOKEN_RE.match
-    while pos < n:
-        m = match(html, pos)
-        if m is None:  # pragma: no cover - alternation is total
-            break
-        pos = m.end()
+    unescape = _unescape
+    new_node = Node.__new__  # slot-filled inline below (r8: bypassing
+    # the Python-level __init__ call saves real time at ~60 nodes/doc)
+    for m in _TOKEN_RE.finditer(html):
+        start, mend = m.span()
+        if start < pos:
+            # inside an already-consumed raw-text span (script/style
+            # body scanned past below) — the iterator catches up
+            continue
+        if start > pos:
+            # text gap between tags (stray '<' chars that start no
+            # token stay in the gap — same concatenated content as the
+            # old per-token text runs)
+            text = html[pos:start]
+            if "&" in text:
+                text = unescape(text)
+            stack[-1].children.append(text)
+        pos = mend
         # dispatch on lastindex: 3 = start tag (g3 '(/?)' always
-        # participates), 4 = end tag, None = text/comment/doctype token
-        # (avoids a 4-group tuple per token)
+        # participates), 4 = end tag, None = comment/doctype token
         last = m.lastindex
         if last == 3:
             start_tag, attr_raw, self_close = m.group(1, 2, 3)
@@ -486,15 +508,20 @@ def _parse_html_fast(html: str, xml_mode: bool = False) -> Node:
                         break
                     if t in ("table", "ul", "ol", "div", "section", "body"):
                         break
-            node = Node(
-                tag, _parse_attrs(attr_raw) if attr_raw.strip() else _NO_ATTRS
+            node = new_node(Node)
+            node.tag = tag
+            node.attrs = (
+                _parse_attrs(attr_raw)
+                if attr_raw and not attr_raw.isspace() else _NO_ATTRS
             )
+            node.children = []
             node.doc_nodes = doc_nodes
             i0 = len(doc_nodes)
             node.i0 = i0
             node.i1 = i0 + 1  # leaf until proven otherwise (scope close)
-            node.parent = stack[-1]
-            stack[-1].children.append(node)
+            parent = stack[-1]
+            node.parent = parent
+            parent.children.append(node)
             add_node(node)
             if xml_mode:
                 # XML: '<x .../>'' self-closes anything; no void list
@@ -529,16 +556,13 @@ def _parse_html_fast(html: str, xml_mode: bool = False) -> Node:
                     del stack[i:]
                     break
             # else: stray end tag ignored
-        else:
-            text = m.group(0)
-            if text[0] != "<" or len(text) == 1:
-                if text[0] == "<":
-                    stack[-1].children.append("<")
-                    continue
-                if "&" in text:
-                    text = _unescape(text)
-                stack[-1].children.append(text)
-            # comments / doctype / CDATA: dropped
+        # last is None: comments / doctype / CDATA dropped
+    if pos < n:
+        # trailing text after the last tag
+        text = html[pos:n]
+        if "&" in text:
+            text = unescape(text)
+        stack[-1].children.append(text)
     end = len(doc_nodes)
     for open_node in stack:  # includes root: i0=0, i1=total
         open_node.i1 = end

@@ -555,37 +555,51 @@ def extract_document(
             # Implemented as an integer skip guard over the C-fast
             # indexed iteration (root.iter() is the prebuilt doc list;
             # a generator resume per node costs ~10% corpus throughput
-            # — measured in the round-7 soak A/B)
+            # — measured in the round-7 soak A/B).  r8: the inert-tag
+            # test rides the SAME dict get as bucket dispatch (a
+            # sentinel value in ``groups``) and the per-tag special
+            # cases dispatch on bucket IDENTITY — no per-node tuple
+            # membership or string compares on the hot walk.
+            inert = groups["template"] = groups["noscript"] = object()
+            a_bucket = groups["a"]
+            table_bucket = groups["table"]
             skip_until = -1
             noscript_imgs: list = []
             for doc_idx, n in enumerate(root.iter()):
                 if doc_idx < skip_until:
                     continue
-                if n.tag in ("template", "noscript") and n.i1 > doc_idx:
-                    # <noscript> is inert in a rendered browser, but it
-                    # is the standard lazy-load FALLBACK carrier: real
-                    # pages ship `<img data-src=...><noscript><img
-                    # src=real></noscript>` so no-JS readers (and
-                    # crawlers) still see the image.  Harvest its <img>
-                    # nodes for the images family only — the subtree
-                    # stays out of every other collector.
-                    if n.tag == "noscript" and opts.include_images:
-                        noscript_imgs.extend(n.find_all("img"))
-                    skip_until = n.i1
-                    continue
                 bucket = get_bucket(n.tag)
                 if bucket is not None:
-                    # anchors keep their document-order index: it is the
-                    # position key of the links_map inverted index (A2)
-                    bucket.append((doc_idx, n) if n.tag == "a" else n)
-                    if n.tag == "table" and (
-                            (n.attrs.get("role") or "").strip().lower()
-                            not in ("presentation", "none")):
-                        # role=presentation/none is the author's own
-                        # declaration that this <table> is LAYOUT, not
-                        # data (the table-layout-era idiom) — its
-                        # content flows as ordinary text instead
-                        table_like.append(n)
+                    if bucket is inert:
+                        if n.i1 > doc_idx:
+                            # <noscript> is inert in a rendered browser,
+                            # but it is the standard lazy-load FALLBACK
+                            # carrier: real pages ship `<img data-src=...>
+                            # <noscript><img src=real></noscript>` so
+                            # no-JS readers (and crawlers) still see the
+                            # image.  Harvest its <img> nodes for the
+                            # images family only — the subtree stays out
+                            # of every other collector.
+                            if n.tag == "noscript" and opts.include_images:
+                                noscript_imgs.extend(n.find_all("img"))
+                            skip_until = n.i1
+                            continue
+                    elif bucket is a_bucket:
+                        # anchors keep their document-order index: it is
+                        # the position key of the links_map inverted
+                        # index (A2)
+                        bucket.append((doc_idx, n))
+                    elif bucket is table_bucket:
+                        bucket.append(n)
+                        if ((n.attrs.get("role") or "").strip().lower()
+                                not in ("presentation", "none")):
+                            # role=presentation/none is the author's own
+                            # declaration that this <table> is LAYOUT,
+                            # not data (the table-layout-era idiom) — its
+                            # content flows as ordinary text instead
+                            table_like.append(n)
+                    else:
+                        bucket.append(n)
                 attrs = n.attrs
                 if attrs:
                     # normalized exactly like detect_grid_candidates /
@@ -655,6 +669,11 @@ def extract_document(
                 if external_css is not None and len(external_css)
                 else None,
             )
+            if not css.rules:
+                # rule-free resolver: every effective_attrs call is an
+                # identity return — pass None so the per-cell/per-block
+                # call sites take their attrs fast path outright (r8)
+                css = None
 
             # resolver built BEFORE the main-text pass so class-
             # declared display:none blocks drop like inline ones

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+from itertools import islice
 from typing import Any
 
 _EMPTY = (None, "", [], {}, ())
@@ -32,54 +33,72 @@ def strip_empty(value: Any) -> Any:
     # builtin cases, isinstance fallback so dict/list/str SUBCLASSES keep
     # the original semantics (recursed / dropped-when-empty) instead of
     # silently passing through; byte-identical output (unit + hypothesis
-    # fixpoint tests)
+    # fixpoint tests).  r8: LAZY copy — the original container object is
+    # returned unchanged when nothing inside it strips (the majority of
+    # extraction sub-dicts), so the walk allocates only where it edits.
+    # ``_SENTINEL_DROP`` marks a member to drop (None itself is dropped,
+    # so it doubles as the marker).
     if isinstance(value, dict):
-        out = {}
+        out = None  # materialized on first edit
+        idx = 0
         for k, v in value.items():
             tv = type(v)
             if tv is str:
-                if v:
-                    out[k] = v
+                nv = v if v else None
             elif tv is dict or tv is list or tv is tuple:
-                v = strip_empty(v)
-                if v:
-                    out[k] = v
+                nv = strip_empty(v)
+                if not nv:
+                    nv = None
             elif v is None:
-                pass
+                nv = None
             elif isinstance(v, (dict, list, tuple)):
-                v = strip_empty(v)
-                if v:
-                    out[k] = v
+                nv = strip_empty(v)
+                if not nv:
+                    nv = None
             elif isinstance(v, str):
-                if v:
-                    out[k] = v
+                nv = v if v else None
             else:
-                out[k] = v
-        return out
+                nv = v
+            if out is None:
+                if nv is v:
+                    idx += 1
+                    continue
+                # first edit: copy the unchanged prefix
+                out = dict(islice(value.items(), idx))
+            if nv is not None:
+                out[k] = nv
+        return value if out is None else out
     if isinstance(value, (list, tuple)):
-        out_l = []
-        add = out_l.append
+        out_l = None
+        if type(value) is not list:
+            out_l = []  # tuples always materialize as lists (parity)
+        idx = 0
         for v in value:
             tv = type(v)
             if tv is str:
-                if v:
-                    add(v)
+                nv = v if v else None
             elif tv is dict or tv is list or tv is tuple:
-                v = strip_empty(v)
-                if v:
-                    add(v)
+                nv = strip_empty(v)
+                if not nv:
+                    nv = None
             elif v is None:
-                pass
+                nv = None
             elif isinstance(v, (dict, list, tuple)):
-                v = strip_empty(v)
-                if v:
-                    add(v)
+                nv = strip_empty(v)
+                if not nv:
+                    nv = None
             elif isinstance(v, str):
-                if v:
-                    add(v)
+                nv = v if v else None
             else:
-                add(v)
-        return out_l
+                nv = v
+            if out_l is None:
+                if nv is v:
+                    idx += 1
+                    continue
+                out_l = list(value[:idx])
+            if nv is not None:
+                out_l.append(nv)
+        return value if out_l is None else out_l
     return value
 
 

@@ -23,6 +23,7 @@ Parity map (behaviour, not code — SURVEY.md §2):
 
 from __future__ import annotations
 
+from collections import Counter
 from typing import Optional
 
 from exstruct_spark.config import DetectionConfig
@@ -34,8 +35,11 @@ from exstruct_spark.kernels.dom import Node, is_hidden, visibility_of
 
 
 def _int_attr(node: Node, name: str, default: int = 1) -> int:
+    v = node.attrs.get(name)
+    if v is None:  # absent attr (the common case) — no str/int round-trip
+        return default
     try:
-        v = int(str(node.get(name, default)).strip())
+        v = int(str(v).strip())
         return v if v >= 1 else default
     except (TypeError, ValueError):
         return default
@@ -239,15 +243,19 @@ def _sparse_rows(cells: dict, links: dict, alpha_keys: bool = False) -> list:
     by_row: dict = {}
     for (r, c), v in cells.items():
         by_row.setdefault(r, {})[c] = v
+    # links grouped once (r8 — the per-row ``sorted(links)`` rescan was
+    # O(rows x links); same col-sorted order per row)
+    links_by_row: dict = {}
+    if links:
+        for (rr, c) in sorted(links):
+            links_by_row.setdefault(rr, []).append(c)
     rows = []
     for r in sorted(by_row):
         cmap = {key(c): by_row[r][c] for c in sorted(by_row[r])}
         row: dict = {"r": r + 1, "c": cmap}
-        row_links = {
-            key(c): links[(rr, c)] for (rr, c) in sorted(links) if rr == r
-        }
-        if row_links:
-            row["links"] = row_links
+        link_cols = links_by_row.get(r)
+        if link_cols:
+            row["links"] = {key(c): links[(r, c)] for c in link_cols}
         rows.append(row)
     return rows
 
@@ -294,11 +302,10 @@ def score_candidate(
     cs = [c for _, c in cells]
     bbox = (max(rs) - min(rs) + 1) * (max(cs) - min(cs) + 1)
     coverage = bbox / total
-    row_counts: dict = {}
-    col_counts: dict = {}
-    for r, c in cells:
-        row_counts[r] = row_counts.get(r, 0) + 1
-        col_counts[c] = col_counts.get(c, 0) + 1
+    # C-speed tallies (r8): Counter's _count_elements beats a per-cell
+    # Python dict-get loop
+    row_counts = Counter(rs)
+    col_counts = Counter(cs)
     structure = (
         sum(1 for v in row_counts.values() if v >= 2) >= 2
         and sum(1 for v in col_counts.values() if v >= 2) >= 2
