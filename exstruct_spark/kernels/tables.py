@@ -613,23 +613,26 @@ def _structural_candidates(
     """Child-uniformity signal: >= 2 row-like children with a modal child
     count >= 2; raggedness tolerated within +-1 of the modal width for
     >= 80% of rows, sparse borders trimmed."""
-    rows = [
-        ch
-        for ch in node.element_children()
-        if ch.tag == "div" and ch.element_children()
-    ]
-    if len(rows) < 2:
+    # each row's element children computed ONCE (r8 — was 3 walks: the
+    # gate comprehension, the widths pass, and the cell loop)
+    row_kids = []
+    for ch in node.children:
+        if type(ch) is Node and ch.tag == "div":
+            kids = ch.element_children()
+            if kids:
+                row_kids.append(kids)
+    if len(row_kids) < 2:
         return []
-    widths = [len(r.element_children()) for r in rows]
+    widths = [len(kids) for kids in row_kids]
     modal = max(set(widths), key=lambda w: (widths.count(w), w))
     if modal < 2:
         return []
     near_modal = sum(1 for w in widths if abs(w - modal) <= 1)
-    if near_modal < max(2, int(0.8 * len(rows))):
+    if near_modal < max(2, int(0.8 * len(row_kids))):
         return []
     cells: dict = {}
-    for r, row in enumerate(rows):
-        for c, cell in enumerate(row.element_children()):
+    for r, kids in enumerate(row_kids):
+        for c, cell in enumerate(kids):
             text = cell.text_content()
             if text:
                 cells[(r, c)] = coerce_scalar(text)
@@ -656,22 +659,23 @@ def _border_candidates(
     the cells inside each cluster box."""
     from exstruct_spark.kernels.borders import has_visible_border
 
-    rows = [
-        ch
-        for ch in node.element_children()
-        if ch.tag == "div" and ch.element_children()
-    ]
+    rows = []
+    for ch in node.children:  # one child walk (r8, same as structural)
+        if type(ch) is Node and ch.tag == "div":
+            kids = ch.element_children()
+            if kids:
+                rows.append((ch, kids))
     if len(rows) < 2:
         return []
     mask: dict = {}
     cells: dict = {}
-    for r, row in enumerate(rows):
+    for r, (row, kids) in enumerate(rows):
         # class-resolved borders (kernels/css.py): a div grid styled via
         # '.cell { border: 1px solid }' carries the same G1 signal as
         # one with inline styles — identity read when no rules exist
         row_bordered = has_visible_border(
             css.effective_attrs(row) if css else row.attrs)
-        for c, cell in enumerate(row.element_children()):
+        for c, cell in enumerate(kids):
             if row_bordered or has_visible_border(
                     css.effective_attrs(cell) if css else cell.attrs):
                 mask[(r, c)] = True
