@@ -28,7 +28,10 @@ RAW_TEXT_SKIP = frozenset({"script", "style", "template", "noscript"})
 # containers whose CONTENT a browser never renders (script/style hold
 # raw text, not elements, so pruning descent matters only for these)
 RENDER_INERT = frozenset({"template", "noscript"})
-_DISPLAY_RE = re.compile(r"display\s*:\s*([a-zA-Z-]+)")
+# property name ANCHORED on the left (ADVICE r7): an unanchored match
+# hits inside 'backface-visibility:hidden' / vendor-prefixed longhands
+# and silently hides visible subtrees; same hardening for display
+_DISPLAY_RE = re.compile(r"(?<![-\w])display\s*:\s*([a-zA-Z-]+)")
 
 
 def is_hidden(attrs: dict) -> bool:
@@ -46,7 +49,7 @@ def is_hidden(attrs: dict) -> bool:
     return False
 
 
-_VISIBILITY_RE = re.compile(r"visibility\s*:\s*([a-zA-Z-]+)")
+_VISIBILITY_RE = re.compile(r"(?<![-\w])visibility\s*:\s*([a-zA-Z-]+)")
 
 
 def visibility_of(attrs: dict):

@@ -30,7 +30,11 @@ MAX_SITEMAP_URLS = 512
 MAX_TEXT = 2048
 
 _FIRST_TAG_RE = re.compile(r"<([a-zA-Z][\w:.-]*)")
-_HEAD_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+# an unterminated '<!--' in the sniff window is comment-to-end (ADVICE
+# r7) — matching the tokenizer's own comment rule, so a comment whose
+# '-->' falls beyond the window cannot leak a commented-out '<rss' into
+# the first-tag probe and misroute a real HTML page
+_HEAD_COMMENT_RE = re.compile(r"<!--.*?(?:-->|$)", re.S)
 
 
 def sniff_feed_kind(text: str):

@@ -5485,3 +5485,50 @@ def test_style_import_refs_strict_prefix_and_media():
     walk(root)
     assert _stylesheet_refs(links, "http://t/x/", styles) == [
         "http://t/x/l.css", "http://t/x/s.css"]
+
+
+def test_visibility_property_name_anchored():
+    """ADVICE r7: 'backface-visibility:hidden' (a common inline
+    carousel/animation idiom) is NOT the visibility property — the
+    subtree stays visible and its text reaches main_text; same
+    anchoring for display ('-webkit-display' style vendor noise)."""
+    from exstruct_spark.golden import extract_document
+    from exstruct_spark.kernels.dom import is_hidden, is_invisible, visibility_of
+
+    assert visibility_of(
+        {"style": "backface-visibility:hidden"}) is None
+    assert not is_invisible(
+        {"style": "-webkit-backface-visibility:hidden"})
+    # the real property still wins, last-declaration rule intact
+    assert visibility_of(
+        {"style": "backface-visibility:visible;visibility:hidden"}
+    ) == "hidden"
+    assert not is_hidden({"style": "-moz-display:none"})
+    assert is_hidden({"style": "display:none"})
+
+    html = ("<html><body><div style='backface-visibility:hidden'>"
+            "<p>Carousel content paragraph that is plainly visible "
+            "to any real browser user.</p></div></body></html>")
+    rec = extract_document("http://t/bv", html.encode())
+    assert "Carousel content paragraph" in rec["main_text"]
+    assert rec["status"] == "ok"
+
+
+def test_sniff_feed_unterminated_comment_window():
+    """ADVICE r7: a head comment whose '-->' closes beyond the 4096-char
+    sniff window must still comment out the '<rss' inside it — the
+    unterminated '<!--' reads comment-to-end, matching the tokenizer's
+    rule, so the real HTML page is not misrouted to the feed route."""
+    from exstruct_spark.golden import extract_document
+    from exstruct_spark.kernels.feeds import sniff_feed_kind
+
+    page = ("<!-- legacy feed copy: <rss version='2.0'> "
+            + "x" * 5000 + " --><html><body><p>"
+            + "Real page body text, long enough to keep as content."
+            + "</p></body></html>")
+    assert sniff_feed_kind(page) is None
+    rec = extract_document("http://t/cw", page.encode())
+    assert "Real page body text" in rec["main_text"]
+    # a genuine feed with a TERMINATED head comment still routes
+    assert sniff_feed_kind(
+        "<!-- banner --><rss version=\"2.0\"><channel/></rss>") == "rss"
