@@ -60,8 +60,17 @@ def default_session(
     AQE on (runtime re-plan / skew joins), Arrow enabled, UTC session TZ
     (timestamp determinism vs DuckDB oracle), bounded Arrow batches (memory
     control for adversarial HTML — SURVEY.md §7.4 hard-part 4).
+
+    Shuffle scratch stays on Spark's default local dir;
+    ``$SPARK_GRAFT_LOCAL_DIR`` overrides it for deployments with faster
+    scratch.  (r8 measured: forcing tmpfs /dev/shm here SLOWED the
+    shuffle-bearing queries ~10x on this virtualized host — guest page
+    allocation latency dwarfs page-cache-backed disk writes — so the
+    default is deliberately untouched.)
     """
-    return (
+    import os
+
+    builder = (
         SparkSession.builder.appName(app)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -72,8 +81,11 @@ def default_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    return builder.getOrCreate()
 
 
 # -- external-stylesheet corpus join (VERDICT r6 #2) -------------------------
