@@ -478,12 +478,17 @@ def _parse_html_fast(html: str, xml_mode: bool = False) -> Node:
     unescape = _unescape
     new_node = Node.__new__  # slot-filled inline below (r8: bypassing
     # the Python-level __init__ call saves real time at ~60 nodes/doc)
-    for m in _TOKEN_RE.finditer(html):
+    search = _TOKEN_RE.search
+    # search-from-pos loop, NOT finditer: after a raw-text (script/
+    # style) body is consumed the scan must RE-ANCHOR at the close tag
+    # — a '<!--' inside the raw text would otherwise start a lazy
+    # comment match that extends past '</script>' to the next '-->'
+    # and swallow real markup (caught by the engine test suite)
+    while True:
+        m = search(html, pos)
+        if m is None:
+            break
         start, mend = m.span()
-        if start < pos:
-            # inside an already-consumed raw-text span (script/style
-            # body scanned past below) — the iterator catches up
-            continue
         if start > pos:
             # text gap between tags (stray '<' chars that start no
             # token stay in the gap — same concatenated content as the

@@ -5532,3 +5532,25 @@ def test_sniff_feed_unterminated_comment_window():
     # a genuine feed with a TERMINATED head comment still routes
     assert sniff_feed_kind(
         "<!-- banner --><rss version=\"2.0\"><channel/></rss>") == "rss"
+
+
+def test_parser_comment_open_inside_script_raw_text():
+    """r8 tokenizer regression guard: '<!--' inside script raw text must
+    not open a comment that swallows markup after '</script>' (the scan
+    re-anchors at the raw-text close; a lazy comment match would extend
+    to the next '-->' anywhere later in the document)."""
+    from exstruct_spark.kernels.dom import parse_html
+
+    html = ("<html><head><script>var x = 1 <!-- 2;</script>"
+            "<base href='https://cdn.example/css/'>"
+            "<link rel='stylesheet' href='t.css'></head>"
+            "<body><p>kept text</p></body><!-- tail --></html>")
+    root = parse_html(html)
+    base = root.find_first("base")
+    assert base is not None and base.attrs["href"] == "https://cdn.example/css/"
+    link = root.find_first("link")
+    assert link is not None and link.attrs["href"] == "t.css"
+    p = root.find_first("p")
+    assert p is not None and p.text_content() == "kept text"
+    script = root.find_first("script")
+    assert script.children == ["var x = 1 <!-- 2;"]
