@@ -280,8 +280,7 @@ class Node:
             if is_block:
                 parts.append(" ")
                 stack.append(" ")  # emitted after the subtree drains
-            for i in range(len(c.children) - 1, -1, -1):
-                stack.append(c.children[i])
+            stack.extend(reversed(c.children))  # C-level push (r8)
         return _WS_RE.sub(" ", "".join(parts)).strip()
 
     def preformatted_text(self) -> str:
@@ -303,8 +302,7 @@ class Node:
                 continue
             if item.tag == "br":
                 parts.append("\n")
-            for i in range(len(item.children) - 1, -1, -1):
-                stack.append(item.children[i])
+            stack.extend(reversed(item.children))
         text = "".join(parts).replace("\r\n", "\n").replace("\r", "\n")
         return text.strip("\n").rstrip()
 
