@@ -437,6 +437,11 @@ _RAW_CLOSE_RE = {t: re.compile(rf"</{t}\b", re.I) for t in _RAW_TEXT_TAGS}
 # cleared wholesale at 16k entries (per-executor process, a few MB max).
 _ATTR_CACHE: dict = {}
 
+# raw start-tag spelling -> (lowered tag, implicit closers, is_void,
+# is_raw_text): one dict probe replaces a lower() allocation plus three
+# set/dict lookups per start tag (r8).  Bounded like _ATTR_CACHE.
+_TAG_INFO: dict = {}
+
 
 def _parse_attrs(raw: str) -> dict:
     cached = _ATTR_CACHE.get(raw)
@@ -501,8 +506,16 @@ def _parse_html_fast(html: str, xml_mode: bool = False) -> Node:
         last = m.lastindex
         if last == 3:
             start_tag, attr_raw, self_close = m.group(1, 2, 3)
-            tag = lower(start_tag)
-            closers = _IMPLICIT_CLOSE.get(tag)
+            # one cache probe replaces lower() + implicit-close /
+            # void / raw-text lookups (tag spellings repeat massively)
+            info = _TAG_INFO.get(start_tag)
+            if info is None:
+                tl = lower(start_tag)
+                info = (tl, _IMPLICIT_CLOSE.get(tl),
+                        tl in VOID_ELEMENTS, tl in _RAW_TEXT_TAGS)
+                if len(_TAG_INFO) < 4096:
+                    _TAG_INFO[start_tag] = info
+            tag, closers, is_void, is_raw = info
             if closers:
                 for i in range(len(stack) - 1, 0, -1):
                     t = stack[i].tag
@@ -533,9 +546,9 @@ def _parse_html_fast(html: str, xml_mode: bool = False) -> Node:
                 # XML: '<x .../>'' self-closes anything; no void list
                 if self_close or attr_raw.rstrip().endswith("/"):
                     continue
-            elif self_close or tag in VOID_ELEMENTS:
+            elif self_close or is_void:
                 continue
-            if tag in _RAW_TEXT_TAGS:
+            if is_raw:
                 # raw text until the matching close tag (html.parser CDATA
                 # semantics: no entity decoding, no nested tags)
                 mclose = _RAW_CLOSE_RE[tag].search(html, pos)
@@ -551,8 +564,16 @@ def _parse_html_fast(html: str, xml_mode: bool = False) -> Node:
                 continue
             stack.append(node)
         elif last == 4:
-            tag = lower(m.group(4))
-            if tag in VOID_ELEMENTS and not xml_mode:
+            end_raw = m.group(4)
+            info = _TAG_INFO.get(end_raw)
+            if info is None:
+                tl = lower(end_raw)
+                info = (tl, _IMPLICIT_CLOSE.get(tl),
+                        tl in VOID_ELEMENTS, tl in _RAW_TEXT_TAGS)
+                if len(_TAG_INFO) < 4096:
+                    _TAG_INFO[end_raw] = info
+            tag = info[0]
+            if info[2] and not xml_mode:  # void end tag: ignored
                 continue
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
